@@ -1,13 +1,230 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2.5's inventory is exposed as a named
+  * query over `/root/testdata/<sf>` plus (where SQL-expressible) a
+  * DuckDB oracle with byte-matched column names/types. Aggregates over
+  * doubles accumulate in DECIMAL on both sides so results are exact and
+  * order-independent — bit-identical across engines and across any
+  * cluster partitioning.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(Tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core relational (SURVEY §2.5)
+    "q01_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d))),
+    "q02_revenue_filter"     -> ((s, d) => Relational.revenueFilter(Tables(s, d))),
+    "q03_top_orders"         -> ((s, d) => Relational.topOrders(Tables(s, d))),
+    "q04_order_priority"     -> ((s, d) => Relational.orderPriority(Tables(s, d))),
+    "q05_customers_no_orders"-> ((s, d) => Relational.customersWithoutOrders(Tables(s, d))),
+    "q06_nation_revenue"     -> ((s, d) => Relational.nationRevenue(Tables(s, d))),
+    "q07_market_segments"    -> ((s, d) => Relational.marketSegments(Tables(s, d))),
+    "q08_top_per_customer"   -> ((s, d) => Relational.topOrdersPerCustomer(Tables(s, d))),
+    "q09_running_total"      -> ((s, d) => Relational.runningTotal(Tables(s, d))),
+    "q10_order_gaps"         -> ((s, d) => Relational.orderGaps(Tables(s, d))),
+    "q11_rollup"             -> ((s, d) => Relational.rollupRegionNation(Tables(s, d))),
+    "q12_cube"               -> ((s, d) => Relational.cubeFlagStatus(Tables(s, d))),
+    "q13_distinct_counts"    -> ((s, d) => Relational.distinctParts(Tables(s, d))),
+    "q14_setop_intersect"    -> ((s, d) => Relational.setOpCustomers(Tables(s, d))),
+    "q15_conditional_agg"    -> ((s, d) => Relational.priorityShipping(Tables(s, d))),
+    "q16_having"             -> ((s, d) => Relational.bigSuppliers(Tables(s, d))),
+    "q17_string_funcs"       -> ((s, d) => Relational.partStrings(Tables(s, d))),
+    "q18_date_parts"         -> ((s, d) => Relational.ordersByMonth(Tables(s, d))),
+    "q19_json_extract"       -> ((s, d) => Relational.eventProps(Tables(s, d))),
+    "q20_event_windows"      -> ((s, d) => Relational.eventDailyWindows(Tables(s, d))),
+    // text analysis + dedup (north star)
+    "q21_fingerprints"       -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
+    "q22_exact_dedup"        -> ((s, d) => TextOps.exactDedup(Tables(s, d))),
+    "q23_token_stats"        -> ((s, d) => TextOps.tokenStats(Tables(s, d))),
+    "q24_lang_profile"       -> ((s, d) => TextOps.langProfile(Tables(s, d))),
+    "q25_quality_scores"     -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
+    "q26_jaccard_pairs"      -> ((s, d) => TextOps.jaccardPairs(Tables(s, d))),
+    "q27_simhash"            -> ((s, d) => TextOps.simhashes(Tables(s, d))),
+    // similarity search (north star)
+    "q28_cosine_pairs"       -> ((s, d) => Similarity.cosinePairs(Tables(s, d))),
+    "q29_knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(Tables(s, d))),
+    "q30_label_centroids"    -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
+    // scale-path near-dedup (rows-only: LSH banding has no SQL oracle)
+    "q31_minhash_pairs"      -> ((s, d) => Dedup.minhashPairs(Tables(s, d))),
+    "q32_simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d))),
+  )
+
+  // Shared SQL fragments for the oracle (DuckDB dialect).
+  private val dot = "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b) -> a+b)"
+  private def dotOf(a: String, b: String): String = dot.format(a, b)
+  private val cosPairsSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
+       |SELECT q_id, vec_id,
+       | ${dotOf("q_emb", "embedding")} / (sqrt(${dotOf("q_emb", "q_emb")}) * sqrt(${dotOf("embedding", "embedding")})) AS cos_sim
+       |FROM embeddings, q WHERE vec_id <> q_id""".stripMargin
+
+  private val stopList = "('the','a','of','and','to','in')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2020-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "q06_nation_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q07_market_segments" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal) AS avg_acctbal,
+        | MIN(c_acctbal) AS min_acctbal, MAX(c_acctbal) AS max_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q08_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q09_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q10_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        | COALESCE(LAG(o_totalprice) OVER w, -1.0) AS prev_price,
+        | CAST(COALESCE(date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS INTEGER) AS gap_days
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q12_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q13_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q14_setop_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q15_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q16_having" ->
+      """SELECT l_suppkey,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        | COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 1000.0""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT UPPER(p_brand) AS brand, SUBSTRING(p_type, 1, 6) AS type_prefix,
+        | COUNT(*) AS n_parts, MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+        |FROM part WHERE p_size >= 1 AND p_size <= 15
+        |GROUP BY 1, 2""".stripMargin,
+    "q18_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+        | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q19_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+        |   / COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+        | MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q20_event_windows" ->
+      """SELECT date_trunc('day', ts) AS day_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q21_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp, CAST(LENGTH(text) AS INTEGER) AS n_chars
+        |FROM documents""".stripMargin,
+    "q22_exact_dedup" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+        |FROM documents""".stripMargin,
+    "q24_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(LENGTH(text)) AS DOUBLE)/COUNT(*) AS avg_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q25_quality_scores" ->
+      s"""SELECT doc_id, lang,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         | CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio,
+         | LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)/100.0, 1.0)*0.4
+         |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)/len(string_split(text, ' ')))*0.3
+         |  + (CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS DOUBLE)/len(string_split(text, ' ')))*0.3 AS quality
+         |FROM documents""".stripMargin,
+    "q26_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |  / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) AS jaccard_sim
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        | AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |  / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3""".stripMargin,
+    "q28_cosine_pairs" -> cosPairsSql,
+    "q29_knn_bruteforce" ->
+      s"""SELECT q_id, vec_id, cos_sim, rank FROM (
+         | SELECT q_id, vec_id, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         | FROM ($cosPairsSql) p) r WHERE rank <= 10""".stripMargin,
+  )
 }

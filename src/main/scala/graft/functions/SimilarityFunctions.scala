@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives over `array<float>` columns.
+  *
+  * All arithmetic is a sequential left-fold in DOUBLE via the
+  * `aggregate` higher-order function — bit-identical to any engine that
+  * folds the same way (the DuckDB oracle uses `list_reduce`), and
+  * deterministic regardless of Spark partitioning because the fold is
+  * per-row. No UDFs: stays in Catalyst's evaluator, scales on a cluster.
+  */
+object SimilarityFunctions {
+
+  /** dot(a, b) with per-element promotion to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x))
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data-pipeline work, built from
+  * codegen'd Catalyst built-ins and higher-order array functions — no
+  * Scala UDFs, so every expression stays inside Tungsten evaluation and
+  * scales linearly with input on a cluster.
+  */
+object TextFunctions {
+
+  /** Stopword set used by quality metrics (domain-neutral subset of the
+    * fixture vocabulary). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Whitespace tokenization: `documents.text` is single-space word
+    * soup, so a plain split suffices (see FIXTURES.md §B). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio (lexical diversity): distinct / total tokens. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(Stopwords.map(x => x: Any): _*)))
+      .cast("double") / tokenCount(text)
+
+  /** Deterministic 128-bit content fingerprint (exact-dedup key).
+    * md5 is available in both Spark and DuckDB, so fingerprints are
+    * oracle-checkable; at scale an xxhash64 variant is cheaper. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 word hashes:
+    * for each bit position, vote by the number of tokens whose hash has
+    * that bit set vs not; bit is 1 when set-votes win. Pure HOF
+    * composition — distributed, no driver involvement, no UDF. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), w => xxhash64(w))
+    val n = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => {
+        val setVotes = size(filter(hashes, h =>
+          call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === lit(1L)))
+        acc.bitwiseOR(
+          when(setVotes * 2 > n, call_function("shiftleft", lit(1L), i.cast("int")))
+            .otherwise(lit(0L)))
+      })
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Word-shingle array of size `k` (for n-gram Jaccard dedup). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    // sequence(1, n) with n < 1 would count DOWN (negative step); guard
+    // short documents explicitly.
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** Jaccard similarity of two pre-distinct string arrays: |∩| / |∪|.
+    * Exact integer cardinalities → deterministic double ratio. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-path near-dedup: MinHash LSH over word shingles.
+  *
+  * Pipeline: shingle → HashingTF sparse vector (2^18 dims) → MinHash
+  * signatures → LSH banding via `approxSimilarityJoin`, which
+  * hash-partitions on band buckets so only colliding documents are
+  * compared. This is the sub-quadratic (O(n)·bands) alternative to
+  * TextOps.jaccardPairs' blocked exact join, and the design that
+  * survives 100 TB: no full cross product ever materializes.
+  *
+  * Seeded → deterministic signatures; results are rows-only checked
+  * (MinHash banding is not expressible in the DuckDB oracle).
+  */
+object Dedup {
+
+  private val NumFeatures = 1 << 18
+  private val NumHashTables = 8
+  private val Seed = 42L
+
+  /** Candidate near-duplicate pairs with Jaccard distance ≤ maxDist. */
+  def minhashPairs(t: Tables, maxDist: Double = 0.4): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents
+      .select($"doc_id", shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val tf = new HashingTF()
+      .setInputCol("sh").setOutputCol("features").setNumFeatures(NumFeatures)
+    val feats = tf.transform(docs)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(NumHashTables).setSeed(Seed)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDist, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        col("jaccard_dist"))
+      .filter($"id_a" < $"id_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit keys; docs sharing any band key are candidates (a doc pair
+    * within Hamming distance 3 must agree on ≥1 of 4 bands). Linear
+    * shuffle volume: 4 rows of (band, key, id) per document. */
+  def simhashPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    val fp = t.documents.select($"doc_id", simhash($"text").as("sh"))
+    val banded = fp.select($"doc_id", $"sh",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sh", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    val a = banded.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"bk")
+    val b = banded.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"bk")
+    a.join(b, Seq("bk"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", hamming($"sh_a", $"sh_b").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id_a", $"id_b")
+  }
+}

@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator inventory (SURVEY.md §2.5): scans, filters,
+  * joins (broadcast/shuffle/semi/anti), hash aggregation, rollup/cube,
+  * windows, sorts/top-k, set ops, conditional aggregation.
+  *
+  * Scale notes (100 TB design intent):
+  *  - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *    broadcast explicitly; fact-fact joins (orders⋈lineitem) shuffle on
+  *    the join key and benefit from AQE + bucketing when materialized.
+  *  - Aggregations are expressed so Catalyst plans partial (map-side)
+  *    aggregation before the shuffle.
+  *  - Money arithmetic accumulates in DECIMAL (exact, order-independent
+  *    — a deliberate determinism property: the same query on a 1000-way
+  *    shuffle returns bit-identical results) and is surfaced as DOUBLE.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: accumulate as
+    * DECIMAL(18,2|4), surface as DOUBLE. Deterministic under any
+    * partitioning/merge order — required for the hash-based oracle and
+    * a good property at cluster scale. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean via decimal sum / count (both engines compute the same
+    * IEEE division of identical operands). */
+  private def davg(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  // ── q01: TPC-H Q1-style pricing summary ─────────────────────────────
+  // filter → partial+final hash agg; no shuffle beyond the group-by.
+  def pricingSummary(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount", 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ── q02: TPC-H Q6-style forecasting revenue (scan-heavy filter agg) ──
+  def revenueFilter(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.03 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ── q03: shipping-priority top-k (3-way join, agg, sort, limit) ──────
+  def topOrders(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = t.customer.filter($"c_mktsegment" === "BUILDING")
+    val o = t.orders.filter($"o_orderdate" < lit("2020-01-01").cast("timestamp"))
+    val l = t.lineitem
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  // ── q04: EXISTS semi-join, priority counts ───────────────────────────
+  def orderPriority(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bigLines = t.lineitem.filter($"l_quantity" > 45)
+      .select($"l_orderkey".as("o_orderkey"))
+    t.orders.join(bigLines, Seq("o_orderkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ── q05: NOT EXISTS anti-join: customers with no pending orders ──────
+  def customersWithoutOrders(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pending = t.orders.filter($"o_orderstatus" === "P")
+      .select($"o_custkey".as("c_custkey"))
+    t.customer
+      .join(pending, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  // ── q06: TPC-H Q5-style revenue by nation (5-way join, broadcast dims)
+  def nationRevenue(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // ── q07: market-segment profile (agg over one table) ─────────────────
+  def marketSegments(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.customer.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        davg($"c_acctbal").as("avg_acctbal"),
+        min($"c_acctbal").as("min_acctbal"),
+        max($"c_acctbal").as("max_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  // ── q08: per-group top-k via ranking window ──────────────────────────
+  def topOrdersPerCustomer(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ── q09: running total window (frame-based aggregation) ──────────────
+  def runningTotal(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ── q10: lag/lead — previous order price + gap in days ───────────────
+  // (the reference's PlayType_lag pattern: lag over partition+order;
+  //  SURVEY.md §2.2 "Implied lag", assets/app_nfl.py:374 semantics)
+  def orderGaps(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t.orders
+      .select($"o_custkey", $"o_orderkey",
+        coalesce(lag($"o_totalprice", 1).over(w), lit(-1.0)).as("prev_price"),
+        coalesce(datediff(to_date($"o_orderdate"), to_date(lag($"o_orderdate", 1).over(w))),
+          lit(-1)).as("gap_days"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ── q11: rollup over region → nation hierarchy ───────────────────────
+  def rollupRegionNation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  // ── q12: cube over returnflag × linestatus ───────────────────────────
+  def cubeFlagStatus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  // ── q13: distinct aggregation ────────────────────────────────────────
+  def distinctParts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ── q14: set op — customers with both fulfilled and open orders ──────
+  def setOpCustomers(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val f = t.orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val o = t.orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.intersect(o).orderBy($"o_custkey")
+  }
+
+  // ── q15: conditional aggregation (CASE WHEN inside agg) ──────────────
+  def priorityShipping(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L)).as("high_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" &&
+          $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L)).as("low_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  // ── q16: HAVING — high-volume suppliers ──────────────────────────────
+  def bigSuppliers(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_suppkey")
+      .agg(dsum($"l_quantity").as("total_qty"), count(lit(1)).as("n_items"))
+      .filter($"total_qty" > 1000.0)
+      .orderBy($"l_suppkey")
+  }
+
+  // ── q17: string functions over part ──────────────────────────────────
+  def partStrings(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .filter($"p_size" >= 1 && $"p_size" <= 15)
+      .groupBy(upper($"p_brand").as("brand"),
+        substring($"p_type", 1, 6).as("type_prefix"))
+      .agg(count(lit(1)).as("n_parts"),
+        min($"p_retailprice").as("min_price"),
+        max($"p_retailprice").as("max_price"))
+      .orderBy($"brand", $"type_prefix")
+  }
+
+  // ── q18: date-part extraction and grouping ───────────────────────────
+  def ordersByMonth(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .orderBy($"o_year", $"o_month")
+  }
+
+  // ── q19: JSON extraction over events ─────────────────────────────────
+  def eventProps(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType, IntegerType}
+    t.events
+      .withColumn("k", from_json($"props", MapType(StringType, IntegerType))("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"k").cast("double") / count($"k")).as("avg_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  // ── q20: event-time tumbling window (batch twin of the streaming op) ─
+  def eventDailyWindows(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(window($"ts", "1 day").getField("start").as("day_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("total_value"))
+      .orderBy($"day_start", $"event_type")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.SimilarityFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>[64]`).
+  *
+  * Brute-force cosine is the correctness baseline: a broadcast of Q
+  * query vectors against N candidates is an O(N·Q) scan with no
+  * shuffle until the final top-k, which aggregates only k rows per
+  * query. At cluster scale the same plan holds — the candidate side
+  * stays partition-local, queries are broadcast, and the ranking
+  * window sees Q·k rows. The sub-linear scale path is LSH bucketing
+  * (Dedup.scala uses the same machinery for MinHash).
+  */
+object Similarity {
+
+  private val QueryCount = 5
+
+  /** All (query, candidate) cosine pairs for query vectors
+    * vec_id < QueryCount. Exact double fold — oracle-checkable. */
+  def cosinePairs(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val q = t.embeddings.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    t.embeddings
+      .join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos_sim"))
+      .orderBy($"q_id", $"vec_id")
+  }
+
+  /** Brute-force top-10 nearest neighbours per query by cosine.
+    * Ranking key is (exact cosine desc, vec_id) — fully deterministic. */
+  def knnBruteForce(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    cosinePairs(t)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Per-label centroid similarity: average embedding per label, then
+    * cosine of each label centroid against label 0's centroid.
+    * Demonstrates vector aggregation (element-wise mean via posexplode
+    * → groupBy position — shuffles (label, position, partial-sum)
+    * tuples, i.e. 64·|labels| rows, not vectors). Rows-only check:
+    * mean-of-floats is order-sensitive so there is no bit-exact oracle. */
+  def labelCentroids(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val centroids = t.embeddings
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pairs"))
+      .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))
+    val base = centroids.filter($"label" === 0)
+      .select($"centroid".as("base_centroid"))
+    centroids.crossJoin(broadcast(base))
+      .select($"label", cosine($"centroid", $"base_centroid").as("cos_to_label0"))
+      .orderBy($"label")
+  }
+}

