@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / distinctTokenCount / ttr on known text") {
+    val df = Seq("a b c a", "x").toDF("text")
+      .select(
+        TextFunctions.tokenCount($"text").as("n"),
+        TextFunctions.distinctTokenCount($"text").as("d"),
+        TextFunctions.typeTokenRatio($"text").as("ttr"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) === 4 && rows(0).getInt(1) === 3)
+    assert(rows(0).getDouble(2) === 0.75)
+    assert(rows(1).getInt(0) === 1 && rows(1).getDouble(2) === 1.0)
+  }
+
+  test("stopwordRatio counts only stopwords") {
+    val r = Seq("the cat and the hat").toDF("text")
+      .select(TextFunctions.stopwordRatio($"text")).head().getDouble(0)
+    assert(r === 3.0 / 5.0) // the, and, the
+  }
+
+  test("jaccard of identical sets is 1, disjoint sets is 0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d"))).toDF("x", "y")
+      .select(TextFunctions.jaccard($"x", $"y").as("j"))
+    val j = df.collect().map(_.getDouble(0))
+    assert(j(0) === 1.0 && j(1) === 0.0)
+  }
+
+  test("shingles: k=3 over 5 tokens yields 3 shingles; short text yields none") {
+    val rows = Seq("a b c d e", "a b").toDF("text")
+      .select(TextFunctions.shingles($"text", 3).as("sh")).collect()
+    assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).getSeq[String](0).isEmpty)
+  }
+
+  test("simhash is deterministic, 64-bit, and identical for identical text") {
+    val rows = Seq("spark fast join", "spark fast join", "completely different words here")
+      .toDF("text").select(TextFunctions.simhash($"text").as("h")).collect()
+    assert(rows(0).getLong(0) === rows(1).getLong(0))
+    assert(rows(0).getLong(0) !== rows(2).getLong(0))
+  }
+
+  test("hamming distance of a fingerprint with itself is 0") {
+    val d = Seq(("x y z", "x y z")).toDF("a", "b")
+      .select(TextFunctions.hamming(
+        TextFunctions.simhash($"a"), TextFunctions.simhash($"b"))).head().getInt(0)
+    assert(d === 0)
+  }
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("x", "y")
+      .select(SimilarityFunctions.cosine($"x", $"y").as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(math.abs(c(0) - 1.0) < 1e-12 && c(1) === 0.0)
+  }
+
+  test("l2Distance on known vectors") {
+    val d = Seq((Seq(0.0f, 3.0f), Seq(4.0f, 0.0f))).toDF("x", "y")
+      .select(SimilarityFunctions.l2Distance($"x", $"y")).head().getDouble(0)
+    assert(d === 5.0)
+  }
+}
