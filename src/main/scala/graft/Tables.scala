@@ -11,6 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale the same code reads a partitioned table directory unchanged.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Make graft's native expressions (simhash64, cosine_sim) available
+  // to any query built over these tables.
+  graft.expr.GraftFunctions.register(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

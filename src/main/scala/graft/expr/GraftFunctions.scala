@@ -1,0 +1,18 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers graft's native Catalyst expressions as SQL functions on a
+  * session (idempotent). On a cluster this would hang off
+  * `SparkSessionExtensions.injectFunction`; registry registration
+  * keeps the library usable on any already-built session.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es.head, es(1)), "scala_udf")
+  }
+}

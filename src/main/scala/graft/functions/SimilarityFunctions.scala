@@ -25,8 +25,15 @@ object SimilarityFunctions {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Cosine similarity in [-1, 1] — native single-pass expression
+    * (graft.expr.CosineSim), bit-identical to the HOF fold below.
+    * Requires GraftFunctions.register (done by Tables). */
   def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** HOF reference formulation (three interpreted folds); kept for
+    * cross-checking the native expression. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Euclidean distance. */

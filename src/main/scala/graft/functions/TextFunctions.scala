@@ -36,11 +36,16 @@ object TextFunctions {
     * oracle-checkable; at scale an xxhash64 variant is cheaper. */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** 64-bit SimHash over whitespace tokens using xxhash64 word hashes:
-    * for each bit position, vote by the number of tokens whose hash has
-    * that bit set vs not; bit is 1 when set-votes win. Pure HOF
-    * composition — distributed, no driver involvement, no UDF. */
-  def simhash(text: Column): Column = {
+  /** 64-bit SimHash over whitespace tokens — native Catalyst
+    * expression (graft.expr.SimHash64): xxhash64 per token, bit-vote,
+    * one codegen'd loop per row. Requires GraftFunctions.register
+    * (done by Tables). */
+  def simhash(text: Column): Column =
+    call_function("simhash64", tokens(text))
+
+  /** HOF reference formulation of the same SimHash (64 interpreted
+    * array passes) — kept for cross-checking the native expression. */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(tokens(text), w => xxhash64(w))
     val n = size(hashes)
     aggregate(

@@ -69,3 +69,26 @@ class FunctionsSpec extends SparkSpec {
     assert(d === 5.0)
   }
 }
+
+/** Native Catalyst expressions must agree exactly with their HOF
+  * reference formulations on real data. */
+class NativeExprSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("SimHash64 expression equals HOF simhash on all fixture documents") {
+    val docs = sf001.documents
+    val both = docs.select(
+      TextFunctions.simhash(col("text")).as("native"),
+      TextFunctions.simhashHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("CosineSim expression is bit-identical to the HOF fold on embeddings") {
+    val e = sf001.embeddings.limit(200)
+    val q = e.select(col("embedding").as("q_emb")).limit(1)
+    val both = e.crossJoin(q).select(
+      SimilarityFunctions.cosine(col("q_emb"), col("embedding")).as("native"),
+      SimilarityFunctions.cosineHof(col("q_emb"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+}
