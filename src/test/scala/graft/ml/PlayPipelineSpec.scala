@@ -8,10 +8,9 @@ import org.apache.spark.sql.functions._
   * checks (SURVEY.md §5.1-5.2). Trains once per suite. */
 class PlayPipelineSpec extends SparkSpec {
 
-  private lazy val plays =
-    PlayFeatures.derive(PlayFeatures.readCsv(spark, TrainMain.DefaultCsv)).cache()
+  private lazy val plays = TestModels.plays(spark)
 
-  private lazy val models = PlayPipeline.train(plays)
+  private lazy val models = TestModels.models(spark)
   private lazy val scorer = new Scorer(spark, models._1, models._2)
 
   private val golden = PlayRequest(qtr = 3, down = 3, TimeSecs = 60,

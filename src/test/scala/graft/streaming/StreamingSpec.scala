@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling windows over a stream equal the same aggregation in batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.tumblingCounts(events, "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:05:00"), "click", 2.0),
+        (ts("2024-01-01 00:11:00"), "view", 3.0),
+        (ts("2024-01-01 00:19:00"), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      val want = Array(
+        (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 00:10:00"), "click", 1L, 4.0),
+        (ts("2024-01-01 00:10:00"), "view", 1L, 3.0))
+      assert(got === want)
+
+      // same transformation applied in batch gives the same rows
+      val batch = EventStream.tumblingCounts(
+        Seq(
+          (ts("2024-01-01 00:01:00"), "click", 1.0),
+          (ts("2024-01-01 00:05:00"), "click", 2.0),
+          (ts("2024-01-01 00:11:00"), "view", 3.0),
+          (ts("2024-01-01 00:19:00"), "click", 4.0)).toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(batch === want)
+    } finally q.stop()
+  }
+
+  test("watermark finalizes old windows in append mode and drops too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.tumblingCounts(events, "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wmark").start()
+    try {
+      input.addData((ts("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      input.addData((ts("2024-01-01 01:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      // a very late event for the long-finalized first window
+      input.addData((ts("2024-01-01 00:02:00"), "click", 99.0))
+      q.processAllAvailable()
+
+      val finalized = spark.table("wmark").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      // first window emitted once, without the late 99.0 event
+      assert(finalized.toSeq ===
+        Seq((ts("2024-01-01 00:00:00"), "click", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val events = input.toDS().withWatermark("ts", "0 seconds").as[UserEvent]
+
+    val q = Sessionize.sessions(events, gapMs = 10 * 60 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence
+      input.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // event far in the future advances the watermark → session times out
+      input.addData(UserEvent(3, ts("2024-01-01 02:00:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(4, ts("2024-01-01 05:00:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[UserSession].collect()
+      val u1 = sessions.filter(_.user_id == 1)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2 && u1.head.total_value === 3.0)
+      assert(u1.head.session_start === ts("2024-01-01 00:00:00"))
+      assert(u1.head.session_end === ts("2024-01-01 00:05:00"))
+    } finally q.stop()
+  }
+
+  test("streaming play scoring equals batch scoring of the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val models = graft.ml.TestModels.models(spark)
+    val scorer = new graft.ml.Scorer(spark, models._1, models._2)
+
+    val input = MemoryStream[(Int, Int, Int, Int, Int, Int, Int, String, String, String)]
+    val plays = input.toDF().toDF("qtr", "down", "TimeSecs", "yrdline100",
+      "ydstogo", "ydsnet", "month_day", "posteam", "DefensiveTeam", "PlayType_lag")
+
+    // AvailableNow snapshots the data present at query start — add first.
+    input.addData(
+      (3, 3, 60, 50, 8, 15, 920, "PIT", "NE", "Run"),
+      (1, 1, 500, 25, 10, 5, 1101, "GB", "CHI", "Pass"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double, Double)]
+    val q = PlayStream.scoreStream(plays, scorer, scored =>
+      collected ++= scored.select("qtr", "best_play", "passing_yards", "running_yards")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3))),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      q.awaitTermination(120000)
+
+      val batchRows = Seq(
+        (3, 3, 60, 50, 8, 15, 920, "PIT", "NE", "Run"),
+        (1, 1, 500, 25, 10, 5, 1101, "GB", "CHI", "Pass"))
+        .toDF("qtr", "down", "TimeSecs", "yrdline100",
+          "ydstogo", "ydsnet", "month_day", "posteam", "DefensiveTeam", "PlayType_lag")
+      val batch = scorer.scoreBatch(batchRows)
+        .select("qtr", "best_play", "passing_yards", "running_yards")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      assert(collected.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    } finally q.stop()
+  }
+}
