@@ -1,0 +1,57 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.ml.{Scorer, TestModels}
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class ScoringServerSpec extends SparkSpec {
+
+  private lazy val server = {
+    val models = TestModels.models(spark)
+    val s = new ScoringServer(new Scorer(spark, models._1, models._2),
+      TestModels.plays(spark), port = 0)
+    s.start()
+    s
+  }
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private val goldenJson =
+    """{"qtr":3,"down":3,"TimeSecs":60,"yrdline100":50,"ydstogo":8,"ydsnet":15,
+      |"month_day":920,"posteam":"PIT","DefensiveTeam":"NE","PlayType_lag":"Run"}""".stripMargin
+
+  test("golden request returns the reference response shape with both yardages") {
+    val r = post("/api", goldenJson)
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"best_play\":\"Running Play\""))
+    assert(r.body().contains("passing_yards") && r.body().contains("running_yards"))
+  }
+
+  test("missing field → 400 naming the field") {
+    val r = post("/api", """{"qtr":1}""")
+    assert(r.statusCode() === 400 && r.body().contains("down"))
+  }
+
+  test("non-POST → 405; bad replay row → 404; health → ok") {
+    assert(get("/api").statusCode() === 405)
+    assert(get("/play/99999999").statusCode() === 404)
+    assert(get("/health").body() === """{"status":"ok"}""")
+  }
+
+  test("replay cursor returns the first historical play") {
+    val r = get("/play/0")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"PlayType_lag\":\"FirstPlay\""))
+  }
+}
