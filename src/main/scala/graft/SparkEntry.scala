@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Relational, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,6 +56,17 @@ object SparkEntry {
     // scale-path near-dedup (rows-only: LSH banding has no SQL oracle)
     "q31_minhash_pairs"      -> ((s, d) => Dedup.minhashPairs(Tables(s, d))),
     "q32_simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d))),
+    // multimodal binary columns (rows-only: stub codec is engine-local)
+    "q33_media_profile"      -> ((s, d) => graft.sources.Multimodal.mediaProfile(Tables(s, d))),
+    "q34_media_knn"          -> ((s, d) => graft.sources.Multimodal.mediaKnn(Tables(s, d))),
+    // additional relational coverage
+    "q35_union_except"       -> ((s, d) => Relational.unionExceptCustomers(Tables(s, d))),
+    "q36_weighted_avg"       -> ((s, d) => Relational.weightedAvgPrice(Tables(s, d))),
+    "q37_grouping_sets"      -> ((s, d) => Relational.groupingSets(Tables(s, d))),
+    "q38_bigram_counts"      -> ((s, d) => TextOps.bigramCounts(Tables(s, d))),
+    "q39_approx_distinct"    -> ((s, d) => Relational.approxDistinct(Tables(s, d))),
+    "q40_asof_join"          -> ((s, d) => AsOfJoin.errorsAfterClicks(Tables(s, d))),
+    "q41_tfidf"              -> ((s, d) => TextOps.tfidfProfile(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -220,6 +231,39 @@ object SparkEntry {
         | AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         |  / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3""".stripMargin,
+    "q35_union_except" ->
+      """SELECT o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | UNION
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) u
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q36_weighted_avg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q37_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q38_bigram_counts" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        | SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        | FROM documents) b
+        |GROUP BY bigram HAVING COUNT(*) >= 10""".stripMargin,
+    "q40_asof_join" ->
+      """SELECT e.user_id, e.event_id AS error_id,
+        | COALESCE(c.event_id, -1) AS click_id,
+        | COALESCE(CAST(c.ts AS TIMESTAMP), TIMESTAMP '1970-01-01') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark lacks natively,
+  * composed from built-ins via the union+window technique rather than
+  * an O(|L|·|R|) range join:
+  *
+  *   1. Tag both sides and union on (key, ts) — one dataset.
+  *   2. Sort within key by (ts, tag) — a single shuffle on the key,
+  *      then a partition-local sort (exactly a sort-merge join's cost).
+  *   3. `last_value(right-payload) IGNORE NULLS` over rows unbounded
+  *      preceding carries the most recent right row forward.
+  *   4. Keep left rows; each now holds its as-of match.
+  *
+  * Scale: one shuffle of |L|+|R| rows on the join key; no pair
+  * explosion, skew handled by AQE like any sort-merge join. Matches
+  * DuckDB's native `ASOF JOIN` semantics (inclusive: a right row at
+  * the same timestamp matches), which is the oracle for q40.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest right row with
+    * rightTs <= leftTs within the same key. Output: left columns +
+    * `asof_<rightValue>` + `asof_ts`. */
+  def joinPrior(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      leftValue: String, rightValue: String): DataFrame = {
+    val l = left.select(
+      col(key).as("k"), col(leftTs).as("ts"),
+      col(leftValue).as("l_val"),
+      lit(null).cast(right.schema(rightValue).dataType).as("r_val"),
+      lit(null).cast(right.schema(rightTs).dataType).as("r_ts"),
+      lit(1).as("tag"))
+    val r = right.select(
+      col(key).as("k"), col(rightTs).as("ts"),
+      lit(null).cast(left.schema(leftValue).dataType).as("l_val"),
+      col(rightValue).as("r_val"),
+      col(rightTs).as("r_ts"),
+      lit(0).as("tag"))
+    // tag 0 (right) sorts before tag 1 (left) at equal ts → inclusive.
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("k").as(key), col("ts").as(leftTs),
+        col("l_val").as(leftValue), col("asof_val"), col("asof_ts"))
+  }
+
+  /** q40: for each error event, the most recent prior-or-simultaneous
+    * click by the same user (classic diagnostics query). */
+  def errorsAfterClicks(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    joinPrior(errors, clicks, "user_id", "ts", "ts", "event_id", "event_id")
+      .select($"user_id", $"event_id".as("error_id"),
+        coalesce($"asof_val", lit(-1L)).as("click_id"),
+        coalesce($"asof_ts", lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+      .orderBy($"user_id", $"error_id")
+  }
+}

@@ -261,6 +261,50 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ── q35: chained set ops — UNION then EXCEPT ─────────────────────────
+  def unionExceptCustomers(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val urgent = t.orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val high = t.orders.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey")
+    val pending = t.orders.filter($"o_orderstatus" === "P").select($"o_custkey")
+    urgent.union(high).except(pending).orderBy($"o_custkey")
+  }
+
+  // ── q36: custom typed Aggregator — exact weighted mean ───────────────
+  def weightedAvgPrice(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(graft.functions.Aggregators
+        .weightedMeanOf($"l_extendedprice", $"l_quantity").as("w_avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ── q37: GROUPING SETS via the SQL surface ───────────────────────────
+  def groupingSets(t: Tables): DataFrame = {
+    t.lineitem.createOrReplaceTempView("lineitem_gs")
+    t.spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  // ── q39: HLL approximate distinct (rows-only: sketch is engine-
+  //         specific) alongside the exact count it approximates ────────
+  def approxDistinct(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .withColumn("rel_err",
+        abs($"approx_parts" - $"exact_parts") / $"exact_parts")
+      .orderBy($"l_returnflag")
+  }
+
   // ── q20: event-time tumbling window (batch twin of the streaming op) ─
   def eventDailyWindows(t: Tables): DataFrame = {
     import t.spark.implicits._

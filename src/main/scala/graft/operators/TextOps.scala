@@ -96,6 +96,44 @@ object TextOps {
       .orderBy($"lang", $"source", $"id_a", $"id_b")
   }
 
+  // ── q38: corpus bigram counts (n-gram generation + explode + agg) ────
+  def bigramCounts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = tokens($"text")
+    // guard: sequence(1, 0) would count DOWN for single-token docs
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    t.documents
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 10)
+      .orderBy($"bigram")
+  }
+
+  // ── q41: TF-IDF via the ml.feature stack (Tokenizer →
+  //         StopWordsRemover → HashingTF → IDF); rows-only — the
+  //         hashed vector space is engine-specific ────────────────────
+  def tfidfProfile(t: Tables): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+    import t.spark.implicits._
+    val docs = t.documents.select($"doc_id", $"text")
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("raw_tokens")
+    val stop = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(1 << 16)
+    val tfDf = tf.transform(stop.transform(tok.transform(docs)))
+    val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
+    val scored = idfModel.transform(tfDf)
+    val toNorm = org.apache.spark.sql.functions.udf(
+      (v: org.apache.spark.ml.linalg.Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+    val nnz = org.apache.spark.sql.functions.udf(
+      (v: org.apache.spark.ml.linalg.Vector) => v.numNonzeros)
+    scored.select($"doc_id", nnz($"tfidf").as("nnz"), toNorm($"tfidf").as("tfidf_norm"))
+      .orderBy($"doc_id")
+  }
+
   // ── q27: SimHash fingerprints (rows-only check; hash fn is
   //         Spark-specific so there is no cross-engine oracle) ──────────
   def simhashes(t: Tables): DataFrame = {
