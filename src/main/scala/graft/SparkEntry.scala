@@ -67,6 +67,9 @@ object SparkEntry {
     "q39_approx_distinct"    -> ((s, d) => Relational.approxDistinct(Tables(s, d))),
     "q40_asof_join"          -> ((s, d) => AsOfJoin.errorsAfterClicks(Tables(s, d))),
     "q41_tfidf"              -> ((s, d) => TextOps.tfidfProfile(Tables(s, d))),
+    "q42_salted_agg"         -> ((s, d) => graft.operators.Skew.saltedRevenue(Tables(s, d))),
+    "q43_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d))),
+    "q44_lang_id"            -> ((s, d) => TextOps.languageId(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -264,6 +267,11 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q42_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (

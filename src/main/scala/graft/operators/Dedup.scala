@@ -32,7 +32,9 @@ object Dedup {
       .filter(size($"sh") > 0)
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(NumFeatures)
-    val feats = tf.transform(docs)
+    // cache: the LSH self-join consumes the featurized side twice, and
+    // at scale you'd persist signatures rather than re-shingle.
+    val feats = tf.transform(docs).cache()
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(NumHashTables).setSeed(Seed)

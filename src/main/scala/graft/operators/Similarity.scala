@@ -43,6 +43,52 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Sub-linear scale path for nearest-neighbour search: random-
+    * hyperplane LSH buckets. Vectors are bucketed by the sign pattern
+    * of `nPlanes` seeded random projections (an nPlanes-bit code); the join
+    * compares only same-bucket pairs — candidate count scales with
+    * bucket occupancy, not corpus size. Probes are the same 5 query
+    * vectors as the brute-force baseline so recall is measurable
+    * (SimilaritySpec asserts ≥ 0.4 recall@10 vs exact).
+    *
+    * Fully deterministic (seeded planes) but the bucket space is
+    * engine-specific → rows-only check.
+    */
+  def annLsh(t: Tables, nPlanes: Int = 4): DataFrame = {
+    import t.spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val planes: Array[Array[Double]] =
+      Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    def bucketOf(emb: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (p, i) =>
+          when(aggregate(zip_with(p, emb, (w, x) => w * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v) >= 0,
+            call_function("shiftleft", lit(1), i.cast("int"))).otherwise(lit(0))),
+        lit(0), (acc, b) => acc.bitwiseOR(b))
+    val bucketed = t.embeddings
+      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
+    // multi-probe: each query also searches every bucket at Hamming
+    // distance 1 from its own (flip one plane's sign) — the standard
+    // recall boost that costs nPlanes extra probe rows, not extra
+    // candidate storage.
+    val probeBuckets = explode(array(
+      ($"bucket" +: (0 until nPlanes).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*))
+    val probes = bucketed.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        probeBuckets.as("bucket"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Per-label centroid similarity: average embedding per label, then
     * cosine of each label centroid against label 0's centroid.
     * Demonstrates vector aggregation (element-wise mean via posexplode

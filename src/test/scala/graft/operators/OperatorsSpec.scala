@@ -71,3 +71,47 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard_dist") > 0.4).count() === 0)
   }
 }
+
+/** Specs for the scale-path operators added after round-1 core. */
+class ScaleOpsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("salted aggregation equals the direct group-by exactly") {
+    val direct = Relational.pricingSummary(sf001) // independent plan warm-up
+    assert(direct.count() > 0)
+    val salted = Skew.saltedRevenue(sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = sf001.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("ANN LSH achieves non-trivial recall vs brute-force top-10") {
+    val exact = Similarity.knnBruteForce(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ANN recall@10 = $recall%.2f (candidates compared: same-bucket only)")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
+  test("language ID picks the language whose markers dominate") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("el gato es de los grandes que hay", "es"),
+      ("der hund ist nicht das problem und die katze", "de"),
+      ("le chat et les chiens sont des animaux est", "fr"))
+    val got = samples.map(_._1).toDF("text")
+      .select(graft.functions.TextFunctions.langId($"text").getField("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === samples.map(_._2))
+  }
+}
