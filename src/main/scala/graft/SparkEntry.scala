@@ -70,6 +70,9 @@ object SparkEntry {
     "q42_salted_agg"         -> ((s, d) => graft.operators.Skew.saltedRevenue(Tables(s, d))),
     "q43_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d))),
     "q44_lang_id"            -> ((s, d) => TextOps.languageId(Tables(s, d))),
+    "q45_scalar_subquery"    -> ((s, d) => Relational.scalarSubquery(Tables(s, d))),
+    "q46_pivot"              -> ((s, d) => Relational.pivotQuantities(Tables(s, d))),
+    "q47_typed_api"          -> ((s, d) => Relational.typedOrderStats(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -272,6 +275,23 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q45_scalar_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        | COALESCE((SELECT MAX(o_totalprice) FROM orders
+        |           WHERE o_custkey = c_custkey), -1.0) AS max_order
+        |FROM customer""".stripMargin,
+    "q46_pivot" ->
+      """SELECT l_returnflag,
+        | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), -1.0) AS qty_f,
+        | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), -1.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q47_typed_api" ->
+      """SELECT o_orderstatus, COUNT(o_orderkey) AS n_orders,
+        | MAX(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 0.0
+        |GROUP BY o_orderstatus""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (

@@ -305,6 +305,51 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ── q45: correlated scalar subquery (SQL surface; Catalyst
+  //         decorrelates it into a left outer aggregate join) ──────────
+  def scalarSubquery(t: Tables): DataFrame = {
+    t.customer.createOrReplaceTempView("customer_sq")
+    t.orders.createOrReplaceTempView("orders_sq")
+    t.spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        | COALESCE((SELECT MAX(o_totalprice) FROM orders_sq
+        |           WHERE o_custkey = c_custkey), -1.0) AS max_order
+        |FROM customer_sq""".stripMargin)
+  }
+
+  // ── q46: pivot — one column per l_linestatus value ───────────────────
+  def pivotQuantities(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .na.fill(-1.0, Seq("qty_f", "qty_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Typed row for the Dataset API query. */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+
+  // ── q47: typed Dataset API (case-class Encoder, groupByKey + typed
+  //         aggs; counts/max are exact so the oracle holds) ────────────
+  def typedOrderStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ds = t.orders
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .as[OrderRow]
+    ds.filter(_.o_totalprice > 0.0)
+      .groupByKey(_.o_orderstatus)
+      .agg(
+        count($"o_orderkey").as("n_orders").as[Long],
+        max($"o_totalprice").as("max_price").as[Double])
+      .toDF("o_orderstatus", "n_orders", "max_price")
+      .orderBy($"o_orderstatus")
+  }
+
   // ── q20: event-time tumbling window (batch twin of the streaming op) ─
   def eventDailyWindows(t: Tables): DataFrame = {
     import t.spark.implicits._

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{SimilarityFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4): ScalaCheck generators
+  * drawn at fixed seeds, evaluated through the real Catalyst
+  * expressions. (The scalatestplus bridge isn't resolvable offline, so
+  * generation is driven directly.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+  private val sentence: Gen[String] =
+    Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("token counts: distinct ≤ total, ttr ∈ (0,1], stopword ratio ∈ [0,1]") {
+    val rows = samples(sentence, 60).toDF("text").select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.distinctTokenCount($"text").as("d"),
+      TextFunctions.typeTokenRatio($"text").as("ttr"),
+      TextFunctions.stopwordRatio($"text").as("sr")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) <= r.getInt(0))
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("jaccard is symmetric, bounded, and 1 on self") {
+    val wordList = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word))
+    val pairs = samples(Gen.zip(wordList, wordList), 40)
+    val rows = pairs.toDF("a", "b").select(
+      TextFunctions.jaccard(array_distinct($"a"), array_distinct($"b")).as("ab"),
+      TextFunctions.jaccard(array_distinct($"b"), array_distinct($"a")).as("ba"),
+      TextFunctions.jaccard(array_distinct($"a"), array_distinct($"a")).as("aa")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
+  test("simhash is a bag property: token permutation preserves the hash") {
+    val lists = samples(Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, word)), 30)
+    val rnd = new scala.util.Random(7)
+    val df = lists.map { ws =>
+      (ws.mkString(" "), rnd.shuffle(ws).mkString(" "))
+    }.toDF("a", "b").select(
+      TextFunctions.simhash($"a").as("ha"),
+      TextFunctions.simhash($"b").as("hb"))
+    assert(df.filter($"ha" =!= $"hb").count() === 0)
+  }
+
+  test("cosine bounded in [-1,1]; exactly ~1 on self for nonzero vectors") {
+    val vec = Gen.listOfN(8, Gen.choose(-10.0, 10.0)).map(_.map(_.toFloat))
+      .retryUntil(v => v.exists(_ != 0f))
+    val pairs = samples(Gen.zip(vec, vec), 40)
+    val rows = pairs.toDF("a", "b").select(
+      SimilarityFunctions.cosine($"a", $"b").as("ab"),
+      SimilarityFunctions.cosine($"a", $"a").as("aa")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+
+  test("month_day lands in [101, 1231] for arbitrary dates") {
+    val rows = samples(Gen.choose(0L, 20000L), 100).toDF("d")
+      .select(to_timestamp(date_add(lit("1970-01-01").cast("date"), $"d".cast("int"))).as("Date"))
+      .select((month($"Date") * 100 + dayofmonth($"Date")).cast("int").as("md"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) >= 101 && r.getInt(0) <= 1231))
+  }
+
+  test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
+    val t = sf001
+    val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
+    val clicks = t.events.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val errors = t.events.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getTimestamp(2)))).toMap
+    out.foreach { r =>
+      val (uid, eid, cid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (_, ets) = errors(eid)
+      val candidates = clicks.filter(c => c._1 == uid && !c._3.after(ets))
+      if (cid == -1L) assert(candidates.isEmpty)
+      else {
+        val best = candidates.maxBy(_._3.getTime)
+        assert(best._3 === r.getTimestamp(3), s"error $eid")
+      }
+    }
+  }
+}

@@ -74,3 +74,28 @@ class PlayPipelineSpec extends SparkSpec {
     assert(row.count() === 50) // every row got a recommendation
   }
 }
+
+/** Model-quality gate (SURVEY.md §5.5): RMSE within a pinned band.
+  * In-sample RMSE (the suite's shared models are fitted on the full
+  * subsets); the band regression-pins our own Spark 4 training, not
+  * the reference's 2.1-era trees. */
+class ModelQualitySpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("pass/run model RMSE stays within the pinned band") {
+    val plays = TestModels.plays(spark)
+    val (passM, runM) = TestModels.models(spark)
+    def rmse(model: org.apache.spark.ml.PipelineModel, playType: String): Double = {
+      val scored = model.transform(plays.filter(col("PlayType") === playType))
+        .select(col("prediction"), col("Yards_Gained").cast("double").as("y"))
+      math.sqrt(scored.select(avg(pow(col("prediction") - col("y"), 2))).head().getDouble(0))
+    }
+    val passRmse = rmse(passM, "Pass")
+    val runRmse = rmse(runM, "Run")
+    info(f"in-sample RMSE pass=$passRmse%.3f run=$runRmse%.3f")
+    // measured at pin time: pass 4.230, run 3.166 — band allows ±25%
+    // drift before flagging a training regression:
+    assert(passRmse > 3.2 && passRmse < 5.3, s"pass RMSE $passRmse")
+    assert(runRmse > 2.4 && runRmse < 4.0, s"run RMSE $runRmse")
+  }
+}
