@@ -73,6 +73,8 @@ object SparkEntry {
     "q45_scalar_subquery"    -> ((s, d) => Relational.scalarSubquery(Tables(s, d))),
     "q46_pivot"              -> ((s, d) => Relational.pivotQuantities(Tables(s, d))),
     "q47_typed_api"          -> ((s, d) => Relational.typedOrderStats(Tables(s, d))),
+    "q48_range_window"       -> ((s, d) => Relational.rangeWindowSpend(Tables(s, d))),
+    "q49_median_rank"        -> ((s, d) => Relational.medianAcctbal(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -292,6 +294,19 @@ object SparkEntry {
         | MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 0.0
         |GROUP BY o_orderstatus""".stripMargin,
+    "q48_range_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders""".stripMargin,
+    "q49_median_rank" ->
+      """SELECT c_mktsegment, c_acctbal AS median_acctbal FROM (
+        | SELECT c_mktsegment, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        | FROM customer) x
+        |WHERE rn = CAST(CEIL(cnt / 2.0) AS INTEGER)""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (

@@ -305,6 +305,34 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ── q48: RANGE window frame — trailing 30-day spend per customer ─────
+  def rangeWindowSpend(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-30L * 86400, 0)
+    t.orders
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("spend_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ── q49: exact median as the ⌈n/2⌉-th ordered element (rank-based,
+  //         no interpolation → identical across engines) ───────────────
+  def medianAcctbal(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    val n = Window.partitionBy($"c_mktsegment")
+    t.customer
+      .select($"c_mktsegment", $"c_acctbal",
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(n).as("cnt"))
+      .filter($"rn" === ceil($"cnt" / 2.0).cast("int"))
+      .select($"c_mktsegment", $"c_acctbal".as("median_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   // ── q45: correlated scalar subquery (SQL surface; Catalyst
   //         decorrelates it into a left outer aggregate join) ──────────
   def scalarSubquery(t: Tables): DataFrame = {

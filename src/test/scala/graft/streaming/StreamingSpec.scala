@@ -140,3 +140,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** File-source streaming: the events fixture parquet driven through
+  * the same windowed aggregation as a stream, compared to batch. */
+class FileStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("parquet-dir stream of events equals batch windowed aggregation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the fixture is a single file; the file stream source wants a dir
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(src, dirPath.resolve("events.parquet"))
+    val dir = dirPath.toString
+    val batchDf = graft.Tables(spark, "/root/testdata/sf0.001").events
+    val schema = spark.read.parquet(dir).schema
+    val streamDf = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStream.tumblingCounts(streamDf, "1 day", "1 day")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("filestream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filestream")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStream.tumblingCounts(batchDf, "1 day", "1 day")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want && got.nonEmpty)
+    } finally q.stop()
+  }
+}
