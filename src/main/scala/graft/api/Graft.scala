@@ -1,0 +1,109 @@
+package graft.api
+
+import graft.functions.{SimilarityFunctions, TextFunctions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** User-facing facade: the engine's operators over ARBITRARY
+  * DataFrames (not bound to the fixture tables). A user of the
+  * reference application — or of any training-data pipeline — imports
+  * this one object.
+  *
+  * Every method returns a lazy DataFrame; nothing collects. Column
+  * arguments are Spark `Column`s so expressions compose.
+  */
+object Graft {
+
+  /** Register graft's native expressions (simhash64, cosine_sim) on a
+    * session. Idempotent; required once per session for the functions
+    * below. */
+  def install(spark: SparkSession): Unit =
+    graft.expr.GraftFunctions.register(spark)
+
+  // ── dedup ────────────────────────────────────────────────────────────
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+    * `keyCol` value (shuffles a 128-bit fingerprint, not the payload). */
+  def dedupExact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(md5(keyCol.cast("string"))).orderBy(idCol)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** SimHash near-dup candidate pairs over a text column: banded
+    * 64-bit fingerprints (4×16-bit), Hamming ≤ maxHamming. Linear
+    * shuffle volume (4 band rows per input row). */
+  def nearDupPairsSimhash(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(idCol.as("id"), TextFunctions.simhash(textCol).as("sh"))
+    val banded = fp.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ── similarity search ────────────────────────────────────────────────
+
+  /** Brute-force top-k nearest neighbours by cosine: probes are
+    * broadcast, candidates never shuffle, only ranked rows do. */
+  def knnCosine(
+      candidates: DataFrame, candId: Column, candVec: Column,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      k: Int): DataFrame = {
+    val c = candidates.select(candId.as("cand_id"), candVec.as("cand_vec"))
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("probe_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        SimilarityFunctions.cosine(col("probe_vec"), col("cand_vec")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ── text analysis ────────────────────────────────────────────────────
+
+  /** Standard per-document text profile: token counts, lexical
+    * diversity, stopword ratio, quality blend, fingerprint, SimHash. */
+  def textProfile(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("n_tokens", TextFunctions.tokenCount(textCol))
+      .withColumn("n_distinct", TextFunctions.distinctTokenCount(textCol))
+      .withColumn("ttr", TextFunctions.typeTokenRatio(textCol))
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(textCol))
+      .withColumn("fingerprint", TextFunctions.fingerprint(textCol))
+      .withColumn("simhash64", TextFunctions.simhash(textCol))
+      .withColumn("lang_guess", TextFunctions.langId(textCol).getField("lang"))
+
+  // ── relational helpers ───────────────────────────────────────────────
+
+  /** As-of join (most recent right row at-or-before each left row). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      leftValue: String, rightValue: String): DataFrame =
+    graft.operators.AsOfJoin.joinPrior(left, right, key, leftTs, rightTs, leftValue, rightValue)
+
+  /** Skew-safe sum/count aggregation (two-phase salted group-by). */
+  def saltedSumCount(df: DataFrame, key: String, valueExpr: Column,
+      buckets: Int, sumName: String, cntName: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(df, key, valueExpr, buckets, sumName, cntName)
+
+  /** Per-group top-k with a deterministic tiebreaker. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .withColumnRenamed("_rank", "rank")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The facade must work on arbitrary DataFrames, not just fixtures. */
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupExact keeps exactly one row per key, the one with min id") {
+    Graft.install(spark)
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"))
+      .toDF("id", "k")
+    val out = Graft.dedupExact(df, $"k", $"id").orderBy($"id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("nearDupPairsSimhash finds identical texts and skips unrelated ones") {
+    Graft.install(spark)
+    val df = Seq(
+      (1L, "spark query engine for large data"),
+      (2L, "spark query engine for large data"),
+      (3L, "completely unrelated words about cooking pasta")).toDF("id", "text")
+    val pairs = Graft.nearDupPairsSimhash(df, $"id", $"text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("knnCosine returns k ranked neighbours per probe") {
+    Graft.install(spark)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+      .toDF("id", "v")
+    val out = Graft.knnCosine(vecs, $"id", $"v",
+      vecs.filter($"id" === 0), $"id", $"v", k = 2)
+      .select("cand_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq === Seq((1L, 1), (2L, 2))) // most→least similar
+  }
+
+  test("textProfile adds the full analysis column set") {
+    Graft.install(spark)
+    val out = Graft.textProfile(Seq("the quick brown fox the end").toDF("text"), $"text")
+    assert(Seq("n_tokens", "ttr", "stop_ratio", "fingerprint", "simhash64", "lang_guess")
+      .forall(out.columns.contains))
+    val r = out.head()
+    assert(r.getAs[Int]("n_tokens") === 6)
+  }
+
+  test("topKPerGroup returns at most k rows per group with rank column") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
+    val out = Graft.topKPerGroup(df, Seq($"g"), Seq($"x".desc), 2)
+    assert(out.filter($"g" === "a").count() === 2)
+    assert(out.filter($"g" === "a" && $"rank" === 1).head().getInt(1) === 3)
+  }
+}
