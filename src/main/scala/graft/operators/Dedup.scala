@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val NumFeatures = 1 << 18
-  private val NumHashTables = 8
+  // 6 tables: P(candidate | J=0.6) = 1-(1-0.6)^6 ≈ 0.996 — recall at
+  // the 0.4-distance threshold stays high while the explode join
+  // carries 25% fewer rows than 8 tables.
+  private val NumHashTables = 6
   private val Seed = 42L
 
   /** Candidate near-duplicate pairs with Jaccard distance ≤ maxDist. */

@@ -90,6 +90,11 @@ object TextOps {
     val b = docs.select($"doc_id".as("id_b"), $"lang", $"source", $"words".as("w_b"))
     a.join(b, Seq("lang", "source"))
       .filter($"id_a" < $"id_b")
+      // sound prune before the expensive intersect: jaccard(A,B) ≤
+      // min(|A|,|B|)/max(|A|,|B|), so pairs failing the size-ratio
+      // bound can never reach the 0.3 threshold — result unchanged.
+      .filter(least(size($"w_a"), size($"w_b")).cast("double") /
+        greatest(size($"w_a"), size($"w_b")) >= 0.3)
       .select($"lang", $"source", $"id_a", $"id_b",
         jaccard($"w_a", $"w_b").as("jaccard_sim"))
       .filter($"jaccard_sim" >= 0.3)
