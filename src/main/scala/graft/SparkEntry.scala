@@ -75,6 +75,9 @@ object SparkEntry {
     "q47_typed_api"          -> ((s, d) => Relational.typedOrderStats(Tables(s, d))),
     "q48_range_window"       -> ((s, d) => Relational.rangeWindowSpend(Tables(s, d))),
     "q49_median_rank"        -> ((s, d) => Relational.medianAcctbal(Tables(s, d))),
+    "q50_embedding_neardup"  -> ((s, d) => Dedup.embeddingNearDups(Tables(s, d))),
+    "q51_minhash_fast"       -> ((s, d) => Dedup.minhashPairsFast(Tables(s, d))),
+    "q52_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -307,6 +310,11 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
         | FROM customer) x
         |WHERE rn = CAST(CEIL(cnt / 2.0) AS INTEGER)""".stripMargin,
+    "q50_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | ${dotOf("a.embedding", "b.embedding")} / (sqrt(${dotOf("a.embedding", "a.embedding")}) * sqrt(${dotOf("b.embedding", "b.embedding")})) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${dotOf("a.embedding", "b.embedding")} / (sqrt(${dotOf("a.embedding", "a.embedding")}) * sqrt(${dotOf("b.embedding", "b.embedding")})) >= 0.4""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (

@@ -51,6 +51,62 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Expression-based MinHash banding — the literal
+    * shingle → minhash → band → bucket-join pipeline, built entirely
+    * from codegen'd Catalyst expressions (no ml-lib, no UDFs):
+    *
+    *  - signature_i = min over shingles of xxhash64(shingle, i),
+    *    i ∈ [0, bands·rowsPerBand)
+    *  - band key b = xxhash64 of that band's `rowsPerBand` signatures
+    *  - docs sharing any band key are candidates (P(candidate) =
+    *    1-(1-J^r)^b; r=2, b=6 → 0.93 at J=0.6)
+    *  - candidates verified with EXACT jaccard over distinct shingles
+    *
+    * Shuffle volume: `bands` rows of (bandkey, id) per doc — linear.
+    * The ml-lib MinHashLSH variant above stays as the library-level
+    * alternative; this is the faster hand-rolled scale path. */
+  def minhashPairsFast(
+      t: Tables, maxDist: Double = 0.4,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    val sh = shingles($"text", 3)
+    val bandKeys = array((0 until bands).map { b =>
+      val sigs = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        array_min(transform(col("sh"), s => xxhash64(s, lit(i))))
+      }
+      struct(lit(b).as("band"), xxhash64(sigs: _*).as("key"))
+    }: _*)
+    val docs = t.documents
+      .select($"doc_id", sh.as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", $"sh", explode(bandKeys).as("bk"))
+    val a = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"bk")
+    val b = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"bk")
+    a.join(b, Seq("bk"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (lit(1.0) - graft.functions.TextFunctions.jaccard($"sh_a", $"sh_b"))
+          .as("jaccard_dist"))
+      .distinct()
+      .filter($"jaccard_dist" <= maxDist)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup candidates: all pairs above a cosine
+    * threshold. Exact (broadcast small side; the LSH-bucketed variant
+    * for unbounded corpora is Similarity.annLsh's machinery). */
+  def embeddingNearDups(t: Tables, minCos: Double = 0.4): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.SimilarityFunctions.cosine
+    val a = t.embeddings.select($"vec_id".as("id_a"), $"embedding".as("e_a"))
+    val b = t.embeddings.select($"vec_id".as("id_b"), $"embedding".as("e_b"))
+    a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", cosine($"e_a", $"e_b").as("cos_sim"))
+      .filter($"cos_sim" >= minCos)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit keys; docs sharing any band key are candidates (a doc pair
     * within Hamming distance 3 must agree on ≥1 of 4 bands). Linear

@@ -89,6 +89,49 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the
+    * corpus into nList inverted lists; each query probes its nProbe
+    * nearest centroids and ranks only those lists' vectors by exact
+    * cosine. The centroid assignment is the index build (one pass);
+    * queries touch ~nProbe/nList of the corpus — the classic IVF
+    * trade. Rows-only check (cluster ids are engine-specific);
+    * recall vs brute force is asserted in tests. */
+  def annIvf(t: Tables, nList: Int = 16, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.{VectorAssembler => _}
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import t.spark.implicits._
+    val vecs = t.embeddings
+      .select($"vec_id", $"embedding",
+        array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
+      .cache()
+    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("ivf_list")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs).select($"vec_id", $"embedding", $"ivf_list")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq.toDF("ivf_list", "centroid")
+    // probe lists = nProbe nearest centroids per query vector
+    val probes = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"ivf_list")
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .select($"q_id", $"q_emb", $"ivf_list",
+        cosine($"q_emb", $"centroid").as("c_sim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= nProbe)
+      .select($"q_id", $"q_emb", $"ivf_list")
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    assigned.join(broadcast(probeLists), Seq("ivf_list"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Per-label centroid similarity: average embedding per label, then
     * cosine of each label centroid against label 0's centroid.
     * Demonstrates vector aggregation (element-wise mean via posexplode

@@ -115,3 +115,38 @@ class ScaleOpsSpec extends graft.SparkSpec {
     assert(got === samples.map(_._2))
   }
 }
+
+/** Approximate-path operators must agree with their exact references. */
+class ApproxAgreementSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("expression MinHash banding finds the same near-dup pairs as ml-lib LSH") {
+    val mlPairs = Dedup.minhashPairs(sf001, maxDist = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastPairs = Dedup.minhashPairsFast(sf001, maxDist = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both are candidate-generation + exact-jaccard verification, so
+    // any differences are banding recall; demand high overlap
+    val overlap = (mlPairs & fastPairs).size.toDouble / math.max(mlPairs.size, 1)
+    info(f"ml pairs=${mlPairs.size} fast pairs=${fastPairs.size} overlap=$overlap%.2f")
+    assert(overlap >= 0.8)
+    assert(fastPairs.nonEmpty)
+  }
+
+  test("IVF ANN achieves non-trivial recall vs brute-force top-10") {
+    val exact = Similarity.knnBruteForce(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (nProbe=3 of 16 lists)")
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("embedding near-dup pairs are exactly the pairs above threshold") {
+    val out = Dedup.embeddingNearDups(sf001, minCos = 0.4)
+    assert(out.filter(col("cos_sim") < 0.4).count() === 0)
+    assert(out.filter(col("id_a") >= col("id_b")).count() === 0)
+    assert(out.count() > 0)
+  }
+}
