@@ -78,6 +78,8 @@ object SparkEntry {
     "q50_embedding_neardup"  -> ((s, d) => Dedup.embeddingNearDups(Tables(s, d))),
     "q51_minhash_fast"       -> ((s, d) => Dedup.minhashPairsFast(Tables(s, d))),
     "q52_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d))),
+    "q53_winnow_fp"          -> ((s, d) => TextOps.winnowedFingerprints(Tables(s, d))),
+    "q54_bpeish_tokens"      -> ((s, d) => TextOps.bpeishTokenStats(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -316,6 +318,41 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${dotOf("a.embedding", "b.embedding")} / (sqrt(${dotOf("a.embedding", "a.embedding")}) * sqrt(${dotOf("b.embedding", "b.embedding")})) >= 0.4""".stripMargin,
     "q28_cosine_pairs" -> cosPairsSql,
+    "q30_label_centroids" ->
+      s"""WITH ev AS (
+         |  SELECT label, vec_id, i AS pos, CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, 65) t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |    list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (a,b) -> a+b) / COUNT(*) AS c
+         |  FROM ev GROUP BY label, pos),
+         |carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+         |base AS (SELECT centroid AS bc FROM carr WHERE label = 0)
+         |SELECT label,
+         | ${dotOf("centroid", "bc")} / (sqrt(${dotOf("centroid", "centroid")}) * sqrt(${dotOf("bc", "bc")})) AS cos_to_label0
+         |FROM carr, base""".stripMargin,
+    "q53_winnow_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)-8+2),
+        |      i -> list_reduce(
+        |        list_transform(range(0, 8), j -> CAST(unicode(text[CAST(i+j AS INTEGER)]) AS BIGINT)),
+        |        (a,c) -> (a*257+c) % 1000000007)) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      range(1, greatest(len(hs)-3, 1)+1),
+        |      i -> list_min(list_slice(hs, CAST(i AS INTEGER), CAST(i+3 AS INTEGER)))))) AS fps
+        |  FROM h WHERE len(hs) >= 1)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q54_bpeish_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        | CAST(LENGTH(text) AS DOUBLE)
+        |   / len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS chars_per_bpe
+        |FROM documents""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

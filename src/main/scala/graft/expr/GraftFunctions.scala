@@ -14,5 +14,7 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_kgrams",
+      es => RollingKgrams(es.head, es(1)), "scala_udf")
   }
 }

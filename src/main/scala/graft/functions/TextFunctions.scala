@@ -107,4 +107,40 @@ object TextFunctions {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
+
+  /** All k-gram rolling hashes of a string (Rabin–Karp, mod 1e9+7) —
+    * native one-pass expression (graft.expr.RollingKgrams). */
+  def rollingKgrams(text: Column, k: Int): Column =
+    call_function("rolling_kgrams", text, lit(k))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 / MOSS): the min k-gram rolling hash of every window of
+    * `w` consecutive positions, deduplicated and sorted. Guarantees a
+    * shared fingerprint for any common substring of length ≥ k+w−1,
+    * while keeping only ~2/(w+1) of the hashes — the standard
+    * scale-friendly document-fingerprint set. Pure integer arithmetic
+    * → bit-exact cross-engine, oracle-checkable. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val hs = rollingKgrams(text, k)
+    val m = size(hs)
+    // number of windows; a doc shorter than one full window still
+    // yields one (clamped) window. sequence() counts DOWN for an empty
+    // range, so the m == 0 case is guarded explicitly.
+    val nWin = greatest(m - (w - 1), lit(1))
+    val mins = transform(sequence(lit(1), nWin), i => array_min(slice(hs, i, lit(w))))
+    when(m < 1, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(mins)))
+  }
+
+  /** BPE-ish tokenization: greedy regex chunking into ≤4-char letter
+    * runs, ≤3-digit number runs, and single punctuation marks — the
+    * shape of a byte-pair-encoded vocabulary without a learned merge
+    * table. Regex alternation is greedy-left in both Java and RE2, so
+    * the split is engine-reproducible. */
+  val BpeishPattern = "[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 }

@@ -135,15 +135,30 @@ object Similarity {
   /** Per-label centroid similarity: average embedding per label, then
     * cosine of each label centroid against label 0's centroid.
     * Demonstrates vector aggregation (element-wise mean via posexplode
-    * → groupBy position — shuffles (label, position, partial-sum)
-    * tuples, i.e. 64·|labels| rows, not vectors). Rows-only check:
-    * mean-of-floats is order-sensitive so there is no bit-exact oracle. */
+    * → groupBy position — shuffles (label, position, value) tuples,
+    * i.e. 64 narrow rows per vector, not vectors).
+    *
+    * The per-dimension mean folds the values in vec_id order
+    * (sort_array(collect_list) → sequential `aggregate`), which the
+    * DuckDB oracle mirrors with `list(v ORDER BY vec_id)` →
+    * `list_reduce` — bit-identical doubles, so the query is exact-
+    * oracle-checkable. That sorted fold is the oracle-parity
+    * formulation; an unbounded-cardinality production run would swap
+    * it for an order-independent DECIMAL-accumulated sum (the same
+    * trade documented in README — collect_list per (label, pos) group
+    * holds that group's values, fine for bounded label cardinality,
+    * wrong for billions per group). */
   def labelCentroids(t: Tables): DataFrame = {
     import t.spark.implicits._
     val centroids = t.embeddings
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg(avg($"v".cast("double")).as("c"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct($"vec_id", $"v".cast("double").as("v")))),
+          lit(0.0), (acc, p) => acc + p.getField("v")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("c", $"s" / $"cnt")
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pairs"))
       .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))

@@ -160,4 +160,26 @@ object TextOps {
       .select($"doc_id", simhash($"text").as("simhash64"))
       .orderBy($"doc_id")
   }
+
+  // ── q53: winnowing fingerprints — rolling-hash k-grams, window-min
+  //         selection (MOSS). Exploded to (doc_id, fp) rows; the
+  //         modular integer hash is engine-independent, so the DuckDB
+  //         oracle refolds the same definition and hash-matches. ──────
+  def winnowedFingerprints(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", explode(winnowFingerprints($"text", 8, 4)).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
+  def bpeishTokenStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id",
+        bpeishTokenCount($"text").as("n_bpe"),
+        tokenCount($"text").as("n_ws"),
+        (length($"text").cast("double") / bpeishTokenCount($"text")).as("chars_per_bpe"))
+      .orderBy($"doc_id")
+  }
 }

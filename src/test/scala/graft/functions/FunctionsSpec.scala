@@ -68,6 +68,44 @@ class FunctionsSpec extends SparkSpec {
       .select(SimilarityFunctions.l2Distance($"x", $"y")).head().getDouble(0)
     assert(d === 5.0)
   }
+
+  test("rollingKgrams matches the direct polynomial definition") {
+    val text = "abcdefgh"
+    val k = 3
+    def direct(s: String): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => (h * 257 + c.toInt) % 1000000007L)
+      }
+    val got = Seq(text).toDF("text")
+      .select(TextFunctions.rollingKgrams($"text", k)).head().getSeq[Long](0)
+    assert(got === direct(text))
+    // shorter than k → empty
+    val empty = Seq("ab").toDF("text")
+      .select(TextFunctions.rollingKgrams($"text", k)).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
+  test("winnowFingerprints: guarantee — docs sharing a substring of length k+w-1 share a fingerprint") {
+    // k=8, w=4: any common substring of length ≥ 11 forces a shared
+    // window-min (the winnowing guarantee).
+    val common = "sharedrunabc"
+    val rows = Seq(s"xxxx$common", s"${common}zzzzzz", "totally unrelated words")
+      .toDF("text")
+      .select(TextFunctions.winnowFingerprints($"text", 8, 4).as("fp")).collect()
+    val a = rows(0).getSeq[Long](0).toSet
+    val b = rows(1).getSeq[Long](0).toSet
+    val c = rows(2).getSeq[Long](0).toSet
+    assert(a.intersect(b).nonEmpty, "common substring must share a fingerprint")
+    assert(a.intersect(c).isEmpty, "unrelated text should not collide")
+    // sorted + distinct
+    assert(rows(0).getSeq[Long](0) === rows(0).getSeq[Long](0).distinct.sorted)
+  }
+
+  test("bpeishTokens chunk long words and pass short ones through") {
+    val toks = Seq("customer scan, 12345")
+      .toDF("text").select(TextFunctions.bpeishTokens($"text")).head().getSeq[String](0)
+    assert(toks === Seq("cust", "omer", "scan", ",", "123", "45"))
+  }
 }
 
 /** Native Catalyst expressions must agree exactly with their HOF
