@@ -16,5 +16,7 @@ object GraftFunctions {
       es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_kgrams",
       es => RollingKgrams(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      es => WinnowFps(es.head, es(1), es(2)), "scala_udf")
   }
 }

@@ -61,12 +61,12 @@ object RollingKgrams {
   private val B = 257L
   private val M = 1000000007L
 
-  /** Tight-loop rolling hash; called from generated code. */
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  /** Tight-loop rolling hash; shared by the expressions below. */
+  def computeRaw(text: UTF8String, k: Int): Array[Long] = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length
     val m = n - k + 1
-    if (k <= 0 || m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (k <= 0 || m <= 0) return Array.emptyLongArray
     // B^(k-1) mod M
     var bk = 1L
     var j = 1
@@ -82,6 +82,80 @@ object RollingKgrams {
       out(i) = h
       i += 1
     }
+    out
+  }
+
+  /** Called from generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(computeRaw(text, k))
+
+  /** Winnowing selection over the k-gram hashes: the min of every
+    * window of `w` consecutive hashes (one clamped window if the doc
+    * has fewer than `w` k-grams), deduplicated and sorted. Sliding-
+    * window minimum via monotonic index deque — O(m) total, no
+    * per-window allocation (the HOF formulation slices a fresh array
+    * per window; that difference is ~20× on the fixture corpus).
+    * Called from generated code. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = computeRaw(text, k)
+    val m = hs.length
+    if (m <= 0 || w <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = hs(0)
+      var i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      sel.add(mn)
+    } else {
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // [head, tail) holds indices with increasing hash value
+      var i = 0
+      while (i < m) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** Winnowing fingerprints as a single native expression:
+  * rolling k-gram hashes + sliding-window-min selection + distinct +
+  * sort, one pass per row. Semantics identical to the HOF
+  * formulation in TextFunctions.winnowFingerprintsHof (cross-checked
+  * in NativeExprSpec) and to the DuckDB oracle refold. */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, foldable int, foldable int)")
+    }
+
+  override def nullSafeEval(text: Any, kv: Any, wv: Any): Any =
+    RollingKgrams.winnow(text.asInstanceOf[UTF8String],
+      kv.asInstanceOf[Int], wv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, kk, ww) => s"graft.expr.RollingKgrams.winnow($t, $kk, $ww)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFps =
+    copy(first = f, second = s, third = t)
 }

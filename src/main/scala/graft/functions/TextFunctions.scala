@@ -119,8 +119,17 @@ object TextFunctions {
     * shared fingerprint for any common substring of length ≥ k+w−1,
     * while keeping only ~2/(w+1) of the hashes — the standard
     * scale-friendly document-fingerprint set. Pure integer arithmetic
-    * → bit-exact cross-engine, oracle-checkable. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    * → bit-exact cross-engine, oracle-checkable.
+    *
+    * Native expression (graft.expr.WinnowFps): one deque-min pass per
+    * row; the HOF variant below slices a fresh window array per
+    * position and is kept only as the cross-check reference. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    call_function("winnow_fps", text, lit(k), lit(w))
+
+  /** HOF reference formulation of winnowFingerprints (cross-checked
+    * against the native expression in NativeExprSpec). */
+  def winnowFingerprintsHof(text: Column, k: Int = 8, w: Int = 4): Column = {
     val hs = rollingKgrams(text, k)
     val m = size(hs)
     // number of windows; a doc shorter than one full window still

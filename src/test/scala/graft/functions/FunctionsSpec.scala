@@ -121,6 +121,13 @@ class NativeExprSpec extends graft.SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("WinnowFps expression equals HOF winnowing on all fixture documents") {
+    val both = sf001.documents.select(
+      TextFunctions.winnowFingerprints(col("text"), 8, 4).as("native"),
+      TextFunctions.winnowFingerprintsHof(col("text"), 8, 4).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("CosineSim expression is bit-identical to the HOF fold on embeddings") {
     val e = sf001.embeddings.limit(200)
     val q = e.select(col("embedding").as("q_emb")).limit(1)
