@@ -18,5 +18,9 @@ object GraftFunctions {
       es => RollingKgrams(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",
       es => WinnowFps(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      es => MinHashSigs(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      es => SortedIntersectSize(es.head, es(1)), "scala_udf")
   }
 }

@@ -1,0 +1,129 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `n` MinHash signatures of a string set in ONE pass:
+  * sig(i) = min over elements s of xxhash64(s, i) — exactly Spark's
+  * built-in `xxhash64(s, lit(i))` chain (string hashed with seed 42,
+  * then the literal i folded in as a long), so it is bit-equal to the
+  * HOF formulation `array_min(transform(arr, s => xxhash64(s, lit(i))))`
+  * (cross-checked in NativeExprSpec).
+  *
+  * One pass: each element's string bytes are hashed ONCE, then n cheap
+  * long-hash folds update the n running minima — versus the HOF's n
+  * full walks through interpreted lambdas, each rehashing every string
+  * and materializing an intermediate array. MinHash signatures are the
+  * per-row hot loop of LSH dedup, the O(corpus) cost that dominates at
+  * 100 TB.
+  */
+case class MinHashSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, foldable int)")
+    }
+
+  override def nullSafeEval(arr: Any, nv: Any): Any =
+    MinHashSigs.compute(arr.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.expr.MinHashSigs.compute($a, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigs =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSigs {
+
+  /** Tight-loop signatures; called from generated code. Empty/all-null
+    * input yields Long.MaxValue signatures (array_min of an empty
+    * transform would be null; callers filter empty sets first). */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val sigs = Array.fill(n)(Long.MaxValue)
+    val len = arr.numElements()
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        // xxhash64(s, lit(j)) = hashInt(j, seed = hashBytes(s, 42))
+        // (lit(j) is IntegerType → Spark takes XXH64's 4-byte path)
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < n) {
+          val h = XXH64.hashInt(j, h0)
+          if (h < sigs(j)) sigs(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}
+
+/** |A ∩ B| of two SORTED string arrays by a single merge walk —
+  * O(|A|+|B|), zero allocation. Spark's `array_intersect` builds a
+  * hash set per call; in a candidate-verification join that is one
+  * allocation per PAIR, the hot loop of near-dup dedup. Inputs must be
+  * sorted ascending and distinct (binary UTF8 order — what
+  * `array_sort(array_distinct(...))` produces); output is then
+  * identical to `size(array_intersect(a, b))`.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<string>)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.SortedIntersectSize.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+
+  /** Merge walk; called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}

@@ -108,6 +108,16 @@ object TextFunctions {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Jaccard over SORTED distinct string arrays via the native
+    * merge-walk expression (graft.expr.SortedIntersectSize) — same
+    * value as [[jaccard]] on the same sets, but O(|A|+|B|) with zero
+    * per-pair allocation, the property that matters when this runs
+    * once per candidate pair in a dedup join. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_intersect_size", a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** All k-gram rolling hashes of a string (Rabin–Karp, mod 1e9+7) —
     * native one-pass expression (graft.expr.RollingKgrams). */
   def rollingKgrams(text: Column, k: Int): Column =

@@ -69,26 +69,40 @@ object Dedup {
       t: Tables, maxDist: Double = 0.4,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     import t.spark.implicits._
-    val sh = shingles($"text", 3)
-    val bandKeys = array((0 until bands).map { b =>
-      val sigs = (0 until rowsPerBand).map { r =>
-        val i = b * rowsPerBand + r
-        array_min(transform(col("sh"), s => xxhash64(s, lit(i))))
-      }
-      struct(lit(b).as("band"), xxhash64(sigs: _*).as("key"))
-    }: _*)
+    // Sorted shingle sets: candidate verification below is then a
+    // native merge-walk intersect (jaccardSorted) — no per-pair
+    // hash-set allocation. Cached: consumed by banding + two
+    // candidate-side fetch joins (at scale: a persisted signature
+    // table).
     val docs = t.documents
-      .select($"doc_id", sh.as("sh"))
+      .select($"doc_id", array_sort(shingles($"text", 3)).as("sh"))
       .filter(size($"sh") > 0)
-      .select($"doc_id", $"sh", explode(bandKeys).as("bk"))
-    val a = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"bk")
-    val b = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"bk")
-    a.join(b, Seq("bk"))
+      .cache()
+    // All minhash signatures in ONE pass (native expression), then
+    // one band key per `rowsPerBand` signatures. The band join carries
+    // ONLY (band key, doc_id) — never the shingle arrays; shuffle
+    // volume is `bands` 16-byte rows per doc, linear in corpus size.
+    val sigs = call_function("minhash_sigs", $"sh", lit(bands * rowsPerBand))
+    val bandKeys = array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r =>
+        element_at($"sigs", b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("key"))
+    }: _*)
+    val banded = docs
+      .withColumn("sigs", sigs)
+      .select($"doc_id", explode(bandKeys).as("bk"))
+    val cands = banded.select($"doc_id".as("id_a"), $"bk")
+      .join(banded.select($"doc_id".as("id_b"), $"bk"), Seq("bk"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b",
-        (lit(1.0) - graft.functions.TextFunctions.jaccard($"sh_a", $"sh_b"))
-          .as("jaccard_dist"))
+      .select($"id_a", $"id_b")
       .distinct()
+    // fetch shingle sets only for surviving candidate pairs
+    cands
+      .join(docs.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted($"sh_a", $"sh_b"))
+          .as("jaccard_dist"))
       .filter($"jaccard_dist" <= maxDist)
       .orderBy($"id_a", $"id_b")
   }

@@ -84,8 +84,11 @@ object TextOps {
   // (Dedup.scala), which needs no blocking key at all.
   def jaccardPairs(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // sorted word sets → the per-pair intersect below is a native
+    // merge walk (jaccardSorted), not a hash-set build per pair.
     val docs = t.documents
-      .select($"doc_id", $"lang", $"source", array_distinct(tokens($"text")).as("words"))
+      .select($"doc_id", $"lang", $"source",
+        array_sort(array_distinct(tokens($"text"))).as("words"))
     val a = docs.select($"doc_id".as("id_a"), $"lang", $"source", $"words".as("w_a"))
     val b = docs.select($"doc_id".as("id_b"), $"lang", $"source", $"words".as("w_b"))
     a.join(b, Seq("lang", "source"))
@@ -96,7 +99,7 @@ object TextOps {
       .filter(least(size($"w_a"), size($"w_b")).cast("double") /
         greatest(size($"w_a"), size($"w_b")) >= 0.3)
       .select($"lang", $"source", $"id_a", $"id_b",
-        jaccard($"w_a", $"w_b").as("jaccard_sim"))
+        jaccardSorted($"w_a", $"w_b").as("jaccard_sim"))
       .filter($"jaccard_sim" >= 0.3)
       .orderBy($"lang", $"source", $"id_a", $"id_b")
   }
@@ -136,11 +139,12 @@ object TextOps {
     val docs = t.documents.select($"doc_id", $"text")
     val tok = new Tokenizer().setInputCol("text").setOutputCol("raw_tokens")
     val stop = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
-    // 2^12 buckets: ample for the fixture vocabulary; IDF.fit
-    // aggregates a dense array of this size per partition, so the
-    // dimension is the dominant fit cost.
+    // 2^10 buckets: ample for the fixture vocabulary (~60 words); IDF
+    // aggregates a dense array of this size per partial, so the
+    // dimension is the dominant fit cost — size it to the vocabulary,
+    // not a default.
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
-      .setNumFeatures(1 << 12)
+      .setNumFeatures(1 << 10)
     val tfDf = tf.transform(stop.transform(tok.transform(docs))).cache()
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
     val scored = idfModel.transform(tfDf)

@@ -128,6 +128,29 @@ class NativeExprSpec extends graft.SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("MinHashSigs expression equals the xxhash64 HOF formulation on fixture shingles") {
+    import org.apache.spark.sql.functions._
+    val docs = sf001.documents
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hof = array((0 until 12).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(i))))): _*)
+    val both = docs.select(
+      call_function("minhash_sigs", col("sh"), lit(12)).as("native"), hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted fixture word sets") {
+    import org.apache.spark.sql.functions._
+    val docs = sf001.documents.limit(50)
+      .select(array_sort(array_distinct(TextFunctions.tokens(col("text")))).as("w"))
+    val pairs = docs.select(col("w").as("a")).crossJoin(docs.select(col("w").as("b")))
+    val both = pairs.select(
+      call_function("sorted_intersect_size", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
   test("CosineSim expression is bit-identical to the HOF fold on embeddings") {
     val e = sf001.embeddings.limit(200)
     val q = e.select(col("embedding").as("q_emb")).limit(1)
