@@ -22,5 +22,7 @@ object GraftFunctions {
       es => MinHashSigs(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
   }
 }

@@ -31,6 +31,19 @@ object SimilarityFunctions {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Native single-pass dot product (graft.expr.DotProduct) — same
+    * fold as [[cosine]]'s dot accumulator, for hoisting per-vector
+    * norms out of all-pairs loops. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** Per-vector L2 norm via the native dot — compute once per vector,
+    * then `factoredCosine` per pair is bit-identical to [[cosine]]. */
+  def l2NormNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  def factoredCosine(dotAB: Column, nrmA: Column, nrmB: Column): Column =
+    dotAB / (nrmA * nrmB)
+
   /** HOF reference formulation (three interpreted folds); kept for
     * cross-checking the native expression. */
   def cosineHof(a: Column, b: Column): Column =

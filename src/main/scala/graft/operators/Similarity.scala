@@ -21,14 +21,19 @@ object Similarity {
   private val QueryCount = 5
 
   /** All (query, candidate) cosine pairs for query vectors
-    * vec_id < QueryCount. Exact double fold — oracle-checkable. */
+    * vec_id < QueryCount. Exact double fold — oracle-checkable.
+    * Norms are hoisted out of the Q×N pair loop (bit-identical, see
+    * Dedup.embeddingNearDups). */
   def cosinePairs(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val q = t.embeddings.filter($"vec_id" < QueryCount)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    t.embeddings
+    val withNorm = t.embeddings
+      .select($"vec_id", $"embedding", l2NormNative($"embedding").as("nrm"))
+    val q = withNorm.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    withNorm
       .join(broadcast(q), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos_sim"))
+      .select($"q_id", $"vec_id",
+        factoredCosine(dotNative($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cos_sim"))
       .orderBy($"q_id", $"vec_id")
   }
 

@@ -151,6 +151,19 @@ class NativeExprSpec extends graft.SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() === 0)
   }
 
+  test("factored cosine (hoisted norms) is bit-identical to CosineSim on embeddings") {
+    val e = sf001.embeddings.limit(200)
+      .select(col("vec_id"), col("embedding"),
+        SimilarityFunctions.l2NormNative(col("embedding")).as("nrm"))
+    val q = e.select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")).limit(1)
+    val both = e.crossJoin(q).select(
+      SimilarityFunctions.factoredCosine(
+        SimilarityFunctions.dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")).as("factored"),
+      SimilarityFunctions.cosine(col("q_emb"), col("embedding")).as("fused"))
+    assert(both.filter(col("factored") =!= col("fused")).count() === 0)
+  }
+
   test("CosineSim expression is bit-identical to the HOF fold on embeddings") {
     val e = sf001.embeddings.limit(200)
     val q = e.select(col("embedding").as("q_emb")).limit(1)
