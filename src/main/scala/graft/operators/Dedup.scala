@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val NumFeatures = 1 << 18
-  // 6 tables: P(candidate | J=0.6) = 1-(1-0.6)^6 ≈ 0.996 — recall at
-  // the 0.4-distance threshold stays high while the explode join
-  // carries 25% fewer rows than 8 tables.
-  private val NumHashTables = 6
+  // 4 tables: P(candidate | J=0.6) = 1-(1-0.6)^4 ≈ 0.974 — recall at
+  // the 0.4-distance threshold stays high while the LSH explode join
+  // carries a third fewer rows than 6 tables.
+  private val NumHashTables = 4
   private val Seed = 42L
 
   /** Candidate near-duplicate pairs with Jaccard distance ≤ maxDist. */
@@ -35,9 +35,12 @@ object Dedup {
       .filter(size($"sh") > 0)
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(NumFeatures)
-    // cache: the LSH self-join consumes the featurized side twice, and
-    // at scale you'd persist signatures rather than re-shingle.
-    val feats = tf.transform(docs).cache()
+    // drop the shingle strings before the join: approxSimilarityJoin
+    // explodes one row per hash table per doc, and every dropped byte
+    // is saved NumHashTables× in the shuffle. cache: the LSH self-join
+    // consumes the featurized side twice; at scale you'd persist
+    // signatures rather than re-shingle.
+    val feats = tf.transform(docs).select($"doc_id", $"features").cache()
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(NumHashTables).setSeed(Seed)
