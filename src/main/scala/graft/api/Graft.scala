@@ -53,6 +53,26 @@ object Graft {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** MinHash-banding near-dup pairs over a text column — the linear-
+    * shuffle scale path: shingle → one-pass minhash signatures (native
+    * expression) → band-key join carrying only (key, id) → exact
+    * jaccard verification of candidates. Returns (id_a, id_b,
+    * jaccard_dist ≤ maxDist). */
+  def nearDupPairsMinhash(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Double = 0.4, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    graft.operators.Dedup.minhashPairsOver(df, idCol, textCol, maxDist, bands, rowsPerBand)
+
+  /** Winnowing fingerprint table over a text column: (id, fp) rows of
+    * rolling-hash k-gram window minima (MOSS). Any two rows sharing a
+    * substring of ≥ k+w−1 chars share at least one fp — group by fp to
+    * find substring-level duplication at corpus scale. */
+  def winnowFingerprintTable(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(idCol.as("id"),
+      explode(TextFunctions.winnowFingerprints(textCol, k, w)).as("fp"))
+
   // ── similarity search ────────────────────────────────────────────────
 
   /** Brute-force top-k nearest neighbours by cosine: probes are

@@ -72,42 +72,50 @@ object Dedup {
       t: Tables, maxDist: Double = 0.4,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     import t.spark.implicits._
+    minhashPairsOver(t.documents, $"doc_id", $"text", maxDist, bands, rowsPerBand)
+  }
+
+  /** The same pipeline over an ARBITRARY corpus (Graft facade entry). */
+  def minhashPairsOver(
+      df: org.apache.spark.sql.DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column, maxDist: Double,
+      bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     // Sorted shingle sets: candidate verification below is then a
     // native merge-walk intersect (jaccardSorted) — no per-pair
     // hash-set allocation. Cached: consumed by banding + two
     // candidate-side fetch joins (at scale: a persisted signature
     // table).
-    val docs = t.documents
-      .select($"doc_id", array_sort(shingles($"text", 3)).as("sh"))
-      .filter(size($"sh") > 0)
+    val docs = df
+      .select(idCol.as("doc_id"), array_sort(shingles(textCol, shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
       .cache()
     // All minhash signatures in ONE pass (native expression), then
     // one band key per `rowsPerBand` signatures. The band join carries
     // ONLY (band key, doc_id) — never the shingle arrays; shuffle
     // volume is `bands` 16-byte rows per doc, linear in corpus size.
-    val sigs = call_function("minhash_sigs", $"sh", lit(bands * rowsPerBand))
+    val sigs = call_function("minhash_sigs", col("sh"), lit(bands * rowsPerBand))
     val bandKeys = array((0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r =>
-        element_at($"sigs", b * rowsPerBand + r + 1))
+        element_at(col("sigs"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("key"))
     }: _*)
     val banded = docs
       .withColumn("sigs", sigs)
-      .select($"doc_id", explode(bandKeys).as("bk"))
-    val cands = banded.select($"doc_id".as("id_a"), $"bk")
-      .join(banded.select($"doc_id".as("id_b"), $"bk"), Seq("bk"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b")
+      .select(col("doc_id"), explode(bandKeys).as("bk"))
+    val cands = banded.select(col("doc_id").as("id_a"), col("bk"))
+      .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     // fetch shingle sets only for surviving candidate pairs
     cands
-      .join(docs.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-      .join(docs.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .select($"id_a", $"id_b",
-        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted($"sh_a", $"sh_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
           .as("jaccard_dist"))
-      .filter($"jaccard_dist" <= maxDist)
-      .orderBy($"id_a", $"id_b")
+      .filter(col("jaccard_dist") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Embedding-cosine near-dup candidates: all pairs above a cosine

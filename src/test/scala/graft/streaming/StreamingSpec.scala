@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+/** Streaming exact dedup: duplicate content within the watermark
+  * horizon is dropped, first occurrence is kept. */
+class StreamDedupSpec extends graft.SparkSpec {
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark keeps first occurrence per content fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    val q = StreamDedup.dedupedByContent(docs, "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("streamdedup").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 00:02:00"), 2L, "alpha beta"), // dup within batch
+        (ts("2024-01-01 00:03:00"), 3L, "gamma delta"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 00:04:00"), 4L, "alpha beta"), // dup across batches
+        (ts("2024-01-01 00:05:00"), 5L, "epsilon"))
+      q.processAllAvailable()
+
+      val kept = spark.table("streamdedup")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept === Set((1L, "alpha beta"), (3L, "gamma delta"), (5L, "epsilon")))
+    } finally q.stop()
+  }
+}
+
 /** File-source streaming: the events fixture parquet driven through
   * the same windowed aggregation as a stream, compared to batch. */
 class FileStreamSpec extends graft.SparkSpec {
