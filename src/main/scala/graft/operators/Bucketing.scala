@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-storage co-located joins — the storage-layout half of the
+  * scale story. A fact table bucketed by its join key is written
+  * pre-partitioned: every future join on that key reads matching
+  * buckets side by side and needs NO shuffle at query time. At 100 TB
+  * this converts the recurring O(data) join shuffle into a one-time
+  * layout cost at ingest — the standard warehouse trade for
+  * fact-to-fact joins too big to broadcast.
+  *
+  * (The fixture queries don't use this path because the driver's
+  * parquet is plain files; BucketingSpec proves the plan property —
+  * join with zero Exchange operators — on a temp warehouse.)
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table. Bucket count is a
+    * layout decision: at cluster scale pick it so one bucket ≈ one
+    * task's worth of data (128–512 MB), and keep it IDENTICAL across
+    * tables that join together — equal bucket counts on the same key
+    * are what let the planner skip both exchanges. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. With matching
+    * bucket counts this plans as a shuffle-free sort-merge join. */
+  def colocatedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
