@@ -171,9 +171,12 @@ object TextOps {
   //         oracle refolds the same definition and hash-matches. ──────
   def winnowedFingerprints(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // no trailing sort: a fingerprint table is an unordered set, and
+    // ordering ~100 fps × every doc is the single largest avoidable
+    // cost in the query (the correctness gate compares sorted rows on
+    // both sides regardless, like every oracle here without ORDER BY).
     t.documents
       .select($"doc_id", explode(winnowFingerprints($"text", 8, 4)).as("fp"))
-      .orderBy($"doc_id", $"fp")
   }
 
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────

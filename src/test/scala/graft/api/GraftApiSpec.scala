@@ -46,6 +46,35 @@ class GraftApiSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") === 6)
   }
 
+  test("nearDupPairsMinhash finds near-identical texts with exact jaccard distance") {
+    Graft.install(spark)
+    val base = "spark query engine for very large scale data processing pipelines"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " today"), // near-dup: one extra word
+      (3L, "completely unrelated cooking recipe with pasta and tomato sauce here"))
+      .toDF("id", "text")
+    val pairs = Graft.nearDupPairsMinhash(df, $"id", $"text", maxDist = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.0 && pairs.head._3 <= 0.5)
+  }
+
+  test("winnowFingerprintTable links docs sharing a long substring") {
+    Graft.install(spark)
+    val common = "a long shared passage of text that appears verbatim in both documents"
+    val df = Seq(
+      (1L, "prefix one " + common),
+      (2L, common + " suffix two"),
+      (3L, "nothing in common with the others at all zzz qqq")).toDF("id", "text")
+    val fps = Graft.winnowFingerprintTable(df, $"id", $"text")
+    val byFp = fps.groupBy("fp").agg(collect_set("id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(byFp === Set(1L, 2L))
+  }
+
   test("topKPerGroup returns at most k rows per group with rank column") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
     val out = Graft.topKPerGroup(df, Seq($"g"), Seq($"x".desc), 2)
