@@ -24,7 +24,9 @@ import scala.concurrent.duration._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the whole machine — the bench target is local[32]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
