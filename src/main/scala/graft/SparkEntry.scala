@@ -80,6 +80,8 @@ object SparkEntry {
     "q52_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d))),
     "q53_winnow_fp"          -> ((s, d) => TextOps.winnowedFingerprints(Tables(s, d))),
     "q54_bpeish_tokens"      -> ((s, d) => TextOps.bpeishTokenStats(Tables(s, d))),
+    "q55_rank_family"        -> ((s, d) => Relational.rankFamily(Tables(s, d))),
+    "q56_percentiles"        -> ((s, d) => Relational.quantityPercentiles(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -353,6 +355,20 @@ object SparkEntry {
         | CAST(LENGTH(text) AS DOUBLE)
         |   / len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS chars_per_bpe
         |FROM documents""".stripMargin,
+    "q55_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+        | CAST(NTILE(4) OVER w AS INTEGER) AS tile,
+        | COALESCE(LEAD(o_totalprice) OVER w, -1.0) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q56_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

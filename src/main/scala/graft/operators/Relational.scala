@@ -379,6 +379,34 @@ object Relational {
   }
 
   // ── q20: event-time tumbling window (batch twin of the streaming op) ─
+  // ── q55: ranking-function family (dense_rank / ntile / lead) ────────
+  // One window, fully-ordered by a unique tiebreaker → every function
+  // is deterministic and the ANSI semantics match across engines.
+  def rankFamily(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t.orders.select($"o_custkey", $"o_orderkey",
+      dense_rank().over(w).cast("int").as("drank"),
+      ntile(4).over(w).as("tile"),
+      lead($"o_totalprice", 1, -1.0).over(w).as("next_price"))
+  }
+
+  // ── q56: exact interpolated percentiles per group ───────────────────
+  // Spark's `percentile` and DuckDB's `quantile_cont` share the ANSI
+  // definition: index p·(n−1) into the sorted values, linear
+  // interpolation — deterministic doubles from identical inputs.
+  def quantityPercentiles(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n_rows"))
+  }
+
   def eventDailyWindows(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.events
