@@ -48,6 +48,50 @@ final class Scorer(spark: SparkSession, passModel: PipelineModel, runModel: Pipe
     PlayPrediction(best, pass, run)
   }
 
+  // ── driver-local fast path ───────────────────────────────────────────
+  // A 1-row `transform` pays Catalyst analysis + codegen per request
+  // (~100 ms). The fitted pipeline is three deterministic steps —
+  // label lookup, vector assembly, tree-ensemble walk — all pure JVM,
+  // so serving evaluates them directly: same stages, same doubles
+  // (asserted exact in ScorerSpec), microseconds per request. The
+  // `transform` path stays as the semantic reference and the batch
+  // path (SURVEY.md §7 hard part c).
+
+  private def localScorer(model: PipelineModel): PlayRequest => Double = {
+    val indexer = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+    val labelToIndex: Map[String, Double] = indexer.labelsArray(0)
+      .zipWithIndex.map { case (l, i) => l -> i.toDouble }.toMap
+    val assembler = model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.feature.VectorAssembler]
+    val gbt = model.stages(2)
+      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+    val field: Map[String, PlayRequest => Double] = Map(
+      "qtr" -> (_.qtr.toDouble), "down" -> (_.down.toDouble),
+      "TimeSecs" -> (_.TimeSecs.toDouble), "yrdline100" -> (_.yrdline100.toDouble),
+      "ydstogo" -> (_.ydstogo.toDouble), "ydsnet" -> (_.ydsnet.toDouble),
+      "month_day" -> (_.month_day.toDouble),
+      // handleInvalid=error parity: unseen label throws, like the
+      // fitted StringIndexerModel (reference behavior, SURVEY §7a)
+      "PlayType_lag_index" -> (r => labelToIndex.getOrElse(r.PlayType_lag,
+        throw new org.apache.spark.SparkException(
+          s"Unseen label: ${r.PlayType_lag}."))))
+    val getters = assembler.getInputCols.map(field)
+    r => gbt.predict(
+      org.apache.spark.ml.linalg.Vectors.dense(getters.map(_(r))))
+  }
+
+  private lazy val passLocal = localScorer(passModel)
+  private lazy val runLocal = localScorer(runModel)
+
+  /** Same result as [[scoreOne]] without a Spark job per request. */
+  def scoreOneFast(r: PlayRequest): PlayPrediction = {
+    val pass = passLocal(r)
+    val run = runLocal(r)
+    val best = if (pass > run) "Passing Play" else "Running Play"
+    PlayPrediction(best, pass, run)
+  }
+
   /** Vectorized batch scoring: one distributed transform per model,
     * no per-row driver round trips — the path that scales. */
   def scoreBatch(plays: DataFrame): DataFrame = {

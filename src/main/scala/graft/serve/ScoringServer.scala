@@ -76,7 +76,9 @@ final class ScoringServer(scorer: Scorer, replayTable: DataFrame, port: Int = 0)
           month_day = intField("month_day"), posteam = strField("posteam"),
           DefensiveTeam = strField("DefensiveTeam"),
           PlayType_lag = strField("PlayType_lag"))
-        val p = scorer.scoreOne(req)
+        // local fast path: no Spark job per request (same doubles as
+        // the transform path, asserted in PlayPipelineSpec)
+        val p = scorer.scoreOneFast(req)
         respond(ex, 200,
           s"""{"best_play":${mapper.writeValueAsString(p.bestPlay)},""" +
             s""""passing_yards":${p.passingYards},"running_yards":${p.runningYards}}""")

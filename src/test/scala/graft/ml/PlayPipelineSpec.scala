@@ -63,6 +63,19 @@ class PlayPipelineSpec extends SparkSpec {
       e.getCause != null)
   }
 
+  test("local fast path returns the exact doubles of the transform path") {
+    val requests = Seq(
+      golden,
+      golden.copy(qtr = 1, down = 1, TimeSecs = 900, PlayType_lag = "Pass"),
+      golden.copy(qtr = 4, down = 4, yrdline100 = 1, ydstogo = 1, PlayType_lag = "FirstPlay"),
+      golden.copy(TimeSecs = -300, ydsnet = 0)) // OT negative clock
+    requests.foreach { r =>
+      assert(scorer.scoreOneFast(r) === scorer.scoreOne(r), s"mismatch for $r")
+    }
+    // handleInvalid=error parity on the fast path too
+    intercept[Exception] { scorer.scoreOneFast(golden.copy(PlayType_lag = "Punt")) }
+  }
+
   test("batch scoring agrees with single-row scoring") {
     val sample = plays.limit(50)
     val batch = scorer.scoreBatch(sample)
