@@ -45,6 +45,31 @@ object EventStream {
       .agg(sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("total_value"))
+
+  /** Stream-stream interval join: each error pairs with the same
+    * user's clicks from the preceding `horizon`. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark can expire buffered rows — state stays proportional to the
+    * horizon, not the stream length (the stream-stream analogue of
+    * the batch as-of join in operators/AsOfJoin). */
+  def errorsWithRecentClicks(
+      errors: DataFrame, clicks: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val e = errors
+      .select(col("ts").as("err_ts"), col("user_id"),
+        col("event_id").as("error_id"))
+      .withWatermark("err_ts", horizon)
+    val c = clicks
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    e.join(c, expr(
+      s"""user_id = click_user AND
+         |click_ts >= err_ts - INTERVAL $horizon AND
+         |click_ts <= err_ts""".stripMargin))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        col("err_ts"), col("click_ts"))
+  }
 }
 
 /** Typed event row for stateful processing. */

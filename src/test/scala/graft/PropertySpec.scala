@@ -79,6 +79,43 @@ class PropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) >= 101 && r.getInt(0) <= 1231))
   }
 
+  test("winnowing guarantee: random docs sharing a (k+w-1)-char substring share a fingerprint") {
+    // plant a common 11-char run inside otherwise-random text (k=8, w=4)
+    val chunk: Gen[String] =
+      Gen.listOfN(11, Gen.alphaLowerChar).map(_.mkString)
+    val filler: Gen[String] =
+      Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val cases = samples(Gen.zip(chunk, filler, filler), 30)
+    val rows = cases.map { case (c, f1, f2) => (f1 + c, c + f2) }
+      .toDF("a", "b").select(
+        TextFunctions.winnowFingerprints($"a", 8, 4).as("fa"),
+        TextFunctions.winnowFingerprints($"b", 8, 4).as("fb"))
+      .select(size(array_intersect($"fa", $"fb")).as("shared")).collect()
+    rows.foreach(r => assert(r.getInt(0) >= 1))
+  }
+
+  test("minhash signatures: sig(A ∪ B) = element-wise min(sig(A), sig(B))") {
+    val wordList = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word))
+    val pairs = samples(Gen.zip(wordList, wordList), 30)
+    val rows = pairs.toDF("a", "b").select(
+      call_function("minhash_sigs", array_union($"a", $"b"), lit(8)).as("u"),
+      zip_with(
+        call_function("minhash_sigs", $"a", lit(8)),
+        call_function("minhash_sigs", $"b", lit(8)),
+        (x, y) => least(x, y)).as("m"))
+    assert(rows.filter($"u" =!= $"m").count() === 0)
+  }
+
+  test("sorted intersect size equals builtin intersect on random sorted word sets") {
+    val wordList = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, word))
+    val pairs = samples(Gen.zip(wordList, wordList), 40)
+    val rows = pairs.toDF("a", "b").select(
+      call_function("sorted_intersect_size",
+        array_sort(array_distinct($"a")), array_sort(array_distinct($"b"))).as("native"),
+      size(array_intersect(array_distinct($"a"), array_distinct($"b"))).as("builtin"))
+    assert(rows.filter($"native" =!= $"builtin").count() === 0)
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()

@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+/** Stream-stream interval join: errors pair with same-user clicks in
+  * the preceding horizon; outside-horizon and other-user clicks don't
+  * match. */
+class StreamJoinSpec extends graft.SparkSpec {
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("errors join same-user clicks within the interval only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, Long)]
+    val clkIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, Long)]
+    val errors = errIn.toDF().toDF("ts", "user_id", "event_id")
+    val clicks = clkIn.toDF().toDF("ts", "user_id", "event_id")
+
+    val q = EventStream.errorsWithRecentClicks(errors, clicks, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("streamjoin").start()
+    try {
+      clkIn.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 100L), // in horizon for error@00:05
+        (ts("2024-01-01 00:04:00"), 1L, 101L), // in horizon
+        (ts("2024-01-01 00:04:30"), 2L, 102L), // other user
+        (ts("2024-01-01 00:06:00"), 1L, 103L)) // after the error
+      errIn.addData((ts("2024-01-01 00:05:00"), 1L, 500L))
+      q.processAllAvailable()
+      val got = spark.table("streamjoin")
+        .select("error_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((500L, 100L), (500L, 101L)))
+    } finally q.stop()
+  }
+}
+
 /** Streaming exact dedup: duplicate content within the watermark
   * horizon is dropped, first occurrence is kept. */
 class StreamDedupSpec extends graft.SparkSpec {
