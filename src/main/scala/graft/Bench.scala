@@ -49,11 +49,12 @@ object Bench {
     // sf0.1 runs; unlisted queries follow alphabetically — ordering
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
-      "q26_jaccard_pairs", "q31_minhash_pairs", "q06_nation_revenue",
-      "q01_pricing_summary", "q03_top_orders", "q51_minhash_fast",
-      "q12_cube", "q41_tfidf", "q09_running_total", "q08_top_per_customer",
-      "q10_order_gaps", "q11_rollup", "q38_bigram_counts",
-      "q50_embedding_neardup", "q13_distinct_counts", "q39_approx_distinct")
+      "q31_minhash_pairs", "q51_minhash_fast", "q26_jaccard_pairs",
+      "q41_tfidf", "q38_bigram_counts", "q50_embedding_neardup",
+      "q39_approx_distinct", "q52_ann_ivf", "q06_nation_revenue",
+      "q01_pricing_summary", "q03_top_orders", "q12_cube",
+      "q09_running_total", "q08_top_per_customer", "q10_order_gaps",
+      "q11_rollup", "q53_winnow_fp", "q13_distinct_counts")
     val names = heavyFirst.filter(SparkEntry.queries.contains) ++
       (SparkEntry.queries.keys.toSeq.sorted diff heavyFirst)
     val t0 = System.nanoTime()
