@@ -110,7 +110,12 @@ object Similarity {
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
       .cache()
-    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(10)
+    // coarse quantizer: random init + few iterations — IVF needs
+    // roughly-balanced lists, not converged clusters, and the fit is
+    // the dominant index-build cost (k-means|| init alone is several
+    // extra passes over the corpus)
+    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(4)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("ivf_list")
     val model = km.fit(vecs)
     val assigned = model.transform(vecs).select($"vec_id", $"embedding", $"ivf_list")
