@@ -82,6 +82,7 @@ object SparkEntry {
     "q54_bpeish_tokens"      -> ((s, d) => TextOps.bpeishTokenStats(Tables(s, d))),
     "q55_rank_family"        -> ((s, d) => Relational.rankFamily(Tables(s, d))),
     "q56_percentiles"        -> ((s, d) => Relational.quantityPercentiles(Tables(s, d))),
+    "q57_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -369,6 +370,27 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.75) AS p75,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q57: the Spark side computes connected components by iterative
+    // min-label propagation; the oracle recomputes the SAME pair set
+    // (q26's definition) and takes the transitive closure with a
+    // recursive CTE. Both converge to the component-minimum label —
+    // a unique fixpoint, so the distributed graph computation is
+    // exact-hash-checked.
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |    / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t)
+        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_keeper
+        |FROM walk GROUP BY doc_id""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

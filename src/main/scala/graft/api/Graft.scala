@@ -63,6 +63,13 @@ object Graft {
       maxDist: Double = 0.4, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
     graft.operators.Dedup.minhashPairsOver(df, idCol, textCol, maxDist, bands, rowsPerBand)
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the clustering step that turns near-dup
+    * PAIRS into dedup groups (component id = min node id; keep that
+    * node, drop the rest). Returns (id, component). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    graft.operators.Dedup.connectedComponents(nodes, edges)
+
   /** Winnowing fingerprint table over a text column: (id, fp) rows of
     * rolling-hash k-gram window minima (MOSS). Any two rows sharing a
     * substring of ≥ k+w−1 chars share at least one fp — group by fp to

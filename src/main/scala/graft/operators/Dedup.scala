@@ -138,6 +138,68 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Distributed connected components by iterative min-label
+    * propagation (the dataframe formulation of Pregel-style CC):
+    * every node starts as its own label; each round, a node adopts the
+    * minimum label among itself and its neighbours; converged labels
+    * are the component minimum — a canonical, order-independent
+    * cluster id.
+    *
+    * The driver loop controls ITERATION ONLY (rounds ≈ graph
+    * diameter, ~log n with doubling effects); all data work is joins +
+    * aggregations that shuffle (edge, label) tuples. localCheckpoint
+    * per round truncates the exponentially-growing lineage — without
+    * it round k replans rounds 1..k-1.
+    *
+    * @param nodes single-column DataFrame of node ids
+    * @param edges two-column DataFrame (id_a, id_b), undirected
+    * @return (id, component) with component = min id in the component
+    */
+  def connectedComponents(
+      nodes: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(coalesce(col("nmin"), col("component")), col("component")).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("component"))
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over the blocked jaccard pairs (q26's pair
+    * set, which the DuckDB oracle recomputes with a recursive CTE —
+    * both engines converge to the same component-minimum labels, so
+    * this whole distributed graph computation is exact-oracle-checked).
+    * `is_keeper` marks the one document kept per cluster. */
+  def dedupClusters(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = TextOps.jaccardPairs(t).select($"id_a", $"id_b")
+    val docs = t.documents.select($"doc_id")
+    connectedComponents(docs, pairs)
+      .select($"id".as("doc_id"), $"component".as("cluster_id"),
+        ($"id" === $"component").as("is_keeper"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit keys; docs sharing any band key are candidates (a doc pair
     * within Hamming distance 3 must agree on ≥1 of 4 bands). Linear

@@ -75,6 +75,15 @@ class GraftApiSpec extends SparkSpec {
     assert(byFp === Set(1L, 2L))
   }
 
+  test("connectedComponents labels chains and singletons with the component minimum") {
+    // graph: 1-2, 2-3 (one chain), 5-6, plus isolated 9
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L), (6L, 5L)).toDF("id_a", "id_b")
+    val got = Graft.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("topKPerGroup returns at most k rows per group with rank column") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
     val out = Graft.topKPerGroup(df, Seq($"g"), Seq($"x".desc), 2)
