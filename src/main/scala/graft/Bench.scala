@@ -50,7 +50,7 @@ object Bench {
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
       "q31_minhash_pairs", "q51_minhash_fast", "q26_jaccard_pairs",
-      "q41_tfidf", "q38_bigram_counts", "q50_embedding_neardup",
+      "q57_dedup_clusters", "q41_tfidf", "q38_bigram_counts", "q50_embedding_neardup",
       "q39_approx_distinct", "q52_ann_ivf", "q06_nation_revenue",
       "q01_pricing_summary", "q03_top_orders", "q12_cube",
       "q09_running_total", "q08_top_per_customer", "q10_order_gaps",
