@@ -83,6 +83,8 @@ object SparkEntry {
     "q55_rank_family"        -> ((s, d) => Relational.rankFamily(Tables(s, d))),
     "q56_percentiles"        -> ((s, d) => Relational.quantityPercentiles(Tables(s, d))),
     "q57_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d))),
+    "q58_dispersion"         -> ((s, d) => Relational.quantityDispersion(Tables(s, d))),
+    "q59_vocab_topk"         -> ((s, d) => TextOps.topVocabulary(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -391,6 +393,27 @@ object SparkEntry {
         |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t)
         |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_keeper
         |FROM walk GROUP BY doc_id""".stripMargin,
+    "q58_dispersion" ->
+      """SELECT l_returnflag,
+        | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE))
+        |   / (CAST(COUNT(*) AS DOUBLE) - 1.0) AS var_qty,
+        | sqrt((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE))
+        |   / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS stddev_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q59_vocab_topk" ->
+      """SELECT word, n, rank FROM (
+        | SELECT word, COUNT(*) AS n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS INTEGER) AS rank
+        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        | GROUP BY word) r
+        |WHERE rank <= 50""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

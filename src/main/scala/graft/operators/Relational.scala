@@ -407,6 +407,24 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  // ── q58: dispersion statistics, exactly ─────────────────────────────
+  // Engines' native stddev/variance use Welford-style streaming
+  // updates whose float error depends on row order — not oracle-able.
+  // Computing the two moments in DECIMAL (exact, order-independent)
+  // and deriving variance/stddev with one fixed double expression is
+  // bit-identical across engines AND across any cluster partitioning.
+  def quantityDispersion(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val n = count(lit(1)).cast("double")
+    val s1 = dsum($"l_quantity")
+    val s2 = sum(($"l_quantity" * $"l_quantity").cast(DecimalType(28, 4))).cast("double")
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(((s2 - s1 * s1 / n) / (n - lit(1.0))).as("var_qty"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))).as("stddev_qty"),
+        n.cast("long").as("n_rows"))
+  }
+
   def eventDailyWindows(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.events

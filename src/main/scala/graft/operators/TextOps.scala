@@ -179,6 +179,20 @@ object TextOps {
       .select($"doc_id", explode(winnowFingerprints($"text", 8, 4)).as("fp"))
   }
 
+  // ── q59: corpus vocabulary — top-k words by frequency ───────────────
+  def topVocabulary(t: Tables, k: Int = 50): DataFrame = {
+    import t.spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"word")
+    t.documents
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= k)
+      .orderBy($"rank")
+  }
+
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
   def bpeishTokenStats(t: Tables): DataFrame = {
     import t.spark.implicits._
