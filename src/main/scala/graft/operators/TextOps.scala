@@ -180,6 +180,10 @@ object TextOps {
   }
 
   // ── q59: corpus vocabulary — top-k words by frequency ───────────────
+  // orderBy+limit plans as TakeOrderedAndProject (per-partition
+  // partial top-k, k rows to the driver) — a global row_number window
+  // would instead funnel the ENTIRE vocabulary through one partition.
+  // The ranking window then runs over just the k survivors.
   def topVocabulary(t: Tables, k: Int = 50): DataFrame = {
     import t.spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -188,8 +192,9 @@ object TextOps {
       .select(explode(tokens($"text")).as("word"))
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(k)
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter($"rank" <= k)
       .orderBy($"rank")
   }
 
