@@ -164,7 +164,11 @@ object Dedup {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    // only nodes with at least one edge participate in the iteration —
+    // isolated nodes (the vast majority of a near-dup corpus) are
+    // their own component by definition and are unioned back at the end
+    val connected = sym.select(col("src").as("id")).distinct()
+    var labels = connected.withColumn("component", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -183,7 +187,10 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    val isolated = nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labels.union(isolated)
   }
 
   /** Near-dup clusters over the blocked jaccard pairs (q26's pair
