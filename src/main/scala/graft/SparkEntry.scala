@@ -356,7 +356,7 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
         | CAST(LENGTH(text) AS DOUBLE)
-        |   / len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS chars_per_bpe
+        |   / nullif(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')), 0) AS chars_per_bpe
         |FROM documents""".stripMargin,
     "q55_rank_family" ->
       """SELECT o_custkey, o_orderkey,

@@ -31,10 +31,10 @@ object Verify {
         }
       }
     }
-    scala.concurrent.Await.result(
+    try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(60, "min"))
-    pool.shutdown()
+    finally pool.shutdown() // non-daemon threads would otherwise keep a failed JVM alive
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -111,14 +111,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectSize {
 
-  /** Merge walk; called from generated code. */
+  /** Merge walk; called from generated code. Null elements sort last
+    * under `array_sort` and never match (SQL null ≠ null), so the walk
+    * stops at the first null on either side instead of dereferencing
+    * it. */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var n = 0
-    while (i < na && j < nb) {
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { n += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1

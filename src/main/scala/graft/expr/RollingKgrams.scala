@@ -43,8 +43,6 @@ case class RollingKgrams(left: Expression, right: Expression)
             s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
     }
 
-  private lazy val k: Int = right.eval().asInstanceOf[Int]
-
   override def nullSafeEval(text: Any, kv: Any): Any =
     RollingKgrams.compute(text.asInstanceOf[UTF8String], kv.asInstanceOf[Int])
 

@@ -145,11 +145,15 @@ object Dedup {
     * are the component minimum — a canonical, order-independent
     * cluster id.
     *
-    * The driver loop controls ITERATION ONLY (rounds ≈ graph
-    * diameter, ~log n with doubling effects); all data work is joins +
+    * The driver loop controls ITERATION ONLY (labels move one hop per
+    * round, so rounds = graph diameter); all data work is joins +
     * aggregations that shuffle (edge, label) tuples. localCheckpoint
     * per round truncates the exponentially-growing lineage — without
-    * it round k replans rounds 1..k-1.
+    * it round k replans rounds 1..k-1; superseded rounds' blocks are
+    * released by the context cleaner once unreferenced. Throws if the
+    * graph has not converged within maxIters — a silent cap would
+    * return inconsistent labels (multiple "keepers" in one real
+    * component).
     *
     * @param nodes single-column DataFrame of node ids
     * @param edges two-column DataFrame (id_a, id_b), undirected
@@ -158,7 +162,7 @@ object Dedup {
   def connectedComponents(
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 100): DataFrame = {
     val idCol = nodes.columns.head
     val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -186,6 +190,10 @@ object Dedup {
       labels = updated.select(col("id"), col("component"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters (rounds = graph diameter)")
     sym.unpersist()
     val isolated = nodes.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")

@@ -139,12 +139,12 @@ object TextOps {
     val docs = t.documents.select($"doc_id", $"text")
     val tok = new Tokenizer().setInputCol("text").setOutputCol("raw_tokens")
     val stop = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
-    // 2^10 buckets: ample for the fixture vocabulary (~60 words); IDF
-    // aggregates a dense array of this size per partial, so the
-    // dimension is the dominant fit cost — size it to the vocabulary,
-    // not a default.
+    // 2^12 buckets: IDF aggregates a dense array of this size per
+    // partial, so the dimension drives fit cost — but going lower
+    // makes hash collisions likely (~60-word vocabulary: expected
+    // colliding pairs at 2^10 ≈ 1.7, silently merging words' stats)
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
-      .setNumFeatures(1 << 10)
+      .setNumFeatures(1 << 12)
     val tfDf = tf.transform(stop.transform(tok.transform(docs))).cache()
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
     val scored = idfModel.transform(tfDf)
@@ -201,11 +201,14 @@ object TextOps {
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
   def bpeishTokenStats(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // nullif-guard: engines disagree on double/0 (Spark → NULL,
+    // DuckDB → inf); pin the all-whitespace-document case to NULL
+    val nBpe = bpeishTokenCount($"text")
     t.documents
       .select($"doc_id",
-        bpeishTokenCount($"text").as("n_bpe"),
+        nBpe.as("n_bpe"),
         tokenCount($"text").as("n_ws"),
-        (length($"text").cast("double") / bpeishTokenCount($"text")).as("chars_per_bpe"))
+        (length($"text").cast("double") / nullif(nBpe, lit(0))).as("chars_per_bpe"))
       .orderBy($"doc_id")
   }
 }

@@ -28,7 +28,9 @@ object StreamDedup {
   def dedupedByContent(
       docs: DataFrame, tsCol: String, textCol: String, delay: String): DataFrame =
     docs
-      .withColumn("fp", md5(col(textCol)))
+      // unhex → 16-byte binary fingerprint; md5's hex STRING would
+      // double the per-key state store footprint
+      .withColumn("fp", unhex(md5(col(textCol))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 }
