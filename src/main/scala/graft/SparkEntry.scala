@@ -85,6 +85,7 @@ object SparkEntry {
     "q57_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d))),
     "q58_dispersion"         -> ((s, d) => Relational.quantityDispersion(Tables(s, d))),
     "q59_vocab_topk"         -> ((s, d) => TextOps.topVocabulary(Tables(s, d))),
+    "q60_top_suppliers"      -> ((s, d) => Relational.topSuppliers(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -414,6 +415,14 @@ object SparkEntry {
         | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
         | GROUP BY word) r
         |WHERE rank <= 50""".stripMargin,
+    "q60_top_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_suppkey, s_name, n_name
+        |ORDER BY revenue DESC, s_suppkey LIMIT 5""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

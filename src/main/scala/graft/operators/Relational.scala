@@ -425,6 +425,23 @@ object Relational {
         n.cast("long").as("n_rows"))
   }
 
+  // ── q60: top suppliers by shipped revenue (TPC-H Q15 shape) ─────────
+  // Aggregate the fact table FIRST (map-side partial → 10 supplier
+  // rows), then broadcast-join the dims onto the tiny result — never
+  // the other way around.
+  def topSuppliers(t: Tables, k: Int = 5): DataFrame = {
+    import t.spark.implicits._
+    val rev = t.lineitem
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+    rev.join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name", $"revenue", $"n_items")
+      .orderBy($"revenue".desc, $"s_suppkey")
+      .limit(k)
+  }
+
   def eventDailyWindows(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.events
