@@ -116,6 +116,27 @@ class PropertySpec extends SparkSpec {
     assert(rows.filter($"native" =!= $"builtin").count() === 0)
   }
 
+  test("connected components agree with a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+          (0L until n.toLong).toDF("id"), edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want)
+    }
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
