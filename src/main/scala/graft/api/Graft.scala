@@ -63,6 +63,23 @@ object Graft {
       maxDist: Double = 0.4, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
     graft.operators.Dedup.minhashPairsOver(df, idCol, textCol, maxDist, bands, rowsPerBand)
 
+  /** End-to-end corpus dedup — the full pipeline a training-data run
+    * wants as one call: exact dedup by content fingerprint, then
+    * near-dup clustering (MinHash banding pairs → connected
+    * components), keeping one document per cluster (smallest id).
+    * Returns the cleaned corpus with the original columns. */
+  def dedupCorpus(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Double = 0.4): DataFrame = {
+    val exact = dedupExact(df, textCol, idCol)
+    val pairs = nearDupPairsMinhash(exact, idCol, textCol, maxDist)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(exact.select(idCol.as("id")), pairs)
+    val keepers = clusters.filter(col("id") === col("component"))
+      .select(col("id").as("__keeper_id"))
+    exact.join(keepers, idCol === col("__keeper_id"), "left_semi")
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation — the clustering step that turns near-dup
     * PAIRS into dedup groups (component id = min node id; keep that

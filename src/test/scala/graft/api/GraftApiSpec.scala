@@ -75,6 +75,20 @@ class GraftApiSpec extends SparkSpec {
     assert(byFp === Set(1L, 2L))
   }
 
+  test("dedupCorpus removes exact and near duplicates, keeping min-id per cluster") {
+    Graft.install(spark)
+    val base = "spark query engine for very large scale data processing pipelines today"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                    // exact dup of 1
+      (3L, base + " and tomorrow"),  // near-dup of 1
+      (4L, "completely unrelated cooking recipe with pasta and tomato sauce here"))
+      .toDF("id", "text")
+    val kept = Graft.dedupCorpus(df, $"id", $"text", maxDist = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("connectedComponents labels chains and singletons with the component minimum") {
     // graph: 1-2, 2-3 (one chain), 5-6, plus isolated 9
     val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
