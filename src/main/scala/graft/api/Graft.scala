@@ -71,7 +71,9 @@ object Graft {
   def dedupCorpus(
       df: DataFrame, idCol: Column, textCol: Column,
       maxDist: Double = 0.4): DataFrame = {
-    val exact = dedupExact(df, textCol, idCol)
+    // cache: the exact-dedup result (a full-corpus window shuffle) is
+    // consumed three times below — shingling, clustering, final filter
+    val exact = dedupExact(df, textCol, idCol).cache()
     val pairs = nearDupPairsMinhash(exact, idCol, textCol, maxDist)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(exact.select(idCol.as("id")), pairs)

@@ -165,40 +165,50 @@ object Dedup {
       maxIters: Int = 100): DataFrame = {
     val idCol = nodes.columns.head
     val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    // edges referencing ids outside `nodes` are dropped (both
+    // endpoints must be known) — otherwise a phantom id could become
+    // a component's minimum label and no keeper would exist for it
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .join(nodeIds.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .distinct().cache()
-    // only nodes with at least one edge participate in the iteration —
-    // isolated nodes (the vast majority of a near-dup corpus) are
-    // their own component by definition and are unioned back at the end
-    val connected = sym.select(col("src").as("id")).distinct()
-    var labels = connected.withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
-      val updated = labels
-        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(coalesce(col("nmin"), col("component")), col("component")).as("component"),
-          (coalesce(col("nmin"), col("component")) < col("component")).as("chg"))
+    try {
+      // only nodes with at least one edge participate in the iteration —
+      // isolated nodes (the vast majority of a near-dup corpus) are
+      // their own component by definition and are unioned back at the end
+      val connected = sym.select(col("src").as("id")).distinct()
+      var labels = connected.withColumn("component", col("id"))
         .localCheckpoint(true)
-      changed = updated.filter(col("chg")).count()
-      labels = updated.select(col("id"), col("component"))
-      iter += 1
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — raise maxIters (rounds = graph diameter)")
-    sym.unpersist()
-    val isolated = nodes.select(col(idCol).as("id"))
-      .join(labels.select(col("id")), Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    labels.union(isolated)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0) {
+        // throws only while labels are STILL changing at the budget; a
+        // zero-change confirmation round is required beyond the last
+        // productive one, so graphs of diameter < maxIters always pass
+        if (iter >= maxIters)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIters rounds " +
+              s"($changed labels still changing) — raise maxIters (rounds ≈ graph diameter)")
+        val neighborMin = sym
+          .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
+          .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        val updated = labels
+          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"),
+            least(coalesce(col("nmin"), col("component")), col("component")).as("component"),
+            (coalesce(col("nmin"), col("component")) < col("component")).as("chg"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("chg")).count()
+        labels = updated.select(col("id"), col("component"))
+        iter += 1
+      }
+      val isolated = nodeIds
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("component", col("id"))
+      labels.union(isolated)
+    } finally sym.unpersist()
   }
 
   /** Near-dup clusters over the blocked jaccard pairs (q26's pair

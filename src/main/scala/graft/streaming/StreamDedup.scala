@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
-  /** @param docs   streaming DataFrame with an event-time column and a
+  /** NOTE: the fingerprint column is part of the state-store key
+    * schema — changing its type (e.g. hex string ↔ binary) is a
+    * checkpoint-breaking change requiring a fresh checkpoint location.
+    *
+    * @param docs   streaming DataFrame with an event-time column and a
     *               text column
     * @param tsCol  event-time column name (watermark anchor)
     * @param textCol document text column name

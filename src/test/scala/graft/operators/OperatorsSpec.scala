@@ -69,10 +69,13 @@ class OperatorsSpec extends SparkSpec {
     val plan = Relational.topSuppliers(sf001).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
-    // the aggregation must sit BELOW the joins (fact reduced first)
+    // the aggregation must sit BELOW the joins (fact reduced first);
+    // children print after parents, so the aggregate's first offset
+    // must come after the join's
     val aggIdx = plan.indexOf("HashAggregate")
     val joinIdx = plan.indexOf("BroadcastHashJoin")
-    assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"aggregate not below the broadcast joins:\n$plan")
   }
 
   test("minhash pairs are symmetric-deduped and within distance bound") {
