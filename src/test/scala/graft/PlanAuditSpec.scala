@@ -1,0 +1,36 @@
+package graft
+
+/** Cross-cutting physical-plan audit: no declared query may regress
+  * into an unintended cartesian product or nested-loop join. The
+  * whitelist is the set whose SEMANTICS are non-equi pairing with a
+  * tiny broadcast side (exact all-pairs similarity, centroid/probe
+  * cross joins) — there, BroadcastNestedLoopJoin IS the right plan. */
+class PlanAuditSpec extends SparkSpec {
+
+  // intended non-equi joins: probe/centroid broadcasts and exact
+  // all-pairs similarity
+  private val intendedNonEqui = Set(
+    "q28_cosine_pairs", "q29_knn_bruteforce", "q30_label_centroids",
+    "q34_media_knn", "q43_ann_lsh", "q50_embedding_neardup", "q52_ann_ivf")
+
+  // queries that train/iterate during CONSTRUCTION (ml fits, the CC
+  // driver loop) — their plan shape is asserted by their own specs
+  private val constructionHeavy = Set(
+    "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
+    "q57_dedup_clusters")
+
+  test("no query plans an unintended cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(constructionHeavy)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        val bad =
+          (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) &&
+            !intendedNonEqui(name)
+        if (bad) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unintended cartesian/nested-loop joins in: $offenders")
+  }
+}
