@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, Relational, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, PipelineOps, Relational, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -86,6 +86,14 @@ object SparkEntry {
     "q58_dispersion"         -> ((s, d) => Relational.quantityDispersion(Tables(s, d))),
     "q59_vocab_topk"         -> ((s, d) => TextOps.topVocabulary(Tables(s, d))),
     "q60_top_suppliers"      -> ((s, d) => Relational.topSuppliers(Tables(s, d))),
+    // training-data pipeline stages (north star; PipelineOps)
+    "q61_tfidf_exact"        -> ((s, d) => PipelineOps.tfidfExact(Tables(s, d))),
+    "q62_pack_windows"       -> ((s, d) => PipelineOps.packWindows(Tables(s, d))),
+    "q63_chunking"           -> ((s, d) => PipelineOps.chunkDocuments(Tables(s, d))),
+    "q64_hash_split"         -> ((s, d) => PipelineOps.hashSplit(Tables(s, d))),
+    "q65_repetition"         -> ((s, d) => PipelineOps.repetitionSignals(Tables(s, d))),
+    "q66_sessionize"         -> ((s, d) => PipelineOps.sessionize(Tables(s, d))),
+    "q67_contamination"      -> ((s, d) => PipelineOps.contamination(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -408,6 +416,25 @@ object SparkEntry {
         |   / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS stddev_qty,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q51: the fast banding path verifies every candidate with the
+    // EXACT shingle jaccard, so its output is a subset of the true
+    // pair set; at 8 bands the deterministic pipeline finds every true
+    // pair on the fixtures (per-pair miss prob ≤ 5e-5 at the observed
+    // J ≥ 0.8; MinHashRecallSpec pins recall = 1). The oracle is the
+    // banding-free brute-force truth — hash equality IS the recall
+    // claim.
+    "q51_minhash_fast" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh
+        | FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) AS jaccard_dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) <= 0.4""".stripMargin,
     "q59_vocab_topk" ->
       """SELECT word, n, rank FROM (
         | SELECT word, COUNT(*) AS n,
@@ -423,6 +450,71 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY s_suppkey, s_name, n_name
         |ORDER BY revenue DESC, s_suppkey LIMIT 5""".stripMargin,
+    "q61_tfidf_exact" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        | CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+        |FROM tf JOIN df USING (word), n""".stripMargin,
+    "q62_pack_windows" ->
+      """SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, CAST(start_pos AS BIGINT) AS start_pos,
+        | CAST(floor(start_pos / 512) AS INTEGER) AS window_start,
+        | CAST(floor((start_pos + n_tokens - 1) / 512) AS INTEGER) AS window_end
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    - len(string_split(text, ' ')) AS start_pos
+        | FROM documents) t""".stripMargin,
+    "q63_chunking" ->
+      """SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
+        | array_to_string(list_slice(string_split(text, ' '), CAST((c-1)*32+1 AS INTEGER), CAST(c*32 AS INTEGER)), ' ') AS chunk_text,
+        | CAST(len(list_slice(string_split(text, ' '), CAST((c-1)*32+1 AS INTEGER), CAST(c*32 AS INTEGER))) AS INTEGER) AS chunk_tokens
+        |FROM documents, range(1, 1000) t(c)
+        |WHERE c <= CAST(ceil(len(string_split(text, ' ')) / 32.0) AS BIGINT)""".stripMargin,
+    "q64_hash_split" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(text), 1, 12))::BIGINT % 100 AS INTEGER) AS bucket
+        | FROM documents) t""".stripMargin,
+    "q65_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM toks WHERE len(tk) >= 2),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac FROM bc GROUP BY doc_id),
+        |tg AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN NULL
+        |   ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2)
+        |  END AS dup_trigram_frac
+        | FROM toks)
+        |SELECT tg.doc_id,
+        | COALESCE(bt.top_bigram_frac, -1.0) AS top_bigram_frac,
+        | COALESCE(tg.dup_trigram_frac, -1.0) AS dup_trigram_frac
+        |FROM tg LEFT JOIN bt USING (doc_id)""".stripMargin,
+    "q66_sessionize" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |FROM (
+        | SELECT user_id, event_id, ts_us,
+        |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        | FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events) a) b""".stripMargin,
+    "q67_contamination" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |b AS (SELECT DISTINCT unnest(sh) AS s, 1 AS hit FROM d WHERE source = 'src0'),
+        |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE source <> 'src0')
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hits,
+        | CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*) AS contamination
+        |FROM c LEFT JOIN b USING (s) GROUP BY doc_id""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

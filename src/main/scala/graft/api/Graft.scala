@@ -60,7 +60,7 @@ object Graft {
     * jaccard_dist ≤ maxDist). */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: Column, textCol: Column,
-      maxDist: Double = 0.4, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+      maxDist: Double = 0.4, bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
     graft.operators.Dedup.minhashPairsOver(df, idCol, textCol, maxDist, bands, rowsPerBand)
 
   /** End-to-end corpus dedup — the full pipeline a training-data run
@@ -71,9 +71,13 @@ object Graft {
   def dedupCorpus(
       df: DataFrame, idCol: Column, textCol: Column,
       maxDist: Double = 0.4): DataFrame = {
-    // cache: the exact-dedup result (a full-corpus window shuffle) is
-    // consumed three times below — shingling, clustering, final filter
-    val exact = dedupExact(df, textCol, idCol).cache()
+    // localCheckpoint, not cache: the exact-dedup result (a
+    // full-corpus window shuffle) is consumed three times below —
+    // shingling, clustering, final filter — but cache() would pin the
+    // blocks in the CacheManager for the whole session; checkpoint
+    // blocks are released by the context cleaner once the returned
+    // plan is dropped by the caller
+    val exact = dedupExact(df, textCol, idCol).localCheckpoint(true)
     val pairs = nearDupPairsMinhash(exact, idCol, textCol, maxDist)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(exact.select(idCol.as("id")), pairs)
@@ -130,6 +134,51 @@ object Graft {
       .withColumn("fingerprint", TextFunctions.fingerprint(textCol))
       .withColumn("simhash64", TextFunctions.simhash(textCol))
       .withColumn("lang_guess", TextFunctions.langId(textCol).getField("lang"))
+
+  // ── training-data pipeline stages ────────────────────────────────────
+
+  /** Exact TF-IDF over a text column: (doc_id, word, tf, df, tfidf)
+    * with smoothed idf = ln((N+1)/(df+1)). Shuffles narrow
+    * (word, doc_id) pairs — no dense vectors, no feature hashing. */
+  def tfidfExact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.PipelineOps.tfidfExactOver(df, idCol, textCol)
+
+  /** Concat-and-chunk context-window packing: each document's start
+    * offset and window span in the concatenated token stream
+    * (distributed prefix sum — no single-task global window). */
+  def packWindows(df: DataFrame, idCol: Column, textCol: Column,
+      windowTokens: Int = 2048): DataFrame =
+    graft.operators.PipelineOps.packWindowsOver(df, idCol, textCol, windowTokens)
+
+  /** Split each document into ≤ chunkTokens-token chunks (one row per
+    * chunk) — the unit of embedding/indexing pipelines. */
+  def chunkDocuments(df: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int = 512): DataFrame =
+    graft.operators.PipelineOps.chunkOver(df, idCol, textCol, chunkTokens)
+
+  /** Deterministic content-keyed train/valid/test split (md5 bucket
+    * mod 100) — exact duplicates always land in the same split. */
+  def hashSplit(df: DataFrame, idCol: Column, contentCol: Column,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    graft.operators.PipelineOps.hashSplitOver(df, idCol, contentCol, trainPct, validPct)
+
+  /** Gopher-style repetition quality signals per document:
+    * top-bigram share and duplicate-trigram share. */
+  def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.PipelineOps.repetitionSignalsOver(df, idCol, textCol)
+
+  /** Sessionize an event stream: running count of > gapSeconds
+    * silences per user. */
+  def sessionize(df: DataFrame, userCol: Column, idCol: Column, tsCol: Column,
+      gapSeconds: Long = 1800L): DataFrame =
+    graft.operators.PipelineOps.sessionizeOver(df, userCol, idCol, tsCol, gapSeconds)
+
+  /** Per-document n-gram overlap against a benchmark corpus — the
+    * decontamination check run against eval suites before training. */
+  def contamination(corpus: DataFrame, idCol: Column, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, k: Int = 13): DataFrame =
+    graft.operators.PipelineOps.contaminationOver(
+      corpus, idCol, corpusText, benchmark, benchText, k)
 
   // ── relational helpers ───────────────────────────────────────────────
 

@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fps", es => WinnowFps(es.head, es(1), es(2)))
     inject("minhash_sigs", es => MinHashSigs(es.head, es(1)))
     inject("sorted_intersect_size", es => SortedIntersectSize(es.head, es(1)))
+    inject("math_ln", es => MathLn(es.head))
   }
 }

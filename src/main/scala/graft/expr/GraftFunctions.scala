@@ -24,5 +24,7 @@ object GraftFunctions {
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("math_ln",
+      es => MathLn(es.head), "scala_udf")
   }
 }

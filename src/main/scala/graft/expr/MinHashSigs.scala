@@ -48,26 +48,32 @@ case class MinHashSigs(left: Expression, right: Expression)
 
 object MinHashSigs {
 
-  /** Tight-loop signatures; called from generated code. Empty/all-null
-    * input yields Long.MaxValue signatures (array_min of an empty
-    * transform would be null; callers filter empty sets first). */
+  /** Tight-loop signatures; called from generated code. Empty input
+    * yields Long.MaxValue signatures (array_min of an empty transform
+    * would be null; callers filter empty sets first). A null element
+    * contributes hashInt(j, 42) — exactly what the builtin chain does
+    * (`xxhash64(null, lit(j))` skips the null child, leaving seed 42,
+    * then folds the literal), so HOF parity holds for any input. */
   def compute(arr: ArrayData, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val sigs = Array.fill(n)(Long.MaxValue)
     val len = arr.numElements()
     var i = 0
     while (i < len) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        // xxhash64(s, lit(j)) = hashInt(j, seed = hashBytes(s, 42))
-        // (lit(j) is IntegerType → Spark takes XXH64's 4-byte path)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var j = 0
-        while (j < n) {
-          val h = XXH64.hashInt(j, h0)
-          if (h < sigs(j)) sigs(j) = h
-          j += 1
+      // xxhash64(s, lit(j)) = hashInt(j, seed = hashBytes(s, 42));
+      // (lit(j) is IntegerType → Spark takes XXH64's 4-byte path);
+      // a null string leaves the seed untouched, like the builtin
+      val h0 =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         }
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashInt(j, h0)
+        if (h < sigs(j)) sigs(j) = h
+        j += 1
       }
       i += 1
     }
@@ -112,9 +118,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 object SortedIntersectSize {
 
   /** Merge walk; called from generated code. Null elements sort last
-    * under `array_sort` and never match (SQL null ≠ null), so the walk
-    * stops at the first null on either side instead of dereferencing
-    * it. */
+    * under `array_sort`; `array_intersect` matches null==null (one
+    * null in the output if both sides contain one), so after the
+    * string walk exhausts, a trailing null on BOTH sides counts as one
+    * intersection element — identical to the builtin on sorted
+    * distinct arrays. */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -127,6 +135,8 @@ object SortedIntersectSize {
       else if (cmp < 0) i += 1
       else j += 1
     }
+    // distinct inputs hold at most one null each, sorted to the end
+    if (i < na && j < nb && a.isNullAt(i) && b.isNullAt(j)) n += 1
     n
   }
 }

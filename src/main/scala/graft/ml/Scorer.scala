@@ -58,14 +58,19 @@ final class Scorer(spark: SparkSession, passModel: PipelineModel, runModel: Pipe
   // path (SURVEY.md §7 hard part c).
 
   private def localScorer(model: PipelineModel): PlayRequest => Double = {
-    val indexer = model.stages(0)
-      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+    // resolve stages by TYPE, not position — a reshaped pipeline (extra
+    // stage, reordered stages) fails here with a clear message at
+    // construction, not with a ClassCastException on the first request
+    def stage[S <: org.apache.spark.ml.Transformer](implicit ct: scala.reflect.ClassTag[S]): S =
+      model.stages.collectFirst { case s: S => s }.getOrElse(
+        throw new IllegalArgumentException(
+          s"pipeline has no ${ct.runtimeClass.getSimpleName} stage " +
+            s"(stages: ${model.stages.map(_.getClass.getSimpleName).mkString(", ")})"))
+    val indexer = stage[org.apache.spark.ml.feature.StringIndexerModel]
     val labelToIndex: Map[String, Double] = indexer.labelsArray(0)
       .zipWithIndex.map { case (l, i) => l -> i.toDouble }.toMap
-    val assembler = model.stages(1)
-      .asInstanceOf[org.apache.spark.ml.feature.VectorAssembler]
-    val gbt = model.stages(2)
-      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+    val assembler = stage[org.apache.spark.ml.feature.VectorAssembler]
+    val gbt = stage[org.apache.spark.ml.regression.GBTRegressionModel]
     val field: Map[String, PlayRequest => Double] = Map(
       "qtr" -> (_.qtr.toDouble), "down" -> (_.down.toDouble),
       "TimeSecs" -> (_.TimeSecs.toDouble), "yrdline100" -> (_.yrdline100.toDouble),
@@ -81,8 +86,11 @@ final class Scorer(spark: SparkSession, passModel: PipelineModel, runModel: Pipe
       org.apache.spark.ml.linalg.Vectors.dense(getters.map(_(r))))
   }
 
-  private lazy val passLocal = localScorer(passModel)
-  private lazy val runLocal = localScorer(runModel)
+  // built at construction (not lazily): a pipeline-shape mismatch
+  // fails when the Scorer is created — i.e. at server startup — rather
+  // than on the first live request
+  private val passLocal = localScorer(passModel)
+  private val runLocal = localScorer(runModel)
 
   /** Same result as [[scoreOne]] without a Spark job per request. */
   def scoreOneFast(r: PlayRequest): PlayPrediction = {

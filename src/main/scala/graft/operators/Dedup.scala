@@ -37,10 +37,11 @@ object Dedup {
       .setInputCol("sh").setOutputCol("features").setNumFeatures(NumFeatures)
     // drop the shingle strings before the join: approxSimilarityJoin
     // explodes one row per hash table per doc, and every dropped byte
-    // is saved NumHashTables× in the shuffle. cache: the LSH self-join
-    // consumes the featurized side twice; at scale you'd persist
-    // signatures rather than re-shingle.
-    val feats = tf.transform(docs).select($"doc_id", $"features").cache()
+    // is saved NumHashTables× in the shuffle. localCheckpoint: the LSH
+    // self-join consumes the featurized side twice; unlike cache() the
+    // blocks are not CacheManager-pinned for the session (at scale
+    // you'd persist signatures rather than re-shingle).
+    val feats = tf.transform(docs).select($"doc_id", $"features").localCheckpoint(true)
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(NumHashTables).setSeed(Seed)
@@ -62,15 +63,23 @@ object Dedup {
     *    i ∈ [0, bands·rowsPerBand)
     *  - band key b = xxhash64 of that band's `rowsPerBand` signatures
     *  - docs sharing any band key are candidates (P(candidate) =
-    *    1-(1-J^r)^b; r=2, b=6 → 0.93 at J=0.6)
+    *    1-(1-J^r)^b; r=2, b=8 → 0.98 at J=0.6, 1-5e-5 at J=0.8)
     *  - candidates verified with EXACT jaccard over distinct shingles
+    *
+    * Because every candidate is verified with the exact jaccard, the
+    * output is always a SUBSET of the true pair set; at b=8 the
+    * per-pair miss probability at the fixtures' observed pair
+    * similarities (J ≥ 0.8) is ≤ 5e-5, and the seeded pipeline is
+    * deterministic — the fast path emits exactly the true pair set on
+    * the fixture data, which is what the DuckDB oracle (brute-force
+    * shingle jaccard) checks and MinHashRecallSpec asserts.
     *
     * Shuffle volume: `bands` rows of (bandkey, id) per doc — linear.
     * The ml-lib MinHashLSH variant above stays as the library-level
     * alternative; this is the faster hand-rolled scale path. */
   def minhashPairsFast(
       t: Tables, maxDist: Double = 0.4,
-      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     import t.spark.implicits._
     minhashPairsOver(t.documents, $"doc_id", $"text", maxDist, bands, rowsPerBand)
   }
@@ -82,13 +91,16 @@ object Dedup {
       bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     // Sorted shingle sets: candidate verification below is then a
     // native merge-walk intersect (jaccardSorted) — no per-pair
-    // hash-set allocation. Cached: consumed by banding + two
-    // candidate-side fetch joins (at scale: a persisted signature
-    // table).
+    // hash-set allocation. Materialized ONCE via localCheckpoint
+    // (consumed by banding + two candidate-side fetch joins; at scale:
+    // a persisted signature table). Unlike cache(), checkpoint blocks
+    // are NOT pinned in the CacheManager for the session lifetime —
+    // the context cleaner releases them once the returned plan is no
+    // longer referenced.
     val docs = df
       .select(idCol.as("doc_id"), array_sort(shingles(textCol, shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .localCheckpoint(true)
     // All minhash signatures in ONE pass (native expression), then
     // one band key per `rowsPerBand` signatures. The band join carries
     // ONLY (band key, doc_id) — never the shingle arrays; shuffle

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-data pipeline operators beyond dedup/similarity: the
+  * preprocessing stages a large-scale LLM data run needs between "raw
+  * corpus" and "token stream" — exact TF-IDF, deterministic splits,
+  * chunking, context-window packing, repetition/quality signals,
+  * benchmark-contamination checks, sessionization.
+  *
+  * Every operator is exact integer/double arithmetic (no RNG, no
+  * engine-specific hash), so each is DuckDB-oracle-checkable, and each
+  * is expressed as shuffles on narrow keys — the text column never
+  * moves unless it is the payload being emitted. Each has a generic
+  * `*Over` form (arbitrary DataFrame/columns — the Graft facade
+  * surface) plus a fixture-bound wrapper used by the declared queries.
+  */
+object PipelineOps {
+
+  // ── q61: exact TF-IDF (no feature hashing) ──────────────────────────
+  // tf = term count per (doc, word); df = docs containing word;
+  // idf = ln((N+1)/(df+1)) — smoothed, engine-neutral via the native
+  // math_ln expression (java.lang.Math.log = platform libm = DuckDB's
+  // ln; Spark's builtin `log` is StrictMath/fdlibm, off by one ulp on
+  // ~8% of inputs). The hashed-space variant stays in
+  // TextOps.tfidfProfile; this is the exact-vocabulary path a corpus
+  // profiler wants (shuffles (word, doc_id) pairs — linear in token
+  // count, never a dense vector).
+  def tfidfExactOver(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          call_function("math_ln",
+            (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("tfidf"))
+  }
+
+  def tfidfExact(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    tfidfExactOver(t.documents, $"doc_id", $"text").orderBy($"doc_id", $"word")
+  }
+
+  // ── q62: context-window packing (concat-and-chunk) ──────────────────
+  // The standard pretraining packing: documents are concatenated in
+  // id order and the token stream is cut into fixed windows of
+  // `windowTokens`. Per document: its start offset in the stream and
+  // the window range it spans.
+  //
+  // The global prefix sum is computed the DISTRIBUTED way — a naive
+  // `Window.orderBy(id)` with no partitionBy funnels the whole corpus
+  // through ONE task and cannot scale. Instead: range-partition by id,
+  // run the prefix sum per partition in parallel, and add each
+  // partition's broadcast starting offset (per-partition totals are P
+  // rows — driver-trivial). The result is identical for any
+  // partitioning; only the parallelism changes.
+  def packWindowsOver(
+      df: DataFrame, idCol: Column, textCol: Column, windowTokens: Int): DataFrame = {
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 4)
+    val sized = df
+      .select(idCol.as("doc_id"), tokenCount(textCol).as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // P subtotal rows: the single-partition window here is over P rows,
+    // not the corpus
+    val offW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(offW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .join(broadcast(offsets), "pid")
+      .withColumn("start_pos", col("offset") + sum(col("n_tokens")).over(localW) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+        floor(col("start_pos") / windowTokens).cast("int").as("window_start"),
+        floor((col("start_pos") + col("n_tokens") - 1) / windowTokens).cast("int").as("window_end"))
+  }
+
+  def packWindows(t: Tables, windowTokens: Int = 512): DataFrame = {
+    import t.spark.implicits._
+    packWindowsOver(t.documents, $"doc_id", $"text", windowTokens).orderBy($"doc_id")
+  }
+
+  // ── q63: document chunking (fixed token windows per doc) ────────────
+  // Split each document into ≤chunkTokens-token chunks — the unit of
+  // embedding/indexing pipelines. One output row per chunk; per-row
+  // array slicing only, embarrassingly parallel.
+  def chunkOver(df: DataFrame, idCol: Column, textCol: Column, chunkTokens: Int): DataFrame = {
+    val toks = tokens(textCol)
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    df
+      .select(idCol.as("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), nChunks)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"), (col("chunk_idx") - 1) * chunkTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), (col("chunk_idx") - 1) * chunkTokens + 1, lit(chunkTokens)))
+          .as("chunk_tokens"))
+  }
+
+  def chunkDocuments(t: Tables, chunkTokens: Int = 32): DataFrame = {
+    import t.spark.implicits._
+    chunkOver(t.documents, $"doc_id", $"text", chunkTokens).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  // ── q64: deterministic hash split (train/valid/test) ────────────────
+  // Content-keyed, engine-neutral: bucket = first 48 bits of md5(content)
+  // mod 100. Content-keyed (not id-keyed) so exact duplicates always
+  // land in the same split — the leakage guard a training pipeline
+  // actually needs. No RNG: re-running on any engine reproduces the
+  // same split.
+  def hashSplitOver(
+      df: DataFrame, idCol: Column, contentCol: Column,
+      trainPct: Int, validPct: Int): DataFrame = {
+    val bucket = conv(substring(md5(contentCol), 1, 12), 16, 10).cast("bigint") % 100
+    df.select(idCol.as("doc_id"), bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
+  def hashSplit(t: Tables, trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    import t.spark.implicits._
+    hashSplitOver(t.documents, $"doc_id", $"text", trainPct, validPct).orderBy($"doc_id")
+  }
+
+  // ── q65: repetition signals (Gopher-style quality filters) ──────────
+  // top_bigram_frac: share of the most frequent bigram among all
+  // bigram occurrences (needs a per-(doc,bigram) count → two narrow
+  // aggregations); dup_trigram_frac: share of repeated trigrams —
+  // per-row array arithmetic, no shuffle. Both exact rationals; docs
+  // too short for a signal get the -1.0 sentinel.
+  def repetitionSignalsOver(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    def grams(k: Int): Column =
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    val bigramTop = df
+      .select(idCol.as("doc_id"), explode(grams(2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_frac"))
+    val trigramDup = df
+      .select(idCol.as("doc_id"),
+        (lit(1.0) - size(array_distinct(grams(3))).cast("double") /
+          nullif(size(grams(3)), lit(0))).as("dup_trigram_frac"))
+    trigramDup.join(bigramTop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram_frac"), lit(-1.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(-1.0)).as("dup_trigram_frac"))
+  }
+
+  def repetitionSignals(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    repetitionSignalsOver(t.documents, $"doc_id", $"text").orderBy($"doc_id")
+  }
+
+  // ── q66: sessionization over the event stream ───────────────────────
+  // A session break is a > `gapSeconds` silence per user; session ids
+  // are the running count of breaks (lag + cumulative sum — the
+  // canonical two-window formulation; partitions by user, so scales
+  // with user cardinality, and both windows share one shuffle).
+  def sessionizeOver(
+      df: DataFrame, userCol: Column, idCol: Column, tsCol: Column,
+      gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .select(userCol.as("user_id"), idCol.as("event_id"), unix_micros(tsCol).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapSeconds * 1000000L, 1).otherwise(0))
+      .select(col("user_id"), col("event_id"),
+        sum(col("is_new")).over(run).cast("int").as("session_id"))
+  }
+
+  def sessionize(t: Tables, gapSeconds: Long = 1800L): DataFrame = {
+    import t.spark.implicits._
+    sessionizeOver(t.events, $"user_id", $"event_id", $"ts", gapSeconds)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // ── q67: benchmark contamination check ──────────────────────────────
+  // What fraction of each corpus document's shingles appear in a
+  // benchmark set? The benchmark's distinct shingle set is small →
+  // broadcast; corpus shingles stream past it without shuffling text.
+  // The n-gram-overlap decontamination every LLM training run performs
+  // against its eval suites.
+  def contaminationOver(
+      corpus: DataFrame, idCol: Column, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, k: Int): DataFrame = {
+    val corpusSh = corpus.select(idCol.as("doc_id"), explode(shingles(corpusText, k)).as("sh"))
+    val benchSh = benchmark.select(explode(shingles(benchText, k)).as("sh")).distinct()
+    corpusSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  def contamination(t: Tables, benchmarkSource: String = "src0", k: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    contaminationOver(
+      t.documents.filter($"source" =!= benchmarkSource), $"doc_id", $"text",
+      t.documents.filter($"source" === benchmarkSource), $"text", k)
+      .orderBy($"doc_id")
+  }
+}

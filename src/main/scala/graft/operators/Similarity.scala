@@ -106,10 +106,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import t.spark.implicits._
+    // localCheckpoint (not cache): consumed by the KMeans fit and the
+    // assignment transform; blocks are context-cleaned when the
+    // returned plan is dropped, instead of pinned for the session
     val vecs = t.embeddings
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
-      .cache()
+      .localCheckpoint(true)
     // coarse quantizer: random init + few iterations — IVF needs
     // roughly-balanced lists, not converged clusters, and the fit is
     // the dominant index-build cost (k-means|| init alone is several

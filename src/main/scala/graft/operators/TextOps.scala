@@ -145,7 +145,9 @@ object TextOps {
     // colliding pairs at 2^10 ≈ 1.7, silently merging words' stats)
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(1 << 12)
-    val tfDf = tf.transform(stop.transform(tok.transform(docs))).cache()
+    // localCheckpoint (not cache): consumed by the IDF fit AND the
+    // scoring transform; blocks are context-cleaned when unreferenced
+    val tfDf = tf.transform(stop.transform(tok.transform(docs))).localCheckpoint(true)
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
     val scored = idfModel.transform(tfDf)
     val toNorm = org.apache.spark.sql.functions.udf(

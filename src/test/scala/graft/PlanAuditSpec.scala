@@ -7,11 +7,13 @@ package graft
   * cross joins) — there, BroadcastNestedLoopJoin IS the right plan. */
 class PlanAuditSpec extends SparkSpec {
 
-  // intended non-equi joins: probe/centroid broadcasts and exact
-  // all-pairs similarity
+  // intended non-equi joins: probe/centroid broadcasts, exact
+  // all-pairs similarity, and the one-row corpus-size scalar broadcast
+  // in exact TF-IDF
   private val intendedNonEqui = Set(
     "q28_cosine_pairs", "q29_knn_bruteforce", "q30_label_centroids",
-    "q34_media_knn", "q43_ann_lsh", "q50_embedding_neardup", "q52_ann_ivf")
+    "q34_media_knn", "q43_ann_lsh", "q50_embedding_neardup", "q52_ann_ivf",
+    "q61_tfidf_exact")
 
   // queries that train/iterate during CONSTRUCTION (ml fits, the CC
   // driver loop) — their plan shape is asserted by their own specs

@@ -22,7 +22,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("GraftExtensions injects all native functions") {
     val names = GraftExtensionsTestBridge.registeredNames(applied()).toSet
     assert(names === Set("simhash64", "cosine_sim", "dot_product",
-      "rolling_kgrams", "winnow_fps", "minhash_sigs", "sorted_intersect_size"))
+      "rolling_kgrams", "winnow_fps", "minhash_sigs", "sorted_intersect_size",
+      "math_ln"))
   }
 
   test("an injected builder produces a working expression") {

@@ -129,6 +129,49 @@ class ScaleOpsSpec extends graft.SparkSpec {
   }
 }
 
+/** LSH banding recall pinned against the brute-force truth: tuning
+  * band/table counts can silently degrade recall (missed near-dup
+  * pairs survive the within-bound check), so the FULL true pair set is
+  * recomputed here without any banding and the fast path must emit
+  * exactly it. */
+class MinHashRecallSpec extends graft.SparkSpec {
+  import graft.functions.TextFunctions._
+  import org.apache.spark.sql.functions._
+
+  private def exactPairs(t: graft.Tables, maxDist: Double): Set[(Long, Long)] = {
+    val docs = t.documents
+      .select(col("doc_id"), array_sort(shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - jaccardSorted(col("sh_a"), col("sh_b"))).as("d"))
+      .filter(col("d") <= maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhashPairsFast emits exactly the true pair set (recall = 1) on sf0.001") {
+    val exact = exactPairs(sf001, maxDist = 0.4)
+    val fast = Dedup.minhashPairsFast(sf001, maxDist = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"true pairs=${exact.size} fast pairs=${fast.size}")
+    assert(fast.subsetOf(exact), "fast path emitted a pair outside the true set")
+    assert(exact === fast,
+      s"banding missed ${(exact -- fast).size} true pairs — recall regressed")
+  }
+
+  test("ml-lib MinHashLSH pairs keep high recall vs the true pair set on sf0.001") {
+    val exact = exactPairs(sf001, maxDist = 0.4)
+    val ml = Dedup.minhashPairs(sf001, maxDist = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ml).size.toDouble / math.max(exact.size, 1)
+    info(f"ml recall=${recall}%.3f (${ml.size} of ${exact.size} true pairs)")
+    assert(ml.subsetOf(exact), "ml path emitted a pair outside the true set")
+    assert(recall >= 0.9, s"NumHashTables tuning dropped recall to $recall")
+  }
+}
+
 /** Approximate-path operators must agree with their exact references. */
 class ApproxAgreementSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._

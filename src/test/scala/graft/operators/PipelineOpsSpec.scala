@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data pipeline stages (q61–q67).
+  * Cross-engine value parity is the DuckDB harness's job; these pin
+  * the semantic contracts and the scale-shape of the plans. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packWindows: distributed prefix sum equals the naive global window") {
+    val t = sf001
+    val got = PipelineOps.packWindows(t).orderBy("doc_id").collect()
+    // naive reference: single global cumulative sum on the driver
+    val sizes = t.documents
+      .select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    var cum = 0L
+    val expected = sizes.map { case (id, n) =>
+      val start = cum; cum += n
+      (id, n, start, (start / 512).toInt, ((start + n - 1) / 512).toInt)
+    }
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSeq
+      === expected.toSeq)
+  }
+
+  test("packWindows plan: no un-partitioned window over the corpus") {
+    val plan = PipelineOps.packWindows(sf001).queryExecution.executedPlan.toString
+    // the corpus-sized window must be partitioned (by pid); the only
+    // allowed global windowspec is over the P subtotal rows
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"expected the per-partition prefix-sum window:\n$plan")
+  }
+
+  test("chunking reassembles each document exactly") {
+    val t = sf001
+    val rebuilt = PipelineOps.chunkDocuments(t)
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct($"chunk_idx", $"chunk_text")))
+        .getField("chunk_text").cast("array<string>"), " ").as("rebuilt"))
+    val joined = t.documents.join(rebuilt, "doc_id")
+      .filter($"text" =!= $"rebuilt")
+    assert(joined.count() === 0)
+    // chunk sizes: all full except possibly the last
+    val bad = PipelineOps.chunkDocuments(t)
+      .withColumn("max_idx", max($"chunk_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .filter($"chunk_idx" < $"max_idx" && $"chunk_tokens" =!= 32)
+    assert(bad.count() === 0)
+  }
+
+  test("hashSplit: identical content always lands in the same split") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other words")).toDF("id", "text")
+    val got = PipelineOps.hashSplitOver(df, $"id", $"text", 80, 10)
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) === got(2L))
+    val buckets = PipelineOps.hashSplit(sf001).select("bucket")
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 100))
+  }
+
+  test("sessionize: breaks exactly at silences above the gap") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val events = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(100)), (1L, 12L, ts(2000)),  // 1900s gap → new session
+      (1L, 13L, ts(2100)),
+      (2L, 20L, ts(0)), (2L, 21L, ts(1800))                        // exactly 1800s → same session
+    ).toDF("user_id", "event_id", "ts")
+    val got = PipelineOps.sessionizeOver(events, $"user_id", $"event_id", $"ts", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 10L)) === 1 && got((1L, 11L)) === 1)
+    assert(got((1L, 12L)) === 2 && got((1L, 13L)) === 2)
+    assert(got((2L, 20L)) === 1 && got((2L, 21L)) === 1)
+  }
+
+  test("contamination: benchmark source excluded, fractions in [0,1]") {
+    val c = PipelineOps.contamination(sf001)
+    val t = sf001
+    val srcOf = t.documents.select("doc_id", "source")
+    val leaked = c.join(srcOf, "doc_id").filter($"source" === "src0")
+    assert(leaked.count() === 0)
+    assert(c.filter($"contamination" < 0 || $"contamination" > 1).count() === 0)
+    assert(c.filter($"n_hits" > $"n_shingles").count() === 0)
+  }
+
+  test("tfidfExact: tf totals reconcile and idf decreases with df") {
+    val t = sf001
+    val tfidf = PipelineOps.tfidfExact(t)
+    val perDoc = tfidf.groupBy("doc_id").agg(sum("tf").as("total"))
+    val expected = t.documents.select($"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n"))
+    assert(perDoc.join(expected, "doc_id").filter($"total" =!= $"n").count() === 0)
+    // same tf, higher df → strictly smaller tfidf
+    val pairs = tfidf.select("tf", "df", "tfidf").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for {
+      (tf1, df1, s1) <- pairs.take(200)
+      (tf2, df2, s2) <- pairs.take(200)
+      if tf1 == tf2 && df1 < df2
+    } assert(s1 > s2, s"idf not monotonic: df $df1→$s1 vs $df2→$s2")
+  }
+
+  test("repetitionSignals: a degenerate repeated document maxes both signals") {
+    val df = Seq(
+      (1L, Seq.fill(40)("spam").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val got = PipelineOps.repetitionSignalsOver(df, $"id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 1.0)                    // all bigrams identical
+    assert(got(1L)._2 > 0.95)                     // trigrams all duplicates
+    assert(got(2L)._1 < 0.1 && got(2L)._2 === 0.0) // all distinct
+  }
+}
