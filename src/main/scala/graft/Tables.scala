@@ -9,6 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushes filters down to the parquet reader per query, so there is no
   * benefit (and a pruning penalty) to caching these eagerly. At cluster
   * scale the same code reads a partitioned table directory unchanged.
+  *
+  * Scan parallelism: the fixture files are each written as ONE parquet
+  * row group, so a scan yields a single input split no matter the row
+  * count — every downstream per-row expression (md5, shingles, cosine,
+  * even lineitem aggregation map sides) would serialize on one core. A
+  * production lake table arrives in many files/row groups and
+  * parallelizes for free. To give local[n] that cluster-scan shape,
+  * the non-dimension tables are rewritten ONCE per fixture dir into a
+  * multi-file copy under `target/tblcache` (a few MB, built on first
+  * access, shared by every query/session/JVM afterwards) — the
+  * file-layout fix you would apply to the source table itself at
+  * scale, rather than paying a per-query repartition exchange.
   */
 final case class Tables(spark: SparkSession, dir: String) {
   // Make graft's native expressions (simhash64, cosine_sim) available
@@ -18,13 +30,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Read through the multi-file layout cache (built on first use). */
+  private def tp(name: String): DataFrame =
+    spark.read.parquet(Tables.parallelLayout(spark, dir, name))
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
-  def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
-  def part: DataFrame       = t("part")
-  def orders: DataFrame     = t("orders")
-  def lineitem: DataFrame   = t("lineitem")
+  def customer: DataFrame   = tp("customer")
+  def part: DataFrame       = tp("part")
+  def orders: DataFrame     = tp("orders")
+  def lineitem: DataFrame   = tp("lineitem")
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. Read it as raw nanos (legacy conf) and
@@ -32,11 +48,58 @@ final case class Tables(spark: SparkSession, dir: String) {
     * when casting TIMESTAMP_NS to TIMESTAMP. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t("events")
+    val df = tp("events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame  = tp("documents")
+  def embeddings: DataFrame = tp("embeddings")
+}
+
+object Tables {
+
+  /** Tables large enough that a serial scan hurts; dims stay as-is. */
+  private[graft] val BigTables =
+    Seq("customer", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val CacheFiles = 32
+  private val buildLock = new Object
+
+  /** Force-build the layout cache for every big table of a fixture dir
+    * (used by Bench warm-up so no measured query pays the one-time
+    * rewrite). */
+  def warmLayout(spark: SparkSession, dir: String): Unit =
+    BigTables.foreach(parallelLayout(spark, dir, _))
+
+  /** Path of the multi-file copy of `dir/name.parquet`, building it on
+    * first access. Safe across threads (lock) and processes (write to
+    * a pid-suffixed temp dir, atomic rename, lose-the-race cleanup). */
+  def parallelLayout(spark: SparkSession, dir: String, name: String): String = {
+    val dest = new java.io.File(
+      "target/tblcache/" + dir.replace('/', '_') + "/" + name)
+    if (!new java.io.File(dest, "_SUCCESS").exists()) buildLock.synchronized {
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        // events: TIMESTAMP(NANOS) → read as raw long nanos so the
+        // rewrite is lossless; the accessor converts after read
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        val tmp = new java.io.File(
+          dest.getPath + ".tmp-" + ProcessHandle.current().pid())
+        raw.repartition(CacheFiles).write.mode("overwrite").parquet(tmp.getPath)
+        dest.getParentFile.mkdirs()
+        if (!tmp.renameTo(dest)) {
+          // another process won the race; use theirs, drop ours
+          if (new java.io.File(dest, "_SUCCESS").exists()) deleteRec(tmp)
+          else return tmp.getPath
+        }
+      }
+    }
+    dest.getPath
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 }

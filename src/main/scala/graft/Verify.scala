@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    Tables.warmLayout(spark, sfDir) // one-time multi-file layout rewrite
     // a few concurrent streams: per-query planning is driver-serial,
     // so overlapping queries keeps the executor pool busy (same
     // rationale as Bench); each query writes its own directory.

@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_sigs", es => MinHashSigs(es.head, es(1)))
     inject("sorted_intersect_size", es => SortedIntersectSize(es.head, es(1)))
     inject("math_ln", es => MathLn(es.head))
+    inject("word_ngrams", es => WordNgrams(es.head, es(1)))
+    inject("max_multiplicity", es => MaxMultiplicity(es.head))
   }
 }

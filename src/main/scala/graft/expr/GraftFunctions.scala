@@ -26,5 +26,9 @@ object GraftFunctions {
       es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("math_ln",
       es => MathLn(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      es => WordNgrams(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("max_multiplicity",
+      es => MaxMultiplicity(es.head), "scala_udf")
   }
 }

@@ -90,16 +90,31 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Word-shingle array of size `k` (for n-gram Jaccard dedup). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  /** All space-joined word k-grams in document order — native one-pass
+    * expression (graft.expr.WordNgrams); the interpreted-HOF
+    * formulation (transform + slice + concat_ws per position) is kept
+    * as [[wordNgramsHof]] for cross-checking. */
+  def wordNgrams(toks: Column, k: Int): Column =
+    call_function("word_ngrams", toks, lit(k))
+
+  /** HOF reference formulation of [[wordNgrams]] (cross-checked in
+    * NativeExprSpec). */
+  def wordNgramsHof(toks: Column, k: Int): Column =
     // sequence(1, n) with n < 1 would count DOWN (negative step); guard
     // short documents explicitly.
     when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Word-shingle array of size `k` (for n-gram Jaccard dedup). */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(wordNgrams(tokens(text), k))
+
+  /** Max multiplicity of any element (native expression) — the "top
+    * n-gram count" of repetition filters; equals the max of a
+    * groupBy-count over the exploded array. */
+  def maxMultiplicity(arr: Column): Column =
+    call_function("max_multiplicity", arr)
 
   /** Jaccard similarity of two pre-distinct string arrays: |∩| / |∪|.
     * Exact integer cardinalities → deterministic double ratio. */

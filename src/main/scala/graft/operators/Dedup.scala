@@ -203,16 +203,29 @@ object Dedup {
           throw new IllegalStateException(
             s"connectedComponents did not converge in $maxIters rounds " +
               s"($changed labels still changing) — raise maxIters (rounds ≈ graph diameter)")
-        val neighborMin = sym
+        // one round = TWO shuffles, not three: neighbor contributions
+        // (label pushed across each edge) are unioned with the node's
+        // own label and min-folded in a single groupBy — replacing the
+        // separate neighbor-min aggregation + left-join-update. tag=0
+        // marks the node's own label so the fold can detect change
+        // (new component < old) in the same pass.
+        val contrib = sym
           .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
-          .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+          .select(col("src").as("id"), col("nl").as("cand"), lit(1).as("tag"))
+        // the convergence metric rides the checkpoint materialization
+        // job via observe() — ONE job per round, not a checkpoint job
+        // plus a separate count()
+        val obs = org.apache.spark.sql.Observation()
         val updated = labels
-          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-          .select(col("id"),
-            least(coalesce(col("nmin"), col("component")), col("component")).as("component"),
-            (coalesce(col("nmin"), col("component")) < col("component")).as("chg"))
+          .select(col("id"), col("component").as("cand"), lit(0).as("tag"))
+          .unionAll(contrib)
+          .groupBy(col("id"))
+          .agg(min(col("cand")).as("component"),
+            (min(col("cand")) < min(when(col("tag") === 0, col("cand")))).as("chg"))
+          .observe(obs, sum(col("chg").cast("long")).as("n_changed"))
           .localCheckpoint(true)
-        changed = updated.filter(col("chg")).count()
+        changed = Option(obs.get("n_changed")).collect {
+          case n: java.lang.Long => n.longValue() }.getOrElse(0L)
         labels = updated.select(col("id"), col("component"))
         iter += 1
       }

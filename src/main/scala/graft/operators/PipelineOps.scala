@@ -135,29 +135,23 @@ object PipelineOps {
 
   // ── q65: repetition signals (Gopher-style quality filters) ──────────
   // top_bigram_frac: share of the most frequent bigram among all
-  // bigram occurrences (needs a per-(doc,bigram) count → two narrow
-  // aggregations); dup_trigram_frac: share of repeated trigrams —
-  // per-row array arithmetic, no shuffle. Both exact rationals; docs
-  // too short for a signal get the -1.0 sentinel.
+  // bigram occurrences; dup_trigram_frac: share of repeated trigrams.
+  // Entirely per-row native array arithmetic (word_ngrams +
+  // max_multiplicity) — NO explode, NO shuffle, no join: the whole
+  // query is one embarrassingly-parallel projection, the shape that
+  // scales to any corpus. (The DuckDB oracle computes the same
+  // multiplicities via explode + two aggregations — value-identical
+  // exact rationals.) Docs too short for a signal get the -1.0
+  // sentinel.
   def repetitionSignalsOver(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
-    def grams(k: Int): Column =
-      when(size(toks) < k, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k)))))
-    val bigramTop = df
-      .select(idCol.as("doc_id"), explode(grams(2)).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_frac"))
-    val trigramDup = df
-      .select(idCol.as("doc_id"),
-        (lit(1.0) - size(array_distinct(grams(3))).cast("double") /
-          nullif(size(grams(3)), lit(0))).as("dup_trigram_frac"))
-    trigramDup.join(bigramTop, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("top_bigram_frac"), lit(-1.0)).as("top_bigram_frac"),
-        coalesce(col("dup_trigram_frac"), lit(-1.0)).as("dup_trigram_frac"))
+    val bi = wordNgrams(toks, 2)
+    val tri = wordNgrams(toks, 3)
+    df.select(idCol.as("doc_id"),
+      coalesce(maxMultiplicity(bi).cast("double") / nullif(size(bi), lit(0)), lit(-1.0))
+        .as("top_bigram_frac"),
+      coalesce(lit(1.0) - size(array_distinct(tri)).cast("double") / nullif(size(tri), lit(0)),
+        lit(-1.0)).as("dup_trigram_frac"))
   }
 
   def repetitionSignals(t: Tables): DataFrame = {

@@ -117,7 +117,7 @@ object Similarity {
     // roughly-balanced lists, not converged clusters, and the fit is
     // the dominant index-build cost (k-means|| init alone is several
     // extra passes over the corpus)
-    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(4)
+    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(3)
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("ivf_list")
     val model = km.fit(vecs)

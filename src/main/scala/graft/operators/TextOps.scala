@@ -117,13 +117,8 @@ object TextOps {
   // ── q38: corpus bigram counts (n-gram generation + explode + agg) ────
   def bigramCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val toks = tokens($"text")
-    // guard: sequence(1, 0) would count DOWN for single-token docs
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
     t.documents
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(wordNgrams(tokens($"text"), 2)).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .filter($"n" >= 10)

@@ -151,6 +151,34 @@ class NativeExprSpec extends graft.SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() === 0)
   }
 
+  test("WordNgrams expression equals the guarded HOF formulation on fixture documents") {
+    import org.apache.spark.sql.functions._
+    for (k <- Seq(1, 2, 3, 5)) {
+      val both = sf001.documents.select(
+        TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), k).as("native"),
+        TextFunctions.wordNgramsHof(TextFunctions.tokens(col("text")), k).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0, s"k=$k")
+    }
+    // short-input guard: n < k yields empty, not a descending sequence
+    import spark.implicits._
+    val short = Seq("one two").toDF("text").select(
+      TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3).as("ng"))
+    assert(short.head().getSeq[String](0) === Seq.empty)
+  }
+
+  test("MaxMultiplicity equals the groupBy-count max on exploded fixture bigrams") {
+    import org.apache.spark.sql.functions._
+    val bi = sf001.documents.select(col("doc_id"),
+      TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2).as("bi"))
+    val native = bi.select(col("doc_id"),
+      TextFunctions.maxMultiplicity(col("bi")).as("m"))
+    val viaAgg = bi.select(col("doc_id"), explode(col("bi")).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").cast("int").as("m_agg"))
+    val joined = native.join(viaAgg, "doc_id")
+    assert(joined.filter(col("m") =!= col("m_agg")).count() === 0)
+  }
+
   test("factored cosine (hoisted norms) is bit-identical to CosineSim on embeddings") {
     val e = sf001.embeddings.limit(200)
       .select(col("vec_id"), col("embedding"),
