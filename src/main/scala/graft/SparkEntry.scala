@@ -416,13 +416,27 @@ object SparkEntry {
         |   / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS stddev_qty,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // q51: the fast banding path verifies every candidate with the
-    // EXACT shingle jaccard, so its output is a subset of the true
-    // pair set; at 8 bands the deterministic pipeline finds every true
-    // pair on the fixtures (per-pair miss prob ≤ 5e-5 at the observed
-    // J ≥ 0.8; MinHashRecallSpec pins recall = 1). The oracle is the
-    // banding-free brute-force truth — hash equality IS the recall
-    // claim.
+    // q31/q51: both LSH paths verify every candidate with an EXACT
+    // jaccard, so their outputs are subsets of the true pair set; the
+    // deterministic seeded pipelines find every true pair on the
+    // fixtures (per-pair miss prob ≤ 5e-5 for q51's 8 bands, ≤ 1e-4
+    // for q31's 4 tables at the observed J ≥ 0.9; MinHashRecallSpec
+    // pins recall). The oracle is the banding-free brute-force truth —
+    // hash equality IS the recall claim. (q31's distances are computed
+    // over HashingTF bucket sets; 2^18 buckets keep the shingle→bucket
+    // map collision-free on the fixture vocabulary, verified bit-equal.)
+    "q31_minhash_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh
+        | FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) AS jaccard_dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) <= 0.4""".stripMargin,
     "q51_minhash_fast" ->
       """WITH d AS (
         | SELECT doc_id,
@@ -450,6 +464,48 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY s_suppkey, s_name, n_name
         |ORDER BY revenue DESC, s_suppkey LIMIT 5""".stripMargin,
+    // q33: the fake-codec metadata pipeline is deterministic integer/
+    // double arithmetic over (doc_id, text length) — the oracle
+    // recomputes it. trunc() before the int cast: DuckDB CAST rounds
+    // where Spark's cast truncates.
+    "q33_media_profile" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS n_bytes,
+        |  64 + (doc_id % 16) * 16 AS width, 64 + (doc_id % 9) * 16 AS height,
+        |  1000 + (doc_id % 30) * 1000 AS duration_ms
+        | FROM documents),
+        |f AS (
+        | SELECT kind, n_bytes,
+        |  CASE kind WHEN 'video' THEN greatest(1, duration_ms // 1000)
+        |            WHEN 'audio' THEN greatest(1, duration_ms // 5000) ELSE 1 END AS frames_sampled,
+        |  CAST(trunc(width * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_width
+        | FROM m)
+        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        | CAST(SUM(frames_sampled) AS BIGINT) AS total_frames,
+        | MIN(out_width) AS min_w, MAX(out_width) AS max_w
+        |FROM f GROUP BY kind""".stripMargin,
+    // q44: the language-ID heuristic is an argmax over exact rational
+    // marker-hit scores; ties resolve to the lexicographically LAST
+    // language in both engines (array_max struct ordering ↔ ORDER BY
+    // score DESC, lang DESC).
+    "q44_lang_id" ->
+      """WITH m(mlang, markers) AS (VALUES
+        |  ('de', ['der','die','und','ist','nicht','das']),
+        |  ('en', ['the','and','is','of','to','in']),
+        |  ('es', ['el','la','que','de','los','es']),
+        |  ('fr', ['le','la','et','les','des','est']),
+        |  ('zh', ['的','是','了','在','我','有'])),
+        |s AS (
+        | SELECT d.doc_id, d.lang AS labeled_lang, m.mlang,
+        |  CAST(len(list_filter(list_distinct(string_split(d.text, ' ')),
+        |    w -> list_contains(m.markers, w))) AS DOUBLE) / 6 AS score
+        | FROM documents d CROSS JOIN m),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, mlang DESC) AS rn FROM s)
+        |SELECT doc_id, labeled_lang, mlang AS predicted_lang, score AS confidence
+        |FROM r WHERE rn = 1""".stripMargin,
     "q61_tfidf_exact" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
