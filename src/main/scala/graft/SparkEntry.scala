@@ -94,6 +94,9 @@ object SparkEntry {
     "q65_repetition"         -> ((s, d) => PipelineOps.repetitionSignals(Tables(s, d))),
     "q66_sessionize"         -> ((s, d) => PipelineOps.sessionize(Tables(s, d))),
     "q67_contamination"      -> ((s, d) => PipelineOps.contamination(Tables(s, d))),
+    "q68_mixture_sample"     -> ((s, d) => PipelineOps.mixtureSample(Tables(s, d))),
+    "q69_funnel"             -> ((s, d) => graft.operators.EventOps.funnel(Tables(s, d))),
+    "q70_ewma"               -> ((s, d) => graft.operators.EventOps.ewmaPerUser(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -571,6 +574,35 @@ object SparkEntry {
         | CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hits,
         | CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*) AS contamination
         |FROM c LEFT JOIN b USING (s) GROUP BY doc_id""".stripMargin,
+    "q68_mixture_sample" ->
+      """SELECT doc_id, source, bucket,
+        | bucket < CAST(CASE WHEN idx < 5 THEN 1000.0 WHEN idx < 10 THEN 500.0
+        |   WHEN idx < 15 THEN 250.0 ELSE 100.0 END AS INTEGER) AS kept
+        |FROM (SELECT doc_id, source,
+        |  CAST(substring(source, 4) AS INTEGER) AS idx,
+        |  CAST(('0x' || substring(md5(text), 1, 12))::BIGINT % 1000 AS INTEGER) AS bucket
+        | FROM documents) t""".stripMargin,
+    "q69_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
+        |      FROM ev GROUP BY user_id),
+        |c AS (SELECT ev.user_id, MIN(s.signup_us) AS signup_us,
+        |       MIN(CASE WHEN event_type = 'click' AND ts_us > s.signup_us THEN ts_us END) AS click_us
+        |      FROM ev JOIN s ON ev.user_id = s.user_id GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, MIN(c.signup_us) AS signup_us, MIN(c.click_us) AS click_us,
+        |       MIN(CASE WHEN event_type = 'purchase' AND ts_us > c.click_us THEN ts_us END) AS purchase_us
+        |      FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY ev.user_id)
+        |SELECT user_id, COALESCE(signup_us, -1) AS signup_us,
+        | COALESCE(click_us, -1) AS click_us, COALESCE(purchase_us, -1) AS purchase_us,
+        | (CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS steps
+        |FROM p""".stripMargin,
+    "q70_ewma" ->
+      """SELECT user_id, CAST(len(vs) AS INTEGER) AS n_events,
+        | list_reduce(vs, (a, b) -> a * 0.5 + b * 0.5) AS ewma_value
+        |FROM (SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
+        |      FROM events GROUP BY user_id) t""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

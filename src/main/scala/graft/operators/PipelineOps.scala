@@ -185,6 +185,26 @@ object PipelineOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  // ── q68: deterministic mixture sampling ─────────────────────────────
+  // Training-mixture construction: each source gets a sampling rate
+  // (keep wiki-like sources, downsample web-like ones); a document
+  // survives iff its content-hash bucket falls under the rate — no
+  // RNG, so the mixture is reproducible on any engine and exact
+  // duplicates sample identically. Rates here step down by source
+  // index bucket (src0-4: 1.0, src5-9: 0.5, src10-14: 0.25, else 0.1).
+  def mixtureSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val idx = substring($"source", 4, 10).cast("int")
+    val weight = when(idx < 5, 1.0).when(idx < 10, 0.5)
+      .when(idx < 15, 0.25).otherwise(0.1)
+    val bucket = (conv(substring(md5($"text"), 1, 12), 16, 10).cast("bigint") % 1000)
+      .cast("int")
+    t.documents
+      .select($"doc_id", $"source", bucket.as("bucket"),
+        (bucket < (weight * 1000).cast("int")).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   // ── q67: benchmark contamination check ──────────────────────────────
   // What fraction of each corpus document's shingles appear in a
   // benchmark set? The benchmark's distinct shingle set is small →

@@ -103,6 +103,67 @@ class PipelineOpsSpec extends SparkSpec {
     } assert(s1 > s2, s"idf not monotonic: df $df1→$s1 vs $df2→$s2")
   }
 
+  test("mixtureSample: kept iff content bucket under the source's rate") {
+    val m = PipelineOps.mixtureSample(sf001)
+    val idx = substring($"source", 4, 10).cast("int")
+    val thresh = when(idx < 5, 1000).when(idx < 10, 500)
+      .when(idx < 15, 250).otherwise(100)
+    assert(m.filter($"kept" =!= ($"bucket" < thresh)).count() === 0)
+    // full-rate sources keep everything
+    assert(m.filter(idx < 5 && !$"kept").count() === 0)
+  }
+
+  test("funnel: steps counts the completed prefix on a synthetic stream") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // user 1: full funnel; user 2: clicks before signup only; user 3: no signup
+    val ev = Seq(
+      (1L, "signup", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "click", ts(0)), (2L, "signup", ts(10)), (2L, "purchase", ts(5)),
+      (3L, "click", ts(0)), (3L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    // exercise the operator body against the synthetic frame via the
+    // same column expressions (reuse through a local Tables stand-in
+    // is not possible — events is fixture-bound — so validate the
+    // fixture run plus the semantics on the synthetic frame inline)
+    import org.apache.spark.sql.functions.{min => fmin}
+    val evm = ev.select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val s = evm.groupBy($"user_id")
+      .agg(fmin(when($"event_type" === "signup", $"ts_us")).as("signup_us"))
+    val c = evm.join(s, "user_id").groupBy($"user_id")
+      .agg(fmin(when($"event_type" === "click" && $"ts_us" > $"signup_us", $"ts_us")).as("click_us"))
+    val got = s.join(c, "user_id").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L)._1.nonEmpty && got(1L)._2.nonEmpty)
+    assert(got(2L)._1.nonEmpty && got(2L)._2.isEmpty) // click precedes signup
+    assert(got(3L)._1.isEmpty)
+    // fixture run: steps consistent with the -1 sentinels
+    val f = EventOps.funnel(sf001)
+    val bad = f.filter(
+      ($"steps" >= 1) =!= ($"signup_us" > -1L) ||
+      ($"steps" >= 2) =!= ($"click_us" > -1L) ||
+      ($"steps" === 3) =!= ($"purchase_us" > -1L))
+    assert(bad.count() === 0)
+  }
+
+  test("ewma: sequential fold matches a hand computation") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val t = sf001
+    val got = EventOps.ewmaPerUser(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // recompute one user on the driver
+    val (uid, n, e) = got.head
+    val vals = t.events.filter($"user_id" === uid)
+      .select(unix_micros($"ts").as("us"), $"event_id", $"value")
+      .orderBy("us", "event_id").collect().map(_.getDouble(2))
+    assert(vals.length === n)
+    val expected = vals.tail.foldLeft(vals.head)((acc, v) => acc * 0.5 + v * 0.5)
+    assert(expected === e)
+  }
+
   test("repetitionSignals: a degenerate repeated document maxes both signals") {
     val df = Seq(
       (1L, Seq.fill(40)("spam").mkString(" ")),
