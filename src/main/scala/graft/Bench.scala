@@ -37,8 +37,13 @@ object Bench {
       // FAIR, not FIFO: concurrent streams each get a share of the
       // task slots, so an iterative query's many tiny jobs (CC rounds)
       // are not starved behind another stream's wide stages — the same
-      // reason multi-tenant clusters run fair pools
+      // reason multi-tenant clusters run fair pools. The allocation
+      // file adds a weighted "heavy" pool for the latency-bound
+      // iterative queries (many small sequential stages: CC rounds,
+      // KMeans fits) so each of their rounds schedules promptly.
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file",
+        new java.io.File("conf/fairscheduler.xml").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -67,9 +72,15 @@ object Bench {
       "q48_range_window", "q03_top_orders", "q66_sessionize")
     val names = heavyFirst.filter(SparkEntry.queries.contains) ++
       (SparkEntry.queries.keys.toSeq.sorted diff heavyFirst)
+    // latency-bound iterative queries: many small sequential jobs
+    // whose round latency, not throughput, sets the bench makespan
+    val weighted = Set("q57_dedup_clusters", "q52_ann_ivf", "q41_tfidf",
+      "q31_minhash_pairs")
     val t0 = System.nanoTime()
     val futures = names.map { n =>
       Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (weighted(n)) "heavy" else "default")
         val q0 = System.nanoTime()
         try {
           SparkEntry.queries(n)(spark, sfDir)

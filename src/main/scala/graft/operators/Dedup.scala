@@ -229,6 +229,8 @@ object Dedup {
         labels = updated.select(col("id"), col("component"))
         iter += 1
       }
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[cc] converged in $iter rounds")
       val isolated = nodeIds
         .join(labels.select(col("id")), Seq("id"), "left_anti")
         .withColumn("component", col("id"))

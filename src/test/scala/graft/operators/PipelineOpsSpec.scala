@@ -25,6 +25,23 @@ class PipelineOpsSpec extends SparkSpec {
       === expected.toSeq)
   }
 
+  test("repetitionSignals plan: zero shuffles — a pure per-row projection") {
+    val plan = PipelineOps.repetitionSignals(sf001).queryExecution.executedPlan.toString
+    // the trailing orderBy is the query's own presentation sort; the
+    // signal computation itself must add no exchange beyond it
+    val body = PipelineOps.repetitionSignalsOver(
+      sf001.documents, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!body.contains("Exchange"), s"repetition signals should not shuffle:\n$body")
+    assert(plan.nonEmpty)
+  }
+
+  test("contamination plan: benchmark shingle set broadcasts") {
+    val plan = PipelineOps.contamination(sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("packWindows plan: no un-partitioned window over the corpus") {
     val plan = PipelineOps.packWindows(sf001).queryExecution.executedPlan.toString
     // the corpus-sized window must be partitioned (by pid); the only
