@@ -21,6 +21,21 @@ object Graft {
   def install(spark: SparkSession): Unit =
     graft.expr.GraftFunctions.register(spark)
 
+  /** Register every fixture table of a data dir as a temp view (and
+    * install the native functions), making the full engine surface
+    * reachable from `spark.sql(...)` — including the custom
+    * expressions: `SELECT simhash64(split(text, ' ')) FROM documents`. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    install(spark)
+    val t = graft.Tables(spark, dir)
+    Seq(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings
+    ).foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
+
   // ── dedup ────────────────────────────────────────────────────────────
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct

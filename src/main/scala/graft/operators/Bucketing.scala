@@ -35,4 +35,17 @@ object Bucketing {
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Write `df` hive-partitioned by `partitionCol` — the OTHER half of
+    * the layout story: a predicate on the partition column prunes
+    * whole directories at planning time, so a year-of-data query over
+    * a decade-long 100 TB table lists and reads one-tenth of the
+    * files. PartitionPruningSpec asserts the plan property (scan's
+    * PartitionFilters populated, partition count reduced). */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

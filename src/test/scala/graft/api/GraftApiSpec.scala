@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 class GraftApiSpec extends SparkSpec {
   import spark.implicits._
 
+  test("registerViews makes the engine reachable from spark.sql, native functions included") {
+    Graft.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem").head().getLong(0)
+    assert(n > 0)
+    val joined = spark.sql(
+      """SELECT r_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin).count()
+    assert(joined === 5)
+    val sh = spark.sql(
+      "SELECT simhash64(split(text, ' ')) AS s FROM documents LIMIT 5").count()
+    assert(sh === 5)
+  }
+
   test("dedupExact keeps exactly one row per key, the one with min id") {
     Graft.install(spark)
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"))
