@@ -27,12 +27,26 @@ object Dedup {
   private val NumHashTables = 4
   private val Seed = 42L
 
-  /** Candidate near-duplicate pairs with Jaccard distance ≤ maxDist. */
+  /** ml-lib candidate slack: approxSimilarityJoin measures distance on
+    * HASHED-BUCKET sets, where a TF bucket collision can shift a
+    * pair's jaccard by ~1/|union|; candidates are admitted with this
+    * margin and then re-verified against the EXACT shingle sets, so
+    * the emitted distance is exact and the boundary is collision-proof
+    * at any vocabulary size. */
+  private val CandidateSlack = 0.05
+
+  /** Near-duplicate pairs with EXACT Jaccard distance ≤ maxDist;
+    * candidates from ml-lib MinHash LSH, verification on the true
+    * shingle sets (two-phase: approximate generation with slack, exact
+    * filter — the oracle-checkable composition). */
   def minhashPairs(t: Tables, maxDist: Double = 0.4): DataFrame = {
     import t.spark.implicits._
+    // sorted shingles: reused for both featurization (order-blind) and
+    // the exact merge-walk verification of surviving candidates
     val docs = t.documents
-      .select($"doc_id", shingles($"text", 3).as("sh"))
+      .select($"doc_id", array_sort(shingles($"text", 3)).as("sh"))
       .filter(size($"sh") > 0)
+      .localCheckpoint(true)
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(NumFeatures)
     // drop the shingle strings before the join: approxSimilarityJoin
@@ -46,12 +60,18 @@ object Dedup {
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(NumHashTables).setSeed(Seed)
     val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxDist, "jaccard_dist")
+    val cands = model.approxSimilarityJoin(feats, feats, maxDist + CandidateSlack, "approx_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
-        col("datasetB.doc_id").as("id_b"),
-        col("jaccard_dist"))
+        col("datasetB.doc_id").as("id_b"))
       .filter($"id_a" < $"id_b")
+    cands
+      .join(docs.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted($"sh_a", $"sh_b"))
+          .as("jaccard_dist"))
+      .filter($"jaccard_dist" <= maxDist)
       .orderBy($"id_a", $"id_b")
   }
 
