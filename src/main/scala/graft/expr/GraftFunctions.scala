@@ -30,5 +30,12 @@ object GraftFunctions {
       es => WordNgrams(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("max_multiplicity",
       es => MaxMultiplicity(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_at_least",
+      es => JaccardAtLeast(es.head, es(1), es(2)), "scala_udf")
+    // the prefilter rewrite is semantically neutral — install it
+    // alongside the functions (idempotent: the rule is a singleton)
+    if (!spark.experimental.extraOptimizations.contains(JaccardPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardPrefilterRule
   }
 }

@@ -133,6 +133,17 @@ object TextFunctions {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Predicate: jaccard of two SORTED distinct string arrays is at
+    * least `t` (exclusive of the degenerate t <= 0). Under the
+    * installed [[graft.expr.JaccardPrefilterRule]] the optimizer
+    * expands this into a short-circuiting size-ratio bound followed by
+    * the exact merge-walk compare — the manual prune of
+    * TextOps.jaccardPairs, applied automatically to any query. */
+  def jaccardAtLeast(a: Column, b: Column, t: Double): Column = {
+    require(t > 0, s"jaccardAtLeast requires a positive threshold, got $t")
+    call_function("jaccard_at_least", a, b, lit(t))
+  }
+
   /** All k-gram rolling hashes of a string (Rabin–Karp, mod 1e9+7) —
     * native one-pass expression (graft.expr.RollingKgrams). */
   def rollingKgrams(text: Column, k: Int): Column =
