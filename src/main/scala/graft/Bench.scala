@@ -13,7 +13,7 @@ import scala.concurrent.duration._
   *   materializes every output column (count() would let Catalyst
   *   prune away the md5/simhash/cosine work being measured).
   * - Queries run in SPARK_GRAFT_STREAMS concurrent streams (default
-  *   8, TPC-H throughput-test style): Spark's per-query planning is
+  *   16, TPC-H throughput-test style): Spark's per-query planning is
   *   driver-side and serial, so concurrent streams keep the executor
   *   cores busy — the same reason a real cluster runs concurrent
   *   jobs. "value" is the wall-clock to complete ALL queries; the

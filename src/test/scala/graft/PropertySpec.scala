@@ -116,6 +116,47 @@ class PropertySpec extends SparkSpec {
     assert(rows.filter($"native" =!= $"builtin").count() === 0)
   }
 
+  test("word_ngrams: count, order, and reconstruction on random token lists") {
+    val wordList = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, word))
+    val lists = samples(wordList, 50)
+    for (k <- Seq(2, 3)) {
+      val rows = lists.map(ws => (ws, ws.length)).toDF("toks", "n").select(
+        $"toks", $"n", TextFunctions.wordNgrams($"toks", k).as("ng")).collect()
+      rows.foreach { r =>
+        val toks = r.getSeq[String](0)
+        val ng = r.getSeq[String](2)
+        val expected = if (toks.length < k) Seq.empty
+          else toks.sliding(k).map(_.mkString(" ")).toSeq
+        assert(ng === expected, s"k=$k toks=$toks")
+      }
+    }
+  }
+
+  test("max_multiplicity equals the true histogram max on random lists with repeats") {
+    val smallVocab = Gen.oneOf("a", "b", "c", "d")
+    val lists = samples(Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, smallVocab)), 50)
+    val rows = lists.toDF("l").select($"l",
+      TextFunctions.maxMultiplicity($"l").as("m")).collect()
+    rows.foreach { r =>
+      val l = r.getSeq[String](0)
+      val want = if (l.isEmpty) 0 else l.groupBy(identity).values.map(_.size).max
+      assert(r.getInt(1) === want, s"list=$l")
+    }
+  }
+
+  test("packing: start offsets are a prefix sum, windows cover each doc exactly") {
+    val got = graft.operators.PipelineOps.packWindows(sf001, windowTokens = 64)
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    got.foreach { r =>
+      val (n, start, ws, we) = (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(start === cum, s"doc ${r.getLong(0)}: prefix sum broken")
+      assert(ws === (start / 64).toInt && we === ((start + n - 1) / 64).toInt)
+      assert(ws <= we)
+      cum += n
+    }
+  }
+
   test("connected components agree with a union-find reference on random graphs") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {
