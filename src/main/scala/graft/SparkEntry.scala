@@ -97,6 +97,17 @@ object SparkEntry {
     "q68_mixture_sample"     -> ((s, d) => PipelineOps.mixtureSample(Tables(s, d))),
     "q69_funnel"             -> ((s, d) => graft.operators.EventOps.funnel(Tables(s, d))),
     "q70_ewma"               -> ((s, d) => graft.operators.EventOps.ewmaPerUser(Tables(s, d))),
+    // portable SimHash: engine-neutral polynomial hashes → the
+    // fingerprints AND the complete banded pair set are exact-oracle-
+    // checked (the xxhash64 variants q27/q32 stay as the scale path)
+    "q71_simhash_portable"   -> ((s, d) => {
+      val t = Tables(s, d)
+      import s.implicits._
+      t.documents.select($"doc_id",
+        graft.functions.TextFunctions.simhashPortable($"text").as("simhash60"))
+        .orderBy($"doc_id")
+    }),
+    "q72_portable_pairs"     -> ((s, d) => Dedup.simhashPolyPairs(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -109,6 +120,28 @@ object SparkEntry {
        |FROM embeddings, q WHERE vec_id <> q_id""".stripMargin
 
   private val stopList = "('the','a','of','and','to','in')"
+
+  // Shared oracle CTE: recompute the portable 60-bit SimHash with the
+  // identical polynomial folds (unicode() ↔ codePointAt; exact int64).
+  private val simhashPolySql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(w)+1), i -> CAST(unicode(w[CAST(i AS INTEGER)]) AS BIGINT))),
+      |    (a,c) -> (a*257+c) % 1000000007) AS h1,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(w)+1), i -> CAST(unicode(w[CAST(i AS INTEGER)]) AS BIGINT))),
+      |    (a,c) -> (a*131+c) % 998244353) AS h2
+      | FROM tok),
+      |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS b,
+      |  SUM(CASE WHEN b < 30 THEN (h1 >> CAST(b AS INTEGER)) & 1
+      |           ELSE (h2 >> CAST(b - 30 AS INTEGER)) & 1 END) AS sv,
+      |  COUNT(*) AS n
+      | FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+      |sh AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN sv * 2 > n THEN (CAST(1 AS BIGINT) << b)
+      |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60
+      | FROM bits GROUP BY doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -603,6 +636,15 @@ object SparkEntry {
         | list_reduce(vs, (a, b) -> a * 0.5 + b * 0.5) AS ewma_value
         |FROM (SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
         |      FROM events GROUP BY user_id) t""".stripMargin,
+    "q71_simhash_portable" ->
+      s"""$simhashPolySql
+         |SELECT doc_id, simhash60 FROM sh""".stripMargin,
+    "q72_portable_pairs" ->
+      s"""$simhashPolySql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("word_ngrams", es => WordNgrams(es.head, es(1)))
     inject("max_multiplicity", es => MaxMultiplicity(es.head))
     inject("jaccard_at_least", es => JaccardAtLeast(es.head, es(1), es(2)))
+    inject("simhash_poly", es => SimHashPoly(es.head))
     // optimizer-level rewrite: expand jaccard_at_least into
     // size-ratio-bound AND exact-jaccard (see JaccardPrefilterRule)
     ext.injectOptimizerRule(_ => JaccardPrefilterRule)

@@ -32,6 +32,8 @@ object GraftFunctions {
       es => MaxMultiplicity(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_at_least",
       es => JaccardAtLeast(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_poly",
+      es => SimHashPoly(es.head), "scala_udf")
     // the prefilter rewrite is semantically neutral — install it
     // alongside the functions (idempotent: the rule is a singleton)
     if (!spark.experimental.extraOptimizations.contains(JaccardPrefilterRule))

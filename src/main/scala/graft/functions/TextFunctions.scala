@@ -90,6 +90,13 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 60-bit SimHash with ENGINE-NEUTRAL polynomial token hashes
+    * (graft.expr.SimHashPoly) — same majority-vote construction as
+    * [[simhash]] but refoldable in any engine (DuckDB oracle
+    * hash-matches it bit for bit). */
+  def simhashPortable(text: Column): Column =
+    call_function("simhash_poly", tokens(text))
+
   /** All space-joined word k-grams in document order — native one-pass
     * expression (graft.expr.WordNgrams); the interpreted-HOF
     * formulation (transform + slice + concat_ws per position) is kept

@@ -272,6 +272,29 @@ object Dedup {
         ($"id" === $"component").as("is_keeper"))
   }
 
+  /** Portable-SimHash near-dup pairs: identical banding construction
+    * to [[simhashPairs]] but over the 60-bit engine-neutral
+    * fingerprint (four 15-bit bands; Hamming ≤ 3 still pigeonholes
+    * into ≥ 1 unchanged band, so candidate generation is COMPLETE and
+    * the emitted set is exactly all pairs within the bound —
+    * brute-force oracle-checkable, unlike the xxhash64 variant). */
+  def simhashPolyPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    val fp = t.documents.select($"doc_id", simhashPortable($"text").as("sh"))
+    val banded = fp.select($"doc_id", $"sh",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sh", b * 15).bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
+    val a = banded.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"bk")
+    val b = banded.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"bk")
+    a.join(b, Seq("bk"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", hamming($"sh_a", $"sh_b").cast("int").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit keys; docs sharing any band key are candidates (a doc pair
     * within Hamming distance 3 must agree on ≥1 of 4 bands). Linear

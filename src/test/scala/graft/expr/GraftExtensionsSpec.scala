@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val names = GraftExtensionsTestBridge.registeredNames(applied()).toSet
     assert(names === Set("simhash64", "cosine_sim", "dot_product",
       "rolling_kgrams", "winnow_fps", "minhash_sigs", "sorted_intersect_size",
-      "math_ln", "word_ngrams", "max_multiplicity", "jaccard_at_least"))
+      "math_ln", "word_ngrams", "max_multiplicity", "jaccard_at_least",
+      "simhash_poly"))
   }
 
   test("an injected builder produces a working expression") {

@@ -78,6 +78,22 @@ class OperatorsSpec extends SparkSpec {
       s"aggregate not below the broadcast joins:\n$plan")
   }
 
+  test("portable simhash banding emits exactly the brute-force Hamming pairs") {
+    import graft.functions.TextFunctions.simhashPortable
+    val t = sf001
+    val fp = t.documents.select(col("doc_id"), simhashPortable(col("text")).as("sh"))
+    val a = fp.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = fp.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPolyPairs(t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute, "pigeonhole completeness violated")
+  }
+
   test("minhash pairs are symmetric-deduped and within distance bound") {
     val pairs = Dedup.minhashPairs(sf001, maxDist = 0.4)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
