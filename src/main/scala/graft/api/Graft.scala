@@ -95,7 +95,9 @@ object Graft {
     val exact = dedupExact(df, textCol, idCol).localCheckpoint(true)
     val pairs = nearDupPairsMinhash(exact, idCol, textCol, maxDist)
       .select(col("id_a"), col("id_b"))
-    val clusters = connectedComponents(exact.select(idCol.as("id")), pairs)
+    // pairs are mined from `exact` itself → endpoint validation skipped
+    val clusters = graft.operators.Dedup.connectedComponents(
+      exact.select(idCol.as("id")), pairs, edgesWithinNodes = true)
     val keepers = clusters.filter(col("id") === col("component"))
       .select(col("id").as("__keeper_id"))
     exact.join(keepers, idCol === col("__keeper_id"), "left_semi")

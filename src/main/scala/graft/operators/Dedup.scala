@@ -194,18 +194,26 @@ object Dedup {
   def connectedComponents(
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
-      maxIters: Int = 100): DataFrame = {
+      maxIters: Int = 100,
+      edgesWithinNodes: Boolean = false): DataFrame = {
     val idCol = nodes.columns.head
     val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
     val nodeIds = nodes.select(col(idCol).as("id"))
     // edges referencing ids outside `nodes` are dropped (both
     // endpoints must be known) — otherwise a phantom id could become
-    // a component's minimum label and no keeper would exist for it
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // a component's minimum label and no keeper would exist for it.
+    // Callers whose edges are DERIVED from the node set (pair mining
+    // over the same table) pass edgesWithinNodes=true and skip the
+    // two validation semi-joins — two fewer stages on the critical
+    // path of every clustering query.
+    val symRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .join(nodeIds.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .distinct().cache()
+    val symChecked =
+      if (edgesWithinNodes) symRaw
+      else symRaw
+        .join(nodeIds.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val sym = symChecked.distinct().cache()
     try {
       // only nodes with at least one edge participate in the iteration —
       // isolated nodes (the vast majority of a near-dup corpus) are
@@ -265,9 +273,12 @@ object Dedup {
     * `is_keeper` marks the one document kept per cluster. */
   def dedupClusters(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val pairs = TextOps.jaccardPairs(t).select($"id_a", $"id_b")
+    // unsorted pair set (no presentation sort on the critical path);
+    // edges are mined from the node table itself, so endpoint
+    // validation is skipped
+    val pairs = TextOps.jaccardPairsUnsorted(t).select($"id_a", $"id_b")
     val docs = t.documents.select($"doc_id")
-    connectedComponents(docs, pairs)
+    connectedComponents(docs, pairs, edgesWithinNodes = true)
       .select($"id".as("doc_id"), $"component".as("cluster_id"),
         ($"id" === $"component").as("is_keeper"))
   }

@@ -82,7 +82,18 @@ object TextOps {
   // Σ_block |block|², quadratic only within a block, not the corpus.
   // Full-corpus near-dup at scale goes through MinHash LSH instead
   // (Dedup.scala), which needs no blocking key at all.
-  def jaccardPairs(t: Tables): DataFrame = {
+  def jaccardPairs(t: Tables): DataFrame =
+    jaccardPairsUnsorted(t).orderBy(
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("id_a"),
+      org.apache.spark.sql.functions.col("id_b"))
+
+  /** Pair set without the presentation sort — what downstream
+    * consumers (dedup clustering) use: the global range-exchange of a
+    * trailing orderBy would sit on their critical path for no
+    * semantic benefit. */
+  def jaccardPairsUnsorted(t: Tables): DataFrame = {
     import t.spark.implicits._
     // sorted word sets → the per-pair intersect below is a native
     // merge walk (jaccardSorted), not a hash-set build per pair.
@@ -96,12 +107,14 @@ object TextOps {
       // sound prune before the expensive intersect: jaccard(A,B) ≤
       // min(|A|,|B|)/max(|A|,|B|), so pairs failing the size-ratio
       // bound can never reach the 0.3 threshold — result unchanged.
+      // (JaccardPrefilterRule applies the same bound automatically to
+      // jaccard_at_least macro predicates; here it is explicit because
+      // the similarity VALUE is also projected.)
       .filter(least(size($"w_a"), size($"w_b")).cast("double") /
         greatest(size($"w_a"), size($"w_b")) >= 0.3)
       .select($"lang", $"source", $"id_a", $"id_b",
         jaccardSorted($"w_a", $"w_b").as("jaccard_sim"))
       .filter($"jaccard_sim" >= 0.3)
-      .orderBy($"lang", $"source", $"id_a", $"id_b")
   }
 
   // ── q44: heuristic language ID over documents ────────────────────────
