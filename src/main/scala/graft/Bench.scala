@@ -22,6 +22,27 @@ import scala.concurrent.duration._
   * - A warm-up absorbs JVM/session startup.
   */
 object Bench {
+
+  /** Pool config path, independent of cwd: use the repo copy when
+    * present, otherwise materialize the embedded XML to a temp file —
+    * a silently-missing allocation file would demote the weighted
+    * "heavy" pool to defaults with no error. */
+  private def allocationFile: String = {
+    val repoCopy = new java.io.File("conf/fairscheduler.xml")
+    if (repoCopy.isFile) repoCopy.getAbsolutePath
+    else {
+      val f = java.io.File.createTempFile("graft-fairscheduler", ".xml")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath,
+        """<?xml version="1.0"?>
+          |<allocations>
+          |  <pool name="heavy"><schedulingMode>FAIR</schedulingMode><weight>4</weight><minShare>8</minShare></pool>
+          |  <pool name="default"><schedulingMode>FAIR</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
+          |</allocations>""".stripMargin)
+      f.getAbsolutePath
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the whole machine — the bench target is local[32]
@@ -42,8 +63,7 @@ object Bench {
       // iterative queries (many small sequential stages: CC rounds,
       // KMeans fits) so each of their rounds schedules promptly.
       .config("spark.scheduler.mode", "FAIR")
-      .config("spark.scheduler.allocation.file",
-        new java.io.File("conf/fairscheduler.xml").getAbsolutePath)
+      .config("spark.scheduler.allocation.file", allocationFile)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

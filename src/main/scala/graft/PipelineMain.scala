@@ -57,22 +57,30 @@ object PipelineMain {
     val deduped = Graft.dedupCorpus(quality, $"doc_id", $"text")
     val nDeduped = deduped.count()
 
-    // 3. decontamination: drop docs overlapping the benchmark source
+    // 3. decontamination: the benchmark source itself is HELD OUT of
+    // the training corpus entirely (training on the eval suite is the
+    // leak this stage exists to prevent), and remaining docs that
+    // overlap it beyond the threshold are dropped too
     val bench = raw.filter($"source" === "src0")
+    val corpus = deduped.filter($"source" =!= "src0")
     val contam = PipelineOps.contaminationOver(
-      deduped.filter($"source" =!= "src0"), $"doc_id", $"text",
-      bench, $"text", k = 3)
+      corpus, $"doc_id", $"text", bench, $"text", k = 3)
     val dirty = contam.filter($"contamination" > 0.5).select($"doc_id")
-    val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+    // localCheckpoint: `clean` feeds the count, the split, and the
+    // chunker — materialize the decontamination join once
+    val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val nClean = clean.count()
 
     // 4. deterministic content-keyed split
     val split = PipelineOps.hashSplitOver(clean, $"doc_id", $"text", 80, 10)
       .select($"doc_id", $"split")
 
-    // 5. chunk to fixed token windows, carry the split assignment
+    // 5. chunk to fixed token windows, carry the split assignment;
+    // materialized once for the write + both stats passes
     val chunks = PipelineOps.chunkOver(clean, $"doc_id", $"text", chunkTokens = 64)
       .join(split, "doc_id")
+      .localCheckpoint(true)
     val nChunks = chunks.count()
 
     // 6. training shards, partitioned by split for per-split scans

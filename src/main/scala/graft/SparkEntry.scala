@@ -558,6 +558,9 @@ object SparkEntry {
         |  SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - len(string_split(text, ' ')) AS start_pos
         | FROM documents) t""".stripMargin,
+    // range(1, 1000) caps the oracle at 999 chunks/doc (~32k tokens);
+    // PipelineOpsSpec pins the fixture far below the cap so Spark and
+    // oracle can never silently diverge on it
     "q63_chunking" ->
       """SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
         | array_to_string(list_slice(string_split(text, ' '), CAST((c-1)*32+1 AS INTEGER), CAST(c*32 AS INTEGER)), ' ') AS chunk_text,

@@ -88,10 +88,19 @@ object Tables {
           dest.getPath + ".tmp-" + ProcessHandle.current().pid())
         raw.repartition(CacheFiles).write.mode("overwrite").parquet(tmp.getPath)
         dest.getParentFile.mkdirs()
-        if (!tmp.renameTo(dest)) {
-          // another process won the race; use theirs, drop ours
-          if (new java.io.File(dest, "_SUCCESS").exists()) deleteRec(tmp)
-          else return tmp.getPath
+        if (new java.io.File(dest, "_SUCCESS").exists()) {
+          // another process completed dest while we were writing —
+          // use theirs, drop ours
+          deleteRec(tmp)
+        } else {
+          // a dest WITHOUT _SUCCESS is debris from a crashed writer —
+          // clear it so the rename can land (re-checked just above to
+          // avoid deleting a concurrently-completed copy)
+          if (dest.exists()) deleteRec(dest)
+          if (!tmp.renameTo(dest)) {
+            if (new java.io.File(dest, "_SUCCESS").exists()) deleteRec(tmp)
+            else return tmp.getPath
+          }
         }
       }
     }

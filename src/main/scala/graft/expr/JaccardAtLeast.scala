@@ -80,11 +80,20 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
     case j: JaccardAtLeast =>
       val sa = Cast(Size(j.first), DoubleType)
       val sb = Cast(Size(j.second), DoubleType)
-      val bound = GreaterThanOrEqual(
-        Divide(Least(Seq(sa, sb)), Greatest(Seq(sa, sb))), j.third)
+      // coalesce-to-false keeps the expansion TOTAL on empty arrays:
+      // Spark's Divide yields null on a zero divisor, which would turn
+      // the macro's false into null in a projection — the predicate
+      // must stay result-identical with and without the rule
+      val bound = Coalesce(Seq(GreaterThanOrEqual(
+        Divide(Least(Seq(sa, sb)), Greatest(Seq(sa, sb))), j.third), Literal(false)))
       val inter = Cast(SortedIntersectSize(j.first, j.second), DoubleType)
-      val exact = GreaterThanOrEqual(
-        Divide(inter, Subtract(Add(sa, sb), inter)), j.third)
-      And(bound, exact)
+      val exact = Coalesce(Seq(GreaterThanOrEqual(
+        Divide(inter, Subtract(Add(sa, sb), inter)), j.third), Literal(false)))
+      // null INPUTS must stay null (the macro is null-intolerant like
+      // any TernaryExpression); only the empty-array division is
+      // pinned to false
+      If(Or(Or(IsNull(j.first), IsNull(j.second)), IsNull(j.third)),
+        Literal.create(null, BooleanType),
+        And(bound, exact))
   }
 }

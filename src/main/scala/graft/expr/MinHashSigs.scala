@@ -119,10 +119,11 @@ object SortedIntersectSize {
 
   /** Merge walk; called from generated code. Null elements sort last
     * under `array_sort`; `array_intersect` matches null==null (one
-    * null in the output if both sides contain one), so after the
-    * string walk exhausts, a trailing null on BOTH sides counts as one
-    * intersection element — identical to the builtin on sorted
-    * distinct arrays. */
+    * null in the output if both sides contain one). Distinct sorted
+    * inputs hold at most one null, necessarily in the LAST slot — so
+    * the null contribution is decided by the last elements alone, not
+    * by where the string walk stopped (a cursor-based check would
+    * undercount when one side exhausts its strings early). */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -135,8 +136,7 @@ object SortedIntersectSize {
       else if (cmp < 0) i += 1
       else j += 1
     }
-    // distinct inputs hold at most one null each, sorted to the end
-    if (i < na && j < nb && a.isNullAt(i) && b.isNullAt(j)) n += 1
+    if (na > 0 && nb > 0 && a.isNullAt(na - 1) && b.isNullAt(nb - 1)) n += 1
     n
   }
 }

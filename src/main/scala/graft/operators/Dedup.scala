@@ -28,11 +28,15 @@ object Dedup {
   private val Seed = 42L
 
   /** ml-lib candidate slack: approxSimilarityJoin measures distance on
-    * HASHED-BUCKET sets, where a TF bucket collision can shift a
+    * HASHED-BUCKET sets, where each TF bucket collision can shift a
     * pair's jaccard by ~1/|union|; candidates are admitted with this
     * margin and then re-verified against the EXACT shingle sets, so
-    * the emitted distance is exact and the boundary is collision-proof
-    * at any vocabulary size. */
+    * every EMITTED distance is exact. The margin covers the collision
+    * drift observed at the tested vocabulary sizes (≲1 collision per
+    * pair at 2^18 buckets) with ~10× headroom; a corpus whose shingle
+    * vocabulary approaches the bucket count needs NumFeatures raised
+    * in step — slack is a drift allowance, not a substitute for an
+    * adequately-sized hash space. */
   private val CandidateSlack = 0.05
 
   /** Near-duplicate pairs with EXACT Jaccard distance ≤ maxDist;

@@ -64,10 +64,18 @@ object PipelineOps {
   def packWindowsOver(
       df: DataFrame, idCol: Column, textCol: Column, windowTokens: Int): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 4)
+    // localCheckpoint PINS the pid assignment: `sized` feeds both the
+    // offsets aggregation and the main branch, and without
+    // materialization each branch would re-execute its own range
+    // exchange — whose sampled boundaries (and thus pids) are only
+    // guaranteed identical when the planner happens to reuse the
+    // exchange. Materializing once makes the prefix sum correct by
+    // construction, not by plan-cache luck.
     val sized = df
       .select(idCol.as("doc_id"), tokenCount(textCol).as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     // P subtotal rows: the single-partition window here is over P rows,
     // not the corpus
     val offW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)

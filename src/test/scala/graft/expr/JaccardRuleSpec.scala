@@ -56,6 +56,22 @@ class JaccardRuleSpec extends SparkSpec {
     assert(tight.eval(null) === false) // 0.5 < 0.6
   }
 
+  test("rule expansion is total: empty arrays stay false, null inputs stay null") {
+    // empty arrays: the macro's direct path returns false; the
+    // expansion must not surface the 0/0 division as null
+    val df = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String])).toDF("a", "b")
+      .select(TextFunctions.jaccardAtLeast($"a", $"b", 0.5).as("p"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq === Seq(false, false))
+    // null input arrays: projection result stays null under the rule
+    val nullDf = Seq(Tuple1(Seq("a"))).toDF("a")
+      .select(TextFunctions.jaccardAtLeast(
+        org.apache.spark.sql.functions.lit(null).cast("array<string>"),
+        $"a", 0.5).as("p"))
+    assert(nullDf.collect().head.isNullAt(0))
+  }
+
   test("extensions injection carries the optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

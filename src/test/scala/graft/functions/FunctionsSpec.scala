@@ -179,6 +179,25 @@ class NativeExprSpec extends graft.SparkSpec {
     assert(joined.filter(col("m") =!= col("m_agg")).count() === 0)
   }
 
+  test("SortedIntersectSize null parity: matches array_intersect for trailing nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // sorted distinct arrays: nulls sort last; cases where one walk
+    // side exhausts its strings before reaching its null
+    val cases = Seq(
+      (Seq("b", null), Seq("a", null)),     // builtin: [null] → 1
+      (Seq("b", null), Seq("a", "c")),      // no shared → 0
+      (Seq[String](null), Seq[String](null)), // [null] → 1
+      (Seq("a", "b"), Seq("a", null)),      // ["a"] → 1
+      (Seq("a", null), Seq("a", null)))     // ["a", null] → 2
+    val df = cases.toDF("a", "b")
+    val both = df.select(
+      call_function("sorted_intersect_size", $"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin"))
+    assert(both.filter($"native" =!= $"builtin").count() === 0,
+      both.collect().mkString(", "))
+  }
+
   test("factored cosine (hoisted norms) is bit-identical to CosineSim on embeddings") {
     val e = sf001.embeddings.limit(200)
       .select(col("vec_id"), col("embedding"),

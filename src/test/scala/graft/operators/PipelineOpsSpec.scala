@@ -50,6 +50,12 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the per-partition prefix-sum window:\n$plan")
   }
 
+  test("chunking stays far below the oracle's 999-chunk cap") {
+    val maxIdx = PipelineOps.chunkDocuments(sf001)
+      .agg(max($"chunk_idx")).head().getInt(0)
+    assert(maxIdx < 999, s"doc needs $maxIdx chunks — q63 oracle range(1,1000) too small")
+  }
+
   test("chunking reassembles each document exactly") {
     val t = sf001
     val rebuilt = PipelineOps.chunkDocuments(t)
