@@ -177,14 +177,15 @@ class MinHashRecallSpec extends graft.SparkSpec {
       s"banding missed ${(exact -- fast).size} true pairs — recall regressed")
   }
 
-  test("ml-lib MinHashLSH pairs keep high recall vs the true pair set on sf0.001") {
+  test("ml-lib MinHashLSH two-phase pairs emit exactly the true pair set on sf0.001") {
     val exact = exactPairs(sf001, maxDist = 0.4)
     val ml = Dedup.minhashPairs(sf001, maxDist = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & ml).size.toDouble / math.max(exact.size, 1)
-    info(f"ml recall=${recall}%.3f (${ml.size} of ${exact.size} true pairs)")
+    info(s"true pairs=${exact.size} ml pairs=${ml.size}")
     assert(ml.subsetOf(exact), "ml path emitted a pair outside the true set")
-    assert(recall >= 0.9, s"NumHashTables tuning dropped recall to $recall")
+    assert(ml === exact,
+      s"LSH candidate generation missed ${(exact -- ml).size} true pairs — " +
+        "NumHashTables/CandidateSlack tuning regressed recall")
   }
 }
 
