@@ -209,6 +209,51 @@ class StreamDedupSpec extends graft.SparkSpec {
   }
 }
 
+/** Streaming form of the training-data pipeline front half: the
+  * stateless quality gate composes with watermarked content dedup on
+  * an unbounded stream — same operators, same results as batch. */
+class StreamPipelineSpec extends graft.SparkSpec {
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("quality filter + content dedup on a stream keeps the batch-selected docs") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    def qualityGate(df: org.apache.spark.sql.DataFrame) = {
+      val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+      val q = least(nTok / 10.0, lit(1.0)) * 0.4 +
+        TextFunctions.typeTokenRatio(col("text")) * 0.3 +
+        TextFunctions.stopwordRatio(col("text")) * 0.3
+      df.filter(q >= 0.5)
+    }
+
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), 1L, "the quick brown fox jumps over a lazy dog in town"),
+      (ts("2024-01-01 00:02:00"), 2L, "spam spam spam"),  // low diversity+short → dropped
+      (ts("2024-01-01 00:03:00"), 3L, "the quick brown fox jumps over a lazy dog in town"), // dup of 1
+      (ts("2024-01-01 00:04:00"), 4L, "the data engine sorts and joins rows of a big table"))
+    val q = StreamDedup.dedupedByContent(qualityGate(docs), "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("streampipe").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val kept = spark.table("streampipe").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 4L))
+      // batch equivalent over the same rows selects the same documents
+      val batch = qualityGate(rows.toDF("ts", "doc_id", "text"))
+        .groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch === kept)
+    } finally q.stop()
+  }
+}
+
 /** File-source streaming: the events fixture parquet driven through
   * the same windowed aggregation as a stream, compared to batch. */
 class FileStreamSpec extends graft.SparkSpec {
