@@ -56,26 +56,27 @@ object PipelineOps {
   //
   // The global prefix sum is computed the DISTRIBUTED way — a naive
   // `Window.orderBy(id)` with no partitionBy funnels the whole corpus
-  // through ONE task and cannot scale. Instead: range-partition by id,
-  // run the prefix sum per partition in parallel, and add each
-  // partition's broadcast starting offset (per-partition totals are P
-  // rows — driver-trivial). The result is identical for any
-  // partitioning; only the parallelism changes.
+  // through ONE task and cannot scale. Instead: bucket ids into
+  // contiguous ranges by a DETERMINISTIC monotone function of the id
+  // (fixed-width slices of the observed [min, max] span — one narrow
+  // agg job to find it, no sampling, no spark_partition_id, so every
+  // plan branch computes identical buckets by construction), run the
+  // prefix sum per bucket in parallel, and add each bucket's broadcast
+  // starting offset (per-bucket totals are P rows — driver-trivial).
+  // The RESULT is identical for any bucketing — a skewed id space only
+  // degrades parallelism, never correctness.
   def packWindowsOver(
       df: DataFrame, idCol: Column, textCol: Column, windowTokens: Int): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 4)
-    // localCheckpoint PINS the pid assignment: `sized` feeds both the
-    // offsets aggregation and the main branch, and without
-    // materialization each branch would re-execute its own range
-    // exchange — whose sampled boundaries (and thus pids) are only
-    // guaranteed identical when the planner happens to reuse the
-    // exchange. Materializing once makes the prefix sum correct by
-    // construction, not by plan-cache luck.
-    val sized = df
-      .select(idCol.as("doc_id"), tokenCount(textCol).as("n_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+    val sized0 = df.select(idCol.as("doc_id"), tokenCount(textCol).as("n_tokens"))
+    val bounds = sized0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    // integer DIV keeps the bucketing exact for the full long range
+    val bucketWidth = math.max((mx - mn) / parts + 1, 1L)
+    val sized = sized0.withColumn("pid",
+      expr(s"CAST((doc_id - $mn) DIV $bucketWidth AS INT)"))
     // P subtotal rows: the single-partition window here is over P rows,
     // not the corpus
     val offW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
