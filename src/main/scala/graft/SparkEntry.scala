@@ -108,6 +108,7 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
     "q72_portable_pairs"     -> ((s, d) => Dedup.simhashPolyPairs(Tables(s, d))),
+    "q73_cross_dedup"        -> ((s, d) => Dedup.crossDedup(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -648,6 +649,29 @@ object SparkEntry {
          | CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INTEGER) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3""".stripMargin,
+    // q73: cross-dataset dedup — every LSH candidate is verified with
+    // the exact shingle jaccard, so survivors are exactly the corpus
+    // docs with NO exact-fingerprint match and NO reference doc at
+    // jaccard >= 0.6 (the brute-force formulation below).
+    "q73_cross_dedup" ->
+      """WITH ref AS (
+        | SELECT md5(text) AS fp,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        | FROM documents WHERE source = 'src0'),
+        |c AS (
+        | SELECT doc_id, source, md5(text) AS fp,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh,
+        |  len(string_split(text,' ')) AS n_tok
+        | FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, source FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = c.fp)
+        | AND NOT (c.n_tok >= 3 AND EXISTS (
+        |  SELECT 1 FROM ref
+        |  WHERE len(ref.sh) > 0 AND
+        |   CAST(len(list_intersect(c.sh, ref.sh)) AS DOUBLE)
+        |    / (len(c.sh) + len(ref.sh) - CAST(len(list_intersect(c.sh, ref.sh)) AS DOUBLE)) >= 0.6))""".stripMargin,
     "q29_knn_bruteforce" ->
       s"""SELECT q_id, vec_id, cos_sim, rank FROM (
          | SELECT q_id, vec_id, cos_sim,

@@ -190,6 +190,22 @@ object Graft {
       gapSeconds: Long = 1800L): DataFrame =
     graft.operators.PipelineOps.sessionizeOver(df, userCol, idCol, tsCol, gapSeconds)
 
+  /** Cross-dataset dedup: drop every corpus document that exactly or
+    * nearly duplicates a document in `reference` — the guard against
+    * re-ingesting content already in a training set. LSH-banded,
+    * exact-verified; returns surviving corpus rows. */
+  def dedupAgainst(corpus: DataFrame, idCol: Column, textCol: Column,
+      reference: DataFrame, refTextCol: Column,
+      maxDist: Double = 0.4): DataFrame =
+    graft.operators.Dedup.dedupAgainstOver(
+      corpus, idCol, textCol, reference, refTextCol, maxDist)
+
+  /** N-step funnel per user over arbitrary step sequences — emits the
+    * first time of each step strictly after the previous one. */
+  def funnel(df: DataFrame, userCol: Column, typeCol: Column, tsCol: Column,
+      steps: Seq[String]): DataFrame =
+    graft.operators.EventOps.funnelOver(df, userCol, typeCol, tsCol, steps)
+
   /** Per-document n-gram overlap against a benchmark corpus — the
     * decontamination check run against eval suites before training. */
   def contamination(corpus: DataFrame, idCol: Column, corpusText: Column,

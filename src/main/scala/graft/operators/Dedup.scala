@@ -174,6 +174,76 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Cross-dataset dedup: remove from `corpus` every document that is
+    * an exact OR near duplicate of ANY document in `reference` — the
+    * stage that stops a new crawl from re-ingesting content already in
+    * the training set. Exact matches drop via an anti-join on 128-bit
+    * fingerprints; near matches via MinHash band keys joined ACROSS
+    * the two sides (linear shuffle: `bands` narrow rows per doc on
+    * each side, never a corpus×reference product), with every
+    * candidate verified against the exact shingle jaccard before it
+    * can evict a document. Returns the surviving corpus rows with
+    * their original columns. */
+  def dedupAgainstOver(
+      corpus: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column,
+      reference: DataFrame, refTextCol: org.apache.spark.sql.Column,
+      maxDist: Double = 0.4, bands: Int = 8, rowsPerBand: Int = 2,
+      shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.md5
+    // 1. exact: content fingerprints, not text, cross the shuffle
+    val refFp = reference.select(md5(refTextCol).as("__fp")).distinct()
+    val exactClean = corpus.withColumn("__fp", md5(textCol))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // 2. near: one-pass minhash band keys on both sides
+    def prepared(df: DataFrame, id: org.apache.spark.sql.Column,
+        txt: org.apache.spark.sql.Column) =
+      df.select(id.as("__id"), array_sort(shingles(txt, shingleK)).as("__sh"))
+        .filter(size(col("__sh")) > 0)
+    def bandKeys(docs: DataFrame): DataFrame = {
+      val sigs = call_function("minhash_sigs", col("__sh"), lit(bands * rowsPerBand))
+      val keys = array((0 until bands).map { b =>
+        val parts = (0 until rowsPerBand).map(r =>
+          element_at(col("__sigs"), b * rowsPerBand + r + 1))
+        struct(lit(b).as("band"), xxhash64(parts: _*).as("key"))
+      }: _*)
+      docs.withColumn("__sigs", sigs)
+        .select(col("__id"), col("__sh"), explode(keys).as("__bk"))
+    }
+    val corpusDocs = prepared(exactClean, idCol, textCol)
+    // reference ids are CONTENT-derived (xxhash64 of the text), not
+    // monotonically_increasing_id: this frame is consumed twice (band
+    // keys + candidate fetch) and positional ids could differ between
+    // the two executions
+    val refDocs = prepared(reference, xxhash64(refTextCol), refTextCol)
+    // band join carries ONLY (key, id); shingle sets are fetched for
+    // surviving candidate pairs (same shape as minhashPairsOver)
+    val pairIds = bandKeys(corpusDocs).select(col("__id"), col("__bk"))
+      .join(bandKeys(refDocs).select(col("__id").as("__rid"), col("__bk")), Seq("__bk"))
+      .select(col("__id"), col("__rid")).distinct()
+    val evicted = pairIds
+      .join(corpusDocs.select(col("__id"), col("__sh")), Seq("__id"))
+      .join(refDocs.select(col("__id").as("__rid"), col("__sh").as("__ref_sh")), Seq("__rid"))
+      // compare on the SIMILARITY side (j >= 1-maxDist) so the oracle's
+      // `jaccard >= t` is the literally identical IEEE comparison
+      .filter(graft.functions.TextFunctions.jaccardSorted(
+        col("__sh"), col("__ref_sh")) >= lit(1.0 - maxDist))
+      .select(col("__id")).distinct()
+    exactClean.join(evicted, idCol === col("__id"), "left_anti")
+  }
+
+  /** Fixture-bound cross-dedup (q73): documents from every other
+    * source deduped against the `src0` reference set. */
+  def crossDedup(t: Tables, refSource: String = "src0"): DataFrame = {
+    import t.spark.implicits._
+    dedupAgainstOver(
+      t.documents.filter($"source" =!= refSource), $"doc_id", $"text",
+      t.documents.filter($"source" === refSource), $"text")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Distributed connected components by iterative min-label
     * propagation (the dataframe formulation of Pregel-style CC):
     * every node starts as its own label; each round, a node adopts the

@@ -13,32 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** q69: three-step funnel per user — first signup, first click
-    * AFTER that signup, first purchase AFTER that click. Three narrow
-    * conditional aggregations joined on user_id (each shuffles one
-    * long per user); -1 marks an uncompleted step, `steps` counts the
-    * completed prefix. */
+  /** N-step funnel per user over ARBITRARY step sequences: for each
+    * step, the first event of that type strictly AFTER the previous
+    * step's time. One narrow conditional aggregation per step joined
+    * on the user key (each shuffles a handful of longs per user);
+    * null marks an uncompleted step. Emits `<step>_us` per step. */
+  def funnelOver(
+      df: DataFrame, userCol: org.apache.spark.sql.Column,
+      typeCol: org.apache.spark.sql.Column, tsCol: org.apache.spark.sql.Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val ev = df.select(userCol.as("user_id"), typeCol.as("__type"),
+      unix_micros(tsCol).as("__us"))
+    val init = ev.select(col("user_id")).distinct()
+    steps.foldLeft((init, Option.empty[String])) { case ((acc, prev), step) =>
+      val c = s"${step}_us"
+      val cond = prev match {
+        case None    => col("__type") === step
+        case Some(p) => col("__type") === step && col("__us") > col(p)
+      }
+      val carried = acc.columns.filter(_ != "user_id")
+        .map(n => min(col(n)).as(n)) // constant per user, carried through
+      val agg = ev.join(acc, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(cond, col("__us"))).as(c), carried.toSeq: _*)
+      (agg, Some(c))
+    }._1
+  }
+
+  /** q69: the signup → click → purchase fixture funnel; -1 marks an
+    * uncompleted step, `steps` counts the completed prefix. */
   def funnel(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val ev = t.events.select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
-    val signup = ev.groupBy($"user_id")
-      .agg(min(when($"event_type" === "signup", $"ts_us")).as("signup_us"))
-    val click = ev.join(signup, "user_id")
-      .groupBy($"user_id")
-      .agg(min(when($"event_type" === "click" && $"ts_us" > $"signup_us", $"ts_us"))
-        .as("click_us"), min($"signup_us").as("signup_us"))
-    val purchase = ev.join(click, "user_id")
-      .groupBy($"user_id")
-      .agg(min(when($"event_type" === "purchase" && $"ts_us" > $"click_us", $"ts_us"))
-        .as("purchase_us"),
-        min($"signup_us").as("signup_us"), min($"click_us").as("click_us"))
-    purchase.select($"user_id",
-      coalesce($"signup_us", lit(-1L)).as("signup_us"),
-      coalesce($"click_us", lit(-1L)).as("click_us"),
-      coalesce($"purchase_us", lit(-1L)).as("purchase_us"),
-      (when($"signup_us".isNotNull, 1).otherwise(0) +
-        when($"click_us".isNotNull, 1).otherwise(0) +
-        when($"purchase_us".isNotNull, 1).otherwise(0)).as("steps"))
+    val stepNames = Seq("signup", "click", "purchase")
+    val f = funnelOver(t.events, $"user_id", $"event_type", $"ts", stepNames)
+    f.select(
+      (col("user_id") +:
+        stepNames.map(s => coalesce(col(s"${s}_us"), lit(-1L)).as(s"${s}_us"))) :+
+        stepNames.map(s => when(col(s"${s}_us").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).as("steps"): _*)
       .orderBy($"user_id")
   }
 

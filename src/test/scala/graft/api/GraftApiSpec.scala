@@ -22,6 +22,47 @@ class GraftApiSpec extends SparkSpec {
     assert(sh === 5)
   }
 
+  test("dedupAgainst drops exact and near duplicates of the reference set only") {
+    Graft.install(spark)
+    val reference = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight").toDF("text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),      // exact dup
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),       // near dup (7/9 shingle overlap region)
+      (3L, "completely different words about sparks and rivers flowing")
+    ).toDF("id", "text")
+    val kept = Graft.dedupAgainst(corpus, $"id", $"text", reference, $"text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "exact duplicate survived")
+    assert(kept.contains(3L), "unrelated document was evicted")
+    // doc 2 shares 5 of its 6 3-shingles' prefix region — verify the
+    // decision against the exact jaccard rather than hardcoding it
+    val j = {
+      val sh = (s: String) => s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val a = sh("alpha beta gamma delta epsilon zeta eta iota")
+      val b = sh("alpha beta gamma delta epsilon zeta eta theta")
+      (a & b).size.toDouble / (a | b).size
+    }
+    assert(kept.contains(2L) === (j < 0.6), s"near-dup decision mismatch (j=$j)")
+  }
+
+  test("funnel generalizes to arbitrary step sequences") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val ev = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(10)), (1L, "c", ts(20)), (1L, "d", ts(30)),
+      (2L, "a", ts(0)), (2L, "c", ts(10)), (2L, "b", ts(20))  // c before b → stops at b
+    ).toDF("u", "t", "ts")
+    val f = Graft.funnel(ev, $"u", $"t", $"ts", Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("a_us"))), Option(r.get(r.fieldIndex("b_us"))),
+          Option(r.get(r.fieldIndex("c_us"))), Option(r.get(r.fieldIndex("d_us"))))).toMap
+    assert(f(1L)._1.nonEmpty && f(1L)._2.nonEmpty && f(1L)._3.nonEmpty && f(1L)._4.nonEmpty)
+    assert(f(2L)._1.nonEmpty && f(2L)._2.nonEmpty)
+    assert(f(2L)._3.isEmpty && f(2L)._4.isEmpty, "step c before b must not count")
+  }
+
   test("dedupExact keeps exactly one row per key, the one with min id") {
     Graft.install(spark)
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"))
