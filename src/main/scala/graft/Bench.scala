@@ -23,24 +23,20 @@ import scala.concurrent.duration._
   */
 object Bench {
 
-  /** Pool config path, independent of cwd: use the repo copy when
-    * present, otherwise materialize the embedded XML to a temp file —
-    * a silently-missing allocation file would demote the weighted
-    * "heavy" pool to defaults with no error. */
+  /** Pool config materialized from THIS embedded definition (single
+    * source of truth, independent of cwd) — a silently-missing
+    * allocation file would demote the weighted "heavy" pool to
+    * defaults with no error. */
   private def allocationFile: String = {
-    val repoCopy = new java.io.File("conf/fairscheduler.xml")
-    if (repoCopy.isFile) repoCopy.getAbsolutePath
-    else {
-      val f = java.io.File.createTempFile("graft-fairscheduler", ".xml")
-      f.deleteOnExit()
-      java.nio.file.Files.writeString(f.toPath,
-        """<?xml version="1.0"?>
-          |<allocations>
-          |  <pool name="heavy"><schedulingMode>FAIR</schedulingMode><weight>4</weight><minShare>8</minShare></pool>
-          |  <pool name="default"><schedulingMode>FAIR</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
-          |</allocations>""".stripMargin)
-      f.getAbsolutePath
-    }
+    val f = java.io.File.createTempFile("graft-fairscheduler", ".xml")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="heavy"><schedulingMode>FAIR</schedulingMode><weight>4</weight><minShare>8</minShare></pool>
+        |  <pool name="default"><schedulingMode>FAIR</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
+        |</allocations>""".stripMargin)
+    f.getAbsolutePath
   }
 
   def main(args: Array[String]): Unit = {

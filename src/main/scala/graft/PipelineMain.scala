@@ -44,13 +44,8 @@ object PipelineMain {
     val total = raw.count()
 
     // 1. quality filter: keep documents above a light quality bar
-    val quality = {
-      val nTok = TextFunctions.tokenCount($"text").cast("double")
-      val q = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        TextFunctions.typeTokenRatio($"text") * 0.3 +
-        TextFunctions.stopwordRatio($"text") * 0.3
-      raw.filter(q >= 0.3)
-    }
+    // (the same blend q25 oracle-checks — one definition)
+    val quality = raw.filter(TextFunctions.qualityScore($"text") >= 0.3)
     val nQuality = quality.count()
 
     // 2. exact + near-dup dedup (keep one doc per duplicate cluster)

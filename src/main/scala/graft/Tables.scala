@@ -73,34 +73,41 @@ object Tables {
     BigTables.foreach(parallelLayout(spark, dir, _))
 
   /** Path of the multi-file copy of `dir/name.parquet`, building it on
-    * first access. Safe across threads (lock) and processes (write to
-    * a pid-suffixed temp dir, atomic rename, lose-the-race cleanup). */
+    * first access. Thread-safe (JVM lock) AND process-safe: builders
+    * serialize on an OS file lock, so exactly one process ever writes
+    * or clears a given dest — a completed (_SUCCESS-marked) copy can
+    * never be deleted out from under a concurrent reader, and debris
+    * from a crashed writer is cleared only while holding the lock. */
   def parallelLayout(spark: SparkSession, dir: String, name: String): String = {
     val dest = new java.io.File(
       "target/tblcache/" + dir.replace('/', '_') + "/" + name)
-    if (!new java.io.File(dest, "_SUCCESS").exists()) buildLock.synchronized {
-      if (!new java.io.File(dest, "_SUCCESS").exists()) {
-        // events: TIMESTAMP(NANOS) → read as raw long nanos so the
-        // rewrite is lossless; the accessor converts after read
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        val tmp = new java.io.File(
-          dest.getPath + ".tmp-" + ProcessHandle.current().pid())
-        raw.repartition(CacheFiles).write.mode("overwrite").parquet(tmp.getPath)
+    def done = new java.io.File(dest, "_SUCCESS").exists()
+    if (!done) buildLock.synchronized {
+      if (!done) {
         dest.getParentFile.mkdirs()
-        if (new java.io.File(dest, "_SUCCESS").exists()) {
-          // another process completed dest while we were writing —
-          // use theirs, drop ours
-          deleteRec(tmp)
-        } else {
-          // a dest WITHOUT _SUCCESS is debris from a crashed writer —
-          // clear it so the rename can land (re-checked just above to
-          // avoid deleting a concurrently-completed copy)
-          if (dest.exists()) deleteRec(dest)
-          if (!tmp.renameTo(dest)) {
-            if (new java.io.File(dest, "_SUCCESS").exists()) deleteRec(tmp)
-            else return tmp.getPath
+        val ch = java.nio.channels.FileChannel.open(
+          new java.io.File(dest.getPath + ".lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock() // blocks until exclusive across processes
+        try {
+          if (!done) {
+            // events: TIMESTAMP(NANOS) → read as raw long nanos so the
+            // rewrite is lossless; the accessor converts after read
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            val raw = spark.read.parquet(s"$dir/$name.parquet")
+            val tmp = new java.io.File(
+              dest.getPath + ".tmp-" + ProcessHandle.current().pid())
+            raw.repartition(CacheFiles).write.mode("overwrite").parquet(tmp.getPath)
+            // lock held: anything at dest is crashed-writer debris
+            if (dest.exists()) deleteRec(dest)
+            if (!tmp.renameTo(dest))
+              throw new java.io.IOException(
+                s"could not publish table layout cache ${dest.getPath}")
           }
+        } finally {
+          lock.release()
+          ch.close()
         }
       }
     }

@@ -28,7 +28,17 @@ case class JaccardAtLeast(first: Expression, second: Expression, third: Expressi
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _), DoubleType)
           if third.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // t must be strictly positive — enforced HERE (not just in the
+        // Scala API) so the SQL registration path cannot construct the
+        // one case (empty arrays, t <= 0) where the optimizer
+        // expansion and the direct evaluation would disagree
+        third.eval() match {
+          case t: java.lang.Double if t > 0 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case t =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires a threshold in (0, 1], got $t")
+        }
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires (array<string>, array<string>, foldable double)")

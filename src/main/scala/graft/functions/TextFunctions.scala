@@ -31,6 +31,15 @@ object TextFunctions {
     size(filter(tokens(text), w => w.isin(Stopwords.map(x => x: Any): _*)))
       .cast("double") / tokenCount(text)
 
+  /** The quality blend (length saturation 0.4, lexical diversity 0.3,
+    * stopword balance 0.3) — THE definition; q25's oracle, the
+    * pipeline main, and specs all reference this one expression so the
+    * constants cannot drift apart. `satTokens` is the token count at
+    * which the length term saturates. */
+  def qualityScore(text: Column, satTokens: Int = 100): Column =
+    least(tokenCount(text).cast("double") / satTokens.toDouble, lit(1.0)) * 0.4 +
+      typeTokenRatio(text) * 0.3 + stopwordRatio(text) * 0.3
+
   /** Heuristic language ID: score each candidate language by the
     * fraction of its marker words present in the text, take the
     * argmax (ties → lexicographically first language). Marker

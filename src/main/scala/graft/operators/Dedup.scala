@@ -197,10 +197,14 @@ object Dedup {
       .join(refFp, Seq("__fp"), "left_anti")
       .drop("__fp")
     // 2. near: one-pass minhash band keys on both sides
+    // localCheckpoint: each side is consumed twice (band keys +
+    // candidate fetch) — materialize the shingling once, same trade as
+    // minhashPairsOver; blocks are context-cleaned when the plan drops
     def prepared(df: DataFrame, id: org.apache.spark.sql.Column,
         txt: org.apache.spark.sql.Column) =
       df.select(id.as("__id"), array_sort(shingles(txt, shingleK)).as("__sh"))
         .filter(size(col("__sh")) > 0)
+        .localCheckpoint(true)
     def bandKeys(docs: DataFrame): DataFrame = {
       val sigs = call_function("minhash_sigs", col("__sh"), lit(bands * rowsPerBand))
       val keys = array((0 until bands).map { b =>

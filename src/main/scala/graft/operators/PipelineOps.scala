@@ -68,15 +68,22 @@ object PipelineOps {
   def packWindowsOver(
       df: DataFrame, idCol: Column, textCol: Column, windowTokens: Int): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 4)
-    val sized0 = df.select(idCol.as("doc_id"), tokenCount(textCol).as("n_tokens"))
-    val bounds = sized0.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    val (mn, mx) =
-      if (bounds.isNullAt(0)) (0L, 0L)
-      else (bounds.getLong(0), bounds.getLong(1))
-    // integer DIV keeps the bucketing exact for the full long range
-    val bucketWidth = math.max((mx - mn) / parts + 1, 1L)
-    val sized = sized0.withColumn("pid",
-      expr(s"CAST((doc_id - $mn) DIV $bucketWidth AS INT)"))
+    // ids must define a numeric global order for the concat stream;
+    // integral types cast losslessly (the facade contract — string ids
+    // would need an explicit ordinal first)
+    val sized0 = df.select(idCol.cast("long").as("doc_id"),
+      tokenCount(textCol).as("n_tokens"))
+    // bounds as a broadcast one-row join keeps the whole plan LAZY
+    // (no job at construction) and always consistent with the data
+    // actually scanned; integer DIV keeps the bucketing exact for the
+    // full long range
+    val bounds = sized0.agg(
+      min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+    val sized = sized0
+      .crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        expr(s"CAST((doc_id - __mn) DIV (((__mx - __mn) DIV $parts) + 1) AS INT)"))
+      .drop("__mn", "__mx")
     // P subtotal rows: the single-partition window here is over P rows,
     // not the corpus
     val offW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)

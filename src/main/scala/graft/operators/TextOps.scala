@@ -65,10 +65,7 @@ object TextOps {
   // across engines.
   def qualityScores(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val nTok = tokenCount($"text").cast("double")
-    val lengthScore = least(nTok / 100.0, lit(1.0))
-    val q = lengthScore * 0.4 + typeTokenRatio($"text") * 0.3 +
-      stopwordRatio($"text") * 0.3
+    val q = qualityScore($"text")
     t.documents
       .select($"doc_id", $"lang",
         tokenCount($"text").as("n_tokens"),

@@ -11,13 +11,8 @@ class PipelineMainSpec extends SparkSpec {
     // run the same composition the main performs
     val t = sf001
     val raw = t.documents
-    val quality = {
-      val nTok = graft.functions.TextFunctions.tokenCount($"text").cast("double")
-      val q = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        graft.functions.TextFunctions.typeTokenRatio($"text") * 0.3 +
-        graft.functions.TextFunctions.stopwordRatio($"text") * 0.3
-      raw.filter(q >= 0.3)
-    }
+    val quality = raw.filter(
+      graft.functions.TextFunctions.qualityScore($"text") >= 0.3)
     val deduped = graft.api.Graft.dedupCorpus(quality, $"doc_id", $"text")
     // kept set has no exact duplicates at all
     assert(deduped.count() === deduped.select("text").distinct().count())

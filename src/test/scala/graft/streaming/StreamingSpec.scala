@@ -224,13 +224,8 @@ class StreamPipelineSpec extends graft.SparkSpec {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, String)]
     val docs = input.toDF().toDF("ts", "doc_id", "text")
 
-    def qualityGate(df: org.apache.spark.sql.DataFrame) = {
-      val nTok = TextFunctions.tokenCount(col("text")).cast("double")
-      val q = least(nTok / 10.0, lit(1.0)) * 0.4 +
-        TextFunctions.typeTokenRatio(col("text")) * 0.3 +
-        TextFunctions.stopwordRatio(col("text")) * 0.3
-      df.filter(q >= 0.5)
-    }
+    def qualityGate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(TextFunctions.qualityScore(col("text"), satTokens = 10) >= 0.5)
 
     val rows = Seq(
       (ts("2024-01-01 00:01:00"), 1L, "the quick brown fox jumps over a lazy dog in town"),

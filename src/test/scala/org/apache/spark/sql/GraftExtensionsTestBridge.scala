@@ -23,4 +23,10 @@ object GraftExtensionsTestBridge {
   def buildExpression(
       ext: SparkSessionExtensions, name: String, args: Seq[Expression]): Expression =
     freshRegistry(ext).lookupFunction(FunctionIdentifier(name), args)
+
+  /** The optimizer rules the extensions would inject into a session —
+    * verifies `injectOptimizerRule` registrations actually happened. */
+  def injectedOptimizerRules(
+      ext: SparkSessionExtensions, spark: SparkSession): Seq[AnyRef] =
+    ext.buildOptimizerRules(spark)
 }
