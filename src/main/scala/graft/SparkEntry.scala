@@ -109,6 +109,14 @@ object SparkEntry {
     }),
     "q72_portable_pairs"     -> ((s, d) => Dedup.simhashPolyPairs(Tables(s, d))),
     "q73_cross_dedup"        -> ((s, d) => Dedup.crossDedup(Tables(s, d))),
+    // corpus scrubbing + curation (ScrubOps; fixture text is
+    // deterministically augmented inside the query so the masking /
+    // stripping has real matches — the oracle rebuilds the same bytes)
+    "q74_pii_redact"         -> ((s, d) => graft.operators.ScrubOps.redactPii(Tables(s, d))),
+    "q75_strat_sample"       -> ((s, d) => graft.operators.ScrubOps.stratifiedSample(Tables(s, d))),
+    "q76_url_domains"        -> ((s, d) => graft.operators.ScrubOps.urlDomains(Tables(s, d))),
+    "q77_markup_strip"       -> ((s, d) => graft.operators.ScrubOps.stripMarkup(Tables(s, d))),
+    "q78_interval_join"      -> ((s, d) => graft.operators.EventOps.purchaseWindowEvents(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -680,5 +688,60 @@ object SparkEntry {
          | SELECT q_id, vec_id, cos_sim,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
          | FROM ($cosPairsSql) p) r WHERE rank <= 10""".stripMargin,
+    // ScrubOps: the oracle rebuilds the identical augmented bytes,
+    // then applies the identical RE2⊂Java regex chain (DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark implies;
+    // backreference spelling differs: Spark `$1` ↔ RE2 `\1`).
+    "q74_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |  || CASE WHEN doc_id % 3 <> 0 THEN ' or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1' ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        | CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM aug""".stripMargin,
+    "q75_strat_sample" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 30""".stripMargin,
+    "q76_url_domains" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' see https://docs-' || source || '.example.org/p/' || CAST(doc_id % 50 AS VARCHAR)
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' and http://cdn.example.net/a?id=' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM aug)
+        |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY domain""".stripMargin,
+    "q77_markup_strip" ->
+      """WITH aug AS (SELECT doc_id,
+        |  '<h1>' || source || '</h1> **' || text || '** [more](https://ex.org/' || CAST(doc_id AS VARCHAR) || ') <br/>' AS t
+        | FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |    '\*\*', '', 'g'),
+        |    '<[^>]+>', '', 'g') AS clean_text
+        | FROM aug)
+        |SELECT doc_id, clean_text,
+        | CAST(len(t) - len(clean_text) AS INTEGER) AS removed_chars
+        |FROM c""".stripMargin,
+    "q78_interval_join" ->
+      """SELECT w.event_id AS win_id, e.event_id AS pt_id, w.user_id,
+        | (epoch_us(e.ts) - epoch_us(w.ts)) AS delta_us
+        |FROM events w JOIN events e ON w.user_id = e.user_id
+        | AND epoch_us(e.ts) >= epoch_us(w.ts)
+        | AND epoch_us(e.ts) < epoch_us(w.ts) + 1800000000
+        |WHERE w.event_type = 'purchase' AND e.event_id <> w.event_id""".stripMargin,
   )
 }

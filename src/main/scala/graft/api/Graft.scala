@@ -234,4 +234,30 @@ object Graft {
       .filter(col("_rank") <= k)
       .withColumnRenamed("_rank", "rank")
   }
+
+  /** Mask emails / NANP phones / IPv4 literals; per-class counts. */
+  def redactPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.ScrubOps.redactPiiOver(df, idCol, textCol)
+
+  /** Strip HTML tags + markdown emphasis/links (anchors kept). */
+  def stripMarkup(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.ScrubOps.stripMarkupOver(df, idCol, textCol)
+
+  /** Per-domain (url count, distinct doc count) profile. */
+  def urlDomains(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.ScrubOps.urlDomainsOver(df, idCol, textCol)
+
+  /** Deterministic fixed-n-per-stratum sample (exact two-phase top-k). */
+  def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
+      n: Int, saltParts: Int = 16): DataFrame =
+    graft.operators.ScrubOps.stratifiedSampleOver(df, strataCol, idCol, n, saltParts)
+
+  /** Interval-containment join via fixed-width bucket equi-join. */
+  def intervalJoin(windows: DataFrame, winIdCol: Column, winKeyCol: Column,
+      startUsCol: Column, endUsCol: Column,
+      points: DataFrame, ptIdCol: Column, ptKeyCol: Column, ptUsCol: Column,
+      bucketUs: Long): DataFrame =
+    graft.operators.EventOps.intervalJoinOver(
+      windows, winIdCol, winKeyCol, startUsCol, endUsCol,
+      points, ptIdCol, ptKeyCol, ptUsCol, bucketUs)
 }

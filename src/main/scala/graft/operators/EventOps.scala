@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond windows/as-of: funnel completion and
@@ -54,6 +54,62 @@ object EventOps {
         stepNames.map(s => when(col(s"${s}_us").isNotNull, 1).otherwise(0))
           .reduce(_ + _).as("steps"): _*)
       .orderBy($"user_id")
+  }
+
+  /** Batch interval-containment join: each window row [start_us,
+    * end_us) collects the points with the same key falling inside it.
+    *
+    * The Spark-first scale path for a non-equi join: a naive
+    * `w.join(p, range-cond)` has no equi key beyond `key` and degrades
+    * to a per-key cross product (and with a hot key, to a straggler
+    * task). Instead both sides are mapped onto fixed-width time
+    * buckets — windows EXPLODE to every bucket they overlap (≤
+    * ceil(len/width)+1 rows, small when width ≈ window length), points
+    * to exactly one — and the join becomes an equi-join on
+    * (key, bucket) followed by the exact range filter. Each (window,
+    * point) pair meets in EXACTLY ONE bucket (the point's), so no
+    * dedup pass is needed; shuffle volume is linear in rows, and AQE
+    * can split a residual hot (key, bucket). */
+  def intervalJoinOver(
+      windows: DataFrame, winIdCol: Column, winKeyCol: Column,
+      startUsCol: Column, endUsCol: Column,
+      points: DataFrame, ptIdCol: Column, ptKeyCol: Column, ptUsCol: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    // exact floor division in integer arithmetic (pmod is always
+    // non-negative, so this floors — not truncates — for pre-epoch
+    // timestamps too; no double quotient to misbin an edge)
+    def fdiv(c: Column): Column = ((c - pmod(c, lit(bucketUs))) / bucketUs).cast("long")
+    val w = windows
+      .select(winIdCol.as("win_id"), winKeyCol.as("key"),
+        startUsCol.as("start_us"), endUsCol.as("end_us"))
+      .filter(col("end_us") > col("start_us")) // empty interval ⇒ no bucket list
+      .withColumn("bucket", explode(sequence(
+        fdiv(col("start_us")), fdiv(col("end_us") - 1))))
+    val p = points.select(ptIdCol.as("pt_id"), ptKeyCol.as("key"), ptUsCol.as("pt_us"))
+      .withColumn("bucket", fdiv(col("pt_us")))
+    w.join(p, Seq("key", "bucket"))
+      .filter(col("pt_us") >= col("start_us") && col("pt_us") < col("end_us"))
+      .select(col("win_id"), col("pt_id"), col("key"),
+        (col("pt_us") - col("start_us")).as("delta_us"))
+  }
+
+  /** q78: the 30 minutes after each purchase — which same-user events
+    * land inside (the purchase itself excluded)? Bucket width = the
+    * window length, so every window explodes to exactly 1–2 rows. */
+  def purchaseWindowEvents(t: Tables, horizonSeconds: Long = 1800L): DataFrame = {
+    import t.spark.implicits._
+    val us = horizonSeconds * 1000000L
+    val wins = t.events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("start_us"))
+      .withColumn("end_us", $"start_us" + us)
+    val pts = t.events.select($"event_id", $"user_id", unix_micros($"ts").as("pt_us"))
+    intervalJoinOver(
+      wins, $"event_id", $"user_id", $"start_us", $"end_us",
+      pts, $"event_id", $"user_id", $"pt_us", bucketUs = us)
+      .filter($"win_id" =!= $"pt_id")
+      .select($"win_id", $"pt_id", $"key".as("user_id"), $"delta_us")
+      .orderBy($"win_id", $"pt_id")
   }
 
   /** q70: exponentially-weighted moving average of `value` per user
