@@ -117,6 +117,21 @@ object SparkEntry {
     "q76_url_domains"        -> ((s, d) => graft.operators.ScrubOps.urlDomains(Tables(s, d))),
     "q77_markup_strip"       -> ((s, d) => graft.operators.ScrubOps.stripMarkup(Tables(s, d))),
     "q78_interval_join"      -> ((s, d) => graft.operators.EventOps.purchaseWindowEvents(Tables(s, d))),
+    // corpus statistics + multi-dim layout
+    "q79_unigram_nll"        -> ((s, d) => TextOps.unigramNll(Tables(s, d))),
+    "q80_pmi_collocations"   -> ((s, d) => TextOps.pmiCollocations(Tables(s, d))),
+    "q81_zorder"             -> ((s, d) => {
+      val t = Tables(s, d)
+      import s.implicits._
+      t.lineitem.filter($"l_partkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          graft.operators.Bucketing.zvalue($"l_partkey", $"l_suppkey", 16).as("zval"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    // relational surface completion: full-outer, unpivot, edit-distance
+    "q82_full_outer"         -> ((s, d) => Relational.fullOuterBalances(Tables(s, d))),
+    "q83_unpivot"            -> ((s, d) => Relational.regionMetricsLong(Tables(s, d))),
+    "q84_fuzzy_match"        -> ((s, d) => Relational.fuzzyPartNames(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -743,5 +758,68 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(w.ts)
         | AND epoch_us(e.ts) < epoch_us(w.ts) + 1800000000
         |WHERE w.event_type = 'purchase' AND e.event_id <> w.event_id""".stripMargin,
+    // p(w) = c(w)/T is one double division of exact integers; ln is
+    // libm on both engines (math_ln ↔ DuckDB ln); the per-doc sum
+    // folds tf·(-ln p) in word order on both sides.
+    "q79_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |cw AS (SELECT word, SUM(tf) AS cw FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(cw) AS t FROM cw),
+        |terms AS (SELECT doc_id, word, tf,
+        |  CAST(tf AS DOUBLE) * -ln(CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)) AS term
+        | FROM tf JOIN cw USING (word) CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        | list_reduce(list_prepend(0.0, list(term ORDER BY word)), (a, b) -> a + b)
+        |   / CAST(SUM(tf) AS BIGINT) AS avg_nll
+        |FROM terms GROUP BY doc_id""".stripMargin,
+    "q80_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM toks WHERE len(tk) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bi GROUP BY 1 HAVING COUNT(*) >= 5),
+        |uni AS (SELECT unnest(tk) AS word FROM toks),
+        |uc AS (SELECT word, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        |tot AS (SELECT SUM(CASE WHEN len(tk) >= 1 THEN len(tk) - 1 ELSE 0 END) AS n FROM toks),
+        |p AS (SELECT bigram, c_ab,
+        |  ln((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |     (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))) AS pmi
+        | FROM bc CROSS JOIN tot
+        |  JOIN uc a ON a.word = string_split(bigram, ' ')[1]
+        |  JOIN uc b ON b.word = string_split(bigram, ' ')[2])
+        |SELECT bigram, c_ab, pmi,
+        | CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INTEGER) AS rank
+        |FROM p ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+    "q81_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | list_reduce(list_transform(range(0, 16), i ->
+        |   (((l_partkey >> i) & 1) << (2*i)) | (((l_suppkey >> i) & 1) << (2*i+1))),
+        |  (a, b) -> a | b) AS zval
+        |FROM lineitem WHERE l_partkey % 50 = 0""".stripMargin,
+    "q82_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS neg_customers
+        |  FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+        |s AS (SELECT s_nationkey, COUNT(*) AS neg_suppliers
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        | neg_customers, neg_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+    "q83_unpivot" ->
+      """WITH wide AS (
+        | SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations,
+        |  COUNT(c_custkey) AS n_customers,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        | FROM region JOIN nation ON r_regionkey = n_regionkey
+        |  LEFT JOIN customer ON n_nationkey = c_nationkey
+        | GROUP BY r_name)
+        |SELECT r_name, 'n_nations' AS metric, n_nations AS value FROM wide
+        |UNION ALL SELECT r_name, 'n_customers', n_customers FROM wide
+        |UNION ALL SELECT r_name, 'n_segments', n_segments FROM wide""".stripMargin,
+    "q84_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
   )
 }

@@ -252,6 +252,24 @@ object Graft {
       n: Int, saltParts: Int = 16): DataFrame =
     graft.operators.ScrubOps.stratifiedSampleOver(df, strataCol, idCol, n, saltParts)
 
+  /** Perplexity-style corpus-unigram NLL quality signal. */
+  def unigramNll(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.TextOps.unigramNllOver(df, idCol, textCol)
+
+  /** Top-k word collocations by pointwise mutual information. */
+  def pmiCollocations(df: DataFrame, textCol: Column,
+      minCount: Long = 5L, k: Int = 50): DataFrame =
+    graft.operators.TextOps.pmiCollocationsOver(df, textCol, minCount, k)
+
+  /** Morton (z-order) key of two non-negative integer columns. */
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    graft.operators.Bucketing.zvalue(x, y, bits)
+
+  /** Blocked edit-distance pairs (entity-resolution primitive). */
+  def fuzzyPairs(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDist: Int = 2): DataFrame =
+    graft.operators.Relational.fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist)
+
   /** Interval-containment join via fixed-width bucket equi-join. */
   def intervalJoin(windows: DataFrame, winIdCol: Column, winKeyCol: Column,
       startUsCol: Column, endUsCol: Column,

@@ -36,6 +36,40 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Morton (z-order) interleaving of two non-negative integer keys —
+    * the multi-dimensional clustering key. Sorting a table by `zvalue`
+    * keeps BOTH dimensions locally dense in every file, so parquet
+    * min/max stats prune files for range predicates on EITHER (or
+    * both) dimensions — where a linear sort clusters only its leading
+    * column. Built purely from codegen'd builtin bit ops (`bits`
+    * unrolled shift/mask/or terms): no UDF, no custom expression
+    * needed. `bits` must cover the key range (values ≥ 2^bits would
+    * alias); z of two `bits`-wide keys occupies `2·bits` bits. */
+  def zvalue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` z-ordered on (xCol, yCol): range-partition by the
+    * interleaved key, sort within partitions, write parquet. The
+    * range partitioning keeps files globally disjoint in z-space —
+    * the property file-level stats pruning needs. */
+  def writeZOrdered(
+      df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zvalue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Write `df` hive-partitioned by `partitionCol` — the OTHER half of
     * the layout story: a predicate on the partition column prunes
     * whole directories at planning time, so a year-of-data query over

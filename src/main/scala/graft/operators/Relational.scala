@@ -449,4 +449,74 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("total_value"))
       .orderBy($"day_start", $"event_type")
   }
+
+  // ── q82: FULL OUTER join with preserved null sides ──────────────────
+  // Nations seen from the negative-balance customer side OR the
+  // negative-balance supplier side; a side's absence stays NULL (no
+  // coalesce-away) — the outer-join semantics themselves are what the
+  // oracle checks. Both inputs are pre-aggregated (tiny), so the
+  // outer join itself is broadcast-able; at scale a fact-fact full
+  // outer is a plain shuffle SMJ on the key.
+  def fullOuterBalances(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = t.customer.filter($"c_acctbal" < 0)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("neg_customers"))
+    val s = t.supplier.filter($"s_acctbal" < 0)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("neg_suppliers"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        $"neg_customers", $"neg_suppliers")
+      .orderBy($"nationkey")
+  }
+
+  // ── q83: unpivot (wide metrics → long) ──────────────────────────────
+  // The melt complement of q46's pivot: one wide per-region row of
+  // three counts becomes three (region, metric, value) rows via the
+  // native `unpivot` operator (plans as Expand — each input row is
+  // emitted k times with a projection, no shuffle added).
+  def regionMetricsLong(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val wide = broadcast(t.region)
+      .join(t.nation, $"r_regionkey" === $"n_regionkey")
+      .join(t.customer, $"n_nationkey" === $"c_nationkey", "left")
+      .groupBy($"r_name")
+      .agg(countDistinct($"n_nationkey").as("n_nations"),
+        count($"c_custkey").as("n_customers"),
+        countDistinct($"c_mktsegment").as("n_segments"))
+    wide.unpivot(
+        Array($"r_name"),
+        Array($"n_nations", $"n_customers", $"n_segments"),
+        "metric", "value")
+      .orderBy($"r_name", $"metric")
+  }
+
+  // ── q84: fuzzy name matching (edit-distance pairs, blocked) ─────────
+  // Entity-resolution primitive: near-identical part names within a
+  // brand block at Levenshtein distance ≤ maxDist. Blocking bounds the
+  // candidate pairs to Σ|block|² instead of n² — the standard ER
+  // trade; at scale add a second cheap key (length band / first
+  // token) to keep blocks small. `levenshtein` is a codegen'd builtin
+  // with unit costs in both engines.
+  /** Generic blocked edit-distance pairing (Graft facade entry). */
+  def fuzzyPairsOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      blockCol: org.apache.spark.sql.Column,
+      nameCol: org.apache.spark.sql.Column, maxDist: Int): DataFrame = {
+    val base = df.select(idCol.as("__id"), blockCol.as("block"), nameCol.as("__nm"))
+    val a = base.select(col("__id").as("id_a"), col("block"), col("__nm").as("name_a"))
+    val b = base.select(col("__id").as("id_b"), col("block"), col("__nm").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("block"), col("lev"))
+  }
+
+  def fuzzyPartNames(t: Tables, maxDist: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    fuzzyPairsOver(t.part, $"p_partkey", $"p_brand", $"p_name", maxDist)
+      .withColumnRenamed("block", "p_brand")
+      .orderBy($"id_a", $"id_b")
+  }
 }

@@ -205,6 +205,86 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  // ── q79: corpus-unigram negative log-likelihood ─────────────────────
+  /** Perplexity-style quality signal without a trained LM: score each
+    * document by the average `-ln p(word)` under the corpus's own
+    * unigram MLE distribution. Low = formulaic/repetitive text, high =
+    * rare-token soup — the cheap first-pass filter a data pipeline
+    * runs before any model-based scorer.
+    *
+    * Shuffles carry (doc_id, word, counts) only. Exact across
+    * engines: p = c(w)/T is one double division of exact integers,
+    * `math_ln` is platform libm on both sides, and the per-document
+    * sum folds `tf·(-ln p)` in word order (sorted struct array ↔
+    * `list(term ORDER BY word)` + `list_reduce`) so the
+    * order-dependent double additions happen in the same sequence. */
+  def unigramNllOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val cw = tf.groupBy(col("word")).agg(sum(col("tf")).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("t"))
+    val terms = tf.join(cw, "word").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("word"), col("tf"),
+        (col("tf").cast("double") *
+          -call_function("math_ln",
+            col("cw").cast("double") / col("t").cast("double"))).as("term"))
+    terms
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(struct(col("word"), col("term")))).as("arr"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("term"))
+          / col("n_tokens")).as("avg_nll"))
+  }
+
+  def unigramNll(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    unigramNllOver(t.documents, $"doc_id", $"text").orderBy($"doc_id")
+  }
+
+  // ── q80: PMI collocations ───────────────────────────────────────────
+  /** Top-k word collocations by pointwise mutual information:
+    * pmi(a,b) = ln(c(ab)·N / (c(a)·c(b))) over adjacent pairs, with a
+    * minimum pair count so hapax noise can't dominate. Counting is
+    * two narrow shuffles (bigram, word); the ratio multiplies in
+    * DOUBLE before dividing so web-scale counts cannot overflow
+    * int64, and both engines run the identical IEEE expression. */
+  def pmiCollocationsOver(
+      df: DataFrame, textCol: org.apache.spark.sql.Column,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = tokens(textCol)
+    val bi = df.select(explode(wordNgrams(toks, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = df.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c_w"))
+    val nBi = df.agg(sum(greatest(size(toks) - 1, lit(0))).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("bigram"))
+    bi
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.toDF("w1", "c_a"), "w1")
+      .join(uni.toDF("w2", "c_b"), "w2")
+      .crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"),
+        call_function("math_ln",
+          (col("c_ab").cast("double") * col("n").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double"))).as("pmi"))
+      // orderBy+limit first → TakeOrderedAndProject (distributed
+      // top-k); the ranking window then sees only k rows
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  def pmiCollocations(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    pmiCollocationsOver(t.documents, $"text").orderBy($"rank")
+  }
+
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
   def bpeishTokenStats(t: Tables): DataFrame = {
     import t.spark.implicits._

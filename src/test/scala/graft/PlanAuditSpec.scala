@@ -15,7 +15,9 @@ class PlanAuditSpec extends SparkSpec {
     "q34_media_knn", "q43_ann_lsh", "q50_embedding_neardup", "q52_ann_ivf",
     "q61_tfidf_exact",
     // one-row id-bounds broadcast for the deterministic bucketing
-    "q62_pack_windows")
+    "q62_pack_windows",
+    // one-row corpus-total broadcasts (token count / bigram count)
+    "q79_unigram_nll", "q80_pmi_collocations")
 
   // queries that train/iterate during CONSTRUCTION (ml fits, the CC
   // driver loop) — their plan shape is asserted by their own specs

@@ -22,6 +22,36 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q82 full outer keeps one-sided nations with a NULL other side") {
+    val rows = Relational.fullOuterBalances(sf001).collect()
+    val cOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(2))
+    val sOnly = rows.count(r => r.isNullAt(1) && !r.isNullAt(2))
+    // the two key sets genuinely differ at sf0.001 (10 nations have
+    // red customers, none have red suppliers), so side-only rows must
+    // exist and none may be null on BOTH sides
+    assert(cOnly + sOnly > 0, s"expected one-sided rows:\n${rows.mkString("\n")}")
+    assert(rows.forall(r => !(r.isNullAt(1) && r.isNullAt(2))))
+  }
+
+  test("q83 unpivot emits exactly 3 metric rows per region, no extra shuffle") {
+    val long = Relational.regionMetricsLong(sf001)
+    val perRegion = long.groupBy("r_name").count().collect()
+    assert(perRegion.length === 5 && perRegion.forall(_.getLong(1) === 3))
+    val plan = long.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+  }
+
+  test("q84 fuzzy pairs stay within the brand block and the distance bound") {
+    val pairs = Relational.fuzzyPartNames(sf001, maxDist = 2)
+    val bad = pairs.filter(col("lev") > 2 || col("id_a") >= col("id_b")).count()
+    assert(bad === 0)
+    // block containment: joining back must find both sides in the same brand
+    val p = sf001.part.select(col("p_partkey"), col("p_brand").as("brand_b"))
+    val cross = pairs.join(p, pairs("id_b") === p("p_partkey"))
+      .filter(col("p_brand") =!= col("brand_b")).count()
+    assert(cross === 0)
+  }
+
   test("q01 aggregates reconcile: group counts sum to filtered row count") {
     val t = sf001
     val total = Relational.pricingSummary(t)
