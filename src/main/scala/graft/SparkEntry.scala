@@ -132,6 +132,7 @@ object SparkEntry {
     "q82_full_outer"         -> ((s, d) => Relational.fullOuterBalances(Tables(s, d))),
     "q83_unpivot"            -> ((s, d) => Relational.regionMetricsLong(Tables(s, d))),
     "q84_fuzzy_match"        -> ((s, d) => Relational.fuzzyPartNames(Tables(s, d))),
+    "q85_pagerank"           -> ((s, d) => graft.operators.Graph.pageRankCustSupp(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -821,5 +822,36 @@ object SparkEntry {
         |FROM part a JOIN part b
         | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // PageRank, 3 unrolled power iterations. Bit-exact ranks: the
+    // per-destination contribution fold is ordered by source id on
+    // both sides, and every oracle constant is an e0 DOUBLE literal —
+    // DuckDB parses bare 1.0/0.85 as DECIMAL, making (1.0-0.85)
+    // decimal-exact 0.15 instead of the computed double 1.0-0.85
+    // (= 0.15000000000000002) that Spark's lit(1.0-d) produces.
+    "q85_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT id, 1.0e0/n AS pr FROM nodes CROSS JOIN nn),
+        |p1 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   list_reduce(list_prepend(0.0, list(p0.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |  FROM e JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN nn),
+        |p2 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   list_reduce(list_prepend(0.0, list(p1.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |  FROM e JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN nn),
+        |p3 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   list_reduce(list_prepend(0.0, list(p2.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |  FROM e JOIN p2 ON e.src = p2.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN nn)
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, pr
+        |FROM p3""".stripMargin,
   )
 }

@@ -265,6 +265,12 @@ object Graft {
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)
 
+  /** PageRank by power iteration over a directed edge list (every
+    * node needs out-degree ≥ 1 — symmetrize undirected graphs). */
+  def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int = 3, damping: Double = 0.85): DataFrame =
+    graft.operators.Graph.pageRankOver(edges, srcCol, dstCol, iters, damping)
+
   /** Blocked edit-distance pairs (entity-resolution primitive). */
   def fuzzyPairs(df: DataFrame, idCol: Column, blockCol: Column,
       nameCol: Column, maxDist: Int = 2): DataFrame =

@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
     // one-row id-bounds broadcast for the deterministic bucketing
     "q62_pack_windows",
     // one-row corpus-total broadcasts (token count / bigram count)
-    "q79_unigram_nll", "q80_pmi_collocations")
+    "q79_unigram_nll", "q80_pmi_collocations",
+    // one-row node-count broadcast per power iteration
+    "q85_pagerank")
 
   // queries that train/iterate during CONSTRUCTION (ml fits, the CC
   // driver loop) — their plan shape is asserted by their own specs

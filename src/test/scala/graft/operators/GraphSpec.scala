@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank contracts: mass conservation, hand-checked values on a
+  * tiny graph (replicating the exact fold order), and the fixture
+  * query's shape. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a 3-node star matches the hand-unrolled iteration exactly") {
+    // star: 1↔2, 1↔3 (symmetrized). deg(1)=2, deg(2)=deg(3)=1, N=3.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val d = 0.85
+    val got = Graph.pageRankOver(edges, $"src", $"dst", iters = 2, d = d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replicate the operator's arithmetic verbatim: base + d*fold,
+    // fold = ((0.0 + c_src1) + c_src2) in ascending source order
+    val base = (1.0 - d) / 3
+    val p0 = 1.0 / 3
+    val p1c = base + d * (0.0 + p0 / 1 + p0 / 1) // node 1 ← {2,3}
+    val p1l = base + d * (0.0 + p0 / 2)          // nodes 2,3 ← {1}
+    val p2c = base + d * (0.0 + p1l / 1 + p1l / 1)
+    val p2l = base + d * (0.0 + p1c / 2)
+    assert(got === Map(1L -> p2c, 2L -> p2l, 3L -> p2l))
+  }
+
+  test("pageRank conserves probability mass (no dangling nodes by construction)") {
+    val pr = Graph.pageRankCustSupp(sf001, iters = 3)
+    val total = pr.agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass drifted: $total")
+    assert(pr.filter($"pr" <= 0).count() === 0)
+    // the hub side of a bipartite trade graph concentrates rank:
+    // suppliers are ~6% of nodes but must hold far more than 6% of mass
+    val suppMass = pr.filter($"kind" === "supplier")
+      .agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    val suppFrac = pr.filter($"kind" === "supplier").count().toDouble / pr.count()
+    assert(suppMass > 2 * suppFrac, s"supplier mass $suppMass vs node share $suppFrac")
+  }
+}
