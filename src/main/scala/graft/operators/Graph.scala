@@ -27,7 +27,13 @@ object Graph {
       edges: DataFrame, srcCol: Column, dstCol: Column,
       iters: Int, d: Double): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // LAZY localCheckpoint: the deduped edge list is consumed 2·iters+2
+    // times across the unrolled plan; checkpointing cuts the edge
+    // derivation (often a fact-fact join) to ONE computation per
+    // action without running a job at construction (queries stay
+    // declarative). Blocks are context-cleaned once the plan dies.
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id")).distinct()
     val nAgg = nodes.agg(count(lit(1)).as("n"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
