@@ -714,15 +714,18 @@ object SparkEntry {
         |  || CASE WHEN doc_id % 3 <> 0 THEN ' or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         |  || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1' ELSE '' END AS t
         | FROM documents)
+        |, masked AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone
+        | FROM aug)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        | CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
-        | CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
-        | regexp_replace(regexp_replace(regexp_replace(t,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
-        |FROM aug""".stripMargin,
+        | CAST(len(regexp_extract_all(after_email, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        | CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        | regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM masked""".stripMargin,
     "q75_strat_sample" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

@@ -76,18 +76,23 @@ object EventOps {
       points: DataFrame, ptIdCol: Column, ptKeyCol: Column, ptUsCol: Column,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
-    // exact floor division in integer arithmetic (pmod is always
-    // non-negative, so this floors — not truncates — for pre-epoch
-    // timestamps too; no double quotient to misbin an edge)
-    def fdiv(c: Column): Column = ((c - pmod(c, lit(bucketUs))) / bucketUs).cast("long")
+    // exact floor division in PURE integer arithmetic: subtracting the
+    // (always non-negative) pmod makes the dividend an exact multiple,
+    // then integral `div` keeps the whole computation in long — a
+    // double quotient would be exact only below 2^53 and could misbin
+    // nanosecond-scale epochs. Floor (not truncate) semantics hold for
+    // negative (pre-epoch) values too, since the dividend is already
+    // rounded down to a multiple.
+    def fdiv(sqlExpr: String): Column =
+      expr(s"(($sqlExpr) - pmod($sqlExpr, ${bucketUs}L)) div ${bucketUs}L")
     val w = windows
       .select(winIdCol.as("win_id"), winKeyCol.as("key"),
         startUsCol.as("start_us"), endUsCol.as("end_us"))
       .filter(col("end_us") > col("start_us")) // empty interval ⇒ no bucket list
       .withColumn("bucket", explode(sequence(
-        fdiv(col("start_us")), fdiv(col("end_us") - 1))))
+        fdiv("start_us"), fdiv("end_us - 1"))))
     val p = points.select(ptIdCol.as("pt_id"), ptKeyCol.as("key"), ptUsCol.as("pt_us"))
-      .withColumn("bucket", fdiv(col("pt_us")))
+      .withColumn("bucket", fdiv("pt_us"))
     w.join(p, Seq("key", "bucket"))
       .filter(col("pt_us") >= col("start_us") && col("pt_us") < col("end_us"))
       .select(col("win_id"), col("pt_id"), col("key"),

@@ -41,16 +41,22 @@ object Graph {
     val pr0 = nodes.crossJoin(broadcast(nAgg))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foldLeft(pr0) { (pr, _) =>
-      e.join(pr, e("src") === pr("id"))
+      val contrib = e.join(pr, e("src") === pr("id"))
         .join(deg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("arr"))
+      // left join onto the FULL node set: a node with in-degree 0
+      // (legal under the out-degree-≥-1 contract, e.g. a pure source
+      // in a directed graph) still holds its (1-d)/N base rank —
+      // dropping it would also sever its out-edges from the next
+      // iteration's inner join and leak rank mass
+      nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .crossJoin(broadcast(nAgg))
-        .select(col("dst").as("id"),
+        .select(nodes("id"),
           (lit(1.0 - d) / col("n") +
-            lit(d) * aggregate(col("arr"), lit(0.0),
-              (a, x) => a + x.getField("c"))).as("pr"))
+            lit(d) * coalesce(aggregate(col("arr"), lit(0.0),
+              (a, x) => a + x.getField("c")), lit(0.0))).as("pr"))
     }
   }
 

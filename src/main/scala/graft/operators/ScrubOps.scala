@@ -34,28 +34,27 @@ object ScrubOps {
 
   /** Per-document PII scrub: count and mask emails, NANP-style phone
     * numbers, and IPv4 literals. One embarrassingly-parallel
-    * projection — counts from `regexp_extract_all`, masking via a
-    * chained `regexp_replace` (email → phone → IP, so a masked
-    * token's digits can't re-match a later pattern). */
+    * projection — masking is a chained `regexp_replace` (email →
+    * phone → IP), and each class is COUNTED on the text left after
+    * masking the previous classes, so every count equals the number
+    * of masks of that class actually present in `clean_text` (an IP
+    * embedded in an email's local part is an email, not an IP). */
   def redactPiiOver(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val t = textCol
+    val afterEmail = regexp_replace(textCol, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
     df.select(
       idCol.as("doc_id"),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
-      size(regexp_extract_all(t, lit(IpRe), lit(0))).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IpRe, "<IP>").as("clean_text"))
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(IpRe), lit(0))).as("n_ips"),
+      regexp_replace(afterPhone, IpRe, "<IP>").as("clean_text"))
   }
 
   /** q74 fixture corpus: every document gains one synthetic email,
     * a phone for 2 of each 3 ids, and an IPv4 for even ids — all
     * derived from `doc_id`/`source` so the oracle rebuilds the exact
     * same bytes and the masked text hash-matches. */
-  def piiAugmented(t: Tables): Column = {
+  def piiAugmented(): Column = {
     val d = col("doc_id")
     concat(
       col("text"),
@@ -70,7 +69,7 @@ object ScrubOps {
 
   def redactPii(t: Tables): DataFrame = {
     import t.spark.implicits._
-    redactPiiOver(t.documents.withColumn("text", piiAugmented(t)), $"doc_id", $"text")
+    redactPiiOver(t.documents.withColumn("text", piiAugmented()), $"doc_id", $"text")
       .orderBy($"doc_id")
   }
 

@@ -25,6 +25,25 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> p2c, 2L -> p2l, 3L -> p2l))
   }
 
+  test("a pure-source node keeps its base rank and its out-edges keep feeding") {
+    // directed: 1→2, 2→1, 3→1 — node 3 has out-degree 1 (contract-
+    // legal) but in-degree 0; it must survive every iteration with the
+    // base rank, and node 1 must keep receiving its contribution
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val d = 0.85
+    val got = Graph.pageRankOver(edges, $"src", $"dst", iters = 2, d = d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = (1.0 - d) / 3
+    val p0 = 1.0 / 3
+    val p1a = base + d * (0.0 + p0 / 1 + p0 / 1) // 1 ← {2, 3}
+    val p1b = base + d * (0.0 + p0 / 1)          // 2 ← {1}
+    val p2a = base + d * (0.0 + p1b / 1 + base / 1)
+    val p2b = base + d * (0.0 + p1a / 1)
+    assert(got === Map(1L -> p2a, 2L -> p2b, 3L -> base))
+    // out-deg ≥ 1 everywhere ⇒ mass is conserved even with a source
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("pageRank conserves probability mass (no dangling nodes by construction)") {
     val pr = Graph.pageRankCustSupp(sf001, iters = 3)
     val total = pr.agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)

@@ -12,7 +12,8 @@ class ScrubOpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.co and eve@ex.org, call 415-555-0042"),
       (2L, "server at 192.168.0.1 or 10.0.300.7 no mail"),
-      (3L, "plain words only")).toDF("id", "txt")
+      (3L, "plain words only"),
+      (4L, "reach me at 10.1.2.3@corp.example.com")).toDF("id", "txt")
     val got = ScrubOps.redactPiiOver(df, $"id", $"txt")
       .orderBy($"doc_id").collect()
     assert(got(0).getAs[Int]("n_emails") === 2)
@@ -23,6 +24,9 @@ class ScrubOpsSpec extends SparkSpec {
     assert(got(1).getAs[Int]("n_ips") === 2)
     assert(got(1).getAs[String]("clean_text") === "server at <IP> or <IP> no mail")
     assert(got(2).toSeq.drop(1) === Seq(0, 0, 0, "plain words only"))
+    // counts reconcile with the masks actually applied: the dotted
+    // local part is consumed by the email mask, so it is NOT an IP
+    assert(got(3).toSeq.drop(1) === Seq(1, 0, 0, "reach me at <EMAIL>"))
   }
 
   test("redactPii and stripMarkup plans: zero shuffles — pure projections") {
