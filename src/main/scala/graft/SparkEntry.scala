@@ -133,6 +133,11 @@ object SparkEntry {
     "q83_unpivot"            -> ((s, d) => Relational.regionMetricsLong(Tables(s, d))),
     "q84_fuzzy_match"        -> ((s, d) => Relational.fuzzyPartNames(Tables(s, d))),
     "q85_pagerank"           -> ((s, d) => graft.operators.Graph.pageRankCustSupp(Tables(s, d))),
+    // graph structure metrics + retrieval scoring + asymmetric dedup
+    "q86_triangles"          -> ((s, d) => graft.operators.Graph.triangleCounts(Tables(s, d))),
+    "q87_degree_dist"        -> ((s, d) => graft.operators.Graph.degreeDistribution(Tables(s, d))),
+    "q88_bm25"               -> ((s, d) => PipelineOps.bm25Exact(Tables(s, d))),
+    "q89_containment"        -> ((s, d) => TextOps.containmentPairs(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -856,5 +861,42 @@ object SparkEntry {
         |  GROUP BY e.dst) t CROSS JOIN nn)
         |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, pr
         |FROM p3""".stripMargin,
+    // q86: any consistent total order counts each triangle once, so the
+    // oracle's plain id-orientation reproduces the engine's
+    // degree-oriented count exactly
+    "q86_triangles" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT x AS supp FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT supp, COUNT(*) AS n_triangles FROM n GROUP BY 1""".stripMargin,
+    "q87_degree_dist" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+        |d AS (SELECT supp, COUNT(*) AS deg FROM
+        |  (SELECT u AS supp FROM e UNION ALL SELECT v AS supp FROM e) x GROUP BY 1)
+        |SELECT deg, COUNT(*) AS n_suppliers FROM d GROUP BY 1""".stripMargin,
+    // q88: identical IEEE expression tree as bm25Over (k1=1.2, b=0.75;
+    // 2.2 == double(1.2)+1.0 bit-exactly, 0.25 == 1.0-0.75 exactly)
+    "q88_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl)
+        |SELECT tf.doc_id, tf.word, tf.tf,
+        | ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |  * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |      (CAST(dl.dl AS DOUBLE) / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))) AS bm25
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN st""".stripMargin,
+    "q89_containment" ->
+      """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words) AS containment
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        | AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words) >= 0.8""".stripMargin,
   )
 }

@@ -4,12 +4,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 
-/** Natural log via `java.lang.Math.log` (the platform/glibc
-  * implementation), NOT `StrictMath.log` (fdlibm) which Spark's
-  * built-in `log` delegates to. The two differ in the final ulp on
-  * ~8% of inputs; DuckDB's `ln` is the platform libm, so cross-engine
-  * hash-exact pipelines (exact TF-IDF) need this variant. Same
-  * null/NaN behavior as the built-in otherwise; codegen'd static
+/** Natural log bit-identical to glibc's `log` — and therefore to
+  * DuckDB's `ln` — on EVERY input, via [[GlibcLog]] (a port of the
+  * optimized-routines algorithm glibc 2.28+ ships). Neither JVM log
+  * qualifies: HotSpot's `Math.log` intrinsic is correctly rounded
+  * where glibc occasionally isn't (~3e-5 of inputs, 1 ulp), and
+  * `StrictMath.log` (fdlibm, Spark's built-in `log`) differs far more
+  * often. Cross-engine hash-exact pipelines (exact TF-IDF, BM25,
+  * unigram NLL, PMI) need glibc's exact result, misroundings
+  * included. Same null behavior as the built-in; codegen'd static
   * call, stays inside whole-stage codegen.
   */
 case class MathLn(child: Expression) extends UnaryExpression {
@@ -27,10 +30,10 @@ case class MathLn(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    java.lang.Math.log(input.asInstanceOf[Double])
+    GlibcLog.log(input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.GlibcLog.log($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MathLn =
     copy(child = newChild)

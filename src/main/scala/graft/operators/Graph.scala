@@ -78,4 +78,86 @@ object Graph {
         $"pr")
       .orderBy($"id")
   }
+
+  /** Supplier co-occurrence graph: an undirected edge {a, b} between
+    * two suppliers whenever both ship lines of the same order. One
+    * equi-join on the order key — pair fan-out is quadratic only in
+    * suppliers-per-order (bounded by order size, ~7 lines), never in
+    * the corpus. Emitted canonically as (a < b), deduped. */
+  def supplierCoEdges(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val os = t.lineitem.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    os.select($"ok", $"sk".as("a"))
+      .join(os.select($"ok", $"sk".as("b")), "ok")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+      .distinct()
+  }
+
+  /** Per-node triangle counts over an undirected edge list, by the
+    * degree-ordered "compact-forward" scheme: orient every edge from
+    * its lower- to its higher-rank endpoint under the total order
+    * (degree, id), enumerate wedges at each low-rank center, and close
+    * them against the oriented edge set. Orientation bounds every
+    * node's out-degree by O(√|E|) on skewed graphs — the hub that
+    * would generate a quadratic wedge blow-up under naive id ordering
+    * ranks HIGHEST and therefore centers no wedges at all. The result
+    * is orientation-invariant (each triangle is counted exactly once
+    * from its minimum-rank corner), so a plain id-ordered oracle
+    * reproduces it. Three hash joins on node/edge keys; nothing
+    * driver-side. */
+  def triangleCountsOver(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    // canonical undirected edge set, self-loops dropped
+    val und = edges
+      .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      // consumed 3× below (deg + both wedge sides); one computation
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient: lo = smaller (deg, id), hi = larger; keep hi's rank for
+    // the wedge-side ordering below
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("lo"), col("v").as("hi"), col("dv").as("dhi")))
+          .otherwise(
+            struct(col("v").as("lo"), col("u").as("hi"), col("du").as("dhi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
+    // wedges y—lo—z with rank(y) < rank(z), closed by oriented (y, z)
+    val w1 = oriented.select(col("lo"), col("hi").as("y"), col("dhi").as("dy"))
+    val w2 = oriented.select(col("lo"), col("hi").as("z"), col("dhi").as("dz"))
+    val closing = oriented.select(col("lo").as("y"), col("hi").as("z"))
+    w1.join(w2, "lo")
+      .filter(struct(col("dy"), col("y")) < struct(col("dz"), col("z")))
+      .join(closing, Seq("y", "z"))
+      .select(explode(array(col("lo"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q86: triangle counts per supplier in the co-supply graph — a
+    * supplier's triangle count measures how clustered its trading
+    * neighborhood is (two co-suppliers that also co-supply together). */
+  def triangleCounts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    triangleCountsOver(supplierCoEdges(t), $"a", $"b")
+      .withColumnRenamed("id", "supp")
+      .orderBy($"supp")
+  }
+
+  /** q87: degree histogram of the supplier co-supply graph — how many
+    * suppliers have exactly k co-supply partners. Two narrow
+    * aggregations; the histogram is at most max-degree rows. */
+  def degreeDistribution(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    supplierCoEdges(t)
+      .select(explode(array($"a", $"b")).as("supp"))
+      .groupBy($"supp").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy($"deg")
+  }
 }

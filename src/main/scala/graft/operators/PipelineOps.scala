@@ -48,6 +48,41 @@ object PipelineOps {
     tfidfExactOver(t.documents, $"doc_id", $"text").orderBy($"doc_id", $"word")
   }
 
+  // ── q88: exact Okapi BM25 scoring matrix ────────────────────────────
+  // bm25(d, w) = idf(w) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+  // idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the retrieval scoring
+  // a corpus search/quality layer runs over the same (doc, word)
+  // shuffle TF-IDF uses. All corpus constants (N, Σdl) ride one
+  // broadcast one-row join; avgdl is derived inside the row expression
+  // (exact integer sum ÷ count, one double division) so both engines
+  // evaluate the identical IEEE tree. Shuffles are (doc_id, word) and
+  // (word) — linear in token count, no dense vectors anywhere.
+  def bm25Over(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = call_function("math_ln",
+      lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(dl, "doc_id")
+      .join(docFreq, "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"), col("tf"),
+        (idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+          .as("bm25"))
+  }
+
+  def bm25Exact(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    bm25Over(t.documents, $"doc_id", $"text").orderBy($"doc_id", $"word")
+  }
+
   // ── q62: context-window packing (concat-and-chunk) ──────────────────
   // The standard pretraining packing: documents are concatenated in
   // id order and the token stream is cut into fixed windows of

@@ -114,6 +114,42 @@ object TextOps {
       .filter($"jaccard_sim" >= 0.3)
   }
 
+  // ── q89: directional containment pairs ──────────────────────────────
+  // containment(a → b) = |A∩B| / |A| — the asymmetric cousin of
+  // Jaccard that catches a short document SUBSUMED by a longer one
+  // (quote inclusion, boilerplate wrapping), which symmetric Jaccard
+  // misses because the union is dominated by the long side. Same
+  // (lang, source) blocking as q26; the prune here is the containment
+  // bound |A∩B| ≤ min(|A|,|B|): a pair with |B| < θ·|A| can never
+  // reach θ, so the merge-walk intersect only runs on candidates.
+  // Ordered pairs (a ≠ b): containment is directional by definition.
+  def containmentPairsOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      blockCols: Seq[String], textCol: org.apache.spark.sql.Column,
+      minContainment: Double = 0.8): DataFrame = {
+    val docs = df.select(
+      blockCols.map(col) :+ idCol.as("doc_id") :+
+        array_sort(array_distinct(tokens(textCol))).as("words"): _*)
+    val a = docs.select(
+      blockCols.map(col) :+ col("doc_id").as("id_a") :+ col("words").as("w_a"): _*)
+    val b = docs.select(
+      blockCols.map(col) :+ col("doc_id").as("id_b") :+ col("words").as("w_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(least(size(col("w_a")), size(col("w_b"))).cast("double") /
+        size(col("w_a")) >= minContainment)
+      .select(blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        (call_function("sorted_intersect_size", col("w_a"), col("w_b")).cast("double") /
+          size(col("w_a"))).as("containment"): _*)
+      .filter(col("containment") >= minContainment)
+  }
+
+  def containmentPairs(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    containmentPairsOver(t.documents, $"doc_id", Seq("lang", "source"), $"text")
+      .orderBy($"lang", $"source", $"id_a", $"id_b")
+  }
+
   // ── q44: heuristic language ID over documents ────────────────────────
   def languageId(t: Tables): DataFrame = {
     import t.spark.implicits._

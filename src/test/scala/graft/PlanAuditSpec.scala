@@ -16,8 +16,9 @@ class PlanAuditSpec extends SparkSpec {
     "q61_tfidf_exact",
     // one-row id-bounds broadcast for the deterministic bucketing
     "q62_pack_windows",
-    // one-row corpus-total broadcasts (token count / bigram count)
-    "q79_unigram_nll", "q80_pmi_collocations",
+    // one-row corpus-total broadcasts (token count / bigram count /
+    // N + Σdl for the BM25 idf and length normalization)
+    "q79_unigram_nll", "q80_pmi_collocations", "q88_bm25",
     // one-row node-count broadcast per power iteration
     "q85_pagerank")
 

@@ -44,6 +44,47 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("triangle counts: 4-clique plus pendant edge, counted from min-rank corners") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, every clique node in 3 of
+    // them; pendant node 5 (degree 1) is in none and must not appear
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangleCountsOver(edges, $"src", $"dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts are orientation-invariant: reversed/duplicated edges change nothing") {
+    // same K4+pendant, but edges arrive reversed and with duplicates —
+    // canonicalization + distinct must absorb both
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (3L, 2L), (4L, 2L),
+      (4L, 3L), (5L, 4L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.triangleCountsOver(edges, $"src", $"dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts on a hub-and-spoke graph: wedges never center on the hub") {
+    // hub 10 connected to 6 spokes, one spoke pair closed: exactly one
+    // triangle. Degree ordering makes every spoke rank below the hub,
+    // so the hub's 6 neighbors generate no wedge pairs at the hub —
+    // the property that keeps skewed graphs from quadratic blow-up.
+    val spokes = (1L to 6L).map(s => (10L, s))
+    val edges = (spokes :+ (1L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCountsOver(edges, $"src", $"dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("degree distribution of the fixture co-supply graph is a partition of the node set") {
+    val edges = Graph.supplierCoEdges(sf001)
+    val nNodes = edges.select($"a".as("n")).union(edges.select($"b")).distinct().count()
+    val dist = Graph.degreeDistribution(sf001).collect()
+    assert(dist.map(_.getLong(1)).sum === nNodes)
+    // Σ deg·count = 2|E| (handshake lemma)
+    assert(dist.map(r => r.getLong(0) * r.getLong(1)).sum === 2 * edges.count())
+  }
+
   test("pageRank conserves probability mass (no dangling nodes by construction)") {
     val pr = Graph.pageRankCustSupp(sf001, iters = 3)
     val total = pr.agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)

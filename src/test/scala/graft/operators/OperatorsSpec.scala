@@ -252,4 +252,19 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(out.filter(col("id_a") >= col("id_b")).count() === 0)
     assert(out.count() > 0)
   }
+
+  test("containment pairs are directional: the subsumed doc scores 1.0, its superset is pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "s", "alpha beta gamma"),
+      (2L, "en", "s", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "en", "s", "iota kappa lambda"),
+      (4L, "de", "s", "alpha beta gamma")).toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.containmentPairsOver(docs, $"doc_id", Seq("lang", "source"), $"text", 0.8)
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    // 1→2: all 3 of doc1's words inside doc2 → 1.0. The reverse
+    // direction is 3/8 and must be cut by the size prefilter already;
+    // doc4 matches doc1's text but sits in another block.
+    assert(got === Map((1L, 2L) -> 1.0))
+  }
 }

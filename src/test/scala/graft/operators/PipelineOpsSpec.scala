@@ -126,6 +126,38 @@ class PipelineOpsSpec extends SparkSpec {
     } assert(s1 > s2, s"idf not monotonic: df $df1→$s1 vs $df2→$s2")
   }
 
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    import spark.implicits._
+    // docs: "a a b" (dl=3), "a c" (dl=2), "b b b c" (dl=4)
+    // N=3, total=9, avgdl=3.0; df: a=2, b=2, c=2
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c")).toDF("id", "txt")
+    val got = PipelineOps.bm25Over(df, $"id", $"txt")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    def score(tf: Long, dfW: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3L - dfW + 0.5) / (dfW + 0.5))
+      idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / (9.0 / 3L))))
+    }
+    assert(got.size === 6)
+    assert(got((1L, "a")) === score(2, 2, 3))
+    assert(got((1L, "b")) === score(1, 2, 3))
+    assert(got((2L, "c")) === score(1, 2, 2))
+    assert(got((3L, "b")) === score(3, 2, 4))
+    // rarer term never scores below a commoner one at equal tf/dl
+    assert(got((1L, "a")) > got((1L, "b"))) // tf 2 vs 1, same df/dl
+  }
+
+  test("bm25: tf saturation — score grows sublinearly and is bounded by idf·(k1+1)") {
+    import spark.implicits._
+    val df = Seq((1L, "x " * 99 + "y"), (2L, "x y")).toDF("id", "txt")
+    val got = PipelineOps.bm25Over(df, $"id", $"txt", k1 = 1.2, b = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val idf = math.log(1.0 + (2L - 2L + 0.5) / (2L + 0.5))
+    // with b=0 length normalization is off: denominator → tf + k1
+    assert(got((1L, "x")) < idf * 2.2) // saturates under the cap
+    assert(got((1L, "x")) > got((2L, "x"))) // but tf=99 still beats tf=1
+  }
+
   test("mixtureSample: kept iff content bucket under the source's rate") {
     val m = PipelineOps.mixtureSample(sf001)
     val idx = substring($"source", 4, 10).cast("int")
