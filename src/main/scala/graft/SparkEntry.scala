@@ -865,18 +865,24 @@ object SparkEntry {
     // oracle's plain id-orientation reproduces the engine's
     // degree-oriented count exactly
     "q86_triangles" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+      """WITH lo AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
         |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |n AS (SELECT x AS supp FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-        |SELECT supp, COUNT(*) AS n_triangles FROM n GROUP BY 1""".stripMargin,
+        |n AS (SELECT x AS cust FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT cust, COUNT(*) AS n_triangles FROM n GROUP BY 1""".stripMargin,
     "q87_degree_dist" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
-        |d AS (SELECT supp, COUNT(*) AS deg FROM
-        |  (SELECT u AS supp FROM e UNION ALL SELECT v AS supp FROM e) x GROUP BY 1)
-        |SELECT deg, COUNT(*) AS n_suppliers FROM d GROUP BY 1""".stripMargin,
+      """WITH lo AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |d AS (SELECT cust, COUNT(*) AS deg FROM
+        |  (SELECT u AS cust FROM e UNION ALL SELECT v AS cust FROM e) x GROUP BY 1)
+        |SELECT deg, COUNT(*) AS n_customers FROM d GROUP BY 1""".stripMargin,
     // q88: identical IEEE expression tree as bm25Over (k1=1.2, b=0.75;
     // 2.2 == double(1.2)+1.0 bit-exactly, 0.25 == 1.0-0.75 exactly)
     "q88_bm25" ->

@@ -79,16 +79,25 @@ object Graph {
       .orderBy($"id")
   }
 
-  /** Supplier co-occurrence graph: an undirected edge {a, b} between
-    * two suppliers whenever both ship lines of the same order. One
-    * equi-join on the order key — pair fan-out is quadratic only in
-    * suppliers-per-order (bounded by order size, ~7 lines), never in
-    * the corpus. Emitted canonically as (a < b), deduped. */
-  def supplierCoEdges(t: Tables): DataFrame = {
+  /** Customer co-purchase graph: an undirected edge {a, b} between
+    * two customers that bought the SAME PART in the SAME MONTH. The
+    * (part, month) blocking key is what keeps the graph sparse at any
+    * scale: TPC-H grows customers and parts together, so the expected
+    * customers per (part, month) cell — and with it both edge count
+    * and pair fan-out — stays constant as the corpus grows. (A
+    * supplier co-order graph fails this test: the supplier population
+    * is tiny relative to orders, so it saturates into a near-complete
+    * graph whose triangle count is cubic in the node count.)
+    * Emitted canonically as (a < b), deduped. */
+  def customerCoEdges(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val os = t.lineitem.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    os.select($"ok", $"sk".as("a"))
-      .join(os.select($"ok", $"sk".as("b")), "ok")
+    val lo = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("ck"), $"l_partkey".as("pk"),
+        trunc($"o_orderdate", "month").as("m"))
+      .distinct()
+    lo.select($"pk", $"m", $"ck".as("a"))
+      .join(lo.select($"pk", $"m", $"ck".as("b")), Seq("pk", "m"))
       .filter($"a" < $"b")
       .select($"a", $"b")
       .distinct()
@@ -139,25 +148,25 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** q86: triangle counts per supplier in the co-supply graph — a
-    * supplier's triangle count measures how clustered its trading
-    * neighborhood is (two co-suppliers that also co-supply together). */
+  /** q86: triangle counts per customer in the co-purchase graph — a
+    * customer's triangle count measures how clustered its co-purchase
+    * neighborhood is (two co-buyers who also buy together). */
   def triangleCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
-    triangleCountsOver(supplierCoEdges(t), $"a", $"b")
-      .withColumnRenamed("id", "supp")
-      .orderBy($"supp")
+    triangleCountsOver(customerCoEdges(t), $"a", $"b")
+      .withColumnRenamed("id", "cust")
+      .orderBy($"cust")
   }
 
-  /** q87: degree histogram of the supplier co-supply graph — how many
-    * suppliers have exactly k co-supply partners. Two narrow
+  /** q87: degree histogram of the co-purchase graph — how many
+    * customers have exactly k co-purchase partners. Two narrow
     * aggregations; the histogram is at most max-degree rows. */
   def degreeDistribution(t: Tables): DataFrame = {
     import t.spark.implicits._
-    supplierCoEdges(t)
-      .select(explode(array($"a", $"b")).as("supp"))
-      .groupBy($"supp").agg(count(lit(1)).as("deg"))
-      .groupBy($"deg").agg(count(lit(1)).as("n_suppliers"))
+    customerCoEdges(t)
+      .select(explode(array($"a", $"b")).as("cust"))
+      .groupBy($"cust").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_customers"))
       .orderBy($"deg")
   }
 }

@@ -76,8 +76,8 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(10L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
-  test("degree distribution of the fixture co-supply graph is a partition of the node set") {
-    val edges = Graph.supplierCoEdges(sf001)
+  test("degree distribution of the fixture co-purchase graph is a partition of the node set") {
+    val edges = Graph.customerCoEdges(sf001)
     val nNodes = edges.select($"a".as("n")).union(edges.select($"b")).distinct().count()
     val dist = Graph.degreeDistribution(sf001).collect()
     assert(dist.map(_.getLong(1)).sum === nNodes)
