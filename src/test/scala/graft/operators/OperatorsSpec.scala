@@ -253,6 +253,26 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("dedup survivors: one longest-doc survivor per cluster, members partition the corpus") {
+    val surv = Dedup.dedupSurvivors(sf001).cache()
+    try {
+      val t = sf001
+      assert(surv.agg(sum("n_members")).head().getLong(0) === t.documents.count())
+      // survivor count equals cluster count from q57
+      val clusters = Dedup.dedupClusters(t).select("cluster_id").distinct().count()
+      assert(surv.count() === clusters)
+      // the survivor really is its cluster's longest member (tie: min id)
+      val labeled = Dedup.dedupClusters(t)
+        .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      val best = labeled.groupBy("cluster_id")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("cluster_id"), col("b.n_chars").as("max_chars"), (-col("b.neg_id")).as("best_id"))
+      val bad = surv.join(best, "cluster_id")
+        .filter(col("survivor_id") =!= col("best_id") || col("n_chars") =!= col("max_chars"))
+      assert(bad.count() === 0)
+    } finally surv.unpersist()
+  }
+
   test("containment pairs are directional: the subsumed doc scores 1.0, its superset is pruned") {
     import spark.implicits._
     val docs = Seq(
