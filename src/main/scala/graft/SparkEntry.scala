@@ -141,6 +141,33 @@ object SparkEntry {
     "q90_dedup_survivors"    -> ((s, d) => Dedup.dedupSurvivors(Tables(s, d))),
     "q91_assortativity"      -> ((s, d) => graft.operators.Graph.assortativity(Tables(s, d))),
     "q92_copurchase_top"     -> ((s, d) => graft.operators.Graph.topCoPurchasePartner(Tables(s, d))),
+    "q93_inverted_index"     -> ((s, d) => PipelineOps.invertedIndex(Tables(s, d))),
+    // the SQL entry point: the same engine surface through spark.sql
+    // text (TPC-H Q5 shape — 6-way join, selective region + date band)
+    "q94_sql_tpch5"          -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.createOrReplaceTempView("customer")
+      t.orders.createOrReplaceTempView("orders")
+      t.lineitem.createOrReplaceTempView("lineitem")
+      t.supplier.createOrReplaceTempView("supplier")
+      t.nation.createOrReplaceTempView("nation")
+      t.region.createOrReplaceTempView("region")
+      s.sql(
+        """SELECT n_name,
+          | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          | COUNT(*) AS n_items
+          |FROM customer
+          | JOIN orders ON c_custkey = o_custkey
+          | JOIN lineitem ON l_orderkey = o_orderkey
+          | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          | JOIN nation ON s_nationkey = n_nationkey
+          | JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -957,5 +984,25 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY cust ORDER BY n_shared DESC, partner) AS rn
         |  FROM shared)
         |SELECT cust, partner, n_shared FROM r WHERE rn = 1""".stripMargin,
+    "q93_inverted_index" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM w GROUP BY 1, 2)
+        |SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM tf GROUP BY word""".stripMargin,
+    "q94_sql_tpch5" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
   )
 }

@@ -27,22 +27,31 @@ object Graph {
       edges: DataFrame, srcCol: Column, dstCol: Column,
       iters: Int, d: Double): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // LAZY localCheckpoint: the deduped edge list is consumed 2·iters+2
+    // LAZY localCheckpoint: the deduped edge list is consumed iters+1
     // times across the unrolled plan; checkpointing cuts the edge
     // derivation (often a fact-fact join) to ONE computation per
     // action without running a job at construction (queries stay
     // declarative). Blocks are context-cleaned once the plan dies.
+    // The explicit repartition on src pins HashPartitioning(src) into
+    // the checkpointed RDD's output partitioning, so neither the
+    // degree aggregation nor ANY iteration's rank join re-exchanges
+    // the edge list — and because the rank frame itself comes out of
+    // each round partitioned by id (= next round's join key), a full
+    // power-iteration round costs ONE new shuffle (the contribution
+    // regroup by dst), not three.
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
       .localCheckpoint(false)
-    val nodes = e.select(col("src").as("id")).distinct()
-    val nAgg = nodes.agg(count(lit(1)).as("n"))
+    // (id, deg): doubles as the node set — out-degree >= 1 contract
+    // means every node appears as a src. Degree rides INSIDE the rank
+    // frame from here on; no per-iteration degree join.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nAgg = deg.agg(count(lit(1)).as("n"))
     // init: uniform 1/N (one-row broadcast keeps the plan lazy)
-    val pr0 = nodes.crossJoin(broadcast(nAgg))
-      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
-    (1 to iters).foldLeft(pr0) { (pr, _) =>
+    val pr0 = deg.crossJoin(broadcast(nAgg))
+      .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"), col("deg"))
+    val last = (1 to iters).foldLeft(pr0) { (pr, _) =>
       val contrib = e.join(pr, e("src") === pr("id"))
-        .join(deg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("arr"))
@@ -51,13 +60,15 @@ object Graph {
       // in a directed graph) still holds its (1-d)/N base rank —
       // dropping it would also sever its out-edges from the next
       // iteration's inner join and leak rank mass
-      nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      deg.join(contrib, deg("src") === contrib("dst"), "left")
         .crossJoin(broadcast(nAgg))
-        .select(nodes("id"),
+        .select(deg("src").as("id"),
           (lit(1.0 - d) / col("n") +
             lit(d) * coalesce(aggregate(col("arr"), lit(0.0),
-              (a, x) => a + x.getField("c")), lit(0.0))).as("pr"))
+              (a, x) => a + x.getField("c")), lit(0.0))).as("pr"),
+          deg("deg"))
     }
+    last.select(col("id"), col("pr"))
   }
 
   /** q85: PageRank over the customer–supplier trade graph — nodes are

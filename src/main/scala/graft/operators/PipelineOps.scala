@@ -83,6 +83,32 @@ object PipelineOps {
     bm25Over(t.documents, $"doc_id", $"text").orderBy($"doc_id", $"word")
   }
 
+  // ── q93: inverted index (posting lists) ─────────────────────────────
+  // The retrieval-side dual of TF-IDF/BM25: per term, document
+  // frequency, collection frequency, and the doc-id posting list in
+  // ascending order. The list is emitted as a joined STRING —
+  // deterministic bytes both engines can hash — after sorting the ids
+  // NUMERICALLY (sort before cast; "10" < "2" lexically). Shuffle is
+  // (word, doc_id) pairs then one agg per term; a term's posting list
+  // lives on one reducer, which is exactly how a real index shard is
+  // built (hot stopword terms are the known skew — at web scale the
+  // df>=minDf band or a stopword cut bounds them).
+  def invertedIndexOver(
+      df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val tf = words.groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .as("postings"))
+  }
+
+  def invertedIndex(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    invertedIndexOver(t.documents, $"doc_id", $"text").orderBy($"word")
+  }
+
   // ── q62: context-window packing (concat-and-chunk) ──────────────────
   // The standard pretraining packing: documents are concatenated in
   // id order and the token stream is cut into fixed windows of

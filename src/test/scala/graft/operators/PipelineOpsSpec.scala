@@ -158,6 +158,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got((1L, "x")) > got((2L, "x"))) // but tf=99 still beats tf=1
   }
 
+  test("invertedIndex: postings are sorted doc ids, df/cf reconcile") {
+    import spark.implicits._
+    val df = Seq((2L, "b a b"), (10L, "a c"), (1L, "a a")).toDF("id", "txt")
+    val got = PipelineOps.invertedIndexOver(df, $"id", $"txt")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // numeric sort: 1,2,10 — a lexical sort would give "1,10,2"
+    assert(got("a") === ((3L, 4L, "1,2,10")))
+    assert(got("b") === ((1L, 2L, "2")))
+    assert(got("c") === ((1L, 1L, "10")))
+    // fixture-level reconciliation: Σ cf = corpus token count
+    val idx = PipelineOps.invertedIndex(sf001)
+    val totalCf = idx.agg(sum("cf")).head().getLong(0)
+    val totalTokens = sf001.documents
+      .agg(sum(graft.functions.TextFunctions.tokenCount($"text").cast("long"))).head().getLong(0)
+    assert(totalCf === totalTokens)
+  }
+
   test("mixtureSample: kept iff content bucket under the source's rate") {
     val m = PipelineOps.mixtureSample(sf001)
     val idx = substring($"source", 4, 10).cast("int")
