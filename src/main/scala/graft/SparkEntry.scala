@@ -145,13 +145,7 @@ object SparkEntry {
     // the SQL entry point: the same engine surface through spark.sql
     // text (TPC-H Q5 shape — 6-way join, selective region + date band)
     "q94_sql_tpch5"          -> ((s, d) => {
-      val t = Tables(s, d)
-      t.customer.createOrReplaceTempView("customer")
-      t.orders.createOrReplaceTempView("orders")
-      t.lineitem.createOrReplaceTempView("lineitem")
-      t.supplier.createOrReplaceTempView("supplier")
-      t.nation.createOrReplaceTempView("nation")
-      t.region.createOrReplaceTempView("region")
+      graft.api.Graft.registerViews(s, d)
       s.sql(
         """SELECT n_name,
           | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -370,10 +370,9 @@ object Dedup {
     * — bounded by block sizes, never corpus-scale. */
   def dedupSurvivors(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val pairs = TextOps.jaccardPairsUnsorted(t).select($"id_a", $"id_b")
-    val docs = t.documents.select($"doc_id")
-    val clusters = connectedComponents(docs, pairs, edgesWithinNodes = true)
-      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    // the SAME clustering as q57 — one recipe, so threshold/blocking
+    // changes can never let survivors and clusters silently diverge
+    val clusters = dedupClusters(t).select($"doc_id", $"cluster_id")
     val sized = clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")

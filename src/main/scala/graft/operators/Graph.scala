@@ -100,13 +100,23 @@ object Graph {
     * is tiny relative to orders, so it saturates into a near-complete
     * graph whose triangle count is cubic in the node count.)
     * Emitted canonically as (a < b), deduped. */
-  def customerCoEdges(t: Tables): DataFrame = {
+  /** Distinct (customer, part, month) purchase cells — the ONE
+    * definition of the co-purchase blocking key that every graph
+    * metric below shares (edges, triangles, degrees, assortativity,
+    * partner top-1): change the blocking here and all of them move
+    * together. */
+  private def coPurchaseCells(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val lo = t.lineitem
+    t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("ck"), $"l_partkey".as("pk"),
         trunc($"o_orderdate", "month").as("m"))
       .distinct()
+  }
+
+  def customerCoEdges(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val lo = coPurchaseCells(t)
     lo.select($"pk", $"m", $"ck".as("a"))
       .join(lo.select($"pk", $"m", $"ck".as("b")), Seq("pk", "m"))
       .filter($"a" < $"b")
@@ -126,12 +136,19 @@ object Graph {
     * from its minimum-rank corner), so a plain id-ordered oracle
     * reproduces it. Three hash joins on node/edge keys; nothing
     * driver-side. */
-  def triangleCountsOver(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
-    // canonical undirected edge set, self-loops dropped
-    val und = edges
-      .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+  def triangleCountsOver(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      canonical: Boolean = false): DataFrame = {
+    // canonical undirected edge set, self-loops dropped; callers whose
+    // edge list is ALREADY deduped with src < dst (customerCoEdges)
+    // pass canonical = true and skip this exchange + hash-aggregate
+    val raw = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val und = (if (canonical) raw.select(col("src").as("u"), col("dst").as("v"))
+      else raw
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
       // consumed 3× below (deg + both wedge sides); one computation
       .localCheckpoint(false)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
@@ -164,7 +181,7 @@ object Graph {
     * neighborhood is (two co-buyers who also buy together). */
   def triangleCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
-    triangleCountsOver(customerCoEdges(t), $"a", $"b")
+    triangleCountsOver(customerCoEdges(t), $"a", $"b", canonical = true)
       .withColumnRenamed("id", "cust")
       .orderBy($"cust")
   }
@@ -221,11 +238,7 @@ object Graph {
     * size = a customer's partner count — never corpus-scale). */
   def topCoPurchasePartner(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val lo = t.lineitem
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("ck"), $"l_partkey".as("pk"),
-        trunc($"o_orderdate", "month").as("m"))
-      .distinct()
+    val lo = coPurchaseCells(t)
     val shared = lo.select($"pk", $"m", $"ck".as("cust"))
       .join(lo.select($"pk", $"m", $"ck".as("partner")), Seq("pk", "m"))
       .filter($"cust" =!= $"partner")

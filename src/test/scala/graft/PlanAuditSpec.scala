@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
   // driver loop) — their plan shape is asserted by their own specs
   private val constructionHeavy = Set(
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
-    "q57_dedup_clusters")
+    "q57_dedup_clusters", "q90_dedup_survivors")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -134,7 +134,10 @@ class PipelineOpsSpec extends SparkSpec {
     val got = PipelineOps.bm25Over(df, $"id", $"txt")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
     def score(tf: Long, dfW: Long, dl: Long): Double = {
-      val idf = math.log(1.0 + (3L - dfW + 0.5) / (dfW + 0.5))
+      // math_ln is GlibcLog, which by design departs from Math.log by
+      // 1 ulp on glibc's misrounded inputs — expectations must use the
+      // same log or a fixture-constant change could trip a 1-ulp diff
+      val idf = graft.expr.GlibcLog.log(1.0 + (3L - dfW + 0.5) / (dfW + 0.5))
       idf * (tf.toDouble * 2.2) /
         (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / (9.0 / 3L))))
     }
@@ -152,7 +155,7 @@ class PipelineOpsSpec extends SparkSpec {
     val df = Seq((1L, "x " * 99 + "y"), (2L, "x y")).toDF("id", "txt")
     val got = PipelineOps.bm25Over(df, $"id", $"txt", k1 = 1.2, b = 0.0)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
-    val idf = math.log(1.0 + (2L - 2L + 0.5) / (2L + 0.5))
+    val idf = graft.expr.GlibcLog.log(1.0 + (2L - 2L + 0.5) / (2L + 0.5))
     // with b=0 length normalization is off: denominator → tf + k1
     assert(got((1L, "x")) < idf * 2.2) // saturates under the cap
     assert(got((1L, "x")) > got((2L, "x"))) // but tf=99 still beats tf=1
