@@ -142,6 +142,7 @@ object SparkEntry {
     "q91_assortativity"      -> ((s, d) => graft.operators.Graph.assortativity(Tables(s, d))),
     "q92_copurchase_top"     -> ((s, d) => graft.operators.Graph.topCoPurchasePartner(Tables(s, d))),
     "q93_inverted_index"     -> ((s, d) => PipelineOps.invertedIndex(Tables(s, d))),
+    "q95_column_profile"     -> ((s, d) => Relational.columnProfile(Tables(s, d))),
     // the SQL entry point: the same engine surface through spark.sql
     // text (TPC-H Q5 shape — 6-way join, selective region + date band)
     "q94_sql_tpch5"          -> ((s, d) => {
@@ -998,5 +999,13 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q95_column_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT($c) AS n,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           | CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS avg_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\n UNION ALL \n"),
   )
 }

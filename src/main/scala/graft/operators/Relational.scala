@@ -491,6 +491,45 @@ object Relational {
       .orderBy($"r_name", $"metric")
   }
 
+  // ── q95: single-pass column profiler (ANALYZE-style stats) ──────────
+  // Per numeric column: count, exact distinct count, min/max, and the
+  // decimal-exact mean — in ONE scan of the table (the multi-distinct
+  // plans as a single Expand + aggregate, not one job per column),
+  // then an explode from the one wide row to (column, stats) rows.
+  // The profiler every ingestion pipeline runs before deciding
+  // partitioning and encodings; at 100 TB one pass vs k passes is the
+  // difference between minutes and hours.
+  def columnProfileOver(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfileOver needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        (sum(col(c).cast(DecimalType(18, 4))).cast("double") / count(col(c)))
+          .as(s"${c}__avg"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        col(s"${c}__avg").as("avg_v"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  def columnProfile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    columnProfileOver(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy($"column_name")
+  }
+
   // ── q84: fuzzy name matching (edit-distance pairs, blocked) ─────────
   // Entity-resolution primitive: near-identical part names within a
   // brand block at Levenshtein distance ≤ maxDist. Blocking bounds the

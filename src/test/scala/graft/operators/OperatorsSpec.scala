@@ -83,6 +83,20 @@ class OperatorsSpec extends SparkSpec {
     assert(keepers === distinctTexts)
   }
 
+  test("column profile: one scan feeds all columns' stats, values reconcile") {
+    val prof = Relational.columnProfile(sf001)
+    // ONE scan: the multi-distinct aggregation must plan as a single
+    // FileScan (Expand handles the distinct columns), not one per column
+    val scans = "Scan parquet".r.findAllIn(prof.queryExecution.executedPlan.toString).size
+    assert(scans === 1, s"expected a single lineitem scan, got $scans")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val q = rows("l_quantity")
+    assert(q.getLong(1) === sf001.lineitem.count())
+    assert(q.getDouble(3) <= q.getDouble(4)) // min <= max
+    assert(q.getDouble(5) >= q.getDouble(3) && q.getDouble(5) <= q.getDouble(4))
+  }
+
   test("broadcast hints survive into the physical plan for dimension joins") {
     val plan = Relational.nationRevenue(sf001).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
