@@ -143,6 +143,7 @@ object SparkEntry {
     "q92_copurchase_top"     -> ((s, d) => graft.operators.Graph.topCoPurchasePartner(Tables(s, d))),
     "q93_inverted_index"     -> ((s, d) => PipelineOps.invertedIndex(Tables(s, d))),
     "q95_column_profile"     -> ((s, d) => Relational.columnProfile(Tables(s, d))),
+    "q96_locf_resample"      -> ((s, d) => graft.operators.EventOps.locfResample(Tables(s, d))),
     // the SQL entry point: the same engine surface through spark.sql
     // text (TPC-H Q5 shape — 6-way join, selective region + date band)
     "q94_sql_tpch5"          -> ((s, d) => {
@@ -1007,5 +1008,17 @@ object SparkEntry {
            | CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS avg_v
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+    // q96: DuckDB's native ASOF JOIN is the oracle for the composed
+    // grid + carry-forward (same inclusive semantics as q40)
+    "q96_locf_resample" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |span AS (SELECT date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx FROM ev),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 360 MINUTE)) AS grid_ts
+        |  FROM (SELECT DISTINCT user_id FROM ev), span)
+        |SELECT g.user_id, g.grid_ts,
+        | COALESCE(e.value, -1.0) AS last_value,
+        | COALESCE(e.ts, TIMESTAMP '1970-01-01') AS last_ts
+        |FROM grid g ASOF LEFT JOIN ev e
+        | ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
   )
 }

@@ -117,6 +117,32 @@ object EventOps {
       .orderBy($"win_id", $"pt_id")
   }
 
+  /** q96: LOCF resampling — regularize each user's irregular event
+    * stream onto a fixed time grid, carrying the last observation
+    * forward. Composes two existing pieces: a broadcast-span grid
+    * (users × `sequence(...)` — the span is ONE row, so grid
+    * construction adds no shuffle beyond the user-distinct) and the
+    * as-of join's union+window technique (one shuffle of
+    * |grid|+|events| on user_id, no range explosion). Grid points
+    * before a user's first event surface the q40 sentinel convention
+    * (-1 / epoch) instead of NULLs. */
+  def locfResample(t: Tables, stepMinutes: Int = 360): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events.select($"user_id", $"ts", $"value")
+    val span = ev.agg(date_trunc("hour", min($"ts")).as("mn"), max($"ts").as("mx"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select($"user_id", explode(sequence($"mn", $"mx",
+        expr(s"interval $stepMinutes minutes"))).as("grid_ts"))
+    AsOfJoin.joinPrior(
+      grid.withColumn("g", $"grid_ts"), ev,
+      "user_id", "grid_ts", "ts", "g", "value")
+      .select($"user_id", $"grid_ts",
+        coalesce($"asof_val", lit(-1.0)).as("last_value"),
+        coalesce($"asof_ts", lit("1970-01-01 00:00:00").cast("timestamp")).as("last_ts"))
+      .orderBy($"user_id", $"grid_ts")
+  }
+
   /** q70: exponentially-weighted moving average of `value` per user
     * (α = 0.5), folded in (ts, event_id) order. The sequential fold is
     * the oracle-parity formulation (sort_array(collect_list) ↔

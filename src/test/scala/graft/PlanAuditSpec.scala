@@ -20,7 +20,9 @@ class PlanAuditSpec extends SparkSpec {
     // N + Σdl for the BM25 idf and length normalization)
     "q79_unigram_nll", "q80_pmi_collocations", "q88_bm25",
     // one-row node-count broadcast per power iteration
-    "q85_pagerank")
+    "q85_pagerank",
+    // one-row global-span broadcast for the resample grid
+    "q96_locf_resample")
 
   // queries that train/iterate during CONSTRUCTION (ml fits, the CC
   // driver loop) — their plan shape is asserted by their own specs

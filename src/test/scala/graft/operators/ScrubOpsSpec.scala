@@ -129,4 +129,23 @@ class ScrubOpsSpec extends SparkSpec {
     // duplicate rows despite the window living in 3 buckets
     assert(got === Set((1L, 10L, 0L), (1L, 11L, 249L)))
   }
+
+  test("locfResample carries the last observation forward onto the fixture grid") {
+    val got = EventOps.locfResample(sf001).collect()
+    assert(got.nonEmpty)
+    // per user, last_value changes only at grid points with a fresh
+    // event in between — so along the grid, last_ts is non-decreasing
+    val byUser = got.groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      val ts = rows.sortBy(_.getTimestamp(1).getTime).map(_.getTimestamp(3).getTime)
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b },
+        "carry-forward timestamp went backwards")
+    }
+    // sentinel rows (grid before first event) use the q40 convention
+    val sentinels = got.filter(_.getDouble(2) == -1.0)
+    assert(sentinels.forall(_.getTimestamp(3).getTime == 0L))
+    // every user has the same grid length (shared global span)
+    val sizes = byUser.values.map(_.length).toSet
+    assert(sizes.size === 1)
+  }
 }
