@@ -33,7 +33,7 @@ object Bench {
     java.nio.file.Files.writeString(f.toPath,
       """<?xml version="1.0"?>
         |<allocations>
-        |  <pool name="heavy"><schedulingMode>FAIR</schedulingMode><weight>4</weight><minShare>8</minShare></pool>
+        |  <pool name="heavy"><schedulingMode>FAIR</schedulingMode><weight>6</weight><minShare>12</minShare></pool>
         |  <pool name="default"><schedulingMode>FAIR</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
         |</allocations>""".stripMargin)
     f.getAbsolutePath
