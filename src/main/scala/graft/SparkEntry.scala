@@ -144,6 +144,11 @@ object SparkEntry {
     "q93_inverted_index"     -> ((s, d) => PipelineOps.invertedIndex(Tables(s, d))),
     "q95_column_profile"     -> ((s, d) => Relational.columnProfile(Tables(s, d))),
     "q96_locf_resample"      -> ((s, d) => graft.operators.EventOps.locfResample(Tables(s, d))),
+    // product analytics: markov transitions, histograms, cohorts, funnels
+    "q97_transitions"        -> ((s, d) => graft.operators.EventOps.transitionMatrix(Tables(s, d))),
+    "q98_value_histogram"    -> ((s, d) => graft.operators.EventOps.valueHistogram(Tables(s, d))),
+    "q99_cohort_retention"   -> ((s, d) => graft.operators.EventOps.cohortRetention(Tables(s, d))),
+    "q100_conversion"        -> ((s, d) => graft.operators.EventOps.conversionLatency(Tables(s, d))),
     // the SQL entry point: the same engine surface through spark.sql
     // text (TPC-H Q5 shape — 6-way join, selective region + date band)
     "q94_sql_tpch5"          -> ((s, d) => {
@@ -1020,5 +1025,42 @@ object SparkEntry {
         | COALESCE(e.ts, TIMESTAMP '1970-01-01') AS last_ts
         |FROM grid g ASOF LEFT JOIN ev e
         | ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
+    // q97: ts cast to TIMESTAMP (µs) so ordering ties break on
+    // event_id identically in both engines (ns-precision ordering
+    // could differ within one microsecond)
+    "q97_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |seq AS (SELECT user_id, event_type AS next_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM ev),
+        |pairs AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, SUM(n) AS n_prev FROM pairs GROUP BY 1)
+        |SELECT pr.prev_type, pr.next_type, pr.n,
+        |  CAST(pr.n AS DOUBLE) / t.n_prev AS p
+        |FROM pairs pr JOIN tot t USING (prev_type)""".stripMargin,
+    "q98_value_histogram" ->
+      """SELECT bin, COUNT(*) AS n_events, bin * 25.0 AS bin_lo
+        |FROM (SELECT CAST(floor(value / 25.0) AS INT) AS bin FROM events) x
+        |GROUP BY bin""".stripMargin,
+    // q99: weeks as integer day-offsets // 7 — engine-neutral, no
+    // week-start conventions
+    "q99_cohort_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT) AS week FROM events),
+        |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_active
+        |FROM weeks w JOIN coh c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q100_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |f AS (SELECT user_id,
+        |  MIN(us) FILTER (WHERE event_type = 'signup') AS signup_us,
+        |  MIN(us) FILTER (WHERE event_type = 'purchase') AS purchase_us
+        | FROM ev GROUP BY 1)
+        |SELECT user_id, make_timestamp(signup_us) AS signup_ts,
+        | make_timestamp(purchase_us) AS purchase_ts,
+        | (purchase_us - signup_us) // 1000000 AS latency_s
+        |FROM f WHERE signup_us IS NOT NULL AND purchase_us IS NOT NULL
+        |  AND purchase_us >= signup_us""".stripMargin,
   )
 }

@@ -143,6 +143,81 @@ object EventOps {
       .orderBy($"user_id", $"grid_ts")
   }
 
+  /** q97: event-type transition matrix — the per-user first-order
+    * Markov estimate: P(next | prev) = c(prev, next) / c(prev, ·)
+    * over each user's time-ordered stream. One lag window per user
+    * (unique (ts, event_id) order) + one narrow count shuffle; the
+    * probability is one IEEE division of identical integer operands
+    * per engine. */
+  def transitionMatrix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = t.events
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("n_prev"))
+    pairs.join(totals, "prev_type")
+      .select($"prev_type", $"next_type", $"n",
+        ($"n".cast("double") / $"n_prev").as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** q98: equal-width histogram of event values — bin ids from one
+    * floor division (identical IEEE op both engines), then a count
+    * per bin. The zero-shuffle-per-row / one-narrow-agg shape of any
+    * distribution profile at scale. */
+  def valueHistogram(t: Tables, binWidth: Double = 25.0): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .select((floor($"value" / binWidth)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("bin_lo", $"bin" * binWidth)
+      .orderBy($"bin")
+  }
+
+  /** q99: weekly cohort retention — users grouped by first-activity
+    * week, counted per subsequent active week. Weeks are integer
+    * day-offsets DIV 7 from a fixed epoch date (engine-neutral
+    * integer arithmetic — date_trunc('week') would pull in
+    * engine-specific week-start conventions). Two narrow shuffles:
+    * per-user first week, then (cohort, week) distinct-user count. */
+  def cohortRetention(t: Tables, epoch: String = "2024-01-01"): DataFrame = {
+    import t.spark.implicits._
+    val weeks = t.events.select($"user_id",
+      expr(s"CAST(datediff(to_date(ts), DATE '$epoch') div 7 AS INT)").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy($"cohort_week", $"week")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week")
+  }
+
+  /** q100: conversion latency — per user, the first signup and the
+    * first subsequent purchase, with the latency in whole seconds
+    * (exact integer micros arithmetic). The funnel-latency primitive
+    * behind activation metrics; one groupBy on user_id. */
+  def conversionLatency(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val firsts = t.events
+      .filter($"event_type".isin("signup", "purchase"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", unix_micros($"ts"))).as("signup_us"),
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("purchase_us"))
+      .filter($"signup_us".isNotNull && $"purchase_us".isNotNull &&
+        $"purchase_us" >= $"signup_us")
+    firsts.select($"user_id",
+      timestamp_micros($"signup_us").as("signup_ts"),
+      timestamp_micros($"purchase_us").as("purchase_ts"),
+      expr("(purchase_us - signup_us) div 1000000").as("latency_s"))
+      .orderBy($"user_id")
+  }
+
   /** q70: exponentially-weighted moving average of `value` per user
     * (α = 0.5), folded in (ts, event_id) order. The sequential fold is
     * the oracle-parity formulation (sort_array(collect_list) ↔

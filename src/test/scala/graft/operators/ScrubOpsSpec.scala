@@ -130,6 +130,33 @@ class ScrubOpsSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 0L), (1L, 11L, 249L)))
   }
 
+  test("transitionMatrix rows are probability distributions per prev state") {
+    val m = EventOps.transitionMatrix(sf001)
+    val sums = m.groupBy("prev_type")
+      .agg(org.apache.spark.sql.functions.sum("p").as("total")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12,
+      s"${r.getString(0)} rows sum to ${r.getDouble(1)}"))
+    assert(m.filter(col("p") < 0 || col("p") > 1).count() === 0)
+  }
+
+  test("cohortRetention: activity weeks never precede the cohort week, cohort sizes at week 0") {
+    val r = EventOps.cohortRetention(sf001)
+    assert(r.filter(col("week") < col("cohort_week")).count() === 0)
+    // at (cohort_week, cohort_week) every cohort member is active by definition:
+    // that cell is the max over the cohort's row
+    val diag = r.filter(col("week") === col("cohort_week"))
+      .select(col("cohort_week"), col("n_active").as("size"))
+    val bad = r.join(diag, "cohort_week").filter(col("n_active") > col("size"))
+    assert(bad.count() === 0)
+  }
+
+  test("conversionLatency: non-negative, consistent with the raw event stream") {
+    val c = EventOps.conversionLatency(sf001)
+    assert(c.filter(col("latency_s") < 0).count() === 0)
+    assert(c.filter(col("purchase_ts") < col("signup_ts")).count() === 0)
+    assert(c.count() > 0)
+  }
+
   test("locfResample carries the last observation forward onto the fixture grid") {
     val got = EventOps.locfResample(sf001).collect()
     assert(got.nonEmpty)
