@@ -1050,17 +1050,21 @@ object SparkEntry {
         |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
         |SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_active
         |FROM weeks w JOIN coh c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // q100: funnel semantics — first purchase STRICTLY AFTER the
+    // first signup (a user whose earliest purchase predates signup
+    // still converts on a later purchase)
     "q100_conversion" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
         |  WHERE event_type IN ('signup', 'purchase')),
-        |f AS (SELECT user_id,
-        |  MIN(us) FILTER (WHERE event_type = 'signup') AS signup_us,
-        |  MIN(us) FILTER (WHERE event_type = 'purchase') AS purchase_us
-        | FROM ev GROUP BY 1)
-        |SELECT user_id, make_timestamp(signup_us) AS signup_ts,
+        |s AS (SELECT user_id, MIN(us) FILTER (WHERE event_type = 'signup') AS signup_us
+        |  FROM ev GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS purchase_us
+        |  FROM ev e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s.signup_us
+        |  GROUP BY 1)
+        |SELECT s.user_id, make_timestamp(signup_us) AS signup_ts,
         | make_timestamp(purchase_us) AS purchase_ts,
         | (purchase_us - signup_us) // 1000000 AS latency_s
-        |FROM f WHERE signup_us IS NOT NULL AND purchase_us IS NOT NULL
-        |  AND purchase_us >= signup_us""".stripMargin,
+        |FROM s JOIN p USING (user_id) WHERE signup_us IS NOT NULL""".stripMargin,
   )
 }

@@ -30,27 +30,33 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       leftValue: String, rightValue: String): DataFrame = {
+    // the right payload travels as ONE struct (null only on left
+    // rows), so the carried (value, ts) pair always comes from the
+    // SAME right row — two independent ignoreNulls carries could pair
+    // an older non-null value with a newer null-valued row's
+    // timestamp, diverging from ASOF semantics on nullable payloads
+    val rStructType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(rightValue).dataType),
+      org.apache.spark.sql.types.StructField("t", right.schema(rightTs).dataType)))
     val l = left.select(
       col(key).as("k"), col(leftTs).as("ts"),
       col(leftValue).as("l_val"),
-      lit(null).cast(right.schema(rightValue).dataType).as("r_val"),
-      lit(null).cast(right.schema(rightTs).dataType).as("r_ts"),
+      lit(null).cast(rStructType).as("r"),
       lit(1).as("tag"))
     val r = right.select(
       col(key).as("k"), col(rightTs).as("ts"),
       lit(null).cast(left.schema(leftValue).dataType).as("l_val"),
-      col(rightValue).as("r_val"),
-      col(rightTs).as("r_ts"),
+      struct(col(rightValue).as("v"), col(rightTs).as("t")).as("r"),
       lit(0).as("tag"))
     // tag 0 (right) sorts before tag 1 (left) at equal ts → inclusive.
     val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof", last(col("r"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("k").as(key), col("ts").as(leftTs),
-        col("l_val").as(leftValue), col("asof_val"), col("asof_ts"))
+        col("l_val").as(leftValue),
+        col("asof.v").as("asof_val"), col("asof.t").as("asof_ts"))
   }
 
   /** q40: for each error event, the most recent prior-or-simultaneous

@@ -198,23 +198,19 @@ object EventOps {
   }
 
   /** q100: conversion latency — per user, the first signup and the
-    * first subsequent purchase, with the latency in whole seconds
-    * (exact integer micros arithmetic). The funnel-latency primitive
-    * behind activation metrics; one groupBy on user_id. */
+    * first purchase STRICTLY AFTER it, with the latency in whole
+    * seconds (exact integer micros arithmetic). Built on the same
+    * [[funnelOver]] primitive as q69 so "first subsequent" has ONE
+    * definition: a user whose earliest-ever purchase predates their
+    * signup still converts if they purchase again afterwards. */
   def conversionLatency(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val firsts = t.events
-      .filter($"event_type".isin("signup", "purchase"))
-      .groupBy($"user_id")
-      .agg(
-        min(when($"event_type" === "signup", unix_micros($"ts"))).as("signup_us"),
-        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("purchase_us"))
-      .filter($"signup_us".isNotNull && $"purchase_us".isNotNull &&
-        $"purchase_us" >= $"signup_us")
-    firsts.select($"user_id",
-      timestamp_micros($"signup_us").as("signup_ts"),
-      timestamp_micros($"purchase_us").as("purchase_ts"),
-      expr("(purchase_us - signup_us) div 1000000").as("latency_s"))
+    funnelOver(t.events, $"user_id", $"event_type", $"ts", Seq("signup", "purchase"))
+      .filter($"signup_us".isNotNull && $"purchase_us".isNotNull)
+      .select($"user_id",
+        timestamp_micros($"signup_us").as("signup_ts"),
+        timestamp_micros($"purchase_us").as("purchase_ts"),
+        expr("(purchase_us - signup_us) div 1000000").as("latency_s"))
       .orderBy($"user_id")
   }
 

@@ -507,8 +507,7 @@ object Relational {
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        (sum(col(c).cast(DecimalType(18, 4))).cast("double") / count(col(c)))
-          .as(s"${c}__avg"))
+        davg(col(c), 4).as(s"${c}__avg"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
