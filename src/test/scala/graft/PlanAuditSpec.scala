@@ -30,6 +30,27 @@ class PlanAuditSpec extends SparkSpec {
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
     "q57_dedup_clusters", "q90_dedup_survivors")
 
+  test("projection pushdown: no query scans every lineitem column") {
+    // lineitem is the widest fact table (11 columns). No declared
+    // query needs them all, so a full-width ReadSchema means a
+    // projection stopped reaching the scan — at 100 TB that is the
+    // difference between reading the columns you use and reading the
+    // table. (Cheap construction-only queries; the CC/ml ones are
+    // excluded for build cost, not plan shape.)
+    val width = "ReadSchema: struct<([^>]*)>".r
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(constructionHeavy)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        val full = plan.linesIterator.filter(_.contains("lineitem")).exists { ln =>
+          width.findFirstMatchIn(ln).exists(_.group(1).split(",").length >= 11)
+        }
+        if (full) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"full-width lineitem scans in: $offenders")
+  }
+
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(constructionHeavy)
