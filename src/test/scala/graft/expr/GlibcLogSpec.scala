@@ -45,6 +45,30 @@ class GlibcLogSpec extends AnyFunSuite {
     assert(bits(GlibcLog.log(sub2)) === bits(Math.log(sub2)))
   }
 
+  test("2212 golden vectors captured from DuckDB ln match bit-for-bit") {
+    // src/test/resources/glibc_ln_pins.txt: every integer/half-integer
+    // input <= 2e6 where glibc diverges from HotSpot Math.log (the
+    // cases a Math.log-based regression would silently break), the
+    // q88 idf divergence, and spread/near-1/subnormal samples — all
+    // with DuckDB's exact output bits. This makes the external 16M
+    // validation regression-testable inside sbt.
+    val in = getClass.getResourceAsStream("/glibc_ln_pins.txt")
+    assert(in != null, "golden vector resource missing")
+    val lines = scala.io.Source.fromInputStream(in).getLines()
+      .filterNot(_.startsWith("#")).toSeq
+    assert(lines.size >= 2000)
+    var checked = 0
+    for (line <- lines) {
+      val Array(xb, vb) = line.trim.split("\\s+")
+      val x = java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(xb, 16))
+      val v = java.lang.Long.parseUnsignedLong(vb, 16)
+      assert(bits(GlibcLog.log(x)) === v,
+        s"x=${java.lang.Double.toHexString(x)}: got ${java.lang.Double.toHexString(GlibcLog.log(x))}")
+      checked += 1
+    }
+    assert(checked === lines.size)
+  }
+
   test("random sweep: never more than 1 ulp from the correctly rounded Math.log") {
     val rnd = new scala.util.Random(7)
     var diverged = 0
