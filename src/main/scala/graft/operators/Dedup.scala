@@ -154,24 +154,111 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding-cosine near-dup candidates: all pairs above a cosine
-    * threshold. Exact (broadcast small side; the LSH-bucketed variant
-    * for unbounded corpora is Similarity.annLsh's machinery).
-    * Each vector's norm is computed ONCE before the pair join —
+  /** Embedding-cosine near-dup pairs: ALL pairs at cosine ≥ minCos,
+    * EXACT, as a block-replicated theta join (the 1-Bucket-Theta /
+    * blocked-matmul scheme) instead of a broadcast nested loop.
+    *
+    * Why not LSH here: with the declared threshold of 0.4, true pairs
+    * sit at the bulk of the angular distribution (fixture pairs span
+    * cos 0.400–0.60; a cos-0.4 pair agrees with a random hyperplane
+    * with probability only 1−θ/π ≈ 0.63), so no banding scheme reaches
+    * recall 1 without probing a super-quadratic candidate volume —
+    * sub-linear ANN pays off at HIGH similarity (see
+    * [[embeddingNearDupsBanded]] for that regime and the math). An
+    * exact low-threshold all-pairs join is Θ(n²) dot products by
+    * nature; the scale question is how that work is laid out:
+    *
+    *  - Every vector lands in one of `blocks` deterministic blocks;
+    *    each unordered block pair (bi ≤ bj) is one join task.
+    *  - Each row is replicated exactly blocks+1 times (a-side to pairs
+    *    (blk, *), b-side to pairs (*, blk)) — shuffle volume is
+    *    (blocks+1)·n rows, task memory is two blocks of vectors, and
+    *    the n²/2 dot products spread EVENLY over blocks·(blocks+1)/2
+    *    equi-join tasks. Nothing is broadcast except the tiny
+    *    block-pair table; no executor ever holds the corpus.
+    *
+    * Per-vector norms are hoisted out of the pair loop —
     * `dot/(nrm_a·nrm_b)` is bit-identical to `cosine_sim` per pair at
-    * a third of the multiplies, which matters in an O(n²/2) loop. */
-  def embeddingNearDups(t: Tables, minCos: Double = 0.4): DataFrame = {
+    * a third of the multiplies. The IEEE fold is symmetric in (a, b),
+    * so canonicalizing ids AFTER the cosine is exact. */
+  def embeddingNearDups(t: Tables, minCos: Double = 0.4, blocks: Int = 16): DataFrame = {
     import t.spark.implicits._
     import graft.functions.SimilarityFunctions.{dotNative, factoredCosine, l2NormNative}
+    require(blocks >= 1, s"blocks must be >= 1: $blocks")
     val e = t.embeddings
-      .select($"vec_id", $"embedding", l2NormNative($"embedding").as("nrm"))
-    val a = e.select($"vec_id".as("id_a"), $"embedding".as("e_a"), $"nrm".as("nrm_a"))
-    val b = e.select($"vec_id".as("id_b"), $"embedding".as("e_b"), $"nrm".as("nrm_b"))
-    a.join(b, $"id_a" < $"id_b")
-      .select($"id_a", $"id_b",
-        factoredCosine(dotNative($"e_a", $"e_b"), $"nrm_a", $"nrm_b").as("cos_sim"))
+      .select($"vec_id", $"embedding", l2NormNative($"embedding").as("nrm"),
+        pmod(xxhash64($"vec_id"), lit(blocks)).cast("int").as("blk"))
+    val pairBlocks = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j)).toDF("bi", "bj"))
+    val aExp = e.join(pairBlocks, $"blk" === $"bi")
+      .select($"bi", $"bj", $"vec_id".as("id_l"), $"embedding".as("e_l"), $"nrm".as("nrm_l"))
+    val bExp = e.join(pairBlocks, $"blk" === $"bj")
+      .select($"bi", $"bj", $"vec_id".as("id_r"), $"embedding".as("e_r"), $"nrm".as("nrm_r"))
+    aExp.join(bExp, Seq("bi", "bj"))
+      // cross-block pairs meet in exactly one task (blk_l=bi < bj=blk_r);
+      // diagonal tasks see both orderings → keep one
+      .filter($"bi" < $"bj" || $"id_l" < $"id_r")
+      .select($"id_l", $"id_r",
+        factoredCosine(dotNative($"e_l", $"e_r"), $"nrm_l", $"nrm_r").as("cos_sim"))
       .filter($"cos_sim" >= minCos)
+      .select(least($"id_l", $"id_r").as("id_a"),
+        greatest($"id_l", $"id_r").as("id_b"), $"cos_sim")
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Sub-linear scale path for embedding near-dup at HIGH similarity:
+    * random-hyperplane band candidates + exact factored-cosine verify
+    * (two-phase, like [[minhashPairsFast]]). Emits a SUBSET of the
+    * exact pair set with exact cosines; per-pair recall is
+    * 1−(1−p^r)^b with p = 1−arccos(cos)/π — at cos 0.9 (r=4 planes,
+    * b=12 bands) that is ≥ 0.9997, while at the 0.4 threshold of
+    * [[embeddingNearDups]] it would be ~0.55, which is why the exact
+    * blocked join owns the low-threshold regime and this owns genuine
+    * near-dup thresholds. Shuffle volume: b rows of (bandkey, id) per
+    * vector — linear. */
+  def embeddingNearDupsBanded(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, minCos: Double,
+      bands: Int = 12, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.SimilarityFunctions.{dotNative, factoredCosine, l2NormNative}
+    val rnd = new scala.util.Random(seed)
+    // one plane set per (band, row): sign bits concatenate into the
+    // band key — all computed in a single codegen'd projection
+    val planes: IndexedSeq[IndexedSeq[Array[Double]]] =
+      IndexedSeq.fill(bands)(IndexedSeq.fill(planesPerBand)(
+        Array.fill(dim)(rnd.nextGaussian())))
+    def signBit(emb: org.apache.spark.sql.Column, p: Array[Double]) =
+      when(aggregate(
+        zip_with(array(p.map(lit).toIndexedSeq: _*), emb,
+          (w, x) => w * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
+    val e = df
+      .select(idCol.as("__id"), embCol.as("__emb"),
+        l2NormNative(embCol).as("__nrm"))
+      .localCheckpoint(true) // consumed by banding + two candidate fetches
+    val bandKeys = array((0 until bands).map { b =>
+      val key = planes(b).zipWithIndex
+        .map { case (p, i) => signBit(col("__emb"), p) * lit(1 << i) }
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    val banded = e.select(col("__id"), explode(bandKeys).as("bk"))
+    val cands = banded.select(col("__id").as("id_a"), col("bk"))
+      .join(banded.select(col("__id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("__id").as("id_a"), col("__emb").as("e_a"),
+        col("__nrm").as("nrm_a")), Seq("id_a"))
+      .join(e.select(col("__id").as("id_b"), col("__emb").as("e_b"),
+        col("__nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        factoredCosine(dotNative(col("e_a"), col("e_b")),
+          col("nrm_a"), col("nrm_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Cross-dataset dedup: remove from `corpus` every document that is

@@ -12,7 +12,7 @@ class PlanAuditSpec extends SparkSpec {
   // in exact TF-IDF
   private val intendedNonEqui = Set(
     "q28_cosine_pairs", "q29_knn_bruteforce", "q30_label_centroids",
-    "q34_media_knn", "q43_ann_lsh", "q50_embedding_neardup", "q52_ann_ivf",
+    "q34_media_knn", "q43_ann_lsh", "q52_ann_ivf",
     "q61_tfidf_exact",
     // one-row id-bounds broadcast for the deterministic bucketing
     "q62_pack_windows",

@@ -267,6 +267,53 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("blocked theta join emits the identical pair set as a direct all-pairs join") {
+    import graft.functions.SimilarityFunctions.cosine
+    import spark.implicits._
+    val t = sf001
+    val e = t.embeddings.select($"vec_id", $"embedding")
+    val ref = e.select($"vec_id".as("ra"), $"embedding".as("ea"))
+      .join(e.select($"vec_id".as("rb"), $"embedding".as("eb")), $"ra" < $"rb")
+      .select($"ra", $"rb", cosine($"ea", $"eb").as("cs"))
+      .filter($"cs" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.embeddingNearDups(t, minCos = 0.4, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === ref.keySet)
+    // factored cosine must be bit-identical to the single-pass expression
+    got.foreach { case (k, v) => assert(v === ref(k), s"cos mismatch at $k") }
+    // and the plan must be equi-joins only — no nested loop, no cartesian
+    val plan = Dedup.embeddingNearDups(t, minCos = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("banded near-dup: subset of exact with exact cosines; recall ~1 in the high-cos regime") {
+    import spark.implicits._
+    // fixtures have no high-similarity embedding pairs (max cos ≈ 0.48
+    // at sf0.001), so plant some: 20 of the 200 vectors are near-copies
+    // (tiny seeded perturbation → cos ≈ 0.999)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0L until 20L).map { i =>
+      (1000L + i) -> base(i.toInt)._2.map(v => v + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    import graft.functions.SimilarityFunctions.cosine
+    val ref = df.select($"vec_id".as("ra"), $"embedding".as("ea"))
+      .join(df.select($"vec_id".as("rb"), $"embedding".as("eb")), $"ra" < $"rb")
+      .select($"ra", $"rb", cosine($"ea", $"eb").as("cs"))
+      .filter($"cs" >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ref.size === 20) // exactly the planted pairs
+    val got = Dedup.embeddingNearDupsBanded(df, $"vec_id", $"embedding", minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subset with exact values, and at cos≈0.999 the per-pair miss
+    // probability is ~5e-10 — the seeded run finds every planted pair
+    got.foreach { case (k, v) => assert(ref.get(k).contains(v)) }
+    assert(got.keySet === ref.keySet)
+  }
+
   test("dedup survivors: one longest-doc survivor per cluster, members partition the corpus") {
     val surv = Dedup.dedupSurvivors(sf001).cache()
     try {
