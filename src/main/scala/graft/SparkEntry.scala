@@ -56,7 +56,9 @@ object SparkEntry {
     // scale-path near-dedup (rows-only: LSH banding has no SQL oracle)
     "q31_minhash_pairs"      -> ((s, d) => Dedup.minhashPairs(Tables(s, d))),
     "q32_simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d))),
-    // multimodal binary columns (rows-only: stub codec is engine-local)
+    // multimodal binary columns (deterministic stub codec — both
+    // oracle-checked: the fake decode is float32 arithmetic DuckDB
+    // reproduces bit-exactly)
     "q33_media_profile"      -> ((s, d) => graft.sources.Multimodal.mediaProfile(Tables(s, d))),
     "q34_media_knn"          -> ((s, d) => graft.sources.Multimodal.mediaKnn(Tables(s, d))),
     // additional relational coverage
@@ -169,6 +171,12 @@ object SparkEntry {
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
+    // driver-visible ANN regression gates: recall@10 of each ANN path
+    // vs the oracle-checked exact top-10 — the hash flips if recall
+    // drops below the floor (q43/q52 themselves stay rows-only since
+    // their bucket layouts are engine-specific)
+    "q101_ann_lsh_gate"      -> ((s, d) => Similarity.annRecallGate(Tables(s, d), lsh = true)),
+    "q102_ann_ivf_gate"      -> ((s, d) => Similarity.annRecallGate(Tables(s, d), lsh = false)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -740,6 +748,48 @@ object SparkEntry {
          | SELECT q_id, vec_id, cos_sim,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
          | FROM ($cosPairsSql) p) r WHERE rank <= 10""".stripMargin,
+    // ANN gates: the oracle is the CONTRACT (every probe meets the
+    // recall floor), not the bucket layout — a recall regression on
+    // the Spark side makes meets_floor=false and the hash mismatches
+    "q101_ann_lsh_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q102_ann_ivf_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q34: the oracle replays the stub codec's float32 arithmetic —
+    // per byte, h = b*2654435761 + pos*40503 (int64), bucket =
+    // (h>>16)%16, contribution = float((h>>32)&255)/255f − 0.5f,
+    // accumulated per bucket IN BYTE ORDER as float32 adds (DuckDB
+    // FLOAT ↔ JVM float are both IEEE binary32 with correctly-rounded
+    // ops, so the fold is bit-identical) — then brute-force cosine
+    // top-5 per probe in double, exactly like q29's oracle.
+    "q34_media_knn" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text FROM documents),
+         |h AS (SELECT doc_id, i - 1 AS pos,
+         |   CAST(unicode(text[CAST(i AS INTEGER)]) AS BIGINT)*2654435761 + (i-1)*40503 AS h
+         | FROM b),
+         |c AS (SELECT doc_id, CAST(((h >> 16) % 16) AS INTEGER) AS bucket,
+         |   CAST((h >> 32) & 255 AS FLOAT)/CAST(255 AS FLOAT) - CAST(0.5 AS FLOAT) AS v, pos
+         | FROM h),
+         |bs AS (SELECT doc_id, bucket,
+         |   list_reduce(list_prepend(CAST(0 AS FLOAT), list(v ORDER BY pos)), (a,x) -> a+x) AS s
+         | FROM c GROUP BY doc_id, bucket),
+         |grid AS (SELECT d.doc_id, CAST(g.b AS INTEGER) AS bucket
+         | FROM documents d, range(0,16) g(b)),
+         |emb AS (SELECT grid.doc_id AS media_id,
+         |   list(COALESCE(bs.s, CAST(0 AS FLOAT)) ORDER BY grid.bucket) AS e
+         | FROM grid LEFT JOIN bs ON grid.doc_id = bs.doc_id AND grid.bucket = bs.bucket
+         | GROUP BY grid.doc_id),
+         |probes AS (SELECT media_id AS probe_id, e AS pe FROM emb WHERE media_id < 3),
+         |pairs AS (SELECT probe_id, media_id,
+         |   ${dotOf("pe", "e")} / (sqrt(${dotOf("pe", "pe")}) * sqrt(${dotOf("e", "e")})) AS cos_sim
+         | FROM emb, probes WHERE media_id <> probe_id)
+         |SELECT probe_id, media_id, cos_sim, rank FROM (
+         | SELECT probe_id, media_id, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, media_id) AS INTEGER) AS rank
+         | FROM pairs) r WHERE rank <= 5""".stripMargin,
     // ScrubOps: the oracle rebuilds the identical augmented bytes,
     // then applies the identical RE2⊂Java regex chain (DuckDB
     // regexp_replace needs the explicit 'g' flag Spark implies;
@@ -861,12 +911,16 @@ object SparkEntry {
         |FROM part a JOIN part b
         | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
-    // PageRank, 3 unrolled power iterations. Bit-exact ranks: the
-    // per-destination contribution fold is ordered by source id on
-    // both sides, and every oracle constant is an e0 DOUBLE literal —
-    // DuckDB parses bare 1.0/0.85 as DECIMAL, making (1.0-0.85)
-    // decimal-exact 0.15 instead of the computed double 1.0-0.85
-    // (= 0.15000000000000002) that Spark's lit(1.0-d) produces.
+    // PageRank, 3 unrolled power iterations. Bit-exact ranks: each
+    // contribution pr/deg is quantized to int64 2^-40 quanta with
+    // exactly-reproducible IEEE ops (floor(pr/deg*2^40 + 0.5) — the
+    // power-of-two multiply is an exponent shift), the per-destination
+    // reduction is an exact integer SUM (order-independent, mirroring
+    // Graph.pageRankOver's hub-safe aggregation), and every oracle
+    // constant is an e0 DOUBLE literal — DuckDB parses bare 1.0/0.85
+    // as DECIMAL, making (1.0-0.85) decimal-exact 0.15 instead of the
+    // computed double 1.0-0.85 (= 0.15000000000000002) that Spark's
+    // lit(1.0-d) produces.
     "q85_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -875,19 +929,19 @@ object SparkEntry {
         |nn AS (SELECT COUNT(*) AS n FROM nodes),
         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
         |p0 AS (SELECT id, 1.0e0/n AS pr FROM nodes CROSS JOIN nn),
-        |p1 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |p1 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
         |  SELECT e.dst AS id,
-        |   list_reduce(list_prepend(0.0, list(p0.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |   SUM(CAST(floor(p0.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
         |  FROM e JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src
         |  GROUP BY e.dst) t CROSS JOIN nn),
-        |p2 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |p2 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
         |  SELECT e.dst AS id,
-        |   list_reduce(list_prepend(0.0, list(p1.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |   SUM(CAST(floor(p1.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
         |  FROM e JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src
         |  GROUP BY e.dst) t CROSS JOIN nn),
-        |p3 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*t.s AS pr FROM (
+        |p3 AS (SELECT t.id, (1.0e0-0.85e0)/nn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
         |  SELECT e.dst AS id,
-        |   list_reduce(list_prepend(0.0, list(p2.pr/deg.deg ORDER BY e.src)), (a,b)->a+b) AS s
+        |   SUM(CAST(floor(p2.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
         |  FROM e JOIN p2 ON e.src = p2.id JOIN deg ON e.src = deg.src
         |  GROUP BY e.dst) t CROSS JOIN nn)
         |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, pr

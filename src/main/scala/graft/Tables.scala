@@ -79,8 +79,13 @@ object Tables {
     * never be deleted out from under a concurrent reader, and debris
     * from a crashed writer is cleared only while holding the lock. */
   def parallelLayout(spark: SparkSession, dir: String, name: String): String = {
+    // the source file's (length, mtime) is part of the cache key: if a
+    // fixture parquet is regenerated in place, later JVMs rebuild
+    // instead of silently reading the stale copy
+    val src = new java.io.File(s"$dir/$name.parquet")
+    val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val dest = new java.io.File(
-      "target/tblcache/" + dir.replace('/', '_') + "/" + name)
+      "target/tblcache/" + dir.replace('/', '_') + "/" + name + "-" + fp)
     def done = new java.io.File(dest, "_SUCCESS").exists()
     if (!done) buildLock.synchronized {
       if (!done) {

@@ -139,6 +139,23 @@ object Graft {
       .filter(col("rank") <= k)
   }
 
+  /** Per-label mean embedding, production form: order-independent
+    * fixed-point accumulation, no per-group arrays — group
+    * cardinality unbounded (Similarity.centroidsOver). */
+  def centroids(df: DataFrame, labelCol: Column, embCol: Column): DataFrame =
+    graft.operators.Similarity.centroidsOver(df, labelCol, embCol)
+
+  /** Sub-linear embedding near-dup pairs for the HIGH-similarity
+    * regime (cos ≳ 0.8): hyperplane-band candidate generation + exact
+    * cosine verification. At low thresholds banding cannot reach
+    * recall 1 — use the exact block-replicated theta join
+    * (Dedup.embeddingNearDups) there. */
+  def nearDupPairsEmbeddingBanded(
+      df: DataFrame, idCol: Column, embCol: Column, minCos: Double,
+      bands: Int = 12, planesPerBand: Int = 4, dim: Int = 64): DataFrame =
+    graft.operators.Dedup.embeddingNearDupsBanded(
+      df, idCol, embCol, minCos, bands, planesPerBand, dim)
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Standard per-document text profile: token counts, lexical

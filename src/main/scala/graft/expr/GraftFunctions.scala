@@ -35,9 +35,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_poly",
       es => SimHashPoly(es.head), "scala_udf")
     // the prefilter rewrite is semantically neutral — install it
-    // alongside the functions (idempotent: the rule is a singleton)
-    if (!spark.experimental.extraOptimizations.contains(JaccardPrefilterRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ JaccardPrefilterRule
+    // alongside the functions (idempotent: the rule is a singleton).
+    // The read-modify-write is synchronized: concurrent register()
+    // calls (e.g. parallel query streams in Bench) would otherwise
+    // race the check and append the rule twice.
+    GraftFunctions.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(JaccardPrefilterRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ JaccardPrefilterRule
+    }
   }
 }

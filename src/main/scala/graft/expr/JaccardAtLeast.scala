@@ -32,8 +32,11 @@ case class JaccardAtLeast(first: Expression, second: Expression, third: Expressi
         // Scala API) so the SQL registration path cannot construct the
         // one case (empty arrays, t <= 0) where the optimizer
         // expansion and the direct evaluation would disagree
+        // (jaccard is never > 1, so t > 1 would be vacuously false —
+        // reject it too rather than accept a predicate that can only
+        // signal a caller bug)
         third.eval() match {
-          case t: java.lang.Double if t > 0 =>
+          case t: java.lang.Double if t > 0 && t <= 1 =>
             org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
           case t =>
             org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

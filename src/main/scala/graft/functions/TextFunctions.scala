@@ -42,7 +42,9 @@ object TextFunctions {
 
   /** Heuristic language ID: score each candidate language by the
     * fraction of its marker words present in the text, take the
-    * argmax (ties → lexicographically first language). Marker
+    * argmax (ties → lexicographically LAST language: the max is over
+    * struct(score, lang), so equal scores compare on lang — the q44
+    * oracle mirrors with ORDER BY score DESC, lang DESC). Marker
     * profiles are tiny high-frequency function-word lists — the
     * classic n-gram/stopword-profile approach, pure Catalyst
     * expressions, no UDF. Returns struct(lang, score). */

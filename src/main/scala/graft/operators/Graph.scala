@@ -10,15 +10,30 @@ import org.apache.spark.sql.functions._
   * (contributions by destination). Every iteration is two narrow
   * shuffles on node ids; nothing driver-side grows with the graph.
   *
-  * Exactness across engines despite double arithmetic: contributions
-  * fold per destination in SOURCE-ID ORDER (sorted struct array ↔
-  * `list(x ORDER BY src)` + `list_reduce`), and each iteration's value
-  * expression — `(1-d)/N + d·Σ` — has the identical IEEE shape on both
-  * sides, so ranks stay bit-identical inductively. Dangling nodes are
-  * impossible by construction here (edges are symmetrized), which is
-  * what makes plain power iteration mass-conserving.
+  * Exactness across engines despite double arithmetic: each
+  * contribution pr/deg is quantized to an INTEGER number of 2⁻⁴⁰
+  * quanta — `floor(pr/deg · 2⁴⁰ + 0.5)` is all exactly-reproducible
+  * IEEE ops (a power-of-two multiply is an exponent shift), so both
+  * engines produce the identical int64 — and the per-destination
+  * reduction is then an exact integer SUM: order-independent (hub-safe
+  * — no per-destination array, partial aggregation combines map-side),
+  * and bit-identical across engines by construction. Each iteration's
+  * value expression — `(1-d)/N + d·(Σq/2⁴⁰)` — has the identical IEEE
+  * shape on both sides, so ranks stay bit-identical inductively. The
+  * quantization perturbs ranks by ≤ in-degree·2⁻⁴¹ per iteration
+  * (≈1e-12 — far below ranking resolution); the unquantized
+  * source-ordered fold is kept as [[pageRankOrderedFold]] and the two
+  * are compared in GraphSpec. Dangling nodes are impossible by
+  * construction here (edges are symmetrized), which is what makes
+  * plain power iteration mass-conserving.
   */
 object Graph {
+
+  /** Contribution quantum 2⁻⁴⁰. Per-destination sums are bounded by
+    * total rank mass: Σ over ALL destinations ≤ 2⁴⁰ + n/2 quanta, so
+    * an int64 (and the exact double cast below 2⁵³) never overflows at
+    * any corpus size. */
+  private val PrScale = 1099511627776.0 // 2^40
 
   /** `iters` rounds of PageRank with damping `d` over a directed edge
     * list (src, dst). Every node must have out-degree ≥ 1 (symmetrize
@@ -52,14 +67,50 @@ object Graph {
       .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"), col("deg"))
     val last = (1 to iters).foldLeft(pr0) { (pr, _) =>
       val contrib = e.join(pr, e("src") === pr("id"))
-        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg") * lit(PrScale) + lit(0.5))
+            .cast("long").as("q"))
         .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("arr"))
+        .agg(sum(col("q")).as("qs"))
       // left join onto the FULL node set: a node with in-degree 0
       // (legal under the out-degree-≥-1 contract, e.g. a pure source
       // in a directed graph) still holds its (1-d)/N base rank —
       // dropping it would also sever its out-edges from the next
       // iteration's inner join and leak rank mass
+      deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(deg("src").as("id"),
+          (lit(1.0 - d) / col("n") +
+            lit(d) * (coalesce(col("qs"), lit(0L)).cast("double") / lit(PrScale))).as("pr"),
+          deg("deg"))
+    }
+    last.select(col("id"), col("pr"))
+  }
+
+  /** Unquantized reference formulation: per-destination contributions
+    * folded in SOURCE-ID ORDER (`sort_array(collect_list)` ↔ the
+    * oracle's `list(x ORDER BY src)` + `list_reduce`). Materializes a
+    * node's whole in-neighborhood as one array row — fine on bounded
+    * graphs, hub-UNSAFE on power-law graphs (a hub's array is
+    * unbounded), which is why [[pageRankOver]] quantizes and sums
+    * instead. Kept as the parity proof that the quantized path tracks
+    * true double PageRank (GraphSpec bounds the difference). */
+  def pageRankOrderedFold(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int, d: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nAgg = deg.agg(count(lit(1)).as("n"))
+    val pr0 = deg.crossJoin(broadcast(nAgg))
+      .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"), col("deg"))
+    val last = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("arr"))
       deg.join(contrib, deg("src") === contrib("dst"), "left")
         .crossJoin(broadcast(nAgg))
         .select(deg("src").as("id"),

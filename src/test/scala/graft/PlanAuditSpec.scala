@@ -25,10 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     "q96_locf_resample")
 
   // queries that train/iterate during CONSTRUCTION (ml fits, the CC
-  // driver loop) — their plan shape is asserted by their own specs
+  // driver loop) — their plan shape is asserted by their own specs.
+  // The ANN recall gates embed q29+q43/q52 (probe broadcast + fit).
   private val constructionHeavy = Set(
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
-    "q57_dedup_clusters", "q90_dedup_survivors")
+    "q57_dedup_clusters", "q90_dedup_survivors",
+    "q101_ann_lsh_gate", "q102_ann_ivf_gate")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared

@@ -8,20 +8,25 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  test("pageRank on a 3-node star matches the hand-unrolled iteration exactly") {
+  // the operator's fixed-point arithmetic, replicated verbatim:
+  // contributions quantized at 2^-40, exact integer sum, then
+  // base + d*(Σq/2^40)
+  private val S = 1099511627776.0 // 2^40
+  private def q(c: Double): Long = math.floor(c * S + 0.5).toLong
+  private def step(d: Double, n: Int, qs: Long): Double =
+    (1.0 - d) / n + d * (qs.toDouble / S)
+
+  test("pageRank on a 3-node star matches the hand-unrolled quantized iteration exactly") {
     // star: 1↔2, 1↔3 (symmetrized). deg(1)=2, deg(2)=deg(3)=1, N=3.
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val d = 0.85
     val got = Graph.pageRankOver(edges, $"src", $"dst", iters = 2, d = d)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // replicate the operator's arithmetic verbatim: base + d*fold,
-    // fold = ((0.0 + c_src1) + c_src2) in ascending source order
-    val base = (1.0 - d) / 3
     val p0 = 1.0 / 3
-    val p1c = base + d * (0.0 + p0 / 1 + p0 / 1) // node 1 ← {2,3}
-    val p1l = base + d * (0.0 + p0 / 2)          // nodes 2,3 ← {1}
-    val p2c = base + d * (0.0 + p1l / 1 + p1l / 1)
-    val p2l = base + d * (0.0 + p1c / 2)
+    val p1c = step(d, 3, q(p0 / 1) + q(p0 / 1)) // node 1 ← {2,3}
+    val p1l = step(d, 3, q(p0 / 2))             // nodes 2,3 ← {1}
+    val p2c = step(d, 3, q(p1l / 1) + q(p1l / 1))
+    val p2l = step(d, 3, q(p1c / 2))
     assert(got === Map(1L -> p2c, 2L -> p2l, 3L -> p2l))
   }
 
@@ -35,13 +40,33 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val base = (1.0 - d) / 3
     val p0 = 1.0 / 3
-    val p1a = base + d * (0.0 + p0 / 1 + p0 / 1) // 1 ← {2, 3}
-    val p1b = base + d * (0.0 + p0 / 1)          // 2 ← {1}
-    val p2a = base + d * (0.0 + p1b / 1 + base / 1)
-    val p2b = base + d * (0.0 + p1a / 1)
+    val p1a = step(d, 3, q(p0 / 1) + q(p0 / 1)) // 1 ← {2, 3}
+    val p1b = step(d, 3, q(p0 / 1))             // 2 ← {1}
+    val p2a = step(d, 3, q(p1b / 1) + q(base / 1))
+    val p2b = step(d, 3, q(p1a / 1))
     assert(got === Map(1L -> p2a, 2L -> p2b, 3L -> base))
-    // out-deg ≥ 1 everywhere ⇒ mass is conserved even with a source
-    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // out-deg ≥ 1 everywhere ⇒ mass is conserved up to quantization
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("quantized pageRank tracks the unquantized ordered fold within the error bound") {
+    // the quantization perturbs each rank by ≤ in-deg·2^-41 per
+    // iteration; on the fixture graph after 3 iterations that is far
+    // below 1e-9 — and the ordered-fold variant is the proof the
+    // hub-safe integer-sum path computes the same PageRank
+    val pairs = sf001.orders
+      .join(sf001.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .union(pairs.select($"s".as("src"), $"c".as("dst")))
+    val fixed = Graph.pageRankOver(edges, $"src", $"dst", iters = 3, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val folded = Graph.pageRankOrderedFold(edges, $"src", $"dst", iters = 3, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fixed.keySet === folded.keySet)
+    val maxDiff = fixed.map { case (id, pr) => math.abs(pr - folded(id)) }.max
+    assert(maxDiff < 1e-9, s"quantized vs ordered-fold drift: $maxDiff")
   }
 
   test("triangle counts: 4-clique plus pendant edge, counted from min-rank corners") {
