@@ -55,4 +55,52 @@ object PlayStream {
         if (!batch.isEmpty) sink(scorer.scoreBatch(batch))
       }
       .start()
+
+  /** [[scoreStream]] with the delivery policy of the reference's NiFi
+    * flow (RouteOnAttribute relationships Retry / Failure, reference
+    * `NFL_Spark_Model_Scoring.xml:680-691`): a failed sink delivery is
+    * retried up to `maxAttempts` times (transient-failure parity with
+    * NiFi's Retry relationship); a batch that exhausts its attempts is
+    * routed to `deadLetter` with the last error (Failure relationship)
+    * and the STREAM SURVIVES — the next micro-batch processes
+    * normally, instead of the whole query dying on one poison batch.
+    *
+    * The scored rows are localCheckpoint-ed once per batch so retries
+    * re-deliver the same materialized result rather than re-running
+    * the scoring jobs. `deadLetter` receives the SCORED batch (what
+    * failed to deliver); if the dead-letter write itself throws, the
+    * micro-batch fails and streaming-level retry applies — the same
+    * backpressure NiFi exerts when its failure queue is full. */
+  def scoreStreamResilient(
+      plays: DataFrame,
+      scorer: Scorer,
+      sink: DataFrame => Unit,
+      deadLetter: (DataFrame, Throwable) => Unit,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 0L,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    plays.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = scorer.scoreBatch(batch).localCheckpoint(true)
+          var attempt = 0
+          var delivered = false
+          var lastErr: Throwable = null
+          while (!delivered && attempt < maxAttempts) {
+            try { sink(scored); delivered = true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                lastErr = e
+                attempt += 1
+                if (backoffMs > 0 && attempt < maxAttempts) Thread.sleep(backoffMs)
+            }
+          }
+          if (!delivered) deadLetter(scored, lastErr)
+        }
+      }
+      .start()
+  }
 }

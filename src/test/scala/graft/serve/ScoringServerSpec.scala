@@ -54,4 +54,29 @@ class ScoringServerSpec extends SparkSpec {
     assert(r.statusCode() === 200)
     assert(r.body().contains("\"PlayType_lag\":\"FirstPlay\""))
   }
+
+  test("HTML form page prefills from the replay row and scores a submission") {
+    // GET /: form prefilled from historical row 0
+    val pageR = get("/?n=0")
+    assert(pageR.statusCode() === 200)
+    assert(pageR.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    val page = pageR.body()
+    assert(page.contains("<form method=\"POST\""))
+    assert(page.contains("name=\"PlayType_lag\" value=\"FirstPlay\""))
+    // POST /: the golden request as a form submission → rendered
+    // verdict with both rounded yardages + the advance link
+    val form = "qtr=3&down=3&TimeSecs=60&yrdline100=50&ydstogo=8&ydsnet=15" +
+      "&month_day=920&posteam=PIT&DefensiveTeam=NE&PlayType_lag=Run"
+    val scored = post("/?n=0", form)
+    assert(scored.statusCode() === 200)
+    assert(scored.body().contains("<b>Running Play</b>"))
+    assert(scored.body().contains("id=\"passing_yards\"") &&
+      scored.body().contains("id=\"running_yards\""))
+    assert(scored.body().contains("href=\"/?n=1\"")) // cursor advanced
+    // unknown paths under the root context still 404
+    assert(get("/nope").statusCode() === 404)
+    // malformed submission → 400 naming the field
+    val bad = post("/?n=0", "qtr=notanint")
+    assert(bad.statusCode() === 400 && bad.body().contains("qtr"))
+  }
 }

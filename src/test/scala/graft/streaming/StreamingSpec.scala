@@ -106,6 +106,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("resilient scoring retries transient sink failures and delivers every row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val models = graft.ml.TestModels.models(spark)
+    val scorer = new graft.ml.Scorer(spark, models._1, models._2)
+    val input = MemoryStream[(Int, Int, Int, Int, Int, Int, Int, String, String, String)]
+    val plays = input.toDF().toDF("qtr", "down", "TimeSecs", "yrdline100",
+      "ydstogo", "ydsnet", "month_day", "posteam", "DefensiveTeam", "PlayType_lag")
+
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val dead = scala.collection.mutable.ArrayBuffer.empty[Int]
+    input.addData((3, 3, 60, 50, 8, 15, 920, "PIT", "NE", "Run"))
+    val q = PlayStream.scoreStreamResilient(
+      plays, scorer,
+      sink = scored => {
+        // first two delivery attempts fail transiently, third succeeds
+        if (failures.getAndIncrement() < 2) throw new RuntimeException("transient sink outage")
+        delivered ++= scored.select("qtr").collect().map(_.getInt(0))
+      },
+      deadLetter = (scored, _) => dead ++= scored.select("qtr").collect().map(_.getInt(0)),
+      maxAttempts = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      q.awaitTermination(120000)
+      assert(failures.get() === 3) // 2 failed attempts + the success
+      assert(delivered.toSeq === Seq(3))
+      assert(dead.isEmpty)
+    } finally q.stop()
+  }
+
+  test("resilient scoring routes a poison batch to the dead letter and the stream survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val models = graft.ml.TestModels.models(spark)
+    val scorer = new graft.ml.Scorer(spark, models._1, models._2)
+    val input = MemoryStream[(Int, Int, Int, Int, Int, Int, Int, String, String, String)]
+    val plays = input.toDF().toDF("qtr", "down", "TimeSecs", "yrdline100",
+      "ydstogo", "ydsnet", "month_day", "posteam", "DefensiveTeam", "PlayType_lag")
+
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dead = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = PlayStream.scoreStreamResilient(
+      plays, scorer,
+      sink = scored => {
+        attempts.getAndIncrement()
+        // the sink permanently rejects any batch containing team "BAD"
+        if (scored.filter($"posteam" === "BAD").count() > 0)
+          throw new RuntimeException("downstream rejects BAD")
+        delivered ++= scored.select("posteam").collect().map(_.getString(0))
+      },
+      deadLetter = (scored, err) =>
+        dead ++= scored.select("posteam").collect()
+          .map(r => (r.getString(0), err.getMessage)),
+      maxAttempts = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      input.addData((3, 3, 60, 50, 8, 15, 920, "BAD", "NE", "Run"))
+      q.processAllAvailable()
+      // poison batch: maxAttempts sink calls, then dead-lettered
+      assert(attempts.get() === 2)
+      assert(dead.toSeq === Seq(("BAD", "downstream rejects BAD")))
+      assert(delivered.isEmpty)
+      // the stream is still alive: the next batch delivers normally
+      input.addData((1, 1, 500, 25, 10, 5, 1101, "GB", "CHI", "Pass"))
+      q.processAllAvailable()
+      assert(delivered.toSeq === Seq("GB"))
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("streaming play scoring equals batch scoring of the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
