@@ -87,8 +87,20 @@ object Bench {
       "q63_chunking", "q17_string_funcs", "q06_nation_revenue",
       "q26_jaccard_pairs", "q62_pack_windows", "q43_ann_lsh",
       "q48_range_window", "q03_top_orders", "q66_sessionize")
-    val names = heavyFirst.filter(SparkEntry.queries.contains) ++
+    val all = heavyFirst.filter(SparkEntry.queries.contains) ++
       (SparkEntry.queries.keys.toSeq.sorted diff heavyFirst)
+    // optional subset (comma-separated names): cross-SF sweeps bench
+    // the scan-heavy relational queries at generated scale factors
+    // without paying for corpus-bound text/graph queries whose input
+    // tables the generator leaves at the source scale
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: $unknown")
+        all.filter(want)
+      case None => all
+    }
     // latency-bound iterative queries: many small sequential jobs
     // whose round latency, not throughput, sets the bench makespan
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",

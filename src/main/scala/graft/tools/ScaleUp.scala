@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture scale-up generator for cross-SF sweeps beyond the provided
+  * test data: replicates the star schema `factor`× with disjoint key
+  * ranges, preserving TPC-H's scaling shape — customer, supplier,
+  * part, orders, and lineitem all grow together, so per-key densities
+  * (orders per customer, customers per (part, month) co-purchase
+  * cell, parts per brand block) stay CONSTANT as the corpus grows,
+  * which is exactly the property the engine's blocking strategies are
+  * designed around. nation/region stay fixed (as in TPC-H); the
+  * events/documents/embeddings corpora are copied unchanged (their
+  * queries are swept at the driver-provided SFs).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor>
+  * e.g.   runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, destDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 2, s"factor must be >= 2: $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(destDir).mkdirs()
+
+    // unscaled tables: byte-identical file copies (events keeps its
+    // TIMESTAMP(NANOS) physical type this way — a Spark rewrite would
+    // change it)
+    for (t <- Seq("region", "nation", "events", "documents", "embeddings")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$destDir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def keyStride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    // one replica per `rep`, every key column shifted by rep·stride —
+    // a tiny broadcast cross join, so the generator itself scales
+    val reps = spark.range(factor).toDF("rep")
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      shifts.foldLeft(df.crossJoin(broadcast(reps))) { case (d, (k, stride)) =>
+        d.withColumn(k, col(k) + col("rep") * stride)
+      }.drop("rep")
+
+    val custStride = keyStride(src("customer"), "c_custkey")
+    val suppStride = keyStride(src("supplier"), "s_suppkey")
+    val partStride = keyStride(src("part"), "p_partkey")
+    val orderStride = keyStride(src("orders"), "o_orderkey")
+
+    val out = Seq(
+      "customer" -> replicate(src("customer"), "c_custkey" -> custStride),
+      "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
+      // p_name perturbed per replica so fuzzy matching does not see
+      // `factor` exact copies of every name (real TPC-H part names are
+      // distinct draws, not duplicates)
+      "part" -> replicate(src("part"), "p_partkey" -> partStride)
+        .withColumn("p_name",
+          concat(col("p_name"), lit(" "),
+            (col("p_partkey") / partStride).cast("int").cast("string"))),
+      "orders" -> replicate(src("orders"),
+        "o_orderkey" -> orderStride, "o_custkey" -> custStride),
+      "lineitem" -> replicate(src("lineitem"),
+        "l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride))
+
+    out.foreach { case (name, df) =>
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$destDir/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$destDir/$name.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

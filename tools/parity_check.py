@@ -44,9 +44,13 @@ def values_equal(a, b) -> bool:
 def main() -> int:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # generated SF dirs (tools.ScaleUp) hold multi-file tables as
+        # <table>.parquet/ directories; driver fixtures are single files
+        p = f"{sfdir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
