@@ -83,6 +83,9 @@ object Tables {
     // fixture parquet is regenerated in place, later JVMs rebuild
     // instead of silently reading the stale copy
     val src = new java.io.File(s"$dir/$name.parquet")
+    // a table that is ALREADY a multi-file directory (production lake
+    // layout; tools.ScaleUp output) parallelizes as-is — no rewrite
+    if (src.isDirectory) return src.getPath
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val dest = new java.io.File(
       "target/tblcache/" + dir.replace('/', '_') + "/" + name + "-" + fp)
