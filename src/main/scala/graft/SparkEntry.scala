@@ -748,9 +748,10 @@ object SparkEntry {
          | SELECT q_id, vec_id, cos_sim,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
          | FROM ($cosPairsSql) p) r WHERE rank <= 10""".stripMargin,
-    // ANN gates: the oracle is the CONTRACT (every probe meets the
-    // recall floor), not the bucket layout — a recall regression on
-    // the Spark side makes meets_floor=false and the hash mismatches
+    // ANN gates: the oracle is the CONTRACT (mean recall@10 across
+    // the probes meets the floor), not the bucket layout — a recall
+    // regression on the Spark side makes meets_floor=false on every
+    // emitted row and the hash mismatches
     "q101_ann_lsh_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
@@ -764,6 +765,11 @@ object SparkEntry {
     // FLOAT ↔ JVM float are both IEEE binary32 with correctly-rounded
     // ops, so the fold is bit-identical) — then brute-force cosine
     // top-5 per probe in double, exactly like q29's oracle.
+    // PRECONDITION: the oracle iterates CODE POINTS (unicode(text[i]))
+    // while the codec hashes UTF-8 BYTES — equivalent only because the
+    // documents fixture is pure printable ASCII (verified 0 non-ASCII
+    // docs at every SF); a non-ASCII corpus would need the oracle
+    // rewritten over encode(text) BLOB bytes.
     "q34_media_knn" ->
       s"""WITH b AS (
          |  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text FROM documents),

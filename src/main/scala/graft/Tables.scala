@@ -93,8 +93,10 @@ object Tables {
     if (!done) buildLock.synchronized {
       if (!done) {
         dest.getParentFile.mkdirs()
+        // TABLE-wide lock (not per-fingerprint): also serializes the
+        // stale-version sweep below against concurrent builders
         val ch = java.nio.channels.FileChannel.open(
-          new java.io.File(dest.getPath + ".lock").toPath,
+          new java.io.File(dest.getParentFile, name + ".lock").toPath,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         val lock = ch.lock() // blocks until exclusive across processes
@@ -107,8 +109,16 @@ object Tables {
             val tmp = new java.io.File(
               dest.getPath + ".tmp-" + ProcessHandle.current().pid())
             raw.repartition(CacheFiles).write.mode("overwrite").parquet(tmp.getPath)
-            // lock held: anything at dest is crashed-writer debris
-            if (dest.exists()) deleteRec(dest)
+            // lock held: anything at dest is crashed-writer debris,
+            // and sibling fingerprints are superseded versions of THIS
+            // table (regenerated fixtures) — sweep both so the cache
+            // holds one copy per table, not one per regeneration
+            val stale = ("^" + java.util.regex.Pattern.quote(name) +
+              "-[0-9a-f]+(\\.lock|\\.tmp-\\d+)?$").r
+            Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>
+              if (stale.findFirstIn(f.getName).isDefined && f.getName != tmp.getName)
+                deleteRec(f)
+            })
             if (!tmp.renameTo(dest))
               throw new java.io.IOException(
                 s"could not publish table layout cache ${dest.getPath}")

@@ -236,6 +236,14 @@ object Dedup {
     val e = df
       .select(idCol.as("__id"), embCol.as("__emb"),
         l2NormNative(embCol).as("__nrm"))
+      // guard the dim contract: zip_with null-pads mismatched lengths,
+      // which would silently zero every sign bit and collapse all
+      // vectors into ONE bucket per band (a full n² candidate join) —
+      // fail loudly instead (assert_true returns null when the
+      // predicate holds, so the filter keeps every valid row)
+      .filter(assert_true(size(col("__emb")) === dim,
+        concat(lit(s"embeddingNearDupsBanded: dim=$dim but embedding has "),
+          size(col("__emb")).cast("string"), lit(" elements"))).isNull)
       .localCheckpoint(true) // consumed by banding + two candidate fetches
     val bandKeys = array((0 until bands).map { b =>
       val key = planes(b).zipWithIndex

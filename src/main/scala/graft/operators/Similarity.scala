@@ -160,42 +160,32 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Per-label centroid similarity: average embedding per label, then
-    * cosine of each label centroid against label 0's centroid.
-    * Demonstrates vector aggregation (element-wise mean via posexplode
-    * → groupBy position — shuffles (label, position, value) tuples,
-    * i.e. 64 narrow rows per vector, not vectors).
-    *
-    * The per-dimension mean folds the values in vec_id order
-    * (sort_array(collect_list) → sequential `aggregate`), which the
-    * DuckDB oracle mirrors with `list(v ORDER BY vec_id)` →
-    * `list_reduce` — bit-identical doubles, so the query is exact-
-    * oracle-checkable. That sorted fold is the oracle-parity
-    * formulation; an unbounded-cardinality production run would swap
-    * it for an order-independent DECIMAL-accumulated sum (the same
-    * trade documented in README — collect_list per (label, pos) group
-    * holds that group's values, fine for bounded label cardinality,
-    * wrong for billions per group). */
-  /** Driver-visible ANN regression gate: recall@10 of an ANN path
-    * against the ORACLE-CHECKED exact brute-force top-10 (q29),
-    * emitted as one verdict row per probe. The matching oracle
-    * degenerates to "every probe meets the floor" — engine-neutral —
-    * so the correctness harness hash-flags any banding/quantizer
-    * regression that drops recall below the floor, even though the
-    * bucket layout itself is not SQL-expressible. The floor is
-    * deliberately below the observed recalls (LSH ≈ 0.4–0.8,
-    * IVF ≈ 0.5–0.8 across SFs) so the gate trips on regressions, not
-    * on fixture-to-fixture variance. */
-  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.3): DataFrame = {
+  /** Driver-visible ANN regression gate: MEAN recall@10 of an ANN
+    * path across the 5 probes, against the ORACLE-CHECKED exact
+    * brute-force top-10 (q29), emitted as one verdict row per probe.
+    * The matching oracle degenerates to "the gate holds" —
+    * engine-neutral — so the correctness harness hash-flags any
+    * banding/quantizer regression that drops recall below the floor,
+    * even though the bucket layout itself is not SQL-expressible.
+    * The gate is on the MEAN (observed 0.54–0.80 across SFs vs floor
+    * 0.4, a ≥ 7-hit margin out of 50) rather than the worst probe
+    * (observed as low as 0.3): a real regression degrades all probes
+    * together, while a single probe's hit count sits within one hit
+    * of the floor — per-probe gating would trip on fixture variance,
+    * not regressions. */
+  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.4): DataFrame = {
     import t.spark.implicits._
     val exact = knnBruteForce(t).select($"q_id", $"vec_id")
     val ann = (if (lsh) annLsh(t) else annIvf(t)).select($"q_id", $"vec_id")
     val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
-    exact.select($"q_id").distinct()
+    val perProbe = exact.select($"q_id").distinct()
       .join(hits, Seq("q_id"), "left")
-      .select($"q_id",
-        (coalesce($"n_hits", lit(0L)).cast("double") / 10.0 >= floor).as("meets_floor"))
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    val meanGate = perProbe
+      .agg((sum($"n_hits").cast("double") / (count(lit(1)) * 10.0) >= floor)
+        .as("meets_floor"))
+    perProbe.select($"q_id").crossJoin(broadcast(meanGate))
       .orderBy($"q_id")
   }
 
@@ -210,7 +200,7 @@ object Similarity {
     * vectors per label, where [[labelCentroids]]'s sorted-fold
     * (kept for oracle parity) would collect a group's values into one
     * row. Quantization error ≤ 2⁻⁴¹ per value before the mean —
-    * SimilarityProductionSpec bounds the drift vs the exact fold. */
+    * ApproxAgreementSpec bounds the drift vs the exact fold. */
   def centroidsOver(
       df: DataFrame, labelCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column): DataFrame = {
@@ -227,6 +217,22 @@ object Similarity {
       .select(col("label"), expr("transform(pairs, p -> p.c)").as("centroid"))
   }
 
+  /** Per-label centroid similarity: average embedding per label, then
+    * cosine of each label centroid against label 0's centroid.
+    * Demonstrates vector aggregation (element-wise mean via posexplode
+    * → groupBy position — shuffles (label, position, value) tuples,
+    * i.e. 64 narrow rows per vector, not vectors).
+    *
+    * The per-dimension mean folds the values in vec_id order
+    * (sort_array(collect_list) → sequential `aggregate`), which the
+    * DuckDB oracle mirrors with `list(v ORDER BY vec_id)` →
+    * `list_reduce` — bit-identical doubles, so the query is exact-
+    * oracle-checkable. That sorted fold is the oracle-parity
+    * formulation; the unbounded-cardinality production path is
+    * [[centroidsOver]]'s fixed-point order-independent sum
+    * (collect_list per (label, pos) group holds that group's values —
+    * fine for bounded label cardinality, wrong for billions per
+    * group). */
   def labelCentroids(t: Tables): DataFrame = {
     import t.spark.implicits._
     val centroids = t.embeddings

@@ -65,10 +65,12 @@ object PlayStream {
     * and the STREAM SURVIVES — the next micro-batch processes
     * normally, instead of the whole query dying on one poison batch.
     *
-    * The scored rows are localCheckpoint-ed once per batch so retries
+    * The scored rows are persisted once per batch so retries
     * re-deliver the same materialized result rather than re-running
-    * the scoring jobs. `deadLetter` receives the SCORED batch (what
-    * failed to deliver); if the dead-letter write itself throws, the
+    * the scoring jobs, and released deterministically when the batch
+    * completes (a long-running stream must not accumulate dead blocks
+    * until GC). `deadLetter` receives the SCORED batch (what failed
+    * to deliver); if the dead-letter write itself throws, the
     * micro-batch fails and streaming-level retry applies — the same
     * backpressure NiFi exerts when its failure queue is full. */
   def scoreStreamResilient(
@@ -85,20 +87,23 @@ object PlayStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val scored = scorer.scoreBatch(batch).localCheckpoint(true)
-          var attempt = 0
-          var delivered = false
-          var lastErr: Throwable = null
-          while (!delivered && attempt < maxAttempts) {
-            try { sink(scored); delivered = true }
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                lastErr = e
-                attempt += 1
-                if (backoffMs > 0 && attempt < maxAttempts) Thread.sleep(backoffMs)
+          val scored = scorer.scoreBatch(batch).persist()
+          try {
+            scored.count(): Unit // materialize once; retries re-read the cache
+            var attempt = 0
+            var delivered = false
+            var lastErr: Throwable = null
+            while (!delivered && attempt < maxAttempts) {
+              try { sink(scored); delivered = true }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  lastErr = e
+                  attempt += 1
+                  if (backoffMs > 0 && attempt < maxAttempts) Thread.sleep(backoffMs)
+              }
             }
-          }
-          if (!delivered) deadLetter(scored, lastErr)
+            if (!delivered) deadLetter(scored, lastErr)
+          } finally scored.unpersist(): Unit
         }
       }
       .start()

@@ -65,12 +65,15 @@ object ScaleUp {
       "customer" -> replicate(src("customer"), "c_custkey" -> custStride),
       "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
       // p_name perturbed per replica so fuzzy matching does not see
-      // `factor` exact copies of every name (real TPC-H part names are
-      // distinct draws, not duplicates)
+      // `factor` near-copies of every name (real TPC-H part names are
+      // distinct draws). The replica tag repeats its digits 3× so any
+      // two replicas' names differ by > 2 edits — outside the fuzzy
+      // threshold — instead of the 1-edit " 0"/" 1" that would make
+      // every clone pair a match and blow the pair count up ~factor²
       "part" -> replicate(src("part"), "p_partkey" -> partStride)
         .withColumn("p_name",
           concat(col("p_name"), lit(" "),
-            (col("p_partkey") / partStride).cast("int").cast("string"))),
+            repeat((col("p_partkey") / partStride).cast("int").cast("string"), 3))),
       "orders" -> replicate(src("orders"),
         "o_orderkey" -> orderStride, "o_custkey" -> custStride),
       "lineitem" -> replicate(src("lineitem"),

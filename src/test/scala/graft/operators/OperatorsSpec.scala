@@ -312,6 +312,14 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     // probability is ~5e-10 — the seeded run finds every planted pair
     got.foreach { case (k, v) => assert(ref.get(k).contains(v)) }
     assert(got.keySet === ref.keySet)
+    // a dim mismatch must fail loudly, not silently collapse every
+    // vector into one bucket (zip_with null-pads, zeroing all sign bits)
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDupsBanded(df, $"vec_id", $"embedding",
+        minCos = 0.95, dim = 32).collect()
+    }
+    assert(e.getMessage.contains("dim=32") ||
+      Option(e.getCause).exists(_.getMessage.contains("dim=32")))
   }
 
   test("production centroids track the oracle-parity sorted fold within the quantization bound") {
