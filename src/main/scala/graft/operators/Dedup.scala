@@ -228,11 +228,11 @@ object Dedup {
     val planes: IndexedSeq[IndexedSeq[Array[Double]]] =
       IndexedSeq.fill(bands)(IndexedSeq.fill(planesPerBand)(
         Array.fill(dim)(rnd.nextGaussian())))
+    // native codegen'd projection per plane (same double fold as the
+    // HOF formulation — identical sign bits, no interpreted lambdas)
     def signBit(emb: org.apache.spark.sql.Column, p: Array[Double]) =
-      when(aggregate(
-        zip_with(array(p.map(lit).toIndexedSeq: _*), emb,
-          (w, x) => w * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
+      when(dotNative(array(p.map(lit).toIndexedSeq: _*), emb) >= 0,
+        lit(1)).otherwise(lit(0))
     val e = df
       .select(idCol.as("__id"), embCol.as("__emb"),
         l2NormNative(embCol).as("__nrm"))

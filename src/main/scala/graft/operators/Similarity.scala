@@ -74,15 +74,14 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes: Array[Array[Array[Double]]] =
       Array.fill(nTables, nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    def bucketOf(tbl: Int, emb: org.apache.spark.sql.Column) = {
-      val planesCol = array(planes(tbl).map(p => array(p.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-      aggregate(
-        zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (p, i) =>
-          when(aggregate(zip_with(p, emb, (w, x) => w * x.cast("double")),
-            lit(0.0), (acc, v) => acc + v) >= 0,
-            call_function("shiftleft", lit(1), i.cast("int"))).otherwise(lit(0))),
-        lit(0), (acc, b) => acc.bitwiseOR(b))
-    }
+    // each plane projection is a native codegen'd dot (same double
+    // fold as the HOF it replaces — bit-identical sign bits, one tight
+    // loop per plane instead of interpreted lambdas over the corpus)
+    def bucketOf(tbl: Int, emb: org.apache.spark.sql.Column) =
+      (0 until nPlanes).map { i =>
+        when(dotNative(array(planes(tbl)(i).map(lit).toIndexedSeq: _*), emb) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
     // one (table, bucket) row per vector per table — n·L narrow rows
     val tableKeys = array((0 until nTables).map(tb =>
       struct(lit(tb).as("tbl"), bucketOf(tb, $"embedding").as("bucket"))): _*)
