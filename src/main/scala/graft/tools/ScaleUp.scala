@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   * events/documents/embeddings corpora are copied unchanged (their
   * queries are swept at the driver-provided SFs).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor>
+  * With a 4th argument `withDocs`, the documents corpus scales too:
+  * each replica keeps the original text plus a replica-tagged suffix
+  * token — replicas of one document are NEAR-duplicates of each other
+  * (shingle jaccard ≈ 0.95), the realistic shape of a dup-heavy crawl,
+  * which is exactly the regime where the linear banding dedup path
+  * must beat the quadratic blocked-exact path.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs]
   * e.g.   runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, factorS) = args.take(3)
+    val withDocs = args.length > 3 && args(3) == "withDocs"
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -37,7 +45,9 @@ object ScaleUp {
     // unscaled tables: byte-identical file copies (events keeps its
     // TIMESTAMP(NANOS) physical type this way — a Spark rewrite would
     // change it)
-    for (t <- Seq("region", "nation", "events", "documents", "embeddings")) {
+    val unscaled = Seq("region", "nation", "events", "embeddings") ++
+      (if (withDocs) Nil else Seq("documents"))
+    for (t <- unscaled) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
         java.nio.file.Paths.get(s"$destDir/$t.parquet"),
@@ -61,7 +71,21 @@ object ScaleUp {
     val partStride = keyStride(src("part"), "p_partkey")
     val orderStride = keyStride(src("orders"), "o_orderkey")
 
-    val out = Seq(
+    // dup-heavy corpus: replicas are near-duplicates (suffix token
+    // changes a few shingles), n_chars recomputed to keep the
+    // n_chars == length(text) fixture invariant
+    val docsOut =
+      if (!withDocs) Nil
+      else {
+        val docStride = keyStride(src("documents"), "doc_id")
+        Seq("documents" -> replicate(src("documents"), "doc_id" -> docStride)
+          .withColumn("text",
+            concat(col("text"), lit(" qq"),
+              (col("doc_id") / docStride).cast("int").cast("string")))
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      }
+
+    val out = docsOut ++ Seq(
       "customer" -> replicate(src("customer"), "c_custkey" -> custStride),
       "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
       // p_name perturbed per replica so fuzzy matching does not see
