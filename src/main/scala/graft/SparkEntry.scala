@@ -177,6 +177,8 @@ object SparkEntry {
     // their bucket layouts are engine-specific)
     "q101_ann_lsh_gate"      -> ((s, d) => Similarity.annRecallGate(Tables(s, d), lsh = true)),
     "q102_ann_ivf_gate"      -> ((s, d) => Similarity.annRecallGate(Tables(s, d), lsh = false)),
+    // the linear-path clustering twin of q57: banding-mined edges → CC
+    "q103_clusters_fast"     -> ((s, d) => Dedup.dedupClustersFast(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -500,6 +502,28 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         |    / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t)
+        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_keeper
+        |FROM walk GROUP BY doc_id""".stripMargin,
+    // q103: clusters over the q51 (shingle-jaccard ≤ 0.4, unblocked)
+    // pair predicate — the oracle is banding-free brute force + a
+    // recursive-CTE transitive closure, so hash equality certifies the
+    // ENTIRE linear pipeline (banding recall AND the distributed CC)
+    "q103_clusters_fast" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh
+        | FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) <= 0.4),
         |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
         |walk AS (
         |  SELECT doc_id, doc_id AS label FROM documents

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
   private val constructionHeavy = Set(
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
     "q57_dedup_clusters", "q90_dedup_survivors",
-    "q101_ann_lsh_gate", "q102_ann_ivf_gate")
+    "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
