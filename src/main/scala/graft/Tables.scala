@@ -79,14 +79,31 @@ object Tables {
     * never be deleted out from under a concurrent reader, and debris
     * from a crashed writer is cleared only while holding the lock. */
   def parallelLayout(spark: SparkSession, dir: String, name: String): String = {
-    // the source file's (length, mtime) is part of the cache key: if a
-    // fixture parquet is regenerated in place, later JVMs rebuild
-    // instead of silently reading the stale copy
+    // the source file's (length, mtime-millis, head-64KiB hash) is the
+    // cache key: if a fixture parquet is regenerated in place, later
+    // JVMs rebuild instead of silently reading the stale copy. The
+    // content sample guards the (rare but real) case of a regeneration
+    // with identical length inside mtime resolution. NOTE: in-place
+    // regeneration still invalidates any CONCURRENT reader of the old
+    // copy (its superseded fingerprint dir is swept by the next
+    // builder) — regenerate fixtures only between runs.
     val src = new java.io.File(s"$dir/$name.parquet")
     // a table that is ALREADY a multi-file directory (production lake
     // layout; tools.ScaleUp output) parallelizes as-is — no rewrite
     if (src.isDirectory) return src.getPath
-    val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
+    val headHash: Long = {
+      val in = new java.io.FileInputStream(src)
+      try {
+        val buf = new Array[Byte](65536)
+        var h = 1469598103934665603L // FNV-1a 64
+        var n = in.read(buf)
+        var i = 0
+        while (n > 0 && i < n) { h = (h ^ (buf(i) & 0xffL)) * 1099511628211L; i += 1 }
+        h
+      } finally in.close()
+    }
+    val fp = java.lang.Long.toHexString(
+      (src.length() * 31L + src.lastModified()) * 31L + headHash)
     val dest = new java.io.File(
       "target/tblcache/" + dir.replace('/', '_') + "/" + name + "-" + fp)
     def done = new java.io.File(dest, "_SUCCESS").exists()
@@ -113,10 +130,16 @@ object Tables {
             // and sibling fingerprints are superseded versions of THIS
             // table (regenerated fixtures) — sweep both so the cache
             // holds one copy per table, not one per regeneration
+            // `(-[0-9a-f]+)?` also reclaims pre-fingerprint bare-name
+            // dirs from older builds; the live table lock (bare
+            // `name.lock`, held right now) is explicitly excluded —
+            // deleting it would let a concurrent process lock a fresh
+            // inode and break mutual exclusion
             val stale = ("^" + java.util.regex.Pattern.quote(name) +
-              "-[0-9a-f]+(\\.lock|\\.tmp-\\d+)?$").r
+              "(-[0-9a-f]+)?(\\.lock|\\.tmp-\\d+)?$").r
             Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>
-              if (stale.findFirstIn(f.getName).isDefined && f.getName != tmp.getName)
+              if (stale.findFirstIn(f.getName).isDefined &&
+                  f.getName != tmp.getName && f.getName != name + ".lock")
                 deleteRec(f)
             })
             if (!tmp.renameTo(dest))

@@ -192,13 +192,17 @@ object Similarity {
     * (label, position) mean via order-independent fixed-point
     * accumulation — each value is quantized at 2⁻⁴⁰ (exactly-
     * reproducible IEEE ops: power-of-two multiply is an exponent
-    * shift, then floor), summed EXACTLY as int64, and the mean taken
-    * in double. No per-group array ever materializes: the sum
-    * combines map-side (partial aggregation), so group cardinality is
-    * unbounded — this is the variant that survives billions of
-    * vectors per label, where [[labelCentroids]]'s sorted-fold
-    * (kept for oracle parity) would collect a group's values into one
-    * row. Quantization error ≤ 2⁻⁴¹ per value before the mean —
+    * shift, then floor), summed EXACTLY as DECIMAL(38,0), and the
+    * mean taken in double. No per-group array ever materializes: the
+    * sum combines map-side (partial aggregation), so group
+    * cardinality is unbounded — this is the variant that survives
+    * billions of vectors per label, where [[labelCentroids]]'s
+    * sorted-fold (kept for oracle parity) would collect a group's
+    * values into one row. The decimal accumulator holds ~10³⁷ quanta
+    * = ~10²⁵ units of |v| mass per (label, pos) group — an int64
+    * accumulator would wrap silently at ~8.4e6 units (≈1.7e7 rows at
+    * |v|≈0.5), far below the billions this path is for.
+    * Quantization error ≤ 2⁻⁴¹ per value before the mean —
     * ApproxAgreementSpec bounds the drift vs the exact fold. */
   def centroidsOver(
       df: DataFrame, labelCol: org.apache.spark.sql.Column,
@@ -207,7 +211,8 @@ object Similarity {
     df.select(labelCol.as("label"), posexplode(embCol).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        sum(floor(col("v").cast("double") * lit(S) + lit(0.5)).cast("long")).as("qs"),
+        sum(floor(col("v").cast("double") * lit(S) + lit(0.5))
+          .cast("decimal(38,0)")).as("qs"),
         count(lit(1)).as("cnt"))
       .withColumn("c", col("qs").cast("double") / lit(S) / col("cnt"))
       // dim-bounded array assembly (64 entries), never row-bounded

@@ -22,23 +22,37 @@ object RemoteExec {
 
   @volatile private var boundPort: Option[Int] = None
 
-  /** Start the in-process Spark Connect gRPC endpoint on a free port;
-    * returns the bound port. Idempotent per JVM (the service is a
-    * singleton — repeated starts return the existing port). */
-  def startService(spark: SparkSession): Int = synchronized {
-    boundPort.getOrElse {
-      val port = {
-        val s = new java.net.ServerSocket(0)
-        try s.getLocalPort finally s.close()
+  /** Start the in-process Spark Connect gRPC endpoint on a free port,
+    * bound to the given address (default loopback); returns the bound
+    * port. Idempotent per JVM (the service is a singleton — repeated
+    * starts return the existing port).
+    *
+    * SECURITY: the endpoint is UNAUTHENTICATED and executes arbitrary
+    * SQL/plans in the driver JVM — effectively remote code execution
+    * for anyone who can reach the socket. The default bind is
+    * therefore 127.0.0.1, matching the localhost-only clients
+    * [[remoteSession]] creates; pass an explicit `bindAddress` only on
+    * a network you trust end-to-end. Note the free-port probe below is
+    * inherently racy (close-then-rebind TOCTOU): another process can
+    * grab the port between the probe and the service start, in which
+    * case start fails loudly — acceptable for this test/serving
+    * harness, retry on failure. */
+  def startService(spark: SparkSession, bindAddress: String = "127.0.0.1"): Int =
+    synchronized {
+      boundPort.getOrElse {
+        val port = {
+          val s = new java.net.ServerSocket(0)
+          try s.getLocalPort finally s.close()
+        }
+        // the live SparkConf the service reads its binding address/port from
+        val conf = org.apache.spark.SparkEnv.get.conf
+        conf.set("spark.connect.grpc.binding.address", bindAddress)
+        conf.set("spark.connect.grpc.binding.port", port.toString)
+        org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+        boundPort = Some(port)
+        port
       }
-      // the live SparkConf the service reads its binding port from
-      org.apache.spark.SparkEnv.get.conf
-        .set("spark.connect.grpc.binding.port", port.toString)
-      org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
-      boundPort = Some(port)
-      port
     }
-  }
 
   def stopService(): Unit = synchronized {
     if (boundPort.isDefined) {
@@ -51,11 +65,24 @@ object RemoteExec {
     * rows — the Livy flow's "run statement, read its output", minus
     * the 250 ms polling loop. Each call uses a fresh remote session
     * (the reference reused its first Livy session; `remoteSession`
-    * supports that pattern for callers issuing many statements). */
-  def submitSql(port: Int, sql: String): Seq[org.apache.spark.sql.Row] = {
+    * supports that pattern for callers issuing many statements).
+    *
+    * The result is capped at `maxRows` client-side (LIMIT maxRows+1
+    * pushed into the remote plan, so the overage costs one extra row
+    * of transfer, not the full result): a runaway SELECT over Connect
+    * would otherwise collect into client memory unbounded. Exceeding
+    * the cap throws rather than silently truncating. */
+  def submitSql(port: Int, sql: String, maxRows: Int = 100000): Seq[org.apache.spark.sql.Row] = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val remote = remoteSession(port)
-    try remote.sql(sql).collect().toSeq
-    finally remote.close()
+    try {
+      val rows = remote.sql(sql).limit(maxRows + 1).collect().toSeq
+      if (rows.length > maxRows)
+        throw new IllegalStateException(
+          s"submitSql result exceeds maxRows=$maxRows; " +
+            "add a LIMIT to the statement or raise maxRows deliberately")
+      rows
+    } finally remote.close()
   }
 
   /** A reusable remote session against the in-process service —

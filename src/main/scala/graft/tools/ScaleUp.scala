@@ -47,12 +47,22 @@ object ScaleUp {
     // change it)
     val unscaled = Seq("region", "nation", "events", "embeddings") ++
       (if (withDocs) Nil else Seq("documents"))
-    for (t <- unscaled) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
-        java.nio.file.Paths.get(s"$destDir/$t.parquet"),
+    // recursive copy: a fixture may be a single file OR a multi-file
+    // <table>.parquet/ directory (parallelLayout / chained-ScaleUp
+    // layout) — a plain Files.copy of a directory would copy only the
+    // empty dir entry and silently produce an empty table
+    def copyRec(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.isDirectory(from)) {
+        java.nio.file.Files.createDirectories(to)
+        val children = java.nio.file.Files.list(from)
+        try children.forEach(p => copyRec(p, to.resolve(p.getFileName.toString)))
+        finally children.close()
+      } else java.nio.file.Files.copy(from, to,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    for (t <- unscaled)
+      copyRec(
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$destDir/$t.parquet"))
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def keyStride(df: DataFrame, key: String): Long =
@@ -90,14 +100,18 @@ object ScaleUp {
       "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
       // p_name perturbed per replica so fuzzy matching does not see
       // `factor` near-copies of every name (real TPC-H part names are
-      // distinct draws). The replica tag repeats its digits 3× so any
-      // two replicas' names differ by > 2 edits — outside the fuzzy
-      // threshold — instead of the 1-edit " 0"/" 1" that would make
-      // every clone pair a match and blow the pair count up ~factor²
+      // distinct draws). The replica tag repeats EACH DIGIT 3× (a
+      // repetition code): distinct tags then differ by ≥ 3 edits —
+      // strictly outside q84's maxDist=2 — including the rotation
+      // pairs ("12"/"21" → "121212"/"212121" are 2 edits apart) that
+      // defeat whole-string repetition
       "part" -> replicate(src("part"), "p_partkey" -> partStride)
+        .withColumn("rep_tag",
+          (col("p_partkey") / partStride).cast("int").cast("string"))
         .withColumn("p_name",
           concat(col("p_name"), lit(" "),
-            repeat((col("p_partkey") / partStride).cast("int").cast("string"), 3))),
+            expr("array_join(transform(split(rep_tag, ''), c -> repeat(c, 3)), '')")))
+        .drop("rep_tag"),
       "orders" -> replicate(src("orders"),
         "o_orderkey" -> orderStride, "o_custkey" -> custStride),
       "lineitem" -> replicate(src("lineitem"),

@@ -351,6 +351,17 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(!plan.contains("sort_array(collect_list"))
   }
 
+  test("centroidsOver survives group mass that would wrap an int64 accumulator") {
+    // 200k values of 100.0 in one (label,pos) group: the 2^40-quanta
+    // sum is ~2.2e19 > Long.MaxValue, so an int64 accumulator wraps to
+    // a garbage negative mean; the decimal(38,0) accumulator must not
+    val df = spark.range(200000)
+      .select(lit(0).as("label"), array(lit(100.0f)).as("emb"))
+    val got = Similarity.centroidsOver(df, col("label"), col("emb"))
+      .select(expr("centroid[0]")).head().getDouble(0)
+    assert(math.abs(got - 100.0) < 1e-6, s"overflowed or drifted: got $got")
+  }
+
   test("dedup survivors: one longest-doc survivor per cluster, members partition the corpus") {
     val surv = Dedup.dedupSurvivors(sf001).cache()
     try {

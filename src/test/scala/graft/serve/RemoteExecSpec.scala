@@ -24,6 +24,19 @@ class RemoteExecSpec extends SparkSpec {
     } finally RemoteExec.stopService()
   }
 
+  test("submitSql rejects results beyond maxRows instead of collecting them unbounded") {
+    val port = RemoteExec.startService(spark)
+    try {
+      // within the cap: fine
+      assert(RemoteExec.submitSql(port, "SELECT id FROM range(10)", maxRows = 10).size === 10)
+      // over the cap: loud failure, not an unbounded client-side collect
+      val e = intercept[IllegalStateException] {
+        RemoteExec.submitSql(port, "SELECT id FROM range(1000)", maxRows = 10)
+      }
+      assert(e.getMessage.contains("maxRows"))
+    } finally RemoteExec.stopService()
+  }
+
   test("a reusable remote session holds server-side state across statements (Livy session semantics)") {
     val port = RemoteExec.startService(spark)
     try {
