@@ -179,6 +179,9 @@ object SparkEntry {
     "q102_ann_ivf_gate"      -> ((s, d) => Similarity.annRecallGate(Tables(s, d), lsh = false)),
     // the linear-path clustering twin of q57: banding-mined edges → CC
     "q103_clusters_fast"     -> ((s, d) => Dedup.dedupClustersFast(Tables(s, d))),
+    // gate for the banded (production-regime) embedding near-dup
+    // path: planted cos≈0.9 twins must be recovered at ≥ 0.8 recall
+    "q104_embed_banded_gate" -> ((s, d) => Dedup.embeddingBandedGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -531,6 +534,12 @@ object SparkEntry {
         |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t)
         |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_keeper
         |FROM walk GROUP BY doc_id""".stripMargin,
+    // q104: like q101/q102 the oracle is the gate CONTRACT — the
+    // banded path must recover the planted high-cosine twins, and a
+    // recall regression flips meets_floor on every row
+    "q104_embed_banded_gate" ->
+      """SELECT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 50 ORDER BY q_id""".stripMargin,
     "q58_dispersion" ->
       """SELECT l_returnflag,
         | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)

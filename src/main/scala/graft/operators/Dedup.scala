@@ -277,6 +277,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Driver-visible gate for [[embeddingNearDupsBanded]] (the
+    * production high-threshold embedding-dedup path), q104 — same
+    * verdict-row pattern as the q101/q102 ANN gates: one row per
+    * probe, `meets_floor` flips (and the oracle hash mismatches) if
+    * banded recall regresses.
+    *
+    * The fixture corpus has NO natural pairs in the banded regime
+    * (measured: zero pairs at cos ≥ 0.6 at every SF — the declared
+    * q50 threshold 0.4 belongs to the exact blocked join), so the
+    * gate PLANTS its own: for each vec_id < nPlanted, a
+    * deterministic twin v' = v + ε·r with r a Rademacher vector from
+    * xxhash64(vec_id, pos) and ε sized so cos(v, v′) ≈ targetCos
+    * (ε = √((1/cos² − 1)/64) for unit vectors; observed spread
+    * ±0.02). The gate then requires [[embeddingNearDupsBanded]] at
+    * `verifyCos` to recover ≥ `floor` of the planted pairs whose
+    * EXACT cosine clears verifyCos. Per-pair banding recall at
+    * cos 0.88 is 1−(1−p⁴)¹² ≈ 0.9998 (p = 1−arccos/π), so the
+    * observed recall is ~1.0 against the 0.8 floor — a regression
+    * tripwire with real margin, driver-checked at every SF. */
+  def embeddingBandedGate(t: Tables, targetCos: Double = 0.9,
+      verifyCos: Double = 0.85, nPlanted: Int = 50,
+      floor: Double = 0.8): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.SimilarityFunctions.{dotNative, l2NormNative}
+    val idOff = 1000000000L
+    val eps = math.sqrt((1.0 / (targetCos * targetCos) - 1.0) / 64.0)
+    val base = t.embeddings.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < nPlanted)
+      .select(($"vec_id" + idOff).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          (x.cast("double") + lit(eps) *
+            when(pmod(xxhash64($"vec_id", i), lit(2)) === 0, 1.0).otherwise(-1.0))
+            .cast("float")).as("embedding"))
+    val union = base.unionByName(planted)
+    val found = embeddingNearDupsBanded(
+      union, col("vec_id"), col("embedding"), verifyCos)
+      .select($"id_a", $"id_b")
+    // the planted pairs whose exact cosine really clears verifyCos
+    // (id_a < id_b holds by construction: id_b = id_a + idOff)
+    val truth = base.filter($"vec_id" < nPlanted).alias("o")
+      .join(planted.alias("p"), col("p.vec_id") === col("o.vec_id") + idOff)
+      .select(col("o.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
+        (dotNative(col("o.embedding"), col("p.embedding")) /
+          (l2NormNative(col("o.embedding")) * l2NormNative(col("p.embedding"))))
+          .as("cos"))
+      .filter($"cos" >= verifyCos)
+    val hits = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+    val gate = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select((coalesce($"n_hit".cast("double") / $"n_true", lit(0.0)) >= floor)
+        .as("meets_floor"))
+    base.filter($"vec_id" < nPlanted).select($"vec_id".as("q_id"))
+      .crossJoin(broadcast(gate)).orderBy($"q_id")
+  }
+
   /** Cross-dataset dedup: remove from `corpus` every document that is
     * an exact OR near duplicate of ANY document in `reference` — the
     * stage that stops a new crawl from re-ingesting content already in

@@ -55,21 +55,27 @@ object Similarity {
     * compares only same-bucket pairs, and a neighbour is found if ANY
     * table co-buckets it (OR-construction) — candidate count scales
     * with bucket occupancy × tables, not corpus size. Multi-probe
-    * (Hamming ≤ 1 per table) adds the standard recall boost at
-    * nPlanes extra probe rows per table. Per-neighbour recall at
-    * plane-agreement probability p is 1−(1−P₁)^L with
-    * P₁ = p^r + r·p^(r−1)(1−p) — the OR over tables is what keeps
-    * recall stable as the corpus grows, where a single table's
-    * fixed probe budget decays. Probes are the same 5 query vectors
-    * as the brute-force baseline so recall is measurable
-    * (SimilaritySpec + the q101 driver gate).
+    * (all buckets within Hamming distance `probeHamming` of the
+    * query's own code, per table) adds the standard recall boost at
+    * Σ C(nPlanes,h) extra probe rows per table — probe rows exist
+    * only on the (tiny, broadcast) query side, so deeper probing
+    * costs candidate comparisons, never another corpus pass.
+    * Per-neighbour recall at plane-agreement probability p is
+    * 1−(1−P₁)^L with P₁ = Σ_{h≤H} C(r,h)·p^(r−h)(1−p)^h — the OR
+    * over tables is what keeps recall stable as the corpus grows,
+    * where a single table's fixed probe budget decays. Probes are
+    * the same 5 query vectors as the brute-force baseline so recall
+    * is measurable (SimilaritySpec + the q101 driver gate).
     *
     * Fully deterministic (seeded planes) but the bucket space is
     * engine-specific → rows-only check; the q101 gate oracles the
     * recall CONTRACT instead.
     */
-  def annLsh(t: Tables, nPlanes: Int = 6, nTables: Int = 4): DataFrame = {
+  def annLsh(t: Tables, nPlanes: Int = 6, nTables: Int = 8,
+      probeHamming: Int = 2): DataFrame = {
     import t.spark.implicits._
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming must be 0, 1 or 2, got $probeHamming")
     val dim = 64
     val rnd = new scala.util.Random(42)
     val planes: Array[Array[Array[Double]]] =
@@ -87,17 +93,25 @@ object Similarity {
       struct(lit(tb).as("tbl"), bucketOf(tb, $"embedding").as("bucket"))): _*)
     val bucketed = t.embeddings
       .select($"vec_id", $"embedding", explode(tableKeys).as("tk"))
-    // probes: per table, the query's own bucket + every bucket at
-    // Hamming distance 1 (flip one plane's sign)
-    val probeKeys = array((0 until nTables).flatMap { tb =>
-      val own = bucketOf(tb, $"embedding")
-      own +: (0 until nPlanes).map(b => own.bitwiseXOR(lit(1 << b)))
-    }.zipWithIndex.map { case (bkt, i) =>
-      struct(lit(i / (nPlanes + 1)).as("tbl"), bkt.as("bucket"))
-    }: _*)
-    val probes = t.embeddings.filter($"vec_id" < 5)
+    // probes: per table, every bucket within Hamming ≤ probeHamming of
+    // the query's own code. The nTables sign codes are projected ONCE
+    // (the `own` array below), then each probe key is a literal-mask
+    // XOR on an array element — probe count never re-runs a plane dot
+    val masks: IndexedSeq[Int] = {
+      val m1 = (0 until nPlanes).map(1 << _)
+      val m2 = for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+        yield (1 << i) | (1 << j)
+      (Seq(0) ++ (if (probeHamming >= 1) m1 else Nil) ++
+        (if (probeHamming >= 2) m2 else Nil)).toIndexedSeq
+    }
+    val ownCodes = t.embeddings.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(probeKeys).as("tk"))
+        array((0 until nTables).map(tb => bucketOf(tb, $"embedding")): _*).as("own"))
+    val probeKeys = array((for { tb <- 0 until nTables; m <- masks } yield
+      struct(lit(tb).as("tbl"),
+        element_at($"own", tb + 1).bitwiseXOR(lit(m)).as("bucket"))): _*)
+    val probes = ownCodes
+      .select($"q_id", $"q_emb", explode(probeKeys).as("tk"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
     bucketed.join(broadcast(probes), Seq("tk"))
       .filter($"vec_id" =!= $"q_id")
@@ -111,44 +125,83 @@ object Similarity {
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the
     * corpus into nList inverted lists; each query probes its nProbe
     * nearest centroids and ranks only those lists' vectors by exact
-    * cosine. The centroid assignment is the index build (one pass);
-    * queries touch ~nProbe/nList of the corpus — the classic IVF
-    * trade. Rows-only check (cluster ids are engine-specific);
-    * recall vs brute force is asserted in tests. */
-  def annIvf(t: Tables, nList: Int = 16, nProbe: Int = 5): DataFrame = {
+    * cosine.
+    *
+    * Two design points matter for recall on weakly-clustered
+    * embeddings (the fixture corpus is near-uniform on the sphere —
+    * exact top-10 cosines are only 0.24–0.42, so true neighbours sit
+    * close to Voronoi boundaries):
+    *
+    *  - MULTI-ASSIGNMENT: each corpus vector is indexed under its
+    *    `nAssign` nearest lists, not just the nearest — the IVF
+    *    analogue of LSH's OR-construction. A boundary neighbour is
+    *    found if ANY of its lists is probed; measured (AnnTune), this
+    *    lifts mean recall@10 from 0.48–0.80 (single-assign, at any
+    *    quantizer quality) to 0.94–0.98 at nAssign=3, nProbe=6.
+    *    Index size is nAssign·n rows — still linear. Caveat, stated
+    *    honestly: at these settings on THIS fixture the candidate
+    *    fraction is nAssign·nProbe/nList ≈ 1 — near-uniform vectors
+    *    with top-10 cosines of 0.3 are not locality-separable, so
+    *    high recall costs a near-full scan here; on a clustered
+    *    production corpus the same construction probes the few lists
+    *    the neighbours concentrate in, and the fraction drops with
+    *    nList. Tune (nList, nProbe, nAssign) per corpus; the recall
+    *    gate (q102) is the regression tripwire for this fixture.
+    *  - LITERAL-CENTROID PROJECTION: the fitted centroids are
+    *    driver-side constants, so both assignment (top-nAssign) and
+    *    probe selection (top-nProbe) are computed as a codegen'd
+    *    sort of an nList-entry literal struct array — a pure
+    *    projection, no shuffle, no crossJoin against a centroid
+    *    table. The only shuffles in the whole operator are the
+    *    bucket join and the final per-query top-k.
+    *
+    * The quantizer itself stays cheap (random init, 3 iterations):
+    * IVF needs roughly-balanced lists, not converged clusters, and
+    * with multi-assignment recall is insensitive to quantizer
+    * quality (a CONVERGED single-assign quantizer measured WORSE —
+    * 0.44 mean at sf0.01 vs 0.60 unconverged — because sharper cells
+    * put more true neighbours across a boundary). Rows-only check
+    * (cluster ids are engine-specific); recall vs brute force is
+    * asserted in tests and gated driver-visibly by q102. */
+  def annIvf(t: Tables, nList: Int = 16, nProbe: Int = 6,
+      maxIter: Int = 3, initMode: String = "random",
+      nAssign: Int = 3): DataFrame = {
     import org.apache.spark.ml.feature.{VectorAssembler => _}
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import t.spark.implicits._
-    // localCheckpoint (not cache): consumed by the KMeans fit and the
-    // assignment transform; blocks are context-cleaned when the
-    // returned plan is dropped, instead of pinned for the session
+    require(nAssign >= 1 && nAssign <= nList, s"nAssign must be in [1, $nList]")
+    require(nProbe >= 1 && nProbe <= nList, s"nProbe must be in [1, $nList]")
+    // localCheckpoint (not cache): consumed by the KMeans fit only;
+    // blocks are context-cleaned when the returned plan is dropped,
+    // instead of pinned for the session
     val vecs = t.embeddings
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
       .localCheckpoint(true)
-    // coarse quantizer: random init + few iterations — IVF needs
-    // roughly-balanced lists, not converged clusters, and the fit is
-    // the dominant index-build cost (k-means|| init alone is several
-    // extra passes over the corpus)
-    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(3)
-      .setInitMode("random")
+    val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("ivf_list")
-    val model = km.fit(vecs)
-    val assigned = model.transform(vecs).select($"vec_id", $"embedding", $"ivf_list")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq.toDF("ivf_list", "centroid")
-    // probe lists = nProbe nearest centroids per query vector
-    val probes = assigned.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"ivf_list")
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .select($"q_id", $"q_emb", $"ivf_list",
-        cosine($"q_emb", $"centroid").as("c_sim"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter($"pr" <= nProbe)
-      .select($"q_id", $"q_emb", $"ivf_list")
+    val cents: Array[Array[Double]] = km.fit(vecs).clusterCenters.map(_.toArray)
+    val cNorm: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-vector scores against every centroid, one literal-array
+    // projection; rank by dot/|centroid| (the vector's own norm is
+    // constant across lists, so dividing by it cannot change the
+    // order). array_sort is ascending -> reverse for descending.
+    def listScores(emb: org.apache.spark.sql.Column) =
+      array((0 until nList).map { i =>
+        struct((dotNative(array(cents(i).map(lit).toIndexedSeq: _*), emb) / cNorm(i))
+          .as("s"), lit(i).as("ivf_list"))
+      }: _*)
+    def topLists(emb: org.apache.spark.sql.Column, k: Int) =
+      transform(slice(reverse(array_sort(listScores(emb))), 1, k),
+        x => x.getField("ivf_list"))
+    val assigned = t.embeddings
+      .select($"vec_id", $"embedding",
+        explode(topLists($"embedding", nAssign)).as("ivf_list"))
+    val probeLists = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        explode(topLists($"embedding", nProbe)).as("ivf_list"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
     assigned.join(broadcast(probeLists), Seq("ivf_list"))
       .filter($"vec_id" =!= $"q_id")
@@ -166,13 +219,15 @@ object Similarity {
     * engine-neutral — so the correctness harness hash-flags any
     * banding/quantizer regression that drops recall below the floor,
     * even though the bucket layout itself is not SQL-expressible.
-    * The gate is on the MEAN (observed 0.54–0.80 across SFs vs floor
-    * 0.4, a ≥ 7-hit margin out of 50) rather than the worst probe
-    * (observed as low as 0.3): a real regression degrades all probes
-    * together, while a single probe's hit count sits within one hit
-    * of the floor — per-probe gating would trip on fixture variance,
-    * not regressions. */
-  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.4): DataFrame = {
+    * The gate is on the MEAN (observed 0.94–1.00 across SFs at the
+    * tuned defaults — LSH 8 tables / Hamming ≤ 2 probes, IVF
+    * nAssign=3 / nProbe=6 — vs floor 0.8, a ≥ 7-hit margin out of
+    * 50) rather than the worst probe (observed ≥ 0.9): a real
+    * regression degrades all probes together, while a single probe's
+    * hit count sits within a hit or two of the floor — per-probe
+    * gating would trip on fixture variance, not regressions. The
+    * AnnTune sweep is the evidence for the floor. */
+  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.8): DataFrame = {
     import t.spark.implicits._
     val exact = knnBruteForce(t).select($"q_id", $"vec_id")
     val ann = (if (lsh) annLsh(t) else annIvf(t)).select($"q_id", $"vec_id")

@@ -165,14 +165,19 @@ class ScaleOpsSpec extends graft.SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
-  test("ANN LSH achieves non-trivial recall vs brute-force top-10") {
+  test("ANN LSH and IVF meet the production recall floor vs brute-force top-10") {
     val exact = Similarity.knnBruteForce(sf001)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.annLsh(sf001)
-      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    info(f"ANN recall@10 = $recall%.2f (candidates compared: same-bucket only)")
-    assert(recall >= 0.2, s"recall $recall too low")
+    for ((name, ann) <- Seq(
+        "lsh" -> Similarity.annLsh(sf001), "ivf" -> Similarity.annIvf(sf001))) {
+      val approx = ann
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      info(f"ANN $name recall@10 = $recall%.2f")
+      // same floor the q101/q102 driver gates enforce (AnnTune sweep:
+      // 0.94-1.00 observed at the tuned defaults across all SFs)
+      assert(recall >= 0.8, s"$name recall $recall below the 0.8 gate floor")
+    }
   }
 
   test("language ID picks the language whose markers dominate") {
@@ -320,6 +325,12 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("dim=32") ||
       Option(e.getCause).exists(_.getMessage.contains("dim=32")))
+  }
+
+  test("q104 gate: planted cos≈0.9 twins land in the verify band and banded recall clears the floor") {
+    val gate = Dedup.embeddingBandedGate(sf001).collect()
+    assert(gate.length === 50)
+    assert(gate.forall(_.getBoolean(1)), "banded recall fell below the 0.8 floor")
   }
 
   test("production centroids track the oracle-parity sorted fold within the quantization bound") {
