@@ -19,6 +19,15 @@ import scala.concurrent.duration._
   *   jobs. "value" is the wall-clock to complete ALL queries; the
   *   per-query map records each query's own duration under that
   *   concurrency.
+  * - The whole suite runs SPARK_GRAFT_PASSES times (default 3) and
+  *   every reported number is the per-key MEDIAN across passes: a
+  *   single concurrent pass's per-query walls include scheduler
+  *   queue time, which reads as phantom 2–3× regressions for
+  *   whichever query happened to land behind a wide stage (round-3
+  *   telemetry showed q86 at 16.1 s vs a 6.98 s solo cost for
+  *   exactly this reason). The median keeps the numbers stable
+  *   (±20% across consecutive runs) without paying for a serial
+  *   solo pass per query.
   * - A warm-up absorbs JVM/session startup.
   */
 object Bench {
@@ -106,28 +115,49 @@ object Bench {
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",
       "q103_clusters_fast", "q52_ann_ivf", "q41_tfidf",
       "q31_minhash_pairs", "q85_pagerank")
-    val t0 = System.nanoTime()
-    val futures = names.map { n =>
-      Future {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-          if (weighted(n)) "heavy" else "default")
-        val q0 = System.nanoTime()
-        try {
-          SparkEntry.queries(n)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          n -> (System.nanoTime() - q0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $n failed: ${e.getMessage}")
-            n -> -1.0
+    def runPass(): (Double, Seq[(String, Double)]) = {
+      val t0 = System.nanoTime()
+      val futures = names.map { n =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            if (weighted(n)) "heavy" else "default")
+          val q0 = System.nanoTime()
+          try {
+            SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            n -> (System.nanoTime() - q0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $n failed: ${e.getMessage}")
+              n -> -1.0
+          }
         }
       }
+      val results = Await.result(Future.sequence(futures), 60.minutes)
+      ((System.nanoTime() - t0) / 1e9, results)
     }
-    val results = Await.result(Future.sequence(futures), 60.minutes)
-    val wall = (System.nanoTime() - t0) / 1e9
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+    // one untimed full-suite pass first: the flagship-query warm-up
+    // above does not JIT/codegen the other 100+ queries, and a cold
+    // first pass runs ~30% slower end to end — measured medians would
+    // then depend on which side of the JIT cliff each pass landed
+    runPass()
+    val runs = (1 to passes).map(_ => runPass())
+    // median over the passes, per query and for the wall; a failure
+    // (-1) in ANY pass surfaces as -1 rather than being median'd away
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val wall = median(runs.map(_._1))
+    val byQuery = runs.flatMap(_._2).groupBy(_._1).view
+      .mapValues(ts => if (ts.exists(_._2 < 0)) -1.0 else median(ts.map(_._2)))
+    val qs = names.map(n => "\"" + n + "\":" + byQuery(n))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"streams":$streams,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"streams":$streams,"passes":$passes,"sf":"$sfDir"}""")
     ec.shutdown()
     spark.stop()
   }
