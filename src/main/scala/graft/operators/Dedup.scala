@@ -413,8 +413,7 @@ object Dedup {
     * are the component minimum — a canonical, order-independent
     * cluster id.
     *
-    * The driver loop controls ITERATION ONLY (labels move one hop per
-    * round, so rounds = graph diameter); all data work is joins +
+    * The driver loop controls ITERATION ONLY; all data work is joins +
     * aggregations that shuffle (edge, label) tuples. localCheckpoint
     * per round truncates the exponentially-growing lineage — without
     * it round k replans rounds 1..k-1; superseded rounds' blocks are
@@ -422,6 +421,25 @@ object Dedup {
     * graph has not converged within maxIters — a silent cap would
     * return inconsistent labels (multiple "keepers" in one real
     * component).
+    *
+    * HIGH-DIAMETER ESCAPE: pure propagation moves labels one hop per
+    * round (rounds = diameter — a 10k-link chain would need 10k
+    * shuffling rounds). From round 2 this loop adds POINTER JUMPING
+    * (path shortcutting): after each propagation step, labels are
+    * remapped through themselves (component ← label[label[id]]), so
+    * the distance a label has travelled roughly doubles per round
+    * and convergence is O(log diameter) — the same contraction idea
+    * as the large-star/small-star CC algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). The first two rounds skip the extra
+    * self-join because dedup graphs are near-cliques that converge
+    * in ≤ 2 rounds — the common case pays nothing. Shortcutting
+    * never breaks the convergence test: the loop stops only at a
+    * propagation fixed point, which implies equal labels across
+    * every edge (full convergence); PropertySpec pins a
+    * 3000-diameter path converging in 13 rounds (measured — vs ~3000
+    * one-hop rounds), and the loud failure mode when the budget is
+    * genuinely too small.
     *
     * @param nodes single-column DataFrame of node ids
     * @param edges two-column DataFrame (id_a, id_b), undirected
@@ -490,7 +508,18 @@ object Dedup {
           .localCheckpoint(true)
         changed = Option(obs.get("n_changed")).collect {
           case n: java.lang.Long => n.longValue() }.getOrElse(0L)
-        labels = updated.select(col("id"), col("component"))
+        val prop = updated.select(col("id"), col("component"))
+        // pointer jumping from round 2 (see scaladoc): component
+        // values are themselves connected-node ids, so remapping
+        // through the fresh labels is a self-join; left + coalesce is
+        // belt-and-braces (every component value matches an id)
+        labels =
+          if (iter < 2 || changed == 0) prop
+          else prop
+            .join(prop.select(col("id").as("component"), col("component").as("c2")),
+              Seq("component"), "left")
+            .select(col("id"), coalesce(col("c2"), col("component")).as("component"))
+            .localCheckpoint(true)
         iter += 1
       }
       if (sys.env.contains("GRAFT_DEBUG"))

@@ -178,6 +178,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a 3000-diameter path via pointer jumping, and fail loudly under budget") {
+    // a path graph 0-1-2-...-3000: pure one-hop propagation would need
+    // ~3000 rounds (>> maxIters=100); the pointer-jumping escape makes
+    // rounds O(log diameter), so the default budget converges easily
+    val n = 3001L
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val got = graft.operators.Dedup.connectedComponents(
+        nodes, edges, edgesWithinNodes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n.toInt)
+    assert(got.forall(_._2 === 0L), "all path nodes must join component 0")
+    // when the budget genuinely is too small, the failure is LOUD —
+    // never a silent cap that would return inconsistent labels
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(
+        nodes, edges, maxIters = 3, edgesWithinNodes = true).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
