@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.ml.{PlayFeatures, PlayPipeline, Scorer, TrainMain}
+import graft.streaming.{PlayStream, StreamDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput / state-footprint evidence (BASELINE.md):
+  *
+  *  1. Sustained events/sec of the RESILIENT scoring stream
+  *     ([[PlayStream.scoreStreamResilient]]) at 10×, 100× and 1000×
+  *     the reference's NiFi arrival rate (1 event/s, reference
+  *     `NFL_Spark_Model_Scoring.xml` GenerateFlowFile 1/s): rate
+  *     source at R rows/s for `secs` seconds; reports the mean
+  *     processedRowsPerSecond over completed micro-batches (first
+  *     batch excluded — codegen warm-up) and the delivered-row count.
+  *  2. State footprint of the watermark-bounded streaming dedup
+  *     ([[StreamDedup.dedupedByContent]]) at the same rates: rows
+  *     and bytes held in the state store after `secs` seconds of
+  *     arrivals inside one watermark horizon (the worst case — no
+  *     eviction yet).
+  *
+  * Usage: runMain graft.tools.StreamBench [secsPerRate]
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val secs = args.headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "8") // streaming state: small per-batch shuffles
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the scoring model pair (train once; ~30 s — same fixture path
+    // the test suite uses)
+    val plays = PlayFeatures.derive(PlayFeatures.readCsv(spark, TrainMain.DefaultCsv))
+    val (passM, runM) = PlayPipeline.train(plays)
+    val scorer = new Scorer(spark, passM, runM)
+
+    for (rate <- Seq(10, 100, 1000)) {
+      val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = PlayStream.scoreStreamResilient(
+        PlayStream.simulatedPlays(spark, rate), scorer,
+        sink = scored => { delivered.addAndGet(scored.count()): Unit },
+        deadLetter = (_, e) => System.err.println(s"[streambench] dead letter: $e"))
+      Thread.sleep(secs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val rates = progress.drop(1).map(_.processedRowsPerSecond).filter(_ > 0)
+      val batchMs = progress.drop(1).map(_.durationMs.get("triggerExecution").toDouble)
+      println(f"[streambench] scoring rate=$rate%d ev/s: delivered=${delivered.get()}%d " +
+        f"meanProcessed=${if (rates.nonEmpty) rates.sum / rates.size else 0.0}%.0f rows/s " +
+        f"meanBatch=${if (batchMs.nonEmpty) batchMs.sum / batchMs.size else 0.0}%.0f ms " +
+        f"(sustained=${batchMs.nonEmpty && batchMs.sum / batchMs.size < 1000}%s)")
+    }
+
+    // watermark-bounded content dedup: rate-source docs, ~20% dups
+    // (every 5th row repeats the previous row's text), 10-minute
+    // watermark so nothing evicts during the run — worst-case state
+    for (rate <- Seq(10, 100, 1000)) {
+      val docs = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate).load()
+        .select(col("timestamp").as("ts"),
+          concat(lit("document body "),
+            (col("value") - col("value") % 5)).as("text"))
+      val q = StreamDedup.dedupedByContent(docs, "ts", "text", "10 minutes")
+        .writeStream.outputMode("append").format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      Thread.sleep(secs * 1000L)
+      val last = q.recentProgress.lastOption
+      q.stop()
+      last.flatMap(_.stateOperators.headOption) match {
+        case Some(so) =>
+          println(f"[streambench] dedup rate=$rate%d ev/s: stateRows=${so.numRowsTotal}%d " +
+            f"stateBytes=${so.memoryUsedBytes}%d " +
+            f"bytesPerRow=${if (so.numRowsTotal > 0) so.memoryUsedBytes.toDouble / so.numRowsTotal else 0.0}%.0f")
+        case None => println(s"[streambench] dedup rate=$rate: no progress recorded")
+      }
+    }
+    spark.stop()
+  }
+}
