@@ -102,6 +102,17 @@ final class ScoringServer(scorer: Scorer, replayTable: DataFrame, port: Int = 0)
     private val FormFields = Seq("qtr", "down", "TimeSecs", "yrdline100",
       "ydstogo", "ydsnet", "month_day", "posteam", "DefensiveTeam", "PlayType_lag")
 
+    // the reference's 32-team dropdown list (`assets/app_nfl.py:34`)
+    // and play types (`index.html:237-241`); selects render for these
+    // fields, free-text inputs for the numeric ones
+    private val Teams = Seq("NYJ", "CAR", "TB", "OAK", "DET", "TEN", "BUF",
+      "BAL", "NE", "GB", "JAC", "DEN", "ARI", "SF", "KC", "SEA", "CIN",
+      "DAL", "CLE", "MIA", "SD", "STL", "MIN", "ATL", "PHI", "WAS", "NYG",
+      "PIT", "NO", "IND", "HOU", "CHI")
+    private val SelectOptions: Map[String, Seq[String]] = Map(
+      "posteam" -> Teams, "DefensiveTeam" -> Teams,
+      "PlayType_lag" -> Seq("Run", "Pass"))
+
     private def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;")
         .replace(">", "&gt;").replace("\"", "&quot;")
@@ -109,7 +120,19 @@ final class ScoringServer(scorer: Scorer, replayTable: DataFrame, port: Int = 0)
     private def page(n: Int, fields: Map[String, String],
         result: Option[(String, Double, Double)]): String = {
       val inputs = FormFields.map { f =>
-        s"""<label>$f <input type="text" name="$f" value="${esc(fields.getOrElse(f, ""))}"/></label><br/>"""
+        val cur = fields.getOrElse(f, "")
+        SelectOptions.get(f) match {
+          case Some(opts) =>
+            // the current value always renders (selected), even if it
+            // is outside the canonical list — replay rows drive this
+            val all = if (cur.nonEmpty && !opts.contains(cur)) cur +: opts else opts
+            val options = all.map { o =>
+              s"""<option value="${esc(o)}"${if (o == cur) " selected" else ""}>${esc(o)}</option>"""
+            }.mkString
+            s"""<label>$f <select name="$f">$options</select></label><br/>"""
+          case None =>
+            s"""<label>$f <input type="text" name="$f" value="${esc(cur)}"/></label><br/>"""
+        }
       }.mkString("\n")
       val verdict = result.map { case (best, pass, run) =>
         f"""<div id="result"><b>$best%s</b>

@@ -62,7 +62,13 @@ class ScoringServerSpec extends SparkSpec {
     assert(pageR.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
     val page = pageR.body()
     assert(page.contains("<form method=\"POST\""))
-    assert(page.contains("name=\"PlayType_lag\" value=\"FirstPlay\""))
+    // categorical fields render as the reference's dropdowns: 32 teams
+    // for posteam/DefensiveTeam, Run/Pass (+ the out-of-list replay
+    // value, still selectable) for PlayType_lag
+    assert(page.contains("<select name=\"posteam\">") &&
+      page.contains("<select name=\"DefensiveTeam\">"))
+    assert("<option value=\"[A-Z]{2,3}\"".r.findAllIn(page).size >= 64)
+    assert(page.contains("<option value=\"FirstPlay\" selected>"))
     // POST /: the golden request as a form submission → rendered
     // verdict with both rounded yardages + the advance link
     val form = "qtr=3&down=3&TimeSecs=60&yrdline100=50&ydstogo=8&ydsnet=15" +
