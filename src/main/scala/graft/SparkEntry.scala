@@ -557,7 +557,7 @@ object SparkEntry {
     // q31/q51: both LSH paths verify every candidate with an EXACT
     // jaccard, so their outputs are subsets of the true pair set; the
     // deterministic seeded pipelines find every true pair on the
-    // fixtures (per-pair miss prob ≤ 5e-5 for q51's 8 bands, ≤ 1e-4
+    // fixtures (per-pair miss prob ≤ 8e-8 for q51's 16 bands, ≤ 1e-4
     // for q31's 4 tables at the observed J ≥ 0.9; MinHashRecallSpec
     // pins recall). The oracle is the banding-free brute-force truth —
     // hash equality IS the recall claim. (q31's distances are computed

@@ -75,7 +75,7 @@ object Graft {
     * jaccard_dist ≤ maxDist). */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: Column, textCol: Column,
-      maxDist: Double = 0.4, bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2): DataFrame =
     graft.operators.Dedup.minhashPairsOver(df, idCol, textCol, maxDist, bands, rowsPerBand)
 
   /** End-to-end corpus dedup — the full pipeline a training-data run

@@ -87,23 +87,27 @@ object Dedup {
     *    i ∈ [0, bands·rowsPerBand)
     *  - band key b = xxhash64 of that band's `rowsPerBand` signatures
     *  - docs sharing any band key are candidates (P(candidate) =
-    *    1-(1-J^r)^b; r=2, b=8 → 0.98 at J=0.6, 1-5e-5 at J=0.8)
+    *    1-(1-J^r)^b; r=2, b=16 → 0.9998 at J=0.6, 1-8e-8 at J=0.8)
     *  - candidates verified with EXACT jaccard over distinct shingles
     *
     * Because every candidate is verified with the exact jaccard, the
-    * output is always a SUBSET of the true pair set; at b=8 the
-    * per-pair miss probability at the fixtures' observed pair
-    * similarities (J ≥ 0.8) is ≤ 5e-5, and the seeded pipeline is
-    * deterministic — the fast path emits exactly the true pair set on
-    * the fixture data, which is what the DuckDB oracle (brute-force
-    * shingle jaccard) checks and MinHashRecallSpec asserts.
+    * output is always a SUBSET of the true pair set. b=16 (raised
+    * from 8 in round 4) sizes the miss tail for SCALE, not just the
+    * fixtures: at the generated sf1's 225k planted near-dup pairs,
+    * b=8's 2.8e-4 miss probability at the J=0.8 tail really did drop
+    * 2 pairs (caught by tools.ScaleCheck); at b=16 the expected miss
+    * count stays < 1 up to ~10M borderline pairs. The seeded pipeline
+    * is deterministic and emits exactly the true pair set at every
+    * checked SF — which is what the DuckDB oracle (brute-force
+    * shingle jaccard) checks, MinHashRecallSpec asserts, and
+    * ScaleCheck extends to generated scale via the planted truth.
     *
     * Shuffle volume: `bands` rows of (bandkey, id) per doc — linear.
     * The ml-lib MinHashLSH variant above stays as the library-level
     * alternative; this is the faster hand-rolled scale path. */
   def minhashPairsFast(
       t: Tables, maxDist: Double = 0.4,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     import t.spark.implicits._
     minhashPairsOver(t.documents, $"doc_id", $"text", maxDist, bands, rowsPerBand)
   }
@@ -346,7 +350,7 @@ object Dedup {
       corpus: DataFrame, idCol: org.apache.spark.sql.Column,
       textCol: org.apache.spark.sql.Column,
       reference: DataFrame, refTextCol: org.apache.spark.sql.Column,
-      maxDist: Double = 0.4, bands: Int = 8, rowsPerBand: Int = 2,
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2,
       shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.md5
     // 1. exact: content fingerprints, not text, cross the shuffle
@@ -562,7 +566,7 @@ object Dedup {
   def dedupClustersFast(t: Tables, maxDist: Double = 0.4): DataFrame = {
     import t.spark.implicits._
     val pairs = minhashPairsCore(t.documents, $"doc_id", $"text", maxDist,
-      bands = 8, rowsPerBand = 2)
+      bands = 16, rowsPerBand = 2)
       .select($"id_a", $"id_b")
     connectedComponents(t.documents.select($"doc_id"), pairs, edgesWithinNodes = true)
       .select($"id".as("doc_id"), $"component".as("cluster_id"),
