@@ -30,7 +30,10 @@ class PlanAuditSpec extends SparkSpec {
   private val constructionHeavy = Set(
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
     "q57_dedup_clusters", "q90_dedup_survivors",
-    "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast")
+    "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast",
+    // banded-dedup gate: one-row verdict broadcast crossJoined onto
+    // the probe ids (same scalar-broadcast shape as q101/q102)
+    "q104_embed_banded_gate")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
