@@ -182,6 +182,9 @@ object SparkEntry {
     // gate for the banded (production-regime) embedding near-dup
     // path: planted cos≈0.9 twins must be recovered at ≥ 0.8 recall
     "q104_embed_banded_gate" -> ((s, d) => Dedup.embeddingBandedGate(Tables(s, d))),
+    // SemDeDup-style semantic dedup; survivors of planted-twin corpus
+    // == the original corpus exactly (see Dedup.semanticDedup)
+    "q105_semantic_dedup"    -> ((s, d) => Dedup.semanticDedup(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -540,6 +543,10 @@ object SparkEntry {
     "q104_embed_banded_gate" ->
       """SELECT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 50 ORDER BY q_id""".stripMargin,
+    // q105: exact — the planted twins (and ONLY they) must be deduped
+    // away, so the survivor set is the original corpus verbatim
+    "q105_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
     "q58_dispersion" ->
       """SELECT l_returnflag,
         | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)

@@ -156,6 +156,14 @@ object Graft {
     graft.operators.Dedup.embeddingNearDupsBanded(
       df, idCol, embCol, minCos, bands, planesPerBand, dim)
 
+  /** SemDeDup-style semantic dedup: drop rows whose embeddings are
+    * near-duplicates (cos ≥ minCos) of a lower-id row — banded
+    * candidate mining, exact verify, connected components, min-id
+    * keeper. Returns the surviving rows. */
+  def semanticDedup(
+      df: DataFrame, idCol: Column, embCol: Column, minCos: Double): DataFrame =
+    graft.operators.Dedup.semanticDedupOver(df, idCol, embCol, minCos)
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Standard per-document text profile: token counts, lexical

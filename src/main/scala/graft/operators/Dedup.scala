@@ -300,20 +300,32 @@ object Dedup {
     * cos 0.88 is 1−(1−p⁴)¹² ≈ 0.9998 (p = 1−arccos/π), so the
     * observed recall is ~1.0 against the 0.8 floor — a regression
     * tripwire with real margin, driver-checked at every SF. */
+  /** Deterministic planted near-dup twins for vec_id < nPlanted:
+    * v' = v + ε·r with r a Rademacher vector from xxhash64(vec_id,
+    * pos) and ε sized so cos(v, v') ≈ targetCos for unit vectors
+    * (ε = √((1/cos² − 1)/64); observed spread ±0.02). Twin ids are
+    * original + [[PlantedIdOff]]. Shared by the q104 recall gate and
+    * the q105 semantic-dedup oracle. */
+  private[operators] val PlantedIdOff = 1000000000L
+  private[operators] def plantedTwins(
+      base: DataFrame, targetCos: Double, nPlanted: Int): DataFrame = {
+    val eps = math.sqrt((1.0 / (targetCos * targetCos) - 1.0) / 64.0)
+    base.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + PlantedIdOff).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(eps) *
+            when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+            .cast("float")).as("embedding"))
+  }
+
   def embeddingBandedGate(t: Tables, targetCos: Double = 0.9,
       verifyCos: Double = 0.85, nPlanted: Int = 50,
       floor: Double = 0.8): DataFrame = {
     import t.spark.implicits._
     import graft.functions.SimilarityFunctions.{dotNative, l2NormNative}
-    val idOff = 1000000000L
-    val eps = math.sqrt((1.0 / (targetCos * targetCos) - 1.0) / 64.0)
+    val idOff = PlantedIdOff
     val base = t.embeddings.select($"vec_id", $"embedding")
-    val planted = base.filter($"vec_id" < nPlanted)
-      .select(($"vec_id" + idOff).as("vec_id"),
-        transform($"embedding", (x, i) =>
-          (x.cast("double") + lit(eps) *
-            when(pmod(xxhash64($"vec_id", i), lit(2)) === 0, 1.0).otherwise(-1.0))
-            .cast("float")).as("embedding"))
+    val planted = plantedTwins(base, targetCos, nPlanted)
     val union = base.unionByName(planted)
     val found = embeddingNearDupsBanded(
       union, col("vec_id"), col("embedding"), verifyCos)
@@ -334,6 +346,57 @@ object Dedup {
         .as("meets_floor"))
     base.filter($"vec_id" < nPlanted).select($"vec_id".as("q_id"))
       .crossJoin(broadcast(gate)).orderBy($"q_id")
+  }
+
+  /** SEMANTIC dedup over an embedding column (the SemDeDup-style
+    * stage of an LLM data pipeline: drop documents whose EMBEDDINGS
+    * are near-duplicates, catching paraphrases that shingle/MinHash
+    * text dedup cannot see). Composition of the linear pieces:
+    *
+    *  1. candidate mining + exact verify:
+    *     [[embeddingNearDupsBanded]] at `minCos` — b·n narrow
+    *     (bandkey, id) shuffle rows, never a pair product;
+    *  2. [[connectedComponents]] over the ≥ minCos graph (pointer
+    *     jumping, O(log diameter) rounds);
+    *  3. keeper rule: the MINIMUM id of each component survives — a
+    *     deterministic, order-independent rule (mirrors q57's
+    *     `is_keeper`), so results are reproducible across partitions
+    *     and engines.
+    *
+    * Returns the SURVIVING rows of `df` (original columns). */
+  def semanticDedupOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, minCos: Double,
+      bands: Int = 12, planesPerBand: Int = 4): DataFrame = {
+    val pairs = embeddingNearDupsBanded(df, idCol, embCol, minCos,
+      bands = bands, planesPerBand = planesPerBand)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(
+      df.select(idCol.as("__id")), pairs, edgesWithinNodes = true)
+    val keepers = labels.filter(col("id") === col("component"))
+      .select(col("id").as("__keep"))
+    df.join(keepers, idCol === col("__keep"), "left_semi")
+  }
+
+  /** q105: [[semanticDedupOver]] with an EXACT oracle via the planted
+    * structure. The corpus is embeddings ∪ [[plantedTwins]] (cos≈0.9
+    * twins for vec_id < nPlanted, ids offset by 10⁹). At
+    * minCos = 0.85 the ≥-threshold graph is EXACTLY the 50 planted
+    * (original, twin) edges — the fixture has no natural pairs at
+    * cos ≥ 0.6 at any SF (measured; the nearest natural neighbours
+    * sit at 0.24–0.42) — so every component min-id is the original
+    * and the survivor set is precisely the original corpus:
+    * `SELECT vec_id FROM embeddings` IS the DuckDB oracle, making
+    * the whole banding→CC→keeper composition hash-checkable, not
+    * just gate-checkable. */
+  def semanticDedup(t: Tables, minCos: Double = 0.85,
+      nPlanted: Int = 50): DataFrame = {
+    import t.spark.implicits._
+    val base = t.embeddings.select($"vec_id", $"embedding")
+    val corpus = base.unionByName(plantedTwins(base, targetCos = 0.9, nPlanted))
+    semanticDedupOver(corpus, $"vec_id", $"embedding", minCos)
+      .select($"vec_id")
+      .orderBy($"vec_id")
   }
 
   /** Cross-dataset dedup: remove from `corpus` every document that is

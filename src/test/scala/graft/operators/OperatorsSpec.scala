@@ -333,6 +333,33 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(gate.forall(_.getBoolean(1)), "banded recall fell below the 0.8 floor")
   }
 
+  test("semantic dedup keeps exactly the min-id survivor of each embedding near-dup component") {
+    import spark.implicits._
+    // two planted components: {0,1,2} mutual near-dups (chain via 1),
+    // {10,11} a pair; 20 isolated — survivors must be 0, 10, 20
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val d = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val iso = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def nudge(v: Array[Float], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => x + 0.05f * r.nextGaussian().toFloat)
+    }
+    val df = Seq(
+      0L -> a, 1L -> nudge(a, 1), 2L -> nudge(a, 2),
+      10L -> d, 11L -> nudge(d, 9), 20L -> iso
+    ).toDF("vec_id", "embedding")
+    val surv = Dedup.semanticDedupOver(df, $"vec_id", $"embedding", minCos = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv === Set(0L, 10L, 20L))
+  }
+
+  test("q105 semantic dedup survivors are exactly the original corpus") {
+    val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
+    val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === want.toSeq)
+  }
+
   test("production centroids track the oracle-parity sorted fold within the quantization bound") {
     import spark.implicits._
     val t = sf001
