@@ -96,9 +96,19 @@ object Tables {
       try {
         val buf = new Array[Byte](65536)
         var h = 1469598103934665603L // FNV-1a 64
-        var n = in.read(buf)
-        var i = 0
-        while (n > 0 && i < n) { h = (h ^ (buf(i) & 0xffL)) * 1099511628211L; i += 1 }
+        // read until 64 KiB or EOF: a single read() may legally return
+        // short, and a fingerprint that depends on read chunking would
+        // differ across JVMs — letting one JVM's stale-sweep delete a
+        // dir another JVM (with a different fp for the same file) is
+        // still reading
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0) {
+          var i = off
+          while (i < off + n) { h = (h ^ (buf(i) & 0xffL)) * 1099511628211L; i += 1 }
+          off += n
+          n = if (off < buf.length) in.read(buf, off, buf.length - off) else -1
+        }
         h
       } finally in.close()
     }

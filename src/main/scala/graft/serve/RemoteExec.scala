@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
 object RemoteExec {
 
   @volatile private var boundPort: Option[Int] = None
+  @volatile private var boundAddress: Option[String] = None
 
   /** Start the in-process Spark Connect gRPC endpoint on a free port,
     * bound to the given address (default loopback); returns the bound
@@ -39,6 +40,16 @@ object RemoteExec {
     * harness, retry on failure. */
   def startService(spark: SparkSession, bindAddress: String = "127.0.0.1"): Int =
     synchronized {
+      // a repeat start must not SILENTLY hand back a service bound to a
+      // different interface than the caller asked for — in one
+      // direction the caller's clients cannot connect, in the other a
+      // loopback-expecting caller would get an already-network-exposed
+      // endpoint
+      boundAddress.foreach { addr =>
+        require(addr == bindAddress,
+          s"Spark Connect service already bound to $addr; cannot rebind to $bindAddress " +
+            "(stopService first)")
+      }
       boundPort.getOrElse {
         val port = {
           val s = new java.net.ServerSocket(0)
@@ -50,6 +61,7 @@ object RemoteExec {
         conf.set("spark.connect.grpc.binding.port", port.toString)
         org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
         boundPort = Some(port)
+        boundAddress = Some(bindAddress)
         port
       }
     }
@@ -58,6 +70,7 @@ object RemoteExec {
     if (boundPort.isDefined) {
       org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
       boundPort = None
+      boundAddress = None
     }
   }
 

@@ -51,6 +51,14 @@ object ScaleUp {
     // <table>.parquet/ directory (parallelLayout / chained-ScaleUp
     // layout) — a plain Files.copy of a directory would copy only the
     // empty dir entry and silently produce an empty table
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(deleteRec) finally children.close()
+        }
+        java.nio.file.Files.delete(p)
+      }
     def copyRec(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
       if (java.nio.file.Files.isDirectory(from)) {
         java.nio.file.Files.createDirectories(to)
@@ -59,10 +67,15 @@ object ScaleUp {
         finally children.close()
       } else java.nio.file.Files.copy(from, to,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    for (t <- unscaled)
-      copyRec(
-        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
-        java.nio.file.Paths.get(s"$destDir/$t.parquet"))
+    for (t <- unscaled) {
+      val dest = java.nio.file.Paths.get(s"$destDir/$t.parquet")
+      // clear any previous copy first: REPLACE_EXISTING only overwrites
+      // same-named files, so rerunning into an existing destDir would
+      // otherwise accrete stale part-files from an older multi-file
+      // source into the new table
+      deleteRec(dest)
+      copyRec(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dest)
+    }
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def keyStride(df: DataFrame, key: String): Long =

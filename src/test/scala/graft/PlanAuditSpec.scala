@@ -32,8 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "q57_dedup_clusters", "q90_dedup_survivors",
     "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast",
     // banded-dedup gate: one-row verdict broadcast crossJoined onto
-    // the probe ids (same scalar-broadcast shape as q101/q102)
-    "q104_embed_banded_gate")
+    // the probe ids (same scalar-broadcast shape as q101/q102);
+    // q105 runs the banding checkpoint + the CC driver loop during
+    // construction, like q57/q103
+    "q104_embed_banded_gate", "q105_semantic_dedup")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
