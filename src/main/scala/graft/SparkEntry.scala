@@ -185,6 +185,9 @@ object SparkEntry {
     // SemDeDup-style semantic dedup; survivors of planted-twin corpus
     // == the original corpus exactly (see Dedup.semanticDedup)
     "q105_semantic_dedup"    -> ((s, d) => Dedup.semanticDedup(Tables(s, d))),
+    // exact heavy hitters via a two-pass Misra-Gries sketch: O(k)
+    // task memory, candidates-only second pass, provably exact output
+    "q106_heavy_hitters"     -> ((s, d) => TextOps.heavyHittersExact(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -547,6 +550,15 @@ object SparkEntry {
     // away, so the survivor set is the original corpus verbatim
     "q105_semantic_dedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    // q106: the sketch-then-verify output is EXACT (Misra-Gries
+    // guarantees no word above N/k escapes the candidate set), so the
+    // oracle is the plain above-threshold count — integer threshold
+    // comparison, no division
+    "q106_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, COUNT(*) AS n FROM w GROUP BY word
+        |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM w)
+        |ORDER BY word""".stripMargin,
     "q58_dispersion" ->
       """SELECT l_returnflag,
         | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)

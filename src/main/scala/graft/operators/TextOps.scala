@@ -241,6 +241,43 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  // ── q106: exact heavy hitters via a two-pass Misra–Gries sketch ─────
+  /** All words with exact count · k > N (i.e. frequency > 1/k), found
+    * in two bounded-memory passes — the classic sketch-then-verify
+    * exact heavy-hitters algorithm:
+    *
+    *  1. one pass builds a mergeable Misra–Gries summary of ≤ k−1
+    *     entries ([[graft.functions.Aggregators.MisraGries]]) plus
+    *     the total word count N in the SAME aggregation (map-side
+    *     combined, O(k) task memory);
+    *  2. the ≤ k−1 candidate words — a driver-side constant, like
+    *     LSH planes — are exact-counted with a pushed-down `isin`
+    *     filter and kept iff count·k > N.
+    *
+    * The MG guarantee (any word with count > N/k survives the sketch)
+    * makes the OUTPUT EXACT, so the DuckDB oracle is a plain
+    * `HAVING COUNT(*)·k > N` — no gate needed. Contrast with q59's
+    * full vocabulary count: this never shuffles (word, count) pairs
+    * for the whole vocabulary, only for ≤ k−1 candidates — the shape
+    * that matters when the vocabulary itself is corpus-scale (URLs,
+    * n-grams, IDs). The threshold comparison is integer (count·k > N):
+    * no division, engine-neutral. */
+  def heavyHittersExact(t: Tables, k: Int = 100): DataFrame = {
+    import t.spark.implicits._
+    val words = t.documents.select(explode(tokens($"text")).as("word"))
+    val firstPass = words.agg(
+      graft.functions.Aggregators.misraGries($"word", k).as("sketch"),
+      count(lit(1)).as("n_total")).head()
+    val candidates = firstPass.getMap[String, Long](0).keys.toSeq
+    val nTotal = firstPass.getLong(1)
+    words
+      .filter($"word".isin(candidates: _*))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" * k > nTotal)
+      .orderBy($"word")
+  }
+
   // ── q79: corpus-unigram negative log-likelihood ─────────────────────
   /** Perplexity-style quality signal without a trained LM: score each
     * document by the average `-ln p(word)` under the corpus's own

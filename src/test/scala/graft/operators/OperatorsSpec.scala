@@ -347,6 +347,39 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(surv === Set(0L, 10L, 20L))
   }
 
+  test("Misra-Gries sketch keeps every above-threshold word with bounded size, across partitionings") {
+    import spark.implicits._
+    // adversarial mix: 3 heavy words drowned in a long tail of
+    // near-unique noise — the regime where a plain top-k-by-partial-
+    // count breaks but the MG guarantee holds
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(150)("gamma")
+    val noise = (0 until 1200).map(i => s"noise$i")
+    val stream = new scala.util.Random(5).shuffle(heavy ++ noise)
+    val k = 10
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = stream.toDF("word").repartition(parts)
+        .agg(graft.functions.Aggregators.misraGries(col("word"), k))
+        .head().getMap[String, Long](0)
+      assert(sketch.size <= k - 1, s"sketch grew past k-1: ${sketch.size}")
+      // N = 2000, N/k = 200: alpha and beta MUST survive any merge order
+      assert(sketch.contains("alpha") && sketch.contains("beta"),
+        s"MG guarantee violated at parts=$parts: $sketch")
+    }
+  }
+
+  test("q106 exact heavy hitters equal the brute-force above-threshold counts") {
+    val got = TextOps.heavyHittersExact(sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val words = sf001.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val n = words.count()
+    val want = words.groupBy("word").count()
+      .filter(col("count") * 100 > n)
+      .orderBy("word").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q105 semantic dedup survivors are exactly the original corpus") {
     val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
     val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
