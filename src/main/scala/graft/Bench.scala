@@ -58,6 +58,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt / 2, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE: AQE's default size-based coalescing can squash a
+      // byte-light / CPU-heavy stage (merge-walk jaccard verify:
+      // 225k pairs ≈ 3.6 MB but seconds of CPU) to a handful of
+      // tasks. That costs SOLO latency — Profile sets
+      // coalescePartitions.minPartitionSize=64k and q51 drops
+      // 6.4 s → 3.5 s at sf1 — but under 16 concurrent streams the
+      // cores are already saturated by other queries, and the extra
+      // tasks only add scheduler overhead (measured: +40% total
+      // wall). Throughput mode keeps the default; single-query
+      // deployments should lower minPartitionSize.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // FAIR, not FIFO: concurrent streams each get a share of the

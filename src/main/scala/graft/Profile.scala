@@ -21,6 +21,13 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt / 2, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's size-based partition coalescing squashes byte-light but
+      // CPU-heavy stages (merge-walk jaccard / cosine / levenshtein
+      // verification over narrow candidate pairs) down to a handful of
+      // tasks — 225k pairs are ~3.6 MB but ~4 s of CPU. A small
+      // minPartitionSize with parallelismFirst keeps such stages at
+      // full parallelism while still coalescing genuinely tiny reads.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
