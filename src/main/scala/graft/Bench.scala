@@ -100,6 +100,7 @@ object Bench {
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
       "q57_dedup_clusters", "q90_dedup_survivors", "q103_clusters_fast",
+      "q105_semantic_dedup",
       "q85_pagerank", "q52_ann_ivf", "q39_approx_distinct",
       "q41_tfidf", "q31_minhash_pairs", "q64_hash_split",
       "q61_tfidf_exact", "q51_minhash_fast", "q65_repetition",
@@ -123,8 +124,8 @@ object Bench {
     // latency-bound iterative queries: many small sequential jobs
     // whose round latency, not throughput, sets the bench makespan
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",
-      "q103_clusters_fast", "q52_ann_ivf", "q41_tfidf",
-      "q31_minhash_pairs", "q85_pagerank")
+      "q103_clusters_fast", "q105_semantic_dedup", "q52_ann_ivf",
+      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank")
     def runPass(): (Double, Seq[(String, Double)]) = {
       val t0 = System.nanoTime()
       val futures = names.map { n =>
