@@ -164,6 +164,13 @@ object Graft {
       df: DataFrame, idCol: Column, embCol: Column, minCos: Double): DataFrame =
     graft.operators.Dedup.semanticDedupOver(df, idCol, embCol, minCos)
 
+  /** Exact heavy hitters (all items with frequency > 1/k) in two
+    * bounded-memory passes: a mergeable Misra–Gries sketch narrows to
+    * ≤ k−1 candidates, then only those are exact-counted — nothing
+    * vocabulary-sized ever shuffles. Returns (word, n). */
+  def heavyHitters(df: DataFrame, itemCol: Column, k: Int): DataFrame =
+    graft.operators.TextOps.heavyHittersOver(df, itemCol, k)
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Standard per-document text profile: token counts, lexical

@@ -264,18 +264,27 @@ object TextOps {
     * no division, engine-neutral. */
   def heavyHittersExact(t: Tables, k: Int = 100): DataFrame = {
     import t.spark.implicits._
-    val words = t.documents.select(explode(tokens($"text")).as("word"))
-    val firstPass = words.agg(
-      graft.functions.Aggregators.misraGries($"word", k).as("sketch"),
+    heavyHittersOver(
+      t.documents.select(explode(tokens($"text")).as("word")), col("word"), k)
+  }
+
+  /** The same two-pass algorithm over an ARBITRARY item column
+    * (Graft facade entry): all items with frequency > 1/k, exact. */
+  def heavyHittersOver(
+      df: DataFrame, itemCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val items = df.select(itemCol.as("word"))
+    val firstPass = items.agg(
+      graft.functions.Aggregators.misraGries(col("word"), k).as("sketch"),
       count(lit(1)).as("n_total")).head()
     val candidates = firstPass.getMap[String, Long](0).keys.toSeq
     val nTotal = firstPass.getLong(1)
-    words
-      .filter($"word".isin(candidates: _*))
-      .groupBy($"word")
+    items
+      .filter(col("word").isin(candidates: _*))
+      .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
-      .filter($"n" * k > nTotal)
-      .orderBy($"word")
+      .filter(col("n") * k > nTotal)
+      .orderBy(col("word"))
   }
 
   // ── q79: corpus-unigram negative log-likelihood ─────────────────────
