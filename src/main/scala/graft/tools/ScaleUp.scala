@@ -21,14 +21,25 @@ import org.apache.spark.sql.functions._
   * which is exactly the regime where the linear banding dedup path
   * must beat the quadratic blocked-exact path.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs]
+  * With `withEmbeddings`, the embeddings corpus scales too: replicas
+  * are fresh deterministic pseudo-gaussian unit vectors (xxhash-seeded
+  * sum-of-uniforms per dimension, then L2-normalized) — the corpus
+  * stays near-uniform on the sphere (the fixtures' regime), so ANN
+  * recall measured on the scaled corpus (tools.AnnTune) tests the
+  * OR-construction's stability as N grows, with no planted structure.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs] [withEmbeddings]
   * e.g.   runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, factorS) = args.take(3)
-    val withDocs = args.length > 3 && args(3) == "withDocs"
+    val flags = args.drop(3).toSet
+    require((flags -- Set("withDocs", "withEmbeddings")).isEmpty,
+      s"unknown flags: ${flags -- Set("withDocs", "withEmbeddings")}")
+    val withDocs = flags("withDocs")
+    val withEmbeddings = flags("withEmbeddings")
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -45,7 +56,8 @@ object ScaleUp {
     // unscaled tables: byte-identical file copies (events keeps its
     // TIMESTAMP(NANOS) physical type this way — a Spark rewrite would
     // change it)
-    val unscaled = Seq("region", "nation", "events", "embeddings") ++
+    val unscaled = Seq("region", "nation", "events") ++
+      (if (withEmbeddings) Nil else Seq("embeddings")) ++
       (if (withDocs) Nil else Seq("documents"))
     // recursive copy: a fixture may be a single file OR a multi-file
     // <table>.parquet/ directory (parallelLayout / chained-ScaleUp
@@ -108,7 +120,36 @@ object ScaleUp {
           .withColumn("n_chars", length(col("text")).cast("long")))
       }
 
-    val out = docsOut ++ Seq(
+    // fresh pseudo-gaussian unit vectors per replica: per dimension,
+    // sum 4 xxhash-derived uniforms in (-0.5, 0.5] (Irwin–Hall CLT
+    // approximation — plenty for sphere-direction uniformity), then
+    // L2-normalize; label drawn uniformly. rep 0 keeps the originals
+    // byte-for-byte so sub-corpus results stay comparable.
+    val embOut =
+      if (!withEmbeddings) Nil
+      else {
+        val vecStride = keyStride(src("embeddings"), "vec_id")
+        def u(salt: Int) = expr(
+          s"transform(sequence(0, 63), i -> " +
+            s"(cast(pmod(xxhash64(vec_id, i, $salt), 100000) as double) / 100000.0) - 0.5)")
+        Seq("embeddings" -> replicate(src("embeddings"), "vec_id" -> vecStride)
+          .withColumn("g1", u(101)).withColumn("g2", u(202))
+          .withColumn("g3", u(303)).withColumn("g4", u(404))
+          .withColumn("g", expr(
+            "zip_with(zip_with(g1, g2, (a, b) -> a + b), " +
+            "zip_with(g3, g4, (a, b) -> a + b), (a, b) -> a + b)"))
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(g, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+          .withColumn("embedding",
+            when(col("vec_id") < vecStride, col("embedding"))
+              .otherwise(expr("transform(g, x -> cast(x / nrm as float))")))
+          .withColumn("label",
+            when(col("vec_id") < vecStride, col("label"))
+              .otherwise(pmod(xxhash64(col("vec_id"), lit(7)), lit(10)).cast("int")))
+          .select("vec_id", "embedding", "label"))
+      }
+
+    val out = docsOut ++ embOut ++ Seq(
       "customer" -> replicate(src("customer"), "c_custkey" -> custStride),
       "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
       // p_name perturbed per replica so fuzzy matching does not see
