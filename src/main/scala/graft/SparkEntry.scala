@@ -188,6 +188,8 @@ object SparkEntry {
     // exact heavy hitters via a two-pass Misra-Gries sketch: O(k)
     // task memory, candidates-only second pass, provably exact output
     "q106_heavy_hitters"     -> ((s, d) => TextOps.heavyHittersExact(Tables(s, d))),
+    // approx-quantile sketch, gated on its rank-error guarantee
+    "q107_approx_quantiles"  -> ((s, d) => Relational.approxQuantileGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -559,6 +561,11 @@ object SparkEntry {
         |SELECT word, COUNT(*) AS n FROM w GROUP BY word
         |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM w)
         |ORDER BY word""".stripMargin,
+    // q107: gate contract like q101/q102 — the sketch values are
+    // engine-specific, the rank-error bound is not
+    "q107_approx_quantiles" ->
+      """SELECT CAST(q AS DOUBLE) AS quantile, TRUE AS meets_bound
+        |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
     "q58_dispersion" ->
       """SELECT l_returnflag,
         | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)

@@ -407,6 +407,47 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  // ── q107: approximate quantiles, rank-error-gated ───────────────────
+  /** The SCALE path for quantiles: `approx_percentile` (Spark's
+    * KLL/GK-style mergeable sketch — bounded memory, partial
+    * aggregation, no full sort) against q56's exact `percentile`
+    * (which collects each group's values). The sketch contract is a
+    * RANK guarantee — the returned value's exact rank is within
+    * N/accuracy of the target rank — so the driver-visible gate
+    * recomputes each returned value's exact rank range
+    * [count(< v), count(≤ v)] in one pass and checks the interval
+    * overlaps [target − N/acc, target + N/acc]. The oracle
+    * degenerates to "the bound holds" (like q101/q102): the sketch's
+    * VALUES are engine-specific, its guarantee is not. */
+  def approxQuantileGate(t: Tables, accuracy: Int = 1000): DataFrame = {
+    import t.spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val approx = t.lineitem.agg(
+      expr(s"approx_percentile(l_quantity, array(${qs.mkString(", ")}), $accuracy)")
+        .as("vs"),
+      count(lit(1)).as("n")).head()
+    val vs = approx.getSeq[Any](0).map {
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case d: java.lang.Double     => BigDecimal(d.doubleValue)
+      case o                       => BigDecimal(o.toString)
+    }
+    val n = approx.getLong(1)
+    val rankCols = vs.zipWithIndex.flatMap { case (v, i) =>
+      Seq(
+        sum(when($"l_quantity" < v, 1L).otherwise(0L)).as(s"lo_$i"),
+        sum(when($"l_quantity" <= v, 1L).otherwise(0L)).as(s"hi_$i"))
+    }
+    val ranks = t.lineitem.agg(rankCols.head, rankCols.tail: _*).head()
+    val err = n.toDouble / accuracy
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val (lo, hi) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
+      val target = q * n
+      // value covers ranks (lo, hi]; bound holds iff the intervals meet
+      (q, hi >= target - err - 1 && lo <= target + err + 1)
+    }
+    rows.toDF("quantile", "meets_bound").orderBy($"quantile")
+  }
+
   // ── q58: dispersion statistics, exactly ─────────────────────────────
   // Engines' native stddev/variance use Welford-style streaming
   // updates whose float error depends on row order — not oracle-able.

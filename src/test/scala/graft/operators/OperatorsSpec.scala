@@ -380,6 +380,22 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q107 approx-quantile gate: bound holds, and the rank check really bites") {
+    val got = Relational.approxQuantileGate(sf001).collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(1))
+    assert(got.map(_._1).toSeq === Seq(0.25, 0.5, 0.75, 0.95))
+    assert(got.forall(_._2), s"rank-error bound violated: ${got.mkString(",")}")
+    // the check is not vacuous: the same rank interval test rejects a
+    // value whose exact rank sits outside target ± N/accuracy
+    val t = sf001
+    val n = t.lineitem.count()
+    val err = n.toDouble / 1000
+    val probe = t.lineitem
+      .agg(sum(when(col("l_quantity") <= 1.0, 1L).otherwise(0L))).head().getLong(0)
+    // rank of quantity 1.0 (~2% of rows) is far below the 0.5·n target
+    assert(!(probe >= 0.5 * n - err - 1 && probe <= 0.5 * n + err + 1))
+  }
+
   test("q105 semantic dedup survivors are exactly the original corpus") {
     val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
     val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
