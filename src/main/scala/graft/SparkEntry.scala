@@ -190,6 +190,8 @@ object SparkEntry {
     "q106_heavy_hitters"     -> ((s, d) => TextOps.heavyHittersExact(Tables(s, d))),
     // approx-quantile sketch, gated on its rank-error guarantee
     "q107_approx_quantiles"  -> ((s, d) => Relational.approxQuantileGate(Tables(s, d))),
+    // bigram Stupid-Backoff NLL, counted on the doc_id%2==0 half
+    "q108_bigram_nll"        -> ((s, d) => TextOps.bigramBackoffNll(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -566,6 +568,52 @@ object SparkEntry {
     "q107_approx_quantiles" ->
       """SELECT CAST(q AS DOUBLE) AS quantile, TRUE AS meets_bound
         |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
+    // q108: same exactness recipe as q79 (exact int counts, identical
+    // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
+    // with the first-token term); model counted on doc_id%2==0 half
+    "q108_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT bigram, COUNT(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM train)
+        |  GROUP BY 1),
+        |cp AS (SELECT string_split(bigram, ' ')[1] AS prev, SUM(cb) AS cp
+        |  FROM tb GROUP BY 1),
+        |cw AS (SELECT w, COUNT(*) AS cw FROM (
+        |    SELECT unnest(tk) AS w FROM train) GROUP BY 1),
+        |tot AS (SELECT SUM(cw) AS t FROM cw),
+        |bt AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM toks)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, bigram,
+        |    CAST(tf AS DOUBLE) * -ln(CASE
+        |      WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)
+        |      WHEN cw IS NOT NULL
+        |        THEN 0.4 * (CAST(cw AS DOUBLE) / CAST(t AS DOUBLE))
+        |      ELSE 0.4 * (1.0 / CAST(t AS DOUBLE)) END) AS term
+        |  FROM bt
+        |  LEFT JOIN tb USING (bigram)
+        |  LEFT JOIN cp ON string_split(bt.bigram, ' ')[1] = cp.prev
+        |  LEFT JOIN cw ON string_split(bt.bigram, ' ')[2] = cw.w
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, list(term ORDER BY bigram) AS terms
+        |  FROM scored GROUP BY 1),
+        |first AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    -ln(CASE WHEN cw IS NOT NULL
+        |      THEN CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)
+        |      ELSE 1.0 / CAST(t AS DOUBLE) END) AS term1
+        |  FROM toks LEFT JOIN cw ON toks.tk[1] = cw.w CROSS JOIN tot)
+        |SELECT f.doc_id, CAST(f.n_tokens AS INTEGER) AS n_tokens,
+        |  list_reduce(list_prepend(f.term1, COALESCE(a.terms, [])),
+        |    (x, y) -> x + y) / f.n_tokens AS avg_nll
+        |FROM first f LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q58_dispersion" ->
       """SELECT l_returnflag,
         | (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)

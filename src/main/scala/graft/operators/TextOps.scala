@@ -326,6 +326,94 @@ object TextOps {
     unigramNllOver(t.documents, $"doc_id", $"text").orderBy($"doc_id")
   }
 
+  // ── q108: bigram Stupid-Backoff negative log-likelihood ─────────────
+  /** Held-out language-model quality score — the step up from q79's
+    * self-scored unigram NLL: a bigram model with Stupid Backoff
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") is COUNTED on a deterministic half of the corpus
+    * (doc_id % 2 == 0) and SCORES every document, so unseen bigrams
+    * and OOV words actually occur and the backoff path is exercised:
+    *
+    *   S(w_i | w_{i-1}) = cb(w_{i-1} w_i) / cp(w_{i-1})   if cb > 0
+    *                    = 0.4 · cw(w_i) / T                else if cw > 0
+    *                    = 0.4 · 1 / T                      else (OOV)
+    *
+    * where cb = train bigram count, cp(w) = Σ_v cb(w v) (context
+    * mass), cw = train unigram count, T = total train tokens. The
+    * first token scores S(w_1) = cw(w_1)/T (or 1/T OOV) — no 0.4,
+    * it backs off from nothing. avg_nll = Σ −ln S / n_tokens.
+    *
+    * Scale: counting is two narrow (bigram|word, count) shuffles over
+    * the train half; scoring is linear shuffle joins on bigram / prev
+    * / cur — no broadcast of the (web-scale) count tables, only the
+    * single-row T. Exactness across engines: counts are exact ints,
+    * each S is the identical IEEE expression shape on both sides
+    * (one divide, then one 0.4·x multiply on the backoff paths),
+    * `math_ln` ≡ DuckDB ln on all inputs, and the per-document sum
+    * folds terms in sorted-bigram order seeded with the first-token
+    * term, so the order-dependent double additions agree. */
+  def bigramBackoffNllOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), tokens(textCol).as("tk"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    // train-side model counts
+    val tb = train.select(explode(wordNgrams(col("tk"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val cp = tb
+      .groupBy(split(col("bigram"), " ").getItem(0).as("prev"))
+      .agg(sum(col("cb")).as("cp"))
+    val cw = train.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("t"))
+    // per-document bigram terms (tokens contain no spaces — the
+    // space-joined bigram splits back unambiguously)
+    val bt = toks.select(col("doc_id"), explode(wordNgrams(col("tk"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .withColumn("cur", split(col("bigram"), " ").getItem(1))
+    val scored = bt
+      .join(tb, Seq("bigram"), "left")
+      .join(cp, Seq("prev"), "left")
+      .join(cw.withColumnRenamed("w", "cur"), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bigram"),
+        (col("tf").cast("double") *
+          -call_function("math_ln",
+            when(col("cb").isNotNull,
+              col("cb").cast("double") / col("cp").cast("double"))
+            .when(col("cw").isNotNull,
+              lit(0.4) * (col("cw").cast("double") / col("t").cast("double")))
+            .otherwise(lit(0.4) * (lit(1.0) / col("t").cast("double")))))
+          .as("term"))
+    val terms = scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("bigram"), col("term")))).as("arr"))
+    // first-token unigram term + doc length
+    val first = toks
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        element_at(col("tk"), 1).as("w1"))
+      .join(cw.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cw1"),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        (-call_function("math_ln",
+          when(col("cw1").isNotNull,
+            col("cw1").cast("double") / col("t").cast("double"))
+          .otherwise(lit(1.0) / col("t").cast("double")))).as("term1"))
+    first.join(terms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(
+          coalesce(col("arr"),
+            array().cast("array<struct<bigram:string,term:double>>")),
+          col("term1"), (a, x) => a + x.getField("term"))
+          / col("n_tokens")).as("avg_nll"))
+  }
+
+  def bigramBackoffNll(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    bigramBackoffNllOver(t.documents, $"doc_id", $"text").orderBy($"doc_id")
+  }
+
   // ── q80: PMI collocations ───────────────────────────────────────────
   /** Top-k word collocations by pointwise mutual information:
     * pmi(a,b) = ln(c(ab)·N / (c(a)·c(b))) over adjacent pairs, with a

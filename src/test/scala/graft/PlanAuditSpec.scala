@@ -17,8 +17,10 @@ class PlanAuditSpec extends SparkSpec {
     // one-row id-bounds broadcast for the deterministic bucketing
     "q62_pack_windows",
     // one-row corpus-total broadcasts (token count / bigram count /
-    // N + Σdl for the BM25 idf and length normalization)
+    // N + Σdl for the BM25 idf and length normalization / train-half
+    // token total T for the Stupid-Backoff tiers)
     "q79_unigram_nll", "q80_pmi_collocations", "q88_bm25",
+    "q108_bigram_nll",
     // one-row node-count broadcast per power iteration
     "q85_pagerank",
     // one-row global-span broadcast for the resample grid

@@ -28,6 +28,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1)._3 > got(2)._3)
   }
 
+  test("bigramBackoffNll matches a driver-side reference and exercises all 3 backoff tiers") {
+    // train half = even ids: docs 0 and 2. Counts: tokens "a a b" + "a c"
+    // → cw: a=3, b=1, c=1, T=5; bigrams "a a","a b","a c" → cb=1 each,
+    // cp(a)=3. Doc 1 "a b z" hits: seen bigram? "a b" cb=1 → tier 1;
+    // "b z": prev b has no context → z OOV → tier 3.
+    val df = Seq((0L, "a a b"), (1L, "a b z"), (2L, "a c")).toDF("id", "txt")
+    val got = TextOps.bigramBackoffNllOver(df, $"id", $"txt")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def ln(x: Double) = math.log(x)
+    val T = 5.0
+    val exp = Seq(
+      // doc 0: first "a" (3/5); "a a" 1/3; "a b" 1/3
+      (0L, 3, (-ln(3 / T) + -ln(1.0 / 3) + -ln(1.0 / 3)) / 3),
+      // doc 1: first "a" (3/5); "a b" 1/3 (seen); "b z": z OOV → 0.4·(1/T)
+      (1L, 3, (-ln(3 / T) + -ln(1.0 / 3) + -ln(0.4 * (1.0 / T))) / 3),
+      // doc 2: first "a" (3/5); "a c" 1/3
+      (2L, 2, (-ln(3 / T) + -ln(1.0 / 3)) / 2))
+    for (((gi, gn, gv), (ei, en, ev)) <- got.zip(exp)) {
+      assert(gi === ei && gn === en, s"doc $gi")
+      assert(math.abs(gv - ev) < 1e-12, s"doc $gi: $gv vs $ev")
+    }
+    // tier 2 (unseen bigram, known word): doc with "c b" — cb null,
+    // cw(b)=1 → 0.4·(1/5); sanity that it scores between tier1 and tier3
+    val df2 = Seq((0L, "a a b"), (2L, "a c"), (5L, "c b")).toDF("id", "txt")
+    val g2 = TextOps.bigramBackoffNllOver(df2, $"id", $"txt")
+      .filter($"doc_id" === 5).head().getDouble(2)
+    val e2 = (-ln(1 / T) + -ln(0.4 * (1.0 / T))) / 2
+    assert(math.abs(g2 - e2) < 1e-12, s"$g2 vs $e2")
+  }
+
   test("pmiCollocations ranks always-adjacent pairs above independent ones") {
     // "x y" always adjacent (pmi high); "a b" co-occur at chance
     val rows = Seq.fill(10)("x y a") ++ Seq.fill(10)("b a x y") ++ Seq.fill(5)("a b")
