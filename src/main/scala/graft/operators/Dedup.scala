@@ -228,18 +228,25 @@ object Dedup {
     * blocked join owns the low-threshold regime and this owns genuine
     * near-dup thresholds. Shuffle volume: b rows of (bandkey, id) per
     * vector — linear. */
+  /** One Gaussian plane set per (band, plane) position — deterministic
+    * in `seed`, shared by the batch path below and the streaming path
+    * ([[graft.streaming.StreamEmbedDedup]]) so both produce identical
+    * sign bits / band keys for the same vector. */
+  private[graft] def bandPlanes(
+      bands: Int, planesPerBand: Int, dim: Int,
+      seed: Long): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(bands)(IndexedSeq.fill(planesPerBand)(
+      Array.fill(dim)(rnd.nextGaussian())))
+  }
+
   def embeddingNearDupsBanded(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, minCos: Double,
       bands: Int = 12, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     import graft.functions.SimilarityFunctions.{dotNative, factoredCosine, l2NormNative}
-    val rnd = new scala.util.Random(seed)
-    // one plane set per (band, row): sign bits concatenate into the
-    // band key — all computed in a single codegen'd projection
-    val planes: IndexedSeq[IndexedSeq[Array[Double]]] =
-      IndexedSeq.fill(bands)(IndexedSeq.fill(planesPerBand)(
-        Array.fill(dim)(rnd.nextGaussian())))
+    val planes = bandPlanes(bands, planesPerBand, dim, seed)
     // native codegen'd projection per plane (same double fold as the
     // HOF formulation — identical sign bits, no interpreted lambdas)
     def signBit(emb: org.apache.spark.sql.Column, p: Array[Double]) =
