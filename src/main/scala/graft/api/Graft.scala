@@ -293,6 +293,33 @@ object Graft {
       minCount: Long = 5L, k: Int = 50): DataFrame =
     graft.operators.TextOps.pmiCollocationsOver(df, textCol, minCount, k)
 
+  /** Held-out bigram Stupid-Backoff NLL quality signal: the model is
+    * counted on the doc_id %% 2 == 0 half and scores every document,
+    * so unseen bigrams and OOV words exercise the backoff tiers. */
+  def bigramBackoffNll(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.TextOps.bigramBackoffNllOver(df, idCol, textCol)
+
+  // ── streaming ingest ─────────────────────────────────────────────────
+
+  /** Streaming exact dedup by content fingerprint: first occurrence
+    * passes, duplicates within the watermark horizon are dropped
+    * (16-byte state per distinct fingerprint). */
+  def streamDedupByContent(docs: DataFrame, tsCol: String, textCol: String,
+      delay: String): DataFrame =
+    graft.streaming.StreamDedup.dedupedByContent(docs, tsCol, textCol, delay)
+
+  /** Streaming embedding near-dup detection: LSH buckets shared with
+    * the batch banded path (identical planes), one anchor vector per
+    * bucket as state, exact cosine verify — emits verified
+    * (anchor_id, dup_id, cos) hits, at-least-once across bands. */
+  def streamNearDupEmbeddings(
+      events: org.apache.spark.sql.Dataset[graft.streaming.EmbedEvent],
+      minCos: Double, delayMs: Long, bands: Int = 12,
+      planesPerBand: Int = 4, dim: Int = 64)
+      : org.apache.spark.sql.Dataset[graft.streaming.EmbedNearDup] =
+    graft.streaming.StreamEmbedDedup.nearDups(
+      events, minCos, delayMs, bands, planesPerBand, dim)
+
   /** Morton (z-order) key of two non-negative integer columns. */
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)

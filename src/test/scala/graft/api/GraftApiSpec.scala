@@ -160,4 +160,16 @@ class GraftApiSpec extends SparkSpec {
     assert(out.filter($"g" === "a").count() === 2)
     assert(out.filter($"g" === "a" && $"rank" === 1).head().getInt(1) === 3)
   }
+
+  test("bigramBackoffNll scores rare-bigram docs above formulaic ones") {
+    // even ids form the model half; doc 1 repeats the trained pattern,
+    // doc 3 is unseen-bigram soup — backoff makes it strictly costlier
+    val df = Seq(
+      (0L, "the cat sat on the mat"), (2L, "the cat sat on the rug"),
+      (1L, "the cat sat on the mat"), (3L, "mat the on sat cat zzz"))
+      .toDF("id", "text")
+    val got = Graft.bigramBackoffNll(df, $"id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(3L) > got(1L), s"backoff doc should score higher: $got")
+  }
 }
