@@ -192,6 +192,8 @@ object SparkEntry {
     "q107_approx_quantiles"  -> ((s, d) => Relational.approxQuantileGate(Tables(s, d))),
     // bigram Stupid-Backoff NLL, counted on the doc_id%2==0 half
     "q108_bigram_nll"        -> ((s, d) => TextOps.bigramBackoffNll(Tables(s, d))),
+    // HLL approx-distinct gated on its relative-error contract
+    "q109_approx_distinct_gate" -> ((s, d) => Relational.approxDistinctGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -568,6 +570,11 @@ object SparkEntry {
     "q107_approx_quantiles" ->
       """SELECT CAST(q AS DOUBLE) AS quantile, TRUE AS meets_bound
         |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
+    // q109: gate contract like q107 — the HLL estimate is
+    // engine-specific, its error bound is not
+    "q109_approx_distinct_gate" ->
+      """SELECT l_returnflag, TRUE AS meets_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

@@ -305,6 +305,21 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ── q109: HLL approx-distinct, relative-error-gated ─────────────────
+  /** Driver-visible gate for [[approxDistinct]] (q39, rows-only by
+    * nature since the HLL estimate is engine-specific) — the q107
+    * pattern: the CONTRACT is oracle-checked even though the value is
+    * not. HLL++ at rsd 0.02 is deterministic for fixed data, so
+    * `rel_err ≤ maxRelErr` (2.5 standard errors) is a stable
+    * regression tripwire at every SF: it flips — and the oracle hash
+    * mismatches — if the sketch's accuracy regresses. */
+  def approxDistinctGate(t: Tables, maxRelErr: Double = 0.05): DataFrame = {
+    import t.spark.implicits._
+    approxDistinct(t)
+      .select($"l_returnflag", ($"rel_err" <= maxRelErr).as("meets_bound"))
+      .orderBy($"l_returnflag")
+  }
+
   // ── q48: RANGE window frame — trailing 30-day spend per customer ─────
   def rangeWindowSpend(t: Tables): DataFrame = {
     import t.spark.implicits._

@@ -396,6 +396,21 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(!(probe >= 0.5 * n - err - 1 && probe <= 0.5 * n + err + 1))
   }
 
+  test("q109 approx-distinct gate: bound holds at every SF with headroom, and isn't vacuous") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val t = graft.Tables(spark, s"/root/testdata/$sf")
+      val rows = Relational.approxDistinct(t).collect()
+      val worst = rows.map(_.getAs[Double]("rel_err")).max
+      info(f"$sf worst rel_err = $worst%.4f (bound 0.05)")
+      assert(worst <= 0.05, s"$sf: HLL rel_err $worst exceeds gate bound")
+      assert(Relational.approxDistinctGate(t).collect()
+        .forall(_.getBoolean(1)), s"$sf gate row flipped")
+    }
+    // the gate really bites: an absurd bound fails
+    assert(!Relational.approxDistinctGate(sf001, maxRelErr = -1.0)
+      .collect().forall(_.getBoolean(1)))
+  }
+
   test("q105 semantic dedup survivors are exactly the original corpus") {
     val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
     val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
