@@ -309,16 +309,18 @@ object Graft {
     graft.streaming.StreamDedup.dedupedByContent(docs, tsCol, textCol, delay)
 
   /** Streaming embedding near-dup detection: LSH buckets shared with
-    * the batch banded path (identical planes), one anchor vector per
-    * bucket as state, exact cosine verify — emits verified
-    * (anchor_id, dup_id, cos) hits, at-least-once across bands. */
+    * the batch banded path (identical planes), a bounded ring of
+    * recent representatives per bucket as state, exact cosine verify
+    * — emits verified (anchor_id, dup_id, cos) hits, at-least-once
+    * across bands. */
   def streamNearDupEmbeddings(
       events: org.apache.spark.sql.Dataset[graft.streaming.EmbedEvent],
       minCos: Double, delayMs: Long, bands: Int = 12,
-      planesPerBand: Int = 4, dim: Int = 64)
+      planesPerBand: Int = 4, dim: Int = 64, maxAnchors: Int = 8)
       : org.apache.spark.sql.Dataset[graft.streaming.EmbedNearDup] =
     graft.streaming.StreamEmbedDedup.nearDups(
-      events, minCos, delayMs, bands, planesPerBand, dim)
+      events, minCos, delayMs, bands, planesPerBand, dim,
+      maxAnchors = maxAnchors)
 
   /** Morton (z-order) key of two non-negative integer columns. */
   def zvalue(x: Column, y: Column, bits: Int): Column =

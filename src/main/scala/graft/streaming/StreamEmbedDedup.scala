@@ -12,8 +12,13 @@ case class EmbedEvent(ts: java.sql.Timestamp, vec_id: Long, emb: Array[Double])
   * (at-least-once) — consumers distinct on (anchor_id, dup_id). */
 case class EmbedNearDup(anchor_id: Long, dup_id: Long, cos_sim: Double, band: Int)
 
-/** Per-bucket retained representative (public for encoder codegen). */
+/** One retained representative of a bucket (public for encoder
+  * codegen). */
 case class BucketAnchor(id: Long, emb: Array[Double], nrm: Double, tsMs: Long)
+
+/** A bucket's bounded ring of recent representatives (public for
+  * encoder codegen). */
+case class BucketAnchors(as: Seq[BucketAnchor])
 
 /** One (band, key) bucket hit for an arriving embedding (public for
   * encoder codegen). Carries the event-time column itself (not just
@@ -30,46 +35,55 @@ case class BandHit(
   * generator, same seed ⇒ identical sign bits), so a vector lands in
   * the same buckets whether it arrives in a stream or a batch scan.
   *
-  * Semantics: the FIRST vector seen in a bucket is retained as that
-  * bucket's anchor; every later arrival in the bucket within the
-  * watermark horizon is exact-verified against the anchor and emitted
-  * as an [[EmbedNearDup]] when cosine ≥ `minCos`. An item that misses
-  * every anchor is itself retained in each of its still-empty buckets
-  * — with b independent bands, a genuinely novel item anchors nearly
-  * all of its buckets (an occupied-but-non-matching bucket is a
-  * random sign-code collision, p ≈ 2^-planesPerBand per band), so
-  * later copies of it are still caught. This is first-occurrence
-  * dedup (flag copies of retained items), not full pairwise
-  * clustering — the batch path owns that.
+  * Semantics: each bucket retains a ring of its `maxAnchors` most
+  * recent NON-duplicate arrivals. An arrival is exact-verified against
+  * every retained representative of its bucket; each cosine ≥ `minCos`
+  * emits an [[EmbedNearDup]]. A miss joins the ring (evicting the
+  * oldest beyond `maxAnchors`); a hit does not — duplicates never
+  * accumulate state. A single anchor per bucket is NOT enough at
+  * sustained rates: with 2^planesPerBand buckets per band the buckets
+  * saturate and unrelated vectors capture them, silently dropping
+  * recall (measured in tools.StreamBench — hits flatlined until the
+  * ring was added). The guarantee is therefore: a duplicate is caught
+  * if its original is among the bucket's `maxAnchors` most recent
+  * distinct items AND within the watermark horizon — the near-dup
+  * ingest case (copies arrive close to their originals); full
+  * pairwise clustering stays a batch concern.
   *
-  * Scale/state design: state per occupied bucket is ONE vector +
-  * id + norm (not the bucket's history), so state is bounded by
-  * distinct-buckets-in-horizon ≤ arrivals-in-horizon, independent of
-  * stream length; `EventTimeTimeout` expires an anchor `delayMs`
-  * past its event time, exactly the guarantee window
-  * [[StreamDedup]] documents for the exact-fingerprint half.
-  * Verification reuses the identical sequential double fold as the
-  * native batch expression (`graft.expr.CosineSim.compute` order),
-  * so emitted cosines are bit-equal to the batch path's. */
+  * Scale/state design: state per occupied bucket is ≤ `maxAnchors`
+  * vectors, so total state is bounded by
+  * `bands · 2^planesPerBand · maxAnchors` slots regardless of stream
+  * length or rate; size `planesPerBand` ≈ log2(expected distinct
+  * items per horizon) to keep buckets ≈ corpus so the ring rarely
+  * evicts inside the horizon. Expired representatives (event time
+  * older than the watermark minus `delayMs`) are pruned on update,
+  * and `EventTimeTimeout` removes idle buckets wholesale — the same
+  * guarantee window [[StreamDedup]] documents for the exact-
+  * fingerprint half. Verification uses the identical sequential
+  * double fold as the native batch expression
+  * (`graft.expr.CosineSim.compute` order), so emitted cosines are
+  * bit-equal to the batch path's. */
 object StreamEmbedDedup {
 
   /** @param events  streaming Dataset with event time, id, embedding
     * @param minCos  exact-verify threshold (near-dup regime, ≳ 0.8 —
     *                the banded recall math in Dedup.scala applies)
-    * @param delayMs watermark delay AND anchor lifetime: duplicates of
-    *                an anchor are guaranteed caught only within this
-    *                event-time horizon of the anchor's arrival
+    * @param delayMs watermark delay AND representative lifetime:
+    *                duplicates of a retained item are guaranteed
+    *                caught only within this event-time horizon
+    * @param maxAnchors ring size per bucket — the recency window of
+    *                retained representatives
     */
   def nearDups(
       events: Dataset[EmbedEvent], minCos: Double,
       delayMs: Long, bands: Int = 12, planesPerBand: Int = 4,
-      dim: Int = 64, seed: Long = 42L): Dataset[EmbedNearDup] = {
+      dim: Int = 64, seed: Long = 42L, maxAnchors: Int = 8): Dataset[EmbedNearDup] = {
     val planes = graft.operators.Dedup.bandPlanes(bands, planesPerBand, dim, seed)
     val planesB = events.sparkSession.sparkContext.broadcast(planes)
 
     implicit val hitEnc = Encoders.product[BandHit]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
-    implicit val stateEnc = Encoders.product[BucketAnchor]
+    implicit val stateEnc = Encoders.product[BucketAnchors]
     implicit val outEnc = Encoders.product[EmbedNearDup]
 
     def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -97,26 +111,33 @@ object StreamEmbedDedup {
       .withWatermark("ts", s"$delayMs milliseconds")
 
     def fn(bk: (Int, Int), rows: Iterator[BandHit],
-        state: GroupState[BucketAnchor]): Iterator[EmbedNearDup] = {
+        state: GroupState[BucketAnchors]): Iterator[EmbedNearDup] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var out = List.empty[EmbedNearDup]
-      var cur = state.getOption
+      var ring: Vector[BucketAnchor] =
+        state.getOption.map(_.as.toVector).getOrElse(Vector.empty)
+      // prune representatives the watermark has outlived — their
+      // guarantee window is over even if the bucket stays busy
+      val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
+      ring = ring.filter(_.tsMs + delayMs > wm)
       // arrival order within a micro-batch: event time, then id —
-      // deterministic anchor election under replay
+      // deterministic ring contents under replay
       rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
-        cur match {
-          case None =>
-            cur = Some(BucketAnchor(r.id, r.emb, math.sqrt(dot(r.emb, r.emb)), r.ts.getTime))
-          case Some(a) if a.id == r.id => () // replay of the anchor itself
-          case Some(a) =>
-            val cos = dot(a.emb, r.emb) /
-              (a.nrm * math.sqrt(dot(r.emb, r.emb)))
-            if (cos >= minCos) out ::= EmbedNearDup(a.id, r.id, cos, bk._1)
+        if (!ring.exists(_.id == r.id)) { // replay of a retained item
+          val rNrm = math.sqrt(dot(r.emb, r.emb))
+          val matches = ring.flatMap { a =>
+            val cos = dot(a.emb, r.emb) / (a.nrm * rNrm)
+            if (cos >= minCos) Some(EmbedNearDup(a.id, r.id, cos, bk._1)) else None
+          }
+          if (matches.nonEmpty) out = matches.toList reverse_::: out
+          else ring = (ring :+ BucketAnchor(r.id, r.emb, rNrm, r.ts.getTime))
+            .takeRight(maxAnchors)
         }
       }
-      cur.foreach { a =>
-        state.update(a)
-        state.setTimeoutTimestamp(a.tsMs + delayMs)
+      if (ring.isEmpty) state.remove()
+      else {
+        state.update(BucketAnchors(ring))
+        state.setTimeoutTimestamp(ring.map(_.tsMs).max + delayMs)
       }
       out.reverseIterator
     }

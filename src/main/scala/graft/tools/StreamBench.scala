@@ -92,6 +92,51 @@ object StreamBench {
         case None => println(s"[streambench] dedup rate=$rate: no progress recorded")
       }
     }
+    // streaming embedding near-dup: rate-source synthetic 64-dim
+    // vectors, every 10th row a planted twin of the previous row →
+    // measured end-to-end throughput (banding + anchor verify) and
+    // per-bucket anchor state at the same three rates
+    import graft.streaming.{EmbedEvent, StreamEmbedDedup}
+    import spark.implicits._
+    def vecFor(seed: Long): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    for (rate <- Seq(10, 100, 1000)) {
+      val hits = new java.util.concurrent.atomic.AtomicLong(0)
+      val events = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate).load()
+        .as[(java.sql.Timestamp, Long)]
+        .map { case (ts, v) =>
+          val base = vecFor(v - v % 10)
+          val emb = if (v % 10 == 9) {
+            val r = new scala.util.Random(v)
+            base.map(_ + 0.05 * r.nextGaussian())
+          } else vecFor(v)
+          EmbedEvent(ts, v, emb)
+        }
+      val q = StreamEmbedDedup.nearDups(events, minCos = 0.9,
+        delayMs = 10L * 60 * 1000)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.EmbedNearDup], _: Long) =>
+          hits.addAndGet(df.select("anchor_id", "dup_id").distinct().count()): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      Thread.sleep(secs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val data = progress.drop(1).filter(_.numInputRows > 0)
+      val rates = data.map(_.processedRowsPerSecond).filter(_ > 0)
+      val batchMs = data.map(_.durationMs.get("triggerExecution").toDouble)
+      val meanProc = if (rates.nonEmpty) rates.sum / rates.size else 0.0
+      val maxBatch = if (batchMs.nonEmpty) batchMs.max else 0.0
+      val st = progress.lastOption.flatMap(_.stateOperators.headOption)
+      println(f"[streambench] embdedup rate=$rate%d ev/s: twinHits=${hits.get()}%d " +
+        f"meanProcessed=$meanProc%.0f rows/s maxBatch=$maxBatch%.0f ms " +
+        f"stateRows=${st.map(_.numRowsTotal).getOrElse(0L)}%d " +
+        f"stateBytes=${st.map(_.memoryUsedBytes).getOrElse(0L)}%d")
+    }
     spark.stop()
   }
 }
