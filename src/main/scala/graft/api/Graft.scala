@@ -308,6 +308,15 @@ object Graft {
       delay: String): DataFrame =
     graft.streaming.StreamDedup.dedupedByContent(docs, tsCol, textCol, delay)
 
+  /** Streaming heavy hitters: per event-time window, a mergeable
+    * Misra–Gries summary (O(k) state per window — every item with
+    * in-window frequency > 1/k is guaranteed present, estimate ≥
+    * true − N/k); windows finalize in append mode at the watermark. */
+  def streamHeavyHitters(items: DataFrame, tsCol: String, itemCol: String,
+      windowDur: String, delay: String, k: Int): DataFrame =
+    graft.streaming.StreamHeavyHitters.windowedCandidates(
+      items, tsCol, itemCol, windowDur, delay, k)
+
   /** Streaming embedding near-dup detection: LSH buckets shared with
     * the batch banded path (identical planes), a bounded ring of
     * recent representatives per bucket as state, exact cosine verify
