@@ -317,6 +317,17 @@ object Graft {
     graft.streaming.StreamHeavyHitters.windowedCandidates(
       items, tsCol, itemCol, windowDur, delay, k)
 
+  /** Streaming windowed approximate quantiles: per event-time window,
+    * Spark's mergeable GK-style sketch (rank error ≤ N/accuracy —
+    * the contract the batch q107 gate verifies); O(sketch) state per
+    * window, watermark-finalized append output. */
+  def streamQuantiles(values: DataFrame, tsCol: String, valueCol: String,
+      windowDur: String, delay: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 1000): DataFrame =
+    graft.streaming.StreamQuantiles.windowed(
+      values, tsCol, valueCol, windowDur, delay, qs, accuracy)
+
   /** Streaming embedding near-dup detection: LSH buckets shared with
     * the batch banded path (identical planes), a bounded ring of
     * recent representatives per bucket as state, exact cosine verify
