@@ -194,6 +194,8 @@ object SparkEntry {
     "q108_bigram_nll"        -> ((s, d) => TextOps.bigramBackoffNll(Tables(s, d))),
     // HLL approx-distinct gated on its relative-error contract
     "q109_approx_distinct_gate" -> ((s, d) => Relational.approxDistinctGate(Tables(s, d))),
+    // exact covariance/correlation from decimal moments (q58 recipe)
+    "q110_correlation"       -> ((s, d) => Relational.quantityPriceCorrelation(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -570,6 +572,30 @@ object SparkEntry {
     "q107_approx_quantiles" ->
       """SELECT CAST(q AS DOUBLE) AS quantile, TRUE AS meets_bound
         |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
+    // q110: exact integer moments (floor-recovered units/cents — the
+    // portable double→int path), DECIMAL(38,0) sums, one fixed double
+    // expression per statistic — the q58 dispersion recipe one moment up
+    "q110_correlation" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag,
+        | (((sxy - sx * sy / n) / (n - 1.0)) / 100.0) AS cov_qty_price,
+        | ((sxy - sx * sy / n)
+        |   / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr_qty_price,
+        | CAST(n AS BIGINT) AS n_rows
+        |FROM m ORDER BY 1""".stripMargin,
     // q109: gate contract like q107 — the HLL estimate is
     // engine-specific, its error bound is not
     "q109_approx_distinct_gate" ->

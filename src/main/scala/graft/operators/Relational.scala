@@ -481,6 +481,42 @@ object Relational {
         n.cast("long").as("n_rows"))
   }
 
+  // ── q110: covariance / correlation, exactly ─────────────────────────
+  /** Same recipe as q58 one moment up: native `corr`/`covar_samp` are
+    * Welford-style streaming updates (order-dependent float — not
+    * oracle-able and not partition-deterministic). Instead the five
+    * moments Σx, Σy, Σx², Σy², Σxy accumulate EXACTLY and one fixed
+    * double expression derives sample covariance and Pearson
+    * correlation — bit-identical across engines and any cluster
+    * partitioning/merge order. The price column is a double holding a
+    * 2-dp value, and double→DECIMAL casts are NOT portable (Spark
+    * shortest-string vs DuckDB round-in-double), so both sides first
+    * recover exact integer units — `floor(x·100 + 0.5)` is identical
+    * IEEE arithmetic everywhere, and quantities are integral — then
+    * every moment is integer math summed in DECIMAL(38,0) (no row
+    * bound). Covariance is rescaled by the one fixed /100.0;
+    * correlation is scale-free. */
+  def quantityPriceCorrelation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cents = floor($"l_extendedprice" * lit(100.0) + lit(0.5))
+    val units = floor($"l_quantity" + lit(0.5))
+    val n = count(lit(1)).cast("double")
+    def isum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast("double")
+    t.lineitem
+      .select($"l_returnflag", units.as("x"), cents.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        (((isum($"x" * $"y") - isum($"x") * isum($"y") / n) / (n - lit(1.0)))
+          / lit(100.0)).as("cov_qty_price"),
+        ((isum($"x" * $"y") - isum($"x") * isum($"y") / n)
+          / (sqrt(isum($"x" * $"x") - isum($"x") * isum($"x") / n)
+            * sqrt(isum($"y" * $"y") - isum($"y") * isum($"y") / n)))
+          .as("corr_qty_price"),
+        n.cast("long").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   // ── q60: top suppliers by shipped revenue (TPC-H Q15 shape) ─────────
   // Aggregate the fact table FIRST (map-side partial → 10 supplier
   // rows), then broadcast-join the dims onto the tiny result — never

@@ -411,6 +411,34 @@ class ApproxAgreementSpec extends graft.SparkSpec {
       .collect().forall(_.getBoolean(1)))
   }
 
+  test("q110 correlation matches a driver-side decimal-moment reference bit-for-bit") {
+    // the operator's exact-units recovery, replayed driver-side with
+    // BigInt moments and the identical final double expression
+    val rows = sf001.lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0),
+        BigInt(math.floor(r.getDouble(1) + 0.5).toLong),
+        BigInt(math.floor(r.getDouble(2) * 100.0 + 0.5).toLong)))
+    val byFlag = Relational.quantityPriceCorrelation(sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    for ((flag, grp) <- rows.groupBy(_._1)) {
+      val n = grp.length.toDouble
+      val sx = grp.map(_._2).sum.toDouble
+      val sy = grp.map(_._3).sum.toDouble
+      val sxx = grp.map(g => g._2 * g._2).sum.toDouble
+      val syy = grp.map(g => g._3 * g._3).sum.toDouble
+      val sxy = grp.map(g => g._2 * g._3).sum.toDouble
+      val cov = ((sxy - sx * sy / n) / (n - 1.0)) / 100.0
+      val corr = (sxy - sx * sy / n) /
+        (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+      val (gc, gr, gn) = byFlag(flag)
+      assert(gn === grp.length.toLong)
+      assert(gc === cov, s"$flag cov: $gc vs $cov")
+      assert(gr === corr, s"$flag corr: $gr vs $corr")
+      assert(gr >= -1.0 && gr <= 1.0)
+    }
+  }
+
   test("q105 semantic dedup survivors are exactly the original corpus") {
     val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
     val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
