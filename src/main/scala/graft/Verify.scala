@@ -17,23 +17,29 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     Tables.warmLayout(spark, sfDir) // one-time multi-file layout rewrite
+    // optional subset (comma-separated names), same contract as Bench:
+    // targeted re-verification at generated scale factors without
+    // paying for the full suite. Resolved BEFORE the thread pool
+    // exists so a typo fails the JVM fast instead of leaving
+    // non-daemon pool threads holding it open; an empty/blank value
+    // (unset shell var interpolated into the env) means the FULL
+    // suite — a silently empty sweep would read as a green gate with
+    // zero coverage.
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) match {
+      case Some(want) =>
+        val unknown = want -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: $unknown")
+        SparkEntry.queries.view.filterKeys(want).toMap
+      case None => SparkEntry.queries
+    }
     // a few concurrent streams: per-query planning is driver-serial,
     // so overlapping queries keeps the executor pool busy (same
     // rationale as Bench); each query writes its own directory.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    // optional subset (comma-separated names), same contract as Bench:
-    // targeted re-verification at generated scale factors without
-    // paying for the full suite
-    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
-      case Some(csv) =>
-        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- SparkEntry.queries.keySet
-        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: $unknown")
-        SparkEntry.queries.view.filterKeys(want).toMap
-      case None => SparkEntry.queries
-    }
     val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

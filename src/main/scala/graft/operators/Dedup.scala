@@ -218,16 +218,6 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Sub-linear scale path for embedding near-dup at HIGH similarity:
-    * random-hyperplane band candidates + exact factored-cosine verify
-    * (two-phase, like [[minhashPairsFast]]). Emits a SUBSET of the
-    * exact pair set with exact cosines; per-pair recall is
-    * 1−(1−p^r)^b with p = 1−arccos(cos)/π — at cos 0.9 (r=4 planes,
-    * b=12 bands) that is ≥ 0.9997, while at the 0.4 threshold of
-    * [[embeddingNearDups]] it would be ~0.55, which is why the exact
-    * blocked join owns the low-threshold regime and this owns genuine
-    * near-dup thresholds. Shuffle volume: b rows of (bandkey, id) per
-    * vector — linear. */
   /** One Gaussian plane set per (band, plane) position — deterministic
     * in `seed`, shared by the batch path below and the streaming path
     * ([[graft.streaming.StreamEmbedDedup]]) so both produce identical
@@ -240,6 +230,16 @@ object Dedup {
       Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Sub-linear scale path for embedding near-dup at HIGH similarity:
+    * random-hyperplane band candidates + exact factored-cosine verify
+    * (two-phase, like [[minhashPairsFast]]). Emits a SUBSET of the
+    * exact pair set with exact cosines; per-pair recall is
+    * 1−(1−p^r)^b with p = 1−arccos(cos)/π — at cos 0.9 (r=4 planes,
+    * b=12 bands) that is ≥ 0.9997, while at the 0.4 threshold of
+    * [[embeddingNearDups]] it would be ~0.55, which is why the exact
+    * blocked join owns the low-threshold regime and this owns genuine
+    * near-dup thresholds. Shuffle volume: b rows of (bandkey, id) per
+    * vector — linear. */
   def embeddingNearDupsBanded(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, minCos: Double,

@@ -438,8 +438,7 @@ object Relational {
     import t.spark.implicits._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     val approx = t.lineitem.agg(
-      expr(s"approx_percentile(l_quantity, array(${qs.mkString(", ")}), $accuracy)")
-        .as("vs"),
+      percentile_approx($"l_quantity", lit(qs.toArray), lit(accuracy)).as("vs"),
       count(lit(1)).as("n")).head()
     val vs = approx.getSeq[Any](0).map {
       case d: java.math.BigDecimal => BigDecimal(d)
@@ -458,7 +457,7 @@ object Relational {
       val (lo, hi) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
       val target = q * n
       // value covers ranks (lo, hi]; bound holds iff the intervals meet
-      (q, hi >= target - err - 1 && lo <= target + err + 1)
+      (q, hi >= target - err && lo <= target + err)
     }
     rows.toDF("quantile", "meets_bound").orderBy($"quantile")
   }

@@ -130,8 +130,15 @@ object StreamEmbedDedup {
             if (cos >= minCos) Some(EmbedNearDup(a.id, r.id, cos, bk._1)) else None
           }
           if (matches.nonEmpty) out = matches.toList reverse_::: out
-          else ring = (ring :+ BucketAnchor(r.id, r.emb, rNrm, r.ts.getTime))
-            .takeRight(maxAnchors)
+          // a row the late-filter admitted with the PREVIOUS batch's
+          // watermark can still be behind the CURRENT one (idle gap /
+          // backfill burst): its window is already over, so retaining
+          // it — or deriving a timeout from it — would set a timeout
+          // below the watermark, which Spark rejects and the query
+          // dies. Check against what it can, retain only if live.
+          else if (r.ts.getTime + delayMs > wm)
+            ring = (ring :+ BucketAnchor(r.id, r.emb, rNrm, r.ts.getTime))
+              .takeRight(maxAnchors)
         }
       }
       if (ring.isEmpty) state.remove()

@@ -37,7 +37,7 @@ object StreamQuantiles {
       .withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), windowDur))
       .agg(
-        expr(s"approx_percentile($valueCol, array(${qs.mkString(", ")}), $accuracy)")
+        percentile_approx(col(valueCol), lit(qs.toArray), lit(accuracy))
           .as("quantiles"),
         count(lit(1)).as("n_total"))
       .select(

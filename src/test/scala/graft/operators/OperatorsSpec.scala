@@ -393,7 +393,7 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     val probe = t.lineitem
       .agg(sum(when(col("l_quantity") <= 1.0, 1L).otherwise(0L))).head().getLong(0)
     // rank of quantity 1.0 (~2% of rows) is far below the 0.5·n target
-    assert(!(probe >= 0.5 * n - err - 1 && probe <= 0.5 * n + err + 1))
+    assert(!(probe >= 0.5 * n - err && probe <= 0.5 * n + err))
   }
 
   test("q109 approx-distinct gate: bound holds at every SF with headroom, and isn't vacuous") {
