@@ -79,6 +79,45 @@ class StreamEmbedDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late-admitted row behind the current watermark cannot kill the query") {
+    // Spark's late filter can run on an older watermark than the one
+    // state timeouts validate against (they are distinct values in the
+    // engine), so a row admitted into an idle gap could be asked to
+    // anchor with a timeout at-or-below the watermark —
+    // setTimeoutTimestamp rejects that and the query dies. The
+    // operator guards by never retaining a row whose window is
+    // already over (also the right semantics); this pins the
+    // idle-gap/backfill scenario end to end.
+    implicit val sqlCtx = spark.sqlContext
+    val v = gauss(600)
+    val input = MemoryStream[EmbedEvent]
+    val out = StreamEmbedDedup.nearDups(
+      input.toDS(), minCos = 0.9, delayMs = 10L * 60 * 1000, dim = dim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("emblate").start()
+    try {
+      input.addData(EmbedEvent(ts("2024-01-01 00:00:00"), 1L, v))
+      q.processAllAvailable()
+      // jump the watermark far ahead (idle gap / backfill burst)
+      input.addData(EmbedEvent(ts("2024-01-01 00:00:30"), 2L, gauss(601)),
+        EmbedEvent(ts("2024-01-01 01:00:00"), 3L, gauss(602)))
+      q.processAllAvailable()
+      // the late filter for THIS batch still uses the pre-batch-2
+      // watermark (~23:50), so a 00:30 event is admitted — but the
+      // eviction watermark is already 00:50, past the event's whole
+      // retention window [00:30, 00:40]: retaining it would set a
+      // timeout below the watermark
+      input.addData(EmbedEvent(ts("2024-01-01 00:30:00"), 4L, twin(v, 603)),
+        EmbedEvent(ts("2024-01-01 02:00:00"), 5L, gauss(604)))
+      q.processAllAvailable()
+      assert(q.isActive, s"query died: ${Option(q.exception).flatten}")
+      // and the stream still works going forward
+      input.addData(EmbedEvent(ts("2024-01-01 02:00:30"), 6L, gauss(604)))
+      q.processAllAvailable()
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("anchors expire with the watermark; a twin of an expired anchor re-anchors") {
     implicit val sqlCtx = spark.sqlContext
     val v = gauss(500)
