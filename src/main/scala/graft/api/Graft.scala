@@ -258,6 +258,16 @@ object Graft {
       buckets: Int, sumName: String, cntName: String): DataFrame =
     graft.operators.Skew.saltedSumCount(df, key, valueExpr, buckets, sumName, cntName)
 
+  /** Exact per-group sample covariance + Pearson correlation of two
+    * fixed-point columns (`xDecimals`/`yDecimals` fractional digits):
+    * floor-recovered integer moments in DECIMAL(38,0) — deterministic
+    * under any partitioning, unlike native corr/covar_samp's
+    * order-dependent Welford floats. */
+  def exactCorrelation(df: DataFrame, keyCol: Column, xCol: Column, yCol: Column,
+      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame =
+    graft.operators.Relational.exactCorrelationOver(
+      df, keyCol, xCol, yCol, xDecimals, yDecimals)
+
   /** Per-group top-k with a deterministic tiebreaker. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
       orderCols: Seq[Column], k: Int): DataFrame = {

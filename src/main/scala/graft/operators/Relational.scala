@@ -495,24 +495,40 @@ object Relational {
     * every moment is integer math summed in DECIMAL(38,0) (no row
     * bound). Covariance is rescaled by the one fixed /100.0;
     * correlation is scale-free. */
-  def quantityPriceCorrelation(t: Tables): DataFrame = {
-    import t.spark.implicits._
-    val cents = floor($"l_extendedprice" * lit(100.0) + lit(0.5))
-    val units = floor($"l_quantity" + lit(0.5))
+  /** Generic facade form over ARBITRARY columns: `xCol`/`yCol` must
+    * hold fixed-point values of `xDecimals`/`yDecimals` fractional
+    * digits (0 for integers) — the floor recovery and all five
+    * DECIMAL(38,0) moments are exact, and the covariance rescale by
+    * 10^(xDecimals+yDecimals) is the single fixed double op. */
+  def exactCorrelationOver(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
+    val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
+    val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
     val n = count(lit(1)).cast("double")
     def isum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 0))).cast("double")
-    t.lineitem
-      .select($"l_returnflag", units.as("x"), cents.as("y"))
-      .groupBy($"l_returnflag")
+    val x = col("x")
+    val y = col("y")
+    df.select(keyCol.as("key"), xi.as("x"), yi.as("y"))
+      .groupBy(col("key"))
       .agg(
-        (((isum($"x" * $"y") - isum($"x") * isum($"y") / n) / (n - lit(1.0)))
-          / lit(100.0)).as("cov_qty_price"),
-        ((isum($"x" * $"y") - isum($"x") * isum($"y") / n)
-          / (sqrt(isum($"x" * $"x") - isum($"x") * isum($"x") / n)
-            * sqrt(isum($"y" * $"y") - isum($"y") * isum($"y") / n)))
-          .as("corr_qty_price"),
+        (((isum(x * y) - isum(x) * isum(y) / n) / (n - lit(1.0)))
+          / lit(math.pow(10.0, xDecimals + yDecimals))).as("cov"),
+        ((isum(x * y) - isum(x) * isum(y) / n)
+          / (sqrt(isum(x * x) - isum(x) * isum(x) / n)
+            * sqrt(isum(y * y) - isum(y) * isum(y) / n))).as("corr"),
         n.cast("long").as("n_rows"))
+  }
+
+  def quantityPriceCorrelation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    exactCorrelationOver(
+      t.lineitem, $"l_returnflag", $"l_quantity", $"l_extendedprice",
+      xDecimals = 0, yDecimals = 2)
+      .select($"key".as("l_returnflag"), $"cov".as("cov_qty_price"),
+        $"corr".as("corr_qty_price"), $"n_rows")
       .orderBy($"l_returnflag")
   }
 
