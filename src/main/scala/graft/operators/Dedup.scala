@@ -288,25 +288,6 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Driver-visible gate for [[embeddingNearDupsBanded]] (the
-    * production high-threshold embedding-dedup path), q104 — same
-    * verdict-row pattern as the q101/q102 ANN gates: one row per
-    * probe, `meets_floor` flips (and the oracle hash mismatches) if
-    * banded recall regresses.
-    *
-    * The fixture corpus has NO natural pairs in the banded regime
-    * (measured: zero pairs at cos ≥ 0.6 at every SF — the declared
-    * q50 threshold 0.4 belongs to the exact blocked join), so the
-    * gate PLANTS its own: for each vec_id < nPlanted, a
-    * deterministic twin v' = v + ε·r with r a Rademacher vector from
-    * xxhash64(vec_id, pos) and ε sized so cos(v, v′) ≈ targetCos
-    * (ε = √((1/cos² − 1)/64) for unit vectors; observed spread
-    * ±0.02). The gate then requires [[embeddingNearDupsBanded]] at
-    * `verifyCos` to recover ≥ `floor` of the planted pairs whose
-    * EXACT cosine clears verifyCos. Per-pair banding recall at
-    * cos 0.88 is 1−(1−p⁴)¹² ≈ 0.9998 (p = 1−arccos/π), so the
-    * observed recall is ~1.0 against the 0.8 floor — a regression
-    * tripwire with real margin, driver-checked at every SF. */
   /** Deterministic planted near-dup twins for vec_id < nPlanted:
     * v' = v + ε·r with r a Rademacher vector from xxhash64(vec_id,
     * pos) and ε sized so cos(v, v') ≈ targetCos for unit vectors
@@ -325,6 +306,22 @@ object Dedup {
             .cast("float")).as("embedding"))
   }
 
+  /** Driver-visible gate for [[embeddingNearDupsBanded]] (the
+    * production high-threshold embedding-dedup path), q104 — same
+    * verdict-row pattern as the q101/q102 ANN gates: one row per
+    * probe, `meets_floor` flips (and the oracle hash mismatches) if
+    * banded recall regresses.
+    *
+    * The fixture corpus has NO natural pairs in the banded regime
+    * (measured: zero pairs at cos ≥ 0.6 at every SF — the declared
+    * q50 threshold 0.4 belongs to the exact blocked join), so the
+    * gate PLANTS its own via [[plantedTwins]], then requires
+    * [[embeddingNearDupsBanded]] at `verifyCos` to recover ≥ `floor`
+    * of the planted pairs whose EXACT cosine clears verifyCos.
+    * Per-pair banding recall at cos 0.88 is 1−(1−p⁴)¹² ≈ 0.9998
+    * (p = 1−arccos/π), so the observed recall is ~1.0 against the
+    * 0.8 floor — a regression tripwire with real margin,
+    * driver-checked at every SF. */
   def embeddingBandedGate(t: Tables, targetCos: Double = 0.9,
       verifyCos: Double = 0.85, nPlanted: Int = 50,
       floor: Double = 0.8): DataFrame = {

@@ -456,8 +456,10 @@ object Relational {
     val rows = qs.zipWithIndex.map { case (q, i) =>
       val (lo, hi) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
       val target = q * n
-      // value covers ranks (lo, hi]; bound holds iff the intervals meet
-      (q, hi >= target - err && lo <= target + err)
+      // value covers integer ranks (lo, hi] = {lo+1..hi}; the bound
+      // holds iff one of them lands in [target-err, target+err], and
+      // the lowest covered rank is lo+1 — not lo
+      (q, hi >= target - err && lo + 1 <= target + err)
     }
     rows.toDF("quantile", "meets_bound").orderBy($"quantile")
   }
@@ -499,13 +501,19 @@ object Relational {
     * hold fixed-point values of `xDecimals`/`yDecimals` fractional
     * digits (0 for integers) — the floor recovery and all five
     * DECIMAL(38,0) moments are exact, and the covariance rescale by
-    * 10^(xDecimals+yDecimals) is the single fixed double op. */
+    * 10^(xDecimals+yDecimals) is the single fixed double op. The
+    * recovered integers are cast to DECIMAL(38,0) BEFORE the moment
+    * products, so x·x / x·y never pass through Long — values past
+    * ~3e9 fixed-point units stay exact instead of silently wrapping
+    * in non-ANSI mode. */
   def exactCorrelationOver(
       df: DataFrame, keyCol: org.apache.spark.sql.Column,
       xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
       xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
     val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
+      .cast(DecimalType(38, 0))
     val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
+      .cast(DecimalType(38, 0))
     val n = count(lit(1)).cast("double")
     def isum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 0))).cast("double")

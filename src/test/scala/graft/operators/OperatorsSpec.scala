@@ -439,6 +439,31 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     }
   }
 
+  test("exactCorrelationOver stays exact past the Long product range") {
+    import spark.implicits._
+    // 5e9-unit magnitudes: x*x ≈ 2.5e19 > Long.MaxValue — a Long
+    // product would silently wrap in non-ANSI mode; the decimal cast
+    // before the multiply must keep the moments exact
+    val vals = Seq[(String, Long, Long)](
+      ("g", 5000000000L, 5000000001L), ("g", 5000000007L, 4999999903L),
+      ("g", 5000000013L, 5000000211L), ("g", 4999999831L, 5000000089L))
+    val df = vals.toDF("k", "x", "y")
+    val got = Relational.exactCorrelationOver(
+      df, col("k"), col("x"), col("y")).collect().head
+    val n = vals.length.toDouble
+    val sx = vals.map(v => BigInt(v._2)).sum.toDouble
+    val sy = vals.map(v => BigInt(v._3)).sum.toDouble
+    val sxx = vals.map(v => BigInt(v._2) * BigInt(v._2)).sum.toDouble
+    val syy = vals.map(v => BigInt(v._3) * BigInt(v._3)).sum.toDouble
+    val sxy = vals.map(v => BigInt(v._2) * BigInt(v._3)).sum.toDouble
+    val cov = (sxy - sx * sy / n) / (n - 1.0)
+    val corr = (sxy - sx * sy / n) /
+      (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+    assert(got.getDouble(1) === cov)
+    assert(got.getDouble(2) === corr)
+    assert(got.getDouble(2).abs <= 1.0)
+  }
+
   test("q105 semantic dedup survivors are exactly the original corpus") {
     val surv = Dedup.semanticDedup(sf001).collect().map(_.getLong(0))
     val want = sf001.embeddings.select("vec_id").collect().map(_.getLong(0)).sorted
