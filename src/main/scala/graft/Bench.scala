@@ -101,6 +101,10 @@ object Bench {
     val heavyFirst = Seq(
       "q57_dedup_clusters", "q90_dedup_survivors", "q103_clusters_fast",
       "q105_semantic_dedup",
+      // streaming replays: latency-bound micro-batch sequences
+      "q111_stream_windows", "q112_stream_heavy_hitters",
+      "q113_stream_quantile_gate", "q114_stream_dedup",
+      "q115_stream_embed_gate",
       "q85_pagerank", "q52_ann_ivf", "q39_approx_distinct",
       "q41_tfidf", "q31_minhash_pairs", "q64_hash_split",
       "q61_tfidf_exact", "q51_minhash_fast", "q65_repetition",
@@ -125,7 +129,12 @@ object Bench {
     // whose round latency, not throughput, sets the bench makespan
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",
       "q103_clusters_fast", "q105_semantic_dedup", "q52_ann_ivf",
-      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank")
+      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank",
+      // micro-batch replays: many tiny sequential jobs whose batch
+      // turnaround latency, not throughput, sets their wall
+      "q111_stream_windows", "q112_stream_heavy_hitters",
+      "q113_stream_quantile_gate", "q114_stream_dedup",
+      "q115_stream_embed_gate")
     def runPass(): (Double, Seq[(String, Double)]) = {
       val t0 = System.nanoTime()
       val futures = names.map { n =>

@@ -196,6 +196,16 @@ object SparkEntry {
     "q109_approx_distinct_gate" -> ((s, d) => Relational.approxDistinctGate(Tables(s, d))),
     // exact covariance/correlation from decimal moments (q58 recipe)
     "q110_correlation"       -> ((s, d) => Relational.quantityPriceCorrelation(Tables(s, d))),
+    // streaming family, driver-visible: deterministic micro-batch
+    // replay of fixture slices through the production streaming
+    // operators (watermark, windowed state, append finalization),
+    // hash-checked against batch SQL — the stream ≡ batch property
+    // the streaming specs assert (graft.streaming.StreamReplay)
+    "q111_stream_windows"    -> ((s, d) => graft.streaming.StreamReplay.eventWindows(s, d)),
+    "q112_stream_heavy_hitters" -> ((s, d) => graft.streaming.StreamReplay.heavyHitters(s, d)),
+    "q113_stream_quantile_gate" -> ((s, d) => graft.streaming.StreamReplay.quantileGate(s, d)),
+    "q114_stream_dedup"      -> ((s, d) => graft.streaming.StreamReplay.contentDedup(s, d)),
+    "q115_stream_embed_gate" -> ((s, d) => graft.streaming.StreamReplay.embedDedupGate(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -601,6 +611,45 @@ object SparkEntry {
     "q109_approx_distinct_gate" ->
       """SELECT l_returnflag, TRUE AS meets_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q111: the streamed day windows must equal the batch aggregation
+    // over the same slice — q20's recipe behind a watermark
+    "q111_stream_windows" ->
+      """SELECT date_trunc('day', ts) AS day_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    // q112: the stream's Misra-Gries candidates + batch exact second
+    // pass (the q106 recipe per window) = the plain above-threshold
+    // per-day counts; k = 5
+    "q112_stream_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts) AS day_start, event_type
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |c AS (SELECT day_start, event_type, COUNT(*) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT day_start, COUNT(*) AS n_window FROM e GROUP BY 1)
+        |SELECT c.day_start, c.event_type, c.n_events, t.n_window
+        |FROM c JOIN t ON c.day_start = t.day_start
+        |WHERE c.n_events * 5 > t.n_window""".stripMargin,
+    // q113: gate contract like q107 — the streamed sketch's values are
+    // engine-specific, the per-window rank bound is not
+    "q113_stream_quantile_gate" ->
+      """SELECT DISTINCT date_trunc('day', ts) AS day_start,
+        | CAST(q AS DOUBLE) AS quantile, TRUE AS meets_bound
+        |FROM events, (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // q114: one survivor per distinct content fingerprint, and every
+    // survivor is an original (planted copies replayed a day later
+    // must all be dropped by the watermark-bounded dedup state)
+    "q114_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS fp, TRUE AS is_original
+        |FROM documents""".stripMargin,
+    // q115: gate contract like q104, ingest-side — the stream must
+    // recover the planted cos≈0.9 twins at ≥ 0.8 recall
+    "q115_stream_embed_gate" ->
+      """SELECT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 50 ORDER BY q_id""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

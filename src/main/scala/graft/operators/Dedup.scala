@@ -294,8 +294,8 @@ object Dedup {
     * (ε = √((1/cos² − 1)/64); observed spread ±0.02). Twin ids are
     * original + [[PlantedIdOff]]. Shared by the q104 recall gate and
     * the q105 semantic-dedup oracle. */
-  private[operators] val PlantedIdOff = 1000000000L
-  private[operators] def plantedTwins(
+  private[graft] val PlantedIdOff = 1000000000L
+  private[graft] def plantedTwins(
       base: DataFrame, targetCos: Double, nPlanted: Int): DataFrame = {
     val eps = math.sqrt((1.0 / (targetCos * targetCos) - 1.0) / 64.0)
     base.filter(col("vec_id") < nPlanted)

@@ -1,0 +1,259 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One event-stream row under replay (top-level: encoder codegen). */
+case class ReplayEvent(
+    ts: java.sql.Timestamp, event_id: Long, event_type: String, value: Double)
+
+/** One document-stream row under replay (top-level: encoder codegen). */
+case class ReplayDoc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
+/** Deterministic micro-batch replay of the fixture tables through the
+  * streaming operators — the driver-visible correctness surface for
+  * the streaming family (SURVEY §2.4/§2.5 streaming rows).
+  *
+  * Each query replays an event-time-ordered slice of a fixture table
+  * through a [[MemoryStream]] in a FIXED number of micro-batches, runs
+  * the production streaming operator (watermark, windowed state,
+  * append mode), pushes the watermark past every real window with a
+  * far-future sentinel so the windows FINALIZE, and returns the
+  * finalized output as a batch DataFrame. The oracle is then ordinary
+  * batch SQL over the same slice — the stream ≡ batch property the
+  * streaming specs assert, now hash-checked by the driver against
+  * DuckDB.
+  *
+  * Replay is ts-ordered across chunks, so no row is ever behind the
+  * watermark (Spark's late filter uses the previous batch's watermark;
+  * a monotone feed can't trip it) and every result below is exactly
+  * reproducible. Windows SPAN chunks (day windows, sub-day chunks), so
+  * cross-micro-batch state merge — the property being verified — is
+  * genuinely exercised.
+  *
+  * Scale posture: the driver-side collect exists ONLY because
+  * MemoryStream is a driver-side test source — the operators under
+  * test consume any streaming Dataset unchanged (Kafka/file sources in
+  * production; see tools.StreamBench for the rate-source throughput
+  * harness). Slices are bounded (a 7-day event window, the document /
+  * probe corpora) so the harness stays cheap at every SF.
+  */
+object StreamReplay {
+
+  /** Slice bound for the event-table replays: the first week. */
+  private val EventCutoff = "2024-01-08 00:00:00"
+
+  /** Planted-copy id offset for the dedup replays — far above any
+    * fixture doc_id, so `id < CopyIdOff` marks an original. */
+  private val CopyIdOff = 10000000L
+
+  private val Ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Feed `chunks` through a MemoryStream one micro-batch per chunk,
+    * run `build`'s streaming query in append mode to a memory sink,
+    * and return the sunk rows as a local batch DataFrame. */
+  private def replay[T](spark: SparkSession, chunks: Seq[Seq[T]])(
+      build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[T]
+    val name = "graft_replay_" + Ctr.incrementAndGet()
+    val q = build(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val sunk = spark.table(name)
+      val rows = java.util.Arrays.asList(sunk.collect(): _*)
+      spark.createDataFrame(rows, sunk.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** Split an ordered slice into `n` equal ts-contiguous chunks. */
+  private def chunked[T](rows: Seq[T], n: Int): Seq[Seq[T]] =
+    if (rows.isEmpty) Seq(Seq.empty)
+    else rows.grouped(math.max(1, (rows.length + n - 1) / n)).toSeq
+
+  /** The ordered first-week event slice + a sentinel past every window. */
+  private def eventSlice(spark: SparkSession, dir: String): (Seq[ReplayEvent], ReplayEvent) = {
+    import spark.implicits._
+    val slice = Tables(spark, dir).events
+      .filter($"ts" < to_timestamp(lit(EventCutoff)))
+      .select($"ts", $"event_id", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+      .as[ReplayEvent].collect().toSeq
+    val sentinel = ReplayEvent(
+      new java.sql.Timestamp(slice.map(_.ts.getTime).max + 40L * 86400000L),
+      -1L, "__flush__", 0.0)
+    (slice, sentinel)
+  }
+
+  /** q111 — tumbling event-time windows with watermark finalization:
+    * per-day count + DECIMAL-exact value sum per event type, computed
+    * by the streaming engine across 8 sub-day micro-batches. Oracle:
+    * the identical batch aggregation (q20's recipe) over the slice. */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+      ds.withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(18, 4))).cast("double").as("total_value"))
+        .select($"window.start".as("day_start"), $"event_type",
+          $"n_events", $"total_value")
+    }
+    out.filter($"day_start" < to_timestamp(lit(EventCutoff)))
+      .orderBy($"day_start", $"event_type")
+  }
+
+  /** q112 — streaming heavy hitters, made EXACT by the q106 two-pass
+    * recipe: the stream's finalized per-window Misra–Gries summaries
+    * provide the candidate set (provably a superset of every item
+    * above N/k) plus the window's true N; a batch second pass exact-
+    * counts only the candidates and keeps those above the threshold.
+    * Oracle: the plain per-day above-threshold counts in SQL. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val finalized = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+      StreamHeavyHitters.windowedCandidates(
+        ds.toDF(), "ts", "event_type", "1 day", "1 hour", k)
+    }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
+    val cands = finalized.select($"window_start", $"n_total",
+      explode(map_keys($"summary")).as("event_type"))
+    Tables(spark, dir).events
+      .filter($"ts" < to_timestamp(lit(EventCutoff)))
+      .groupBy(window($"ts", "1 day").getField("start").as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(cands), Seq("window_start", "event_type"))
+      .filter($"n_events" * k > $"n_total")
+      .select($"window_start".as("day_start"), $"event_type",
+        $"n_events", $"n_total".as("n_window"))
+      .orderBy($"day_start", $"event_type")
+  }
+
+  /** q113 — streaming windowed quantile sketch, gated on its rank
+    * contract (the q107 pattern): for each finalized window the batch
+    * pass recomputes the returned value's exact rank interval and
+    * checks it meets the target rank within N/accuracy ± 1 — the one
+    * extra rank because ranks are integral while window N/accuracy is
+    * sub-1 at fixture scale (a sketch answering with a neighboring
+    * element is within contract; see StreamQuantilesSpec). Oracle:
+    * the gate verdict rows, TRUE per (window, quantile). */
+  def quantileGate(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val finalized = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+      StreamQuantiles.windowed(ds.toDF(), "ts", "value", "1 day", "1 hour",
+        qs, accuracy)
+    }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
+    val probes = finalized.select($"window_start", $"n_total",
+      posexplode($"quantiles").as(Seq("q_idx", "v")))
+    Tables(spark, dir).events
+      .filter($"ts" < to_timestamp(lit(EventCutoff)))
+      .select(window($"ts", "1 day").getField("start").as("window_start"), $"value")
+      .join(broadcast(probes), Seq("window_start"))
+      .groupBy($"window_start", $"q_idx", $"v", $"n_total")
+      .agg(sum(when($"value" < $"v", 1L).otherwise(0L)).as("lo"),
+        sum(when($"value" <= $"v", 1L).otherwise(0L)).as("hi"))
+      .select($"window_start".as("day_start"),
+        element_at(lit(qs.toArray), $"q_idx" + 1).as("quantile"),
+        ($"hi" >= element_at(lit(qs.toArray), $"q_idx" + 1) * $"n_total"
+          - $"n_total" / accuracy - 1 &&
+          $"lo" + 1 <= element_at(lit(qs.toArray), $"q_idx" + 1) * $"n_total"
+          + $"n_total" / accuracy + 1).as("meets_bound"))
+      .orderBy($"day_start", $"quantile")
+  }
+
+  /** q114 — streaming exact content dedup with PLANTED duplicates:
+    * every document is replayed once (originals, doc_id-ordered ts),
+    * then replayed AGAIN a day later under `CopyIdOff`-shifted ids.
+    * `dropDuplicatesWithinWatermark` must emit exactly one survivor
+    * per distinct content fingerprint, and — because the copies arrive
+    * strictly later and inside the horizon — every survivor must be an
+    * original. A dropped first occurrence, a surviving copy, or a
+    * double emission each break the row set. Oracle: the distinct
+    * content fingerprints, all flagged original. */
+  def contentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val base = 1704067200000L // fixed replay epoch; only deltas matter
+    val origs = docs.map { case (id, tx) =>
+      ReplayDoc(new java.sql.Timestamp(base + id), id, tx) }
+    val copies = docs.map { case (id, tx) =>
+      ReplayDoc(new java.sql.Timestamp(base + 86400000L + id), id + CopyIdOff, tx) }
+    val sentinel = ReplayDoc(
+      new java.sql.Timestamp(base + 40L * 86400000L), -1L, "__flush__")
+    val out = replay(spark,
+      (chunked(origs, 4) ++ chunked(copies, 2)) :+ Seq(sentinel)) { ds =>
+      StreamDedup.dedupedByContent(ds.toDF(), "ts", "text", "2 days")
+    }
+    out.filter($"doc_id" >= 0)
+      .select(md5($"text").as("fp"), ($"doc_id" < CopyIdOff).as("is_original"))
+      .orderBy($"fp")
+  }
+
+  /** q115 — streaming embedding near-dup (the q104 gate, ingest-side):
+    * plant cos≈`targetCos` twins of the first `nPlanted` fixture
+    * vectors ([[graft.operators.Dedup.plantedTwins]] — the same
+    * construction q104/q105 verify in batch), replay originals then
+    * twins through [[StreamEmbedDedup]], and require the stream to
+    * recover ≥ `floor` of the pairs whose exact cosine clears
+    * `verifyCos`. One verdict row per probe, q101/q102-style — recall
+    * regression flips every row. Oracle: the gate contract. */
+  def embedDedupGate(spark: SparkSession, dir: String,
+      targetCos: Double = 0.9, verifyCos: Double = 0.85,
+      nPlanted: Int = 50, floor: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    import graft.functions.SimilarityFunctions.{dotNative, l2NormNative}
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select($"vec_id", $"embedding")
+      .filter($"vec_id" < nPlanted)
+    val twins = graft.operators.Dedup.plantedTwins(
+      t.embeddings.select($"vec_id", $"embedding"), targetCos, nPlanted)
+    val repMs = 1704067200000L
+    def toEvents(df: DataFrame, offMs: Long): Seq[EmbedEvent] = df
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .orderBy($"vec_id")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        EmbedEvent(new java.sql.Timestamp(repMs + offMs + (id % CopyIdOff) * 1000L),
+          id, r.getSeq[Double](1).toArray)
+      }.toSeq
+    val origEv = toEvents(base, 0L)
+    val twinEv = toEvents(twins, 3600000L)
+    val sentinel = EmbedEvent(
+      new java.sql.Timestamp(repMs + 40L * 86400000L), -1L, new Array[Double](64))
+    val found = replay(spark,
+      (chunked(origEv, 2) ++ chunked(twinEv, 2)) :+ Seq(sentinel)) { ds =>
+      StreamEmbedDedup.nearDups(ds, minCos = verifyCos, delayMs = 7200000L)
+        .toDF()
+    }.select($"anchor_id".as("id_a"), $"dup_id".as("id_b")).distinct()
+    // planted pairs whose exact cosine really clears verifyCos — the
+    // same truth set the batch q104 gate uses
+    val truth = base.alias("o")
+      .join(twins.alias("p"),
+        col("p.vec_id") === col("o.vec_id") + graft.operators.Dedup.PlantedIdOff)
+      .select(col("o.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
+        (dotNative(col("o.embedding"), col("p.embedding")) /
+          (l2NormNative(col("o.embedding")) * l2NormNative(col("p.embedding"))))
+          .as("cos"))
+      .filter($"cos" >= verifyCos)
+    val hits = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+    val gate = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select((coalesce($"n_hit".cast("double") / $"n_true", lit(0.0)) >= floor)
+        .as("meets_floor"))
+    base.select($"vec_id".as("q_id")).crossJoin(broadcast(gate)).orderBy($"q_id")
+  }
+}

@@ -37,7 +37,15 @@ class PlanAuditSpec extends SparkSpec {
     // the probe ids (same scalar-broadcast shape as q101/q102);
     // q105 runs the banding checkpoint + the CC driver loop during
     // construction, like q57/q103
-    "q104_embed_banded_gate", "q105_semantic_dedup")
+    "q104_embed_banded_gate", "q105_semantic_dedup",
+    // streaming replays: construction RUNS a full MemoryStream
+    // micro-batch replay (graft.streaming.StreamReplay); the returned
+    // frame is the finalized local result (plus, for the gates, the
+    // one-row verdict broadcast) — plan shape is asserted by the
+    // streaming specs
+    "q111_stream_windows", "q112_stream_heavy_hitters",
+    "q113_stream_quantile_gate", "q114_stream_dedup",
+    "q115_stream_embed_gate")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
