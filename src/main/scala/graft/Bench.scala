@@ -175,9 +175,25 @@ object Bench {
     val wall = median(runs.map(_._1))
     val byQuery = runs.flatMap(_._2).groupBy(_._1).view
       .mapValues(ts => if (ts.exists(_._2 < 0)) -1.0 else median(ts.map(_._2)))
-    val qs = names.map(n => "\"" + n + "\":" + byQuery(n))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"streams":$streams,"passes":$passes,"sf":"$sfDir"}""")
+    def fmt(d: Double): String =
+      if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(qmap: Seq[String], extra: String): String =
+      s"""{"metric":"total","value":${fmt(wall)},"unit":"sec",""" +
+        s""""queries":${qmap.mkString("{", ",", "}")},""" +
+        s""""n_queries":${names.length},"streams":$streams,"passes":$passes,"sf":"$sfDir"$extra}"""
+    // The FULL per-query map goes to a file: the driver's artifact
+    // keeps only a ~2000-char stdout tail, which silently truncated
+    // the 110-query map (round-4 BENCH had "parsed": null and lost
+    // q01–q21). Default lands in the repo cwd so the artifact is
+    // committed alongside BASELINE.md each round.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    java.nio.file.Files.writeString(outPath,
+      line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), "") + "\n")
+    // stdout (last line, tail-safe): totals + the slowest 10 only
+    val slowest = names.sortBy(n => -byQuery(n)).take(10)
+    println(line(slowest.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
+      s""","full":"${outPath.toAbsolutePath}""""))
     ec.shutdown()
     spark.stop()
   }

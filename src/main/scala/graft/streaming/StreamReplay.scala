@@ -57,19 +57,48 @@ object StreamReplay {
     * and return the sunk rows as a local batch DataFrame. */
   private def replay[T](spark: SparkSession, chunks: Seq[Seq[T]])(
       build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    // A micro-batch's cost here is per-partition bookkeeping (state
+    // store load/commit per shuffle partition per batch), not data.
+    // Run the stream in a CHILD session (shared context, private
+    // SQLConf) with a handful of shuffle partitions so a replay of
+    // ~10 batches doesn't pay 16-32 state-store commits each —
+    // exactly the `spark.sql.shuffle.partitions` sizing a production
+    // streaming job of this key cardinality would pick. The caller's
+    // session conf is untouched (bench threads share it).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // Every chunk otherwise triggers a trailing zero-row micro-batch
+    // just to re-evaluate under the advanced watermark — doubling the
+    // batch count. The replay instead feeds the flush sentinel TWICE
+    // ([[withFlush]]): the first sentinel batch advances the
+    // watermark, the second (a real data batch) emits everything that
+    // watermark finalized — same finalized output, half the batches.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
     val input = MemoryStream[T]
     val name = "graft_replay_" + Ctr.incrementAndGet()
+    // Checkpoint (offset/commit logs + state snapshots, fsync'd every
+    // micro-batch) goes on tmpfs when available: replay durability is
+    // meaningless — determinism comes from the fixed chunking — and
+    // the per-batch log fsync is otherwise the replay's floor.
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot, name)
     val q = build(input.toDS())
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckDir.getPath).start()
     try {
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }
-      val sunk = spark.table(name)
+      val sunk = ss.table(name)
       val rows = java.util.Arrays.asList(sunk.collect(): _*)
       spark.createDataFrame(rows, sunk.schema)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      ss.catalog.dropTempView(name)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckDir)
     }
   }
 
@@ -77,6 +106,12 @@ object StreamReplay {
   private def chunked[T](rows: Seq[T], n: Int): Seq[Seq[T]] =
     if (rows.isEmpty) Seq(Seq.empty)
     else rows.grouped(math.max(1, (rows.length + n - 1) / n)).toSeq
+
+  /** Append the watermark-flush sentinel twice: with no-data batches
+    * disabled, batch 1 advances the watermark past every real window
+    * and batch 2 emits what it finalized. */
+  private def withFlush[T](chunks: Seq[Seq[T]], sentinel: T): Seq[Seq[T]] =
+    chunks ++ Seq(Seq(sentinel), Seq(sentinel))
 
   /** The ordered first-week event slice + a sentinel past every window. */
   private def eventSlice(spark: SparkSession, dir: String): (Seq[ReplayEvent], ReplayEvent) = {
@@ -99,7 +134,7 @@ object StreamReplay {
   def eventWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (slice, sentinel) = eventSlice(spark, dir)
-    val out = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+    val out = replay(spark, withFlush(chunked(slice, 8), sentinel)) { ds =>
       ds.withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 day"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -120,7 +155,7 @@ object StreamReplay {
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val (slice, sentinel) = eventSlice(spark, dir)
-    val finalized = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+    val finalized = replay(spark, withFlush(chunked(slice, 8), sentinel)) { ds =>
       StreamHeavyHitters.windowedCandidates(
         ds.toDF(), "ts", "event_type", "1 day", "1 hour", k)
     }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
@@ -151,7 +186,7 @@ object StreamReplay {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     val (slice, sentinel) = eventSlice(spark, dir)
-    val finalized = replay(spark, chunked(slice, 8) :+ Seq(sentinel)) { ds =>
+    val finalized = replay(spark, withFlush(chunked(slice, 8), sentinel)) { ds =>
       StreamQuantiles.windowed(ds.toDF(), "ts", "value", "1 day", "1 hour",
         qs, accuracy)
     }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
@@ -195,7 +230,7 @@ object StreamReplay {
     val sentinel = ReplayDoc(
       new java.sql.Timestamp(base + 40L * 86400000L), -1L, "__flush__")
     val out = replay(spark,
-      (chunked(origs, 4) ++ chunked(copies, 2)) :+ Seq(sentinel)) { ds =>
+      withFlush(chunked(origs, 4) ++ chunked(copies, 2), sentinel)) { ds =>
       StreamDedup.dedupedByContent(ds.toDF(), "ts", "text", "2 days")
     }
     out.filter($"doc_id" >= 0)
@@ -235,7 +270,7 @@ object StreamReplay {
     val sentinel = EmbedEvent(
       new java.sql.Timestamp(repMs + 40L * 86400000L), -1L, new Array[Double](64))
     val found = replay(spark,
-      (chunked(origEv, 2) ++ chunked(twinEv, 2)) :+ Seq(sentinel)) { ds =>
+      withFlush(chunked(origEv, 2) ++ chunked(twinEv, 2), sentinel)) { ds =>
       StreamEmbedDedup.nearDups(ds, minCos = verifyCos, delayMs = 7200000L)
         .toDF()
     }.select($"anchor_id".as("id_a"), $"dup_id".as("id_b")).distinct()
