@@ -762,24 +762,45 @@ object SparkEntry {
     // double arithmetic over (doc_id, text length) — the oracle
     // recomputes it. trunc() before the int cast: DuckDB CAST rounds
     // where Spark's cast truncates.
+    // q33: the oracle models the REAL container math — BMP file size =
+    // 1078-byte headers+palette plus width·height pixel rows (widths
+    // are multiples of 4, so 8bpp rows carry no padding; the last row
+    // zero-fills), WAV = 44-byte RIFF/fmt/data headers plus the sample
+    // bytes (+1 even-boundary pad on odd sizes), with duration parsed
+    // back from the data chunk at the 16 kHz rate
     "q33_media_profile" ->
       """WITH m AS (
         | SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  strlen(text) AS n_bytes,
-        |  64 + (doc_id % 16) * 16 AS width, 64 + (doc_id % 9) * 16 AS height,
-        |  1000 + (doc_id % 30) * 1000 AS duration_ms
+        |  strlen(text) AS len,
+        |  64 + (doc_id % 16) * 16 AS w
         | FROM documents),
+        |g AS (
+        | SELECT doc_id, kind, len, w,
+        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / w) AS BIGINT)) AS h
+        | FROM m),
         |f AS (
-        | SELECT kind, n_bytes,
-        |  CASE kind WHEN 'video' THEN greatest(1, duration_ms // 1000)
-        |            WHEN 'audio' THEN greatest(1, duration_ms // 5000) ELSE 1 END AS frames_sampled,
-        |  CAST(trunc(width * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_width
-        | FROM m)
+        | SELECT kind,
+        |  CASE kind WHEN 'image' THEN 1078 + w * h
+        |            WHEN 'audio' THEN 44 + len + (len % 2)
+        |            ELSE len END AS n_bytes,
+        |  CASE kind WHEN 'image' THEN w ELSE 0 END AS width,
+        |  CASE kind WHEN 'image' THEN h ELSE 0 END AS height,
+        |  CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS sample_rate,
+        |  CASE kind WHEN 'video' THEN greatest(1, (1000 + (doc_id % 30) * 1000) // 1000)
+        |            WHEN 'audio' THEN greatest(1, (len // 16) // 5000) ELSE 1 END AS frames_sampled
+        | FROM g),
+        |r AS (
+        | SELECT kind, n_bytes, sample_rate, frames_sampled,
+        |  CASE WHEN greatest(width, height) > 0
+        |   THEN CAST(trunc(width * least(1.0, 256 / greatest(width, height))) AS INTEGER)
+        |   ELSE 0 END AS out_width
+        | FROM f)
         |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         | CAST(SUM(frames_sampled) AS BIGINT) AS total_frames,
-        | MIN(out_width) AS min_w, MAX(out_width) AS max_w
-        |FROM f GROUP BY kind""".stripMargin,
+        | MIN(out_width) AS min_w, MAX(out_width) AS max_w,
+        | MAX(sample_rate) AS max_rate
+        |FROM r GROUP BY kind""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY
@@ -959,11 +980,24 @@ object SparkEntry {
     // documents fixture is pure printable ASCII (verified 0 non-ASCII
     // docs at every SF); a non-ASCII corpus would need the oracle
     // rewritten over encode(text) BLOB bytes.
+    // q34: embeddings hash the DECODED body — for images that is the
+    // BMP pixel array (text bytes plus the last row's zero fill), for
+    // audio/video the exact content bytes; the byte stream below
+    // models that layout
     "q34_media_knn" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text FROM documents),
+      s"""WITH m AS (
+         |  SELECT doc_id, text, strlen(text) AS len,
+         |   CASE WHEN doc_id % 3 = 0
+         |    THEN (64 + (doc_id % 16) * 16) *
+         |     greatest(1, CAST(ceil(CAST(strlen(text) AS DOUBLE)
+         |       / (64 + (doc_id % 16) * 16)) AS BIGINT))
+         |    ELSE strlen(text) END AS blen
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, unnest(range(1, blen+1)) AS i, text, len FROM m),
          |h AS (SELECT doc_id, i - 1 AS pos,
-         |   CAST(unicode(text[CAST(i AS INTEGER)]) AS BIGINT)*2654435761 + (i-1)*40503 AS h
+         |   CAST(CASE WHEN i <= len THEN unicode(text[CAST(i AS INTEGER)]) ELSE 0 END
+         |     AS BIGINT)*2654435761 + (i-1)*40503 AS h
          | FROM b),
          |c AS (SELECT doc_id, CAST(((h >> 16) % 16) AS INTEGER) AS bucket,
          |   CAST((h >> 32) & 255 AS FLOAT)/CAST(255 AS FLOAT) - CAST(0.5 AS FLOAT) AS v, pos
