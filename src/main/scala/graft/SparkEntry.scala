@@ -206,6 +206,11 @@ object SparkEntry {
     "q113_stream_quantile_gate" -> ((s, d) => graft.streaming.StreamReplay.quantileGate(s, d)),
     "q114_stream_dedup"      -> ((s, d) => graft.streaming.StreamReplay.contentDedup(s, d)),
     "q115_stream_embed_gate" -> ((s, d) => graft.streaming.StreamReplay.embedDedupGate(s, d)),
+    // the storage-layout path: fact-fact join through tables bucketed
+    // on the join key — zero exchanges at query time (plan-asserted by
+    // BucketedJoinQuerySpec); the bucket write is the one-time ingest
+    // cost, memoized per fixture here
+    "q116_bucketed_join"     -> ((s, d) => graft.operators.Bucketing.bucketedRevenueByPriority(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -650,6 +655,15 @@ object SparkEntry {
     "q115_stream_embed_gate" ->
       """SELECT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 50 ORDER BY q_id""".stripMargin,
+    // q116: values are independent of the bucketed layout (that's the
+    // point) — plain join SQL; the ZERO-exchange plan property is
+    // spec-asserted
+    "q116_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

@@ -36,6 +36,72 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** One-time bucketed layout of the fixture's lineitem/orders join
+    * columns, memoized per (context, fixture fingerprint) — the
+    * ingest-side layout cost the co-located join amortizes. Table
+    * names embed the fixture fingerprint so a regenerated fixture
+    * rewrites instead of serving stale buckets. */
+  private val laidOut = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), (String, String)]()
+  private def bucketedTables(t: graft.Tables, buckets: Int): (String, String) = {
+    val fp = Integer.toHexString(
+      (graft.Tables.parallelLayout(t.spark, t.dir, "lineitem") + "|" +
+        graft.Tables.parallelLayout(t.spark, t.dir, "orders")).hashCode)
+    laidOut.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      import t.spark.implicits._
+      val li = s"graft_bkt_lineitem_$fp"
+      val or = s"graft_bkt_orders_$fp"
+      // a PREVIOUS JVM's warehouse dir survives while the in-memory
+      // catalog does not — drop both the entry and any orphaned
+      // location, or saveAsTable refuses the managed-table name
+      Seq(li, or).foreach { name =>
+        t.spark.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = t.spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(wh, name))
+      }
+      writeBucketed(t.lineitem.select($"l_orderkey", $"l_extendedprice",
+        $"l_discount"), li, "l_orderkey", buckets)
+      writeBucketed(t.orders.select($"o_orderkey", $"o_orderpriority"),
+        or, "o_orderkey", buckets)
+      (li, or)
+    })
+  }
+
+  /** The co-located fact-fact join frame (pre-aggregation): both
+    * sides bucketed on the order key with equal bucket counts, the
+    * `merge` hint pinning the sort-merge path a 100 TB fact join
+    * takes (neither side broadcastable) — which the bucketed layout
+    * then plans with ZERO exchanges (BucketedJoinQuerySpec asserts).
+    * At cluster scale the write happens once at ingest; here it is
+    * memoized per fixture. */
+  def bucketedOrderJoin(t: graft.Tables, buckets: Int = 8): DataFrame = {
+    val (li, or) = bucketedTables(t, buckets)
+    t.spark.table(li).hint("merge")
+      .join(t.spark.table(or),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  /** q116: revenue by order priority THROUGH the co-located bucketed
+    * join — the recurring query whose per-run shuffle the one-time
+    * bucket layout eliminates. DECIMAL-exact revenue (q01 recipe). */
+  def bucketedRevenueByPriority(t: graft.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import t.spark.implicits._
+    bucketedOrderJoin(t)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Morton (z-order) interleaving of two non-negative integer keys —
     * the multi-dimensional clustering key. Sorting a table by `zvalue`
     * keeps BOTH dimensions locally dense in every file, so parquet

@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // streaming specs
     "q111_stream_windows", "q112_stream_heavy_hitters",
     "q113_stream_quantile_gate", "q114_stream_dedup",
-    "q115_stream_embed_gate")
+    "q115_stream_embed_gate",
+    // writes the bucketed tables on first construction; its plan
+    // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
+    "q116_bucketed_join")
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
