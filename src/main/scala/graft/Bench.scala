@@ -188,12 +188,20 @@ object Bench {
     // committed alongside BASELINE.md each round.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
-    java.nio.file.Files.writeString(outPath,
-      line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), "") + "\n")
+    // best-effort: an unwritable cwd must not cost the stdout line —
+    // that line is the driver's only guaranteed artifact
+    val wrote = try {
+      java.nio.file.Files.writeString(outPath,
+        line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), "") + "\n")
+      true
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: $e"); false
+    }
     // stdout (last line, tail-safe): totals + the slowest 10 only
     val slowest = names.sortBy(n => -byQuery(n)).take(10)
     println(line(slowest.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
-      s""","full":"${outPath.toAbsolutePath}""""))
+      if (wrote) s""","full":"${outPath.toAbsolutePath}"""" else ""))
     ec.shutdown()
     spark.stop()
   }

@@ -165,7 +165,9 @@ object Tables {
     dest.getPath
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete (shared by the layout cache, the bucketed-table
+    * writer, and the replay checkpoint cleanup). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }

@@ -356,6 +356,27 @@ object Graft {
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)
 
+  /** One-time bucketed layout: future equi-joins on `bucketCol`
+    * between tables bucketed with EQUAL counts plan shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    graft.operators.Bucketing.writeBucketed(df, table, bucketCol, buckets)
+
+  /** Join two identically-bucketed tables on the bucket key — zero
+    * exchanges at query time (q116's plan-asserted path). */
+  def colocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    graft.operators.Bucketing.colocatedJoin(spark, leftTable, rightTable, key)
+
+  /** Parse (width, height, pixel bytes) from a BMP payload column's
+    * bytes — driver/executor-side byte-level decode (q33/q34 path). */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    graft.sources.Multimodal.BmpCodec.decode(bytes)
+
+  /** Parse (sampleRate, sample bytes) from a WAV payload. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Byte]) =
+    graft.sources.Multimodal.WavCodec.decode(bytes)
+
   /** PageRank by power iteration over a directed edge list (every
     * node needs out-degree ≥ 1 — symmetrize undirected graphs). */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,

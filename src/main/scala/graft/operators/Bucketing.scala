@@ -58,10 +58,7 @@ object Bucketing {
         t.spark.sql(s"DROP TABLE IF EXISTS $name")
         val wh = t.spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(wh, name))
+        graft.Tables.deleteRec(new java.io.File(wh, name))
       }
       writeBucketed(t.lineitem.select($"l_orderkey", $"l_extendedprice",
         $"l_discount"), li, "l_orderkey", buckets)

@@ -187,15 +187,21 @@ object Graph {
 
   /** Canonical (a < b, deduped) co-purchase edges — shared by
     * triangles, degree distribution, and assortativity; computed once
-    * per (session, fixture) like the cells it derives from. */
-  def customerCoEdges(t: Tables): DataFrame = memoized(t, "edges") {
-    import t.spark.implicits._
+    * per (session, fixture) like the cells it derives from. The cells
+    * memo is resolved BEFORE entering the edges memo: a
+    * computeIfAbsent mapping function must not re-enter the same map
+    * (recursive-update IllegalStateException when the keys share a
+    * hash bin). */
+  def customerCoEdges(t: Tables): DataFrame = {
     val lo = coPurchaseCells(t)
-    lo.select($"pk", $"m", $"ck".as("a"))
-      .join(lo.select($"pk", $"m", $"ck".as("b")), Seq("pk", "m"))
-      .filter($"a" < $"b")
-      .select($"a", $"b")
-      .distinct()
+    memoized(t, "edges") {
+      import t.spark.implicits._
+      lo.select($"pk", $"m", $"ck".as("a"))
+        .join(lo.select($"pk", $"m", $"ck".as("b")), Seq("pk", "m"))
+        .filter($"a" < $"b")
+        .select($"a", $"b")
+        .distinct()
+    }
   }
 
   /** Per-node triangle counts over an undirected edge list, by the

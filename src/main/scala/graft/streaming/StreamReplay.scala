@@ -95,10 +95,7 @@ object StreamReplay {
     } finally {
       q.stop()
       ss.catalog.dropTempView(name)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(ckDir)
+      Tables.deleteRec(ckDir)
     }
   }
 
@@ -223,15 +220,21 @@ object StreamReplay {
       .select($"doc_id", $"text").orderBy($"doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val base = 1704067200000L // fixed replay epoch; only deltas matter
+    // ts offsets derive from the ACTUAL id span, so the replay's
+    // load-bearing invariants — copies strictly after every original,
+    // monotone feed, dedup state alive across the whole span — hold at
+    // any corpus size, not just below a hard-coded day of doc_ids
+    val span = docs.map(_._1).max + 1L
     val origs = docs.map { case (id, tx) =>
       ReplayDoc(new java.sql.Timestamp(base + id), id, tx) }
     val copies = docs.map { case (id, tx) =>
-      ReplayDoc(new java.sql.Timestamp(base + 86400000L + id), id + CopyIdOff, tx) }
+      ReplayDoc(new java.sql.Timestamp(base + span + id), id + CopyIdOff, tx) }
     val sentinel = ReplayDoc(
-      new java.sql.Timestamp(base + 40L * 86400000L), -1L, "__flush__")
+      new java.sql.Timestamp(base + 4L * span + 40L * 86400000L), -1L, "__flush__")
     val out = replay(spark,
       withFlush(chunked(origs, 4) ++ chunked(copies, 2), sentinel)) { ds =>
-      StreamDedup.dedupedByContent(ds.toDF(), "ts", "text", "2 days")
+      StreamDedup.dedupedByContent(ds.toDF(), "ts", "text",
+        s"${2L * span + 60000L} milliseconds")
     }
     out.filter($"doc_id" >= 0)
       .select(md5($"text").as("fp"), ($"doc_id" < CopyIdOff).as("is_original"))

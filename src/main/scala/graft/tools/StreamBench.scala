@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
   *     eviction yet).
   *
   * Usage: runMain graft.tools.StreamBench [secsPerRate]
+  *
+  * Steady-state mode (`--steady [secs]`, default 330 s): the
+  * watermark horizons shrink below the run length (2-min fingerprint
+  * dedup, 60-s embedding dedup) so EVICTION FIRES REPEATEDLY at
+  * 1000 ev/s and the run records the state CEILING — rows/bytes
+  * sampled every 30 s plus cumulative removals — rather than the
+  * flat-start growth the short mode shows. Evidence lands in
+  * BASELINE.md.
   */
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
-    val secs = args.headOption.map(_.toInt).getOrElse(20)
+    val secs = args.filterNot(_.startsWith("--")).headOption.map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -35,6 +43,109 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--steady")) {
+      steady(spark, secs.getOrElse(330))
+      spark.stop()
+      return
+    }
+    runShort(spark, secs.getOrElse(20))
+    spark.stop()
+  }
+
+  /** Sample a query's first state operator every 30 s.
+    * `numRowsRemoved` is a PER-TRIGGER metric, so cumulative eviction
+    * is accumulated across the recentProgress ring by batchId (30 s of
+    * 1 s triggers ≈ 30 new entries per sample — well inside the
+    * 100-entry retention, so no batch is ever missed). */
+  private def sampleState(
+      label: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+      totalSecs: Int)(extra: => String): Unit = {
+    val t0 = System.nanoTime()
+    var lastBatch = -1L
+    var cumRemoved = 0L
+    while ((System.nanoTime() - t0) / 1e9 < totalSecs) {
+      Thread.sleep(30000L)
+      val el = ((System.nanoTime() - t0) / 1e9).toInt
+      val fresh = q.recentProgress.filter(_.batchId > lastBatch)
+      if (fresh.nonEmpty) {
+        cumRemoved += fresh
+          .flatMap(_.stateOperators.headOption).map(_.numRowsRemoved).sum
+        lastBatch = fresh.map(_.batchId).max
+      }
+      Option(q.lastProgress).flatMap(p => p.stateOperators.headOption) match {
+        case Some(so) =>
+          println(f"[streambench] $label t=$el%ds stateRows=${so.numRowsTotal}%d " +
+            f"stateBytes=${so.memoryUsedBytes}%d evictedCum=$cumRemoved%d " +
+            extra)
+        case None => println(s"[streambench] $label t=${el}s no progress yet")
+      }
+    }
+  }
+
+  /** Long-horizon 1000 ev/s runs with watermark eviction live. */
+  private def steady(spark: SparkSession, secs: Int): Unit = {
+    val rate = 1000
+    // fingerprint dedup: 2-minute horizon — unique-rate × horizon
+    // bounds state (~0.8 × 120 × 1000 rows ceiling), evictions start
+    // at ~2 min and then run continuously
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("document body "),
+          (col("value") - col("value") % 5)).as("text"))
+    val q1 = StreamDedup.dedupedByContent(docs, "ts", "text", "2 minutes")
+      .writeStream.outputMode("append").format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    sampleState("dedup-steady", q1, secs)("")
+    val p1 = q1.recentProgress.toSeq
+    q1.stop()
+    val d1 = p1.drop(1).filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    println(f"[streambench] dedup-steady rate=$rate%d horizon=120s run=$secs%ds " +
+      f"maxBatch=${if (d1.nonEmpty) d1.max else 0.0}%.0f ms " +
+      f"batches=${d1.size}%d")
+
+    // embedding near-dup: 60-s horizon, 1-in-10 planted twins — ring
+    // prune + EventTimeTimeout both fire repeatedly; twin hits must
+    // KEEP accumulating while state holds its ceiling (twins arrive
+    // ~10 ms after their original, far inside the horizon)
+    import graft.streaming.{EmbedEvent, StreamEmbedDedup}
+    import spark.implicits._
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    def vecFor(seed: Long): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, v) =>
+        val base = vecFor(v - v % 10)
+        val emb = if (v % 10 == 9) {
+          val r = new scala.util.Random(v)
+          base.map(_ + 0.05 * r.nextGaussian())
+        } else vecFor(v)
+        EmbedEvent(ts, v, emb)
+      }
+    val q2 = StreamEmbedDedup.nearDups(events, minCos = 0.9, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.EmbedNearDup], _: Long) =>
+        hits.addAndGet(df.select("anchor_id", "dup_id").distinct().count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    sampleState("embdedup-steady", q2, secs)(s"twinHits=${hits.get()}")
+    val p2 = q2.recentProgress.toSeq
+    q2.stop()
+    val d2 = p2.drop(1).filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    println(f"[streambench] embdedup-steady rate=$rate%d horizon=60s run=$secs%ds " +
+      f"twinHits=${hits.get()}%d " +
+      f"maxBatch=${if (d2.nonEmpty) d2.max else 0.0}%.0f ms batches=${d2.size}%d")
+  }
+
+  private def runShort(spark: SparkSession, secs: Int): Unit = {
 
     // the scoring model pair (train once; ~30 s — same fixture path
     // the test suite uses)
@@ -137,6 +248,5 @@ object StreamBench {
         f"stateRows=${st.map(_.numRowsTotal).getOrElse(0L)}%d " +
         f"stateBytes=${st.map(_.memoryUsedBytes).getOrElse(0L)}%d")
     }
-    spark.stop()
   }
 }
