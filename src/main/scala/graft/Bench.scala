@@ -69,6 +69,7 @@ object Bench {
       // wall). Throughput mode keeps the default; single-query
       // deployments should lower minPartitionSize.
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // FAIR, not FIFO: concurrent streams each get a share of the
       // task slots, so an iterative query's many tiny jobs (CC rounds)
@@ -101,10 +102,6 @@ object Bench {
     val heavyFirst = Seq(
       "q57_dedup_clusters", "q90_dedup_survivors", "q103_clusters_fast",
       "q105_semantic_dedup",
-      // streaming replays: latency-bound micro-batch sequences
-      "q111_stream_windows", "q112_stream_heavy_hitters",
-      "q113_stream_quantile_gate", "q114_stream_dedup",
-      "q115_stream_embed_gate",
       "q85_pagerank", "q52_ann_ivf", "q39_approx_distinct",
       "q41_tfidf", "q31_minhash_pairs", "q64_hash_split",
       "q61_tfidf_exact", "q51_minhash_fast", "q65_repetition",
@@ -129,42 +126,57 @@ object Bench {
     // whose round latency, not throughput, sets the bench makespan
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",
       "q103_clusters_fast", "q105_semantic_dedup", "q52_ann_ivf",
-      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank",
-      // micro-batch replays: many tiny sequential jobs whose batch
-      // turnaround latency, not throughput, sets their wall
-      "q111_stream_windows", "q112_stream_heavy_hitters",
-      "q113_stream_quantile_gate", "q114_stream_dedup",
-      "q115_stream_embed_gate")
-    def runPass(): (Double, Seq[(String, Double)]) = {
-      val t0 = System.nanoTime()
-      val futures = names.map { n =>
-        Future {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-            if (weighted(n)) "heavy" else "default")
-          val q0 = System.nanoTime()
-          try {
-            SparkEntry.queries(n)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            n -> (System.nanoTime() - q0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $n failed: ${e.getMessage}")
-              n -> -1.0
-          }
-        }
+      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank")
+    // The streaming replay harness runs in its OWN measured lane,
+    // after the throughput pool drains. A replay's wall is micro-batch
+    // turnaround (state-store commits + offset-log latency), not data:
+    // inside the 16-stream pool each replay squatted a stream slot for
+    // 30–104 s (round 5) and every batch query's measured wall
+    // inflated x4–9 with queue time behind them. Separating the lanes
+    // restores the batch numbers AND measures the replays without
+    // contention; they still run concurrently with EACH OTHER (5
+    // driver-latency-bound queries interleave on an idle executor
+    // pool).
+    val replayLane = names.filter(_.contains("_stream_"))
+    val batchNames = names.filterNot(replayLane.contains)
+    def runQuery(n: String): (String, Double) = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+        if (weighted(n)) "heavy" else "default")
+      val q0 = System.nanoTime()
+      try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        n -> (System.nanoTime() - q0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          n -> -1.0
       }
+    }
+    def runPass(qs: Seq[String]): (Double, Seq[(String, Double)]) = {
+      val t0 = System.nanoTime()
+      val futures = qs.map(n => Future(runQuery(n)))
       val results = Await.result(Future.sequence(futures), 60.minutes)
       ((System.nanoTime() - t0) / 1e9, results)
     }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
-    // one untimed full-suite pass first: the flagship-query warm-up
+    // one untimed throughput pass first: the flagship-query warm-up
     // above does not JIT/codegen the other 100+ queries, and a cold
     // first pass runs ~30% slower end to end — measured medians would
     // then depend on which side of the JIT cliff each pass landed
-    runPass()
-    val runs = (1 to passes).map(_ => runPass())
+    runPass(batchNames)
+    val runs = (1 to passes).map(_ => runPass(batchNames))
+    // replay lane: one untimed pass (streaming-engine JIT + the
+    // memoized event slice build), then the same median-of-passes as
+    // the throughput lane — replays are deterministic, but their
+    // micro-batch turnaround shares the JVM with GC like everything
+    // else
+    val replayRuns = if (replayLane.isEmpty) Seq.empty else {
+      runPass(replayLane)
+      (1 to passes).map(_ => runPass(replayLane))
+    }
     // median over the passes, per query and for the wall; a failure
     // (-1) in ANY pass surfaces as -1 rather than being median'd away
     def median(xs: Seq[Double]): Double = {
@@ -172,13 +184,18 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val wall = median(runs.map(_._1))
-    val byQuery = runs.flatMap(_._2).groupBy(_._1).view
+    // total = throughput-lane wall + replay-lane wall: the suite cost
+    // is the sum of the two sequential lanes, reported per-lane below
+    val batchWall = median(runs.map(_._1))
+    val replayWall = if (replayRuns.isEmpty) 0.0 else median(replayRuns.map(_._1))
+    val wall = batchWall + replayWall
+    val byQuery = (runs ++ replayRuns).flatMap(_._2).groupBy(_._1).view
       .mapValues(ts => if (ts.exists(_._2 < 0)) -1.0 else median(ts.map(_._2)))
     def fmt(d: Double): String =
       if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def line(qmap: Seq[String], extra: String): String =
       s"""{"metric":"total","value":${fmt(wall)},"unit":"sec",""" +
+        s""""batch_lane_sec":${fmt(batchWall)},"replay_lane_sec":${fmt(replayWall)},""" +
         s""""queries":${qmap.mkString("{", ",", "}")},""" +
         s""""n_queries":${names.length},"streams":$streams,"passes":$passes,"sf":"$sfDir"$extra}"""
     // The FULL per-query map goes to a file: the driver's artifact

@@ -646,10 +646,13 @@ object SparkEntry {
         |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
     // q114: one survivor per distinct content fingerprint, and every
     // survivor is an original (planted copies replayed a day later
-    // must all be dropped by the watermark-bounded dedup state)
+    // must all be dropped by the watermark-bounded dedup state).
+    // doc_id < 4096 = StreamReplay.MaxDedupDocs: the replayed corpus
+    // is the first-N slice so the harness's driver-side collect is
+    // constant in SF (bound inactive at sf <= 0.01)
     "q114_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS fp, TRUE AS is_original
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 4096""".stripMargin,
     // q115: gate contract like q104, ingest-side — the stream must
     // recover the planted cos≈0.9 twins at ≥ 0.8 recall
     "q115_stream_embed_gate" ->

@@ -42,22 +42,41 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = tp("orders")
   def lineitem: DataFrame   = tp("lineitem")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read it as raw nanos (legacy conf) and
-    * surface microsecond precision — same truncation DuckDB applies
-    * when casting TIMESTAMP_NS to TIMESTAMP. */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = tp("events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** `events`, with `ts` normalized to TIMESTAMP whatever physical
+    * parquet encoding the fixture generator used this round — the
+    * generator has already shipped TIMESTAMP(NANOS) (rounds 1–4) and
+    * TIMESTAMP_NTZ micros (round 5+), and a real lake mixes all of
+    * them across tables. Downstream operators see one type. */
+  def events: DataFrame = Tables.normalizeTs(tp("events"), "ts")
   def documents: DataFrame  = tp("documents")
   def embeddings: DataFrame = tp("embeddings")
 }
 
 object Tables {
+
+  /** Normalize one timestamp column to TIMESTAMP, whichever of the
+    * three encodings Spark surfaced from the parquet footer:
+    *  - `LongType`   — TIMESTAMP(NANOS) read under the
+    *    `nanosAsLong` legacy conf (set once at session build by every
+    *    graft entry point); truncated to micros, the same truncation
+    *    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    *  - `TimestampNTZType` — isAdjustedToUTC=0 micros; reinterpreted
+    *    under the session zone (pinned UTC), matching DuckDB's naive
+    *    TIMESTAMP semantics over the same file.
+    *  - `TimestampType` — already canonical; untouched.
+    * One projection, no shuffle; Catalyst folds the cast into the
+    * scan, so the normalized column still prunes and pushes down. */
+  private[graft] def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** Tables large enough that a serial scan hurts; dims stay as-is. */
   private[graft] val BigTables =
@@ -129,9 +148,10 @@ object Tables {
         val lock = ch.lock() // blocks until exclusive across processes
         try {
           if (!done) {
-            // events: TIMESTAMP(NANOS) → read as raw long nanos so the
-            // rewrite is lossless; the accessor converts after read
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            // a TIMESTAMP(NANOS) fixture reads as raw long nanos under
+            // the `nanosAsLong` conf (set at session build, not here —
+            // Tables never mutates shared session conf), so the
+            // rewrite is lossless; `events` normalizes after read
             val raw = spark.read.parquet(s"$dir/$name.parquet")
             val tmp = new java.io.File(
               dest.getPath + ".tmp-" + ProcessHandle.current().pid())

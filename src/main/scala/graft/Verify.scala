@@ -12,6 +12,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,12 +41,28 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // Failures must be LOUD in the artifacts, not just stderr: round 5
+    // lost five regressed queries from CORRECTNESS entirely because a
+    // throwing query wrote nothing — absent read as "not declared",
+    // not "broken", and the regression cost a full round. A failed
+    // query now (a) leaves an _ERROR.json marker in its own output
+    // dir (any parquet read of that dir fails with the marker in
+    // view), (b) lands in the errors.json sidecar, and (c) fails the
+    // JVM's exit code.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors.put(name, msg)
+          val d = new java.io.File(s"$outDir/$name")
+          Tables.deleteRec(d) // partial parquet output would mask the failure
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"),
+            s"""{"query": ${jq(name)}, "err": ${jq(msg)}}""")
         }
       }
     }
@@ -53,22 +70,35 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(60, "min"))
     finally pool.shutdown() // non-daemon threads would otherwise keep a failed JVM alive
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: every failed query with its message, always written
+    // (empty object on a clean run) so its absence vs emptiness is
+    // itself a signal
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (!errors.isEmpty) {
+      System.err.println(s"[verify] ${errors.size} of ${selected.size} queries FAILED")
+      sys.exit(1)
+    }
   }
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

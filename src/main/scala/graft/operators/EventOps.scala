@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions.tsMicros
 
 /** Event-stream analytics beyond windows/as-of: funnel completion and
   * exponentially-weighted features — the per-user sequential semantics
@@ -25,7 +26,7 @@ object EventOps {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct: $steps")
     val ev = df.select(userCol.as("user_id"), typeCol.as("__type"),
-      unix_micros(tsCol).as("__us"))
+      tsMicros(tsCol).as("__us"))
     val init = ev.select(col("user_id")).distinct()
     steps.foldLeft((init, Option.empty[String])) { case ((acc, prev), step) =>
       val c = s"${step}_us"
@@ -106,9 +107,9 @@ object EventOps {
     import t.spark.implicits._
     val us = horizonSeconds * 1000000L
     val wins = t.events.filter($"event_type" === "purchase")
-      .select($"event_id", $"user_id", unix_micros($"ts").as("start_us"))
+      .select($"event_id", $"user_id", tsMicros($"ts").as("start_us"))
       .withColumn("end_us", $"start_us" + us)
-    val pts = t.events.select($"event_id", $"user_id", unix_micros($"ts").as("pt_us"))
+    val pts = t.events.select($"event_id", $"user_id", tsMicros($"ts").as("pt_us"))
     intervalJoinOver(
       wins, $"event_id", $"user_id", $"start_us", $"end_us",
       pts, $"event_id", $"user_id", $"pt_us", bucketUs = us)
@@ -223,7 +224,7 @@ object EventOps {
   def ewmaPerUser(t: Tables, alpha: Double = 0.5): DataFrame = {
     import t.spark.implicits._
     val ordered = t.events
-      .select($"user_id", struct(unix_micros($"ts").as("ts_us"), $"event_id",
+      .select($"user_id", struct(tsMicros($"ts").as("ts_us"), $"event_id",
         $"value".as("v")).as("rec"))
       .groupBy($"user_id")
       .agg(sort_array(collect_list($"rec")).as("recs"))

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions.tsMicros
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Training-data pipeline operators beyond dedup/similarity: the
@@ -247,7 +248,7 @@ object PipelineOps {
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
-      .select(userCol.as("user_id"), idCol.as("event_id"), unix_micros(tsCol).as("ts_us"))
+      .select(userCol.as("user_id"), idCol.as("event_id"), tsMicros(tsCol).as("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
       .withColumn("is_new",
         when(col("prev_us").isNull ||

@@ -26,29 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     // one-row global-span broadcast for the resample grid
     "q96_locf_resample")
 
-  // queries that train/iterate during CONSTRUCTION (ml fits, the CC
-  // driver loop) — their plan shape is asserted by their own specs.
-  // The ANN recall gates embed q29+q43/q52 (probe broadcast + fit).
-  private val constructionHeavy = Set(
-    "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
-    "q57_dedup_clusters", "q90_dedup_survivors",
-    "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast",
-    // banded-dedup gate: one-row verdict broadcast crossJoined onto
-    // the probe ids (same scalar-broadcast shape as q101/q102);
-    // q105 runs the banding checkpoint + the CC driver loop during
-    // construction, like q57/q103
-    "q104_embed_banded_gate", "q105_semantic_dedup",
-    // streaming replays: construction RUNS a full MemoryStream
-    // micro-batch replay (graft.streaming.StreamReplay); the returned
-    // frame is the finalized local result (plus, for the gates, the
-    // one-row verdict broadcast) — plan shape is asserted by the
-    // streaming specs
-    "q111_stream_windows", "q112_stream_heavy_hitters",
-    "q113_stream_quantile_gate", "q114_stream_dedup",
-    "q115_stream_embed_gate",
-    // writes the bucketed tables on first construction; its plan
-    // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
-    "q116_bucketed_join")
+  private val constructionHeavy = PlanAuditSpec.constructionHeavy
 
   test("projection pushdown: no query scans every lineitem column") {
     // lineitem is the widest fact table (11 columns). No declared
@@ -85,4 +63,32 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"unintended cartesian/nested-loop joins in: $offenders")
   }
+}
+
+object PlanAuditSpec {
+  // queries that train/iterate during CONSTRUCTION (ml fits, the CC
+  // driver loop) — their plan shape is asserted by their own specs.
+  // The ANN recall gates embed q29+q43/q52 (probe broadcast + fit).
+  // Shared with AnalysisSmokeSpec (which can only analyze queries
+  // whose construction does not execute).
+  val constructionHeavy: Set[String] = Set(
+    "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
+    "q57_dedup_clusters", "q90_dedup_survivors",
+    "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast",
+    // banded-dedup gate: one-row verdict broadcast crossJoined onto
+    // the probe ids (same scalar-broadcast shape as q101/q102);
+    // q105 runs the banding checkpoint + the CC driver loop during
+    // construction, like q57/q103
+    "q104_embed_banded_gate", "q105_semantic_dedup",
+    // streaming replays: construction RUNS a full MemoryStream
+    // micro-batch replay (graft.streaming.StreamReplay); the returned
+    // frame is the finalized local result (plus, for the gates, the
+    // one-row verdict broadcast) — plan shape is asserted by the
+    // streaming specs
+    "q111_stream_windows", "q112_stream_heavy_hitters",
+    "q113_stream_quantile_gate", "q114_stream_dedup",
+    "q115_stream_embed_gate",
+    // writes the bucketed tables on first construction; its plan
+    // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
+    "q116_bucketed_join")
 }

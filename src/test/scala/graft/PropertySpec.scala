@@ -199,15 +199,29 @@ class PropertySpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  // Encoding-tolerant timestamp read: a TIMESTAMP column collects as
+  // java.sql.Timestamp, a TIMESTAMP_NTZ one as LocalDateTime (seen
+  // when a fixture regeneration flips the parquet encoding; Tables
+  // normalizes, but the spec should not ClassCastException if it
+  // ever reads an un-normalized frame — interpret NTZ as UTC, the
+  // pinned session zone).
+  private def tsAt(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp =
+    r.get(i) match {
+      case t: java.sql.Timestamp => t
+      case d: java.time.LocalDateTime =>
+        java.sql.Timestamp.from(d.toInstant(java.time.ZoneOffset.UTC))
+      case other => fail(s"not a timestamp at $i: $other")
+    }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
     val clicks = t.events.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .map(r => (r.getLong(0), r.getLong(1), tsAt(r, 2)))
     val errors = t.events.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"ts").collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getTimestamp(2)))).toMap
+      .map(r => (r.getLong(0), (r.getLong(1), tsAt(r, 2)))).toMap
     out.foreach { r =>
       val (uid, eid, cid) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val (_, ets) = errors(eid)
@@ -215,7 +229,7 @@ class PropertySpec extends SparkSpec {
       if (cid == -1L) assert(candidates.isEmpty)
       else {
         val best = candidates.maxBy(_._3.getTime)
-        assert(best._3 === r.getTimestamp(3), s"error $eid")
+        assert(best._3 === tsAt(r, 3), s"error $eid")
       }
     }
   }

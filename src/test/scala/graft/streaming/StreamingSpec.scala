@@ -335,8 +335,10 @@ class FileStreamSpec extends graft.SparkSpec {
     val dir = dirPath.toString
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001").events
     val schema = spark.read.parquet(dir).schema
-    val streamDf = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same encoding normalization the batch Tables boundary applies —
+    // works unchanged on a streaming frame (pure projection)
+    val streamDf = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir), "ts")
 
     val q = EventStream.tumblingCounts(streamDf, "1 day", "1 day")
       .writeStream.outputMode("complete")

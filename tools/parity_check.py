@@ -54,6 +54,12 @@ def main() -> int:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
+        marker = f"{outdir}/{name}/_ERROR.json"
+        if os.path.exists(marker):
+            err = json.load(open(marker)).get("err", "?")
+            print(f"FAIL  {name}: query failed in Verify: {err}")
+            failures += 1
+            continue
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
             want = con.sql(sql).df()
