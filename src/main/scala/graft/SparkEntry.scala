@@ -211,6 +211,13 @@ object SparkEntry {
     // BucketedJoinQuerySpec); the bucket write is the one-time ingest
     // cost, memoized per fixture here
     "q116_bucketed_join"     -> ((s, d) => graft.operators.Bucketing.bucketedRevenueByPriority(Tables(s, d))),
+    // stream-stream interval join (buffered state bounded by the
+    // horizon on both watermarked sides) and stateful gap
+    // sessionization (flatMapGroupsWithState + event-time timeout) —
+    // the two remaining §2.4 stateful operators, now hash-checked
+    // under replay like q111-q115
+    "q117_stream_interval_join" -> ((s, d) => graft.streaming.StreamReplay.streamIntervalJoin(s, d)),
+    "q118_stream_sessions"   -> ((s, d) => graft.streaming.StreamReplay.streamSessions(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -667,6 +674,39 @@ object SparkEntry {
         | COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // q117: append-mode inner stream-stream join emits each matched
+    // pair exactly once whatever the batching — the oracle is the
+    // plain batch interval self-join over the replayed slice
+    "q117_stream_interval_join" ->
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        | c.event_id AS click_id, e.ts AS err_ts, c.ts AS click_ts
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND e.ts < TIMESTAMP '2024-01-08 00:00:00'
+        |  AND c.ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // q118: the streamed gap sessions must equal the batch lag+cumsum
+    // sessionization (q66's recipe, grouped to session rows);
+    // total_value folds doubles in (ts, event_id) order on both
+    // engines — list_reduce mirrors the stream's sequential fold
+    "q118_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id), (a,b) -> a + b) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

@@ -80,12 +80,29 @@ case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
-/** Per-user open-session state (must be public for encoder codegen). */
+/** Per-user open-session state (must be public for encoder codegen).
+  * `start`/`last` are epoch MICROS: java.sql.Timestamp.getTime is
+  * millis, and a session operator that truncates to millis disagrees
+  * with a micros-exact batch oracle on boundary gaps and on
+  * session_start/end values. */
 case class SessState(start: Long, last: Long, n: Int, total: Double)
 
 object Sessionize {
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
   import org.apache.spark.sql.{Dataset, Encoders}
+
+  /** Timestamp → epoch micros without millis truncation
+    * (getTime = seconds·1000 + nanos/10⁶, so floorDiv recovers the
+    * seconds; getNanos carries the full sub-second). */
+  def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Epoch micros → Timestamp, micros preserved in the nanos field. */
+  def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives for `gapMs` (event time). State per
@@ -98,19 +115,25 @@ object Sessionize {
     implicit val longEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[SessState]
 
+    val gapUs = gapMs * 1000L
     def fn(userId: Long, evs: Iterator[UserEvent],
         state: GroupState[SessState]): Iterator[UserSession] = {
       var closed = List.empty[UserSession]
       var cur = state.getOption
-      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      // (micros, event_id) order: same-timestamp events fold in a
+      // deterministic order, so the double accumulation in `total` is
+      // bit-reproducible across engines and replays; micros (not
+      // getTime's millis) so boundary gaps agree with a micros-exact
+      // batch oracle
+      evs.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+        val t = toMicros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapUs =>
             cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
               total = s.total + e.value))
           case Some(s) =>
-            closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.total)
+            closed ::= UserSession(userId, fromMicros(s.start),
+              fromMicros(s.last), s.n, s.total)
             cur = Some(SessState(t, t, 1, e.value))
           case None =>
             cur = Some(SessState(t, t, 1, e.value))
@@ -118,14 +141,17 @@ object Sessionize {
       }
       if (state.hasTimedOut) {
         cur.foreach { s =>
-          closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
-            new java.sql.Timestamp(s.last), s.n, s.total)
+          closed ::= UserSession(userId, fromMicros(s.start),
+            fromMicros(s.last), s.n, s.total)
         }
         state.remove()
       } else {
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // timeout API is millis; round UP so the event-time timeout
+          // never fires a micro-fraction before the gap has elapsed
+          state.setTimeoutTimestamp(
+            math.floorDiv(s.last + gapUs + 999L, 1000L))
         }
       }
       closed.reverseIterator

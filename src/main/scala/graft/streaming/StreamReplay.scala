@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.DecimalType
 
 /** One event-stream row under replay (top-level: encoder codegen). */
 case class ReplayEvent(
-    ts: java.sql.Timestamp, event_id: Long, event_type: String, value: Double)
+    ts: java.sql.Timestamp, event_id: Long, user_id: Long,
+    event_type: String, value: Double)
 
 /** One document-stream row under replay (top-level: encoder codegen). */
 case class ReplayDoc(ts: java.sql.Timestamp, doc_id: Long, text: String)
@@ -140,12 +141,12 @@ object StreamReplay {
       import spark.implicits._
       val slice = Tables(spark, dir).events
         .filter($"ts" < to_timestamp(lit(EventCutoff)))
-        .select($"ts", $"event_id", $"event_type", $"value")
+        .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
         .orderBy($"ts", $"event_id")
         .as[ReplayEvent].collect().toSeq
       val sentinel = ReplayEvent(
         new java.sql.Timestamp(slice.map(_.ts.getTime).max + 40L * 86400000L),
-        -1L, "__flush__", 0.0)
+        -1L, -1L, "__flush__", 0.0)
       (slice, sentinel)
     })
 
@@ -333,5 +334,60 @@ object StreamReplay {
       .select((coalesce($"n_hit".cast("double") / $"n_true", lit(0.0)) >= floor)
         .as("meets_floor"))
     base.select($"vec_id".as("q_id")).crossJoin(broadcast(gate)).orderBy($"q_id")
+  }
+
+  /** q117 — stream-stream interval join under replay: the event slice
+    * feeds ONE MemoryStream whose error/click branches join through
+    * [[EventStream.errorsWithRecentClicks]] (both sides watermarked;
+    * buffered state bounded by the horizon, not the stream length).
+    * An append-mode INNER join emits each matched pair exactly once
+    * whatever the batching, so the result set is deterministic and
+    * the oracle is the plain batch interval self-join in SQL. The
+    * flush sentinel is filtered off both sides (it is neither an
+    * error nor a click) — harmless, since inner-join emission does
+    * not wait on watermark finalization. */
+  def streamIntervalJoin(spark: SparkSession, dir: String,
+      horizon: String = "6 hours"): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      val df = ds.toDF()
+      EventStream.errorsWithRecentClicks(
+        df.filter($"event_type" === "error"),
+        df.filter($"event_type" === "click"), horizon)
+    }
+    out.orderBy($"error_id", $"click_id")
+  }
+
+  /** q118 — stateful gap sessionization under replay
+    * ([[Sessionize.sessions]], flatMapGroupsWithState + event-time
+    * timeout): sessions close mid-stream when a later event reveals a
+    * gap, and the final open sessions close via timeout when the
+    * flush sentinel advances the watermark — both stateful paths are
+    * exercised and the output must equal the batch lag+cumsum
+    * sessionization of the same slice. total_value folds doubles in
+    * (ts, event_id) order on both engines (`list_reduce` oracle) —
+    * bit-exact, same recipe as q70's EWMA. */
+  def streamSessions(spark: SparkSession, dir: String,
+      gapSeconds: Long = 21600L): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      // The sentinel flows INTO the stateful operator (as user -1,
+      // dropped from the output): a pre-watermark filter is useless —
+      // Catalyst pushes deterministic predicates THROUGH
+      // EventTimeWatermark, so a filtered sentinel never advances
+      // event time and the final open sessions never time out
+      // (observed: the last session of 6/15 users missing at
+      // sf0.001 with an input-side filter).
+      val events = ds.withWatermark("ts", "0 seconds")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      Sessionize.sessions(events, gapSeconds * 1000L).toDF()
+    }
+    out.filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events".cast("long").as("n_events"), $"total_value")
+      .orderBy($"user_id", $"session_start")
   }
 }

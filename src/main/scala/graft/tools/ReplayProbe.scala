@@ -30,13 +30,13 @@ object ReplayProbe {
     val slice = t("slice collect") {
       graft.Tables(spark, dir).events
         .filter($"ts" < to_timestamp(lit("2024-01-08 00:00:00")))
-        .select($"ts", $"event_id", $"event_type", $"value")
+        .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
         .orderBy($"ts", $"event_id")
         .as[graft.streaming.ReplayEvent].collect().toSeq
     }
     val sentinel = graft.streaming.ReplayEvent(
       new java.sql.Timestamp(slice.map(_.ts.getTime).max + 40L * 86400000L),
-      -1L, "__flush__", 0.0)
+      -1L, -1L, "__flush__", 0.0)
     for (round <- 1 to 2) {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[graft.streaming.ReplayEvent]
