@@ -352,6 +352,27 @@ object Graft {
       events, minCos, delayMs, bands, planesPerBand, dim,
       maxAnchors = maxAnchors)
 
+  /** Stream-stream interval join: each left row pairs with the same
+    * key's right rows from the preceding `horizon`. Both sides are
+    * watermarked and the join condition bounds event-time distance,
+    * so buffered state is proportional to the horizon, not the stream
+    * length; append-mode inner join emits each matched pair exactly
+    * once (driver-checked under replay as q117). */
+  def streamIntervalJoin(errors: DataFrame, clicks: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    graft.streaming.EventStream.errorsWithRecentClicks(errors, clicks, horizon)
+
+  /** Streaming gap sessionization: flatMapGroupsWithState with
+    * event-time timeout — O(1) state per user, sessions close on an
+    * observed gap or when the watermark passes last + gap. Micros-
+    * exact, deterministic (ts, event_id) fold order (driver-checked
+    * under replay as q118; caller sets the input watermark). */
+  def streamSessions(
+      events: org.apache.spark.sql.Dataset[graft.streaming.UserEvent],
+      gapMs: Long)
+      : org.apache.spark.sql.Dataset[graft.streaming.UserSession] =
+    graft.streaming.Sessionize.sessions(events, gapMs)
+
   /** Morton (z-order) key of two non-negative integer columns. */
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)

@@ -172,4 +172,47 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(3L) > got(1L), s"backoff doc should score higher: $got")
   }
+
+  test("streamIntervalJoin and streamSessions work through the facade") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // interval join: one error, two clicks inside the 10-min horizon
+    val errIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clkIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q1 = Graft.streamIntervalJoin(
+      errIn.toDF().toDF("ts", "user_id", "event_id"),
+      clkIn.toDF().toDF("ts", "user_id", "event_id"), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("api_sj").start()
+    try {
+      clkIn.addData((ts("2024-01-01 00:00:00"), 1L, 100L),
+        (ts("2024-01-01 00:20:00"), 1L, 101L))
+      errIn.addData((ts("2024-01-01 00:21:00"), 1L, 500L))
+      q1.processAllAvailable()
+      val got = spark.table("api_sj").select("click_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(101L), s"horizon filter failed: $got")
+    } finally q1.stop()
+    // sessions: a 5-min pair, then an event past the gap closes it
+    val evIn = MemoryStream[graft.streaming.UserEvent]
+    val q2 = Graft.streamSessions(
+      evIn.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("api_sess").start()
+    try {
+      evIn.addData(
+        graft.streaming.UserEvent(1, ts("2024-01-01 00:00:00"), 7, "a", 1.5),
+        graft.streaming.UserEvent(2, ts("2024-01-01 00:05:00"), 7, "a", 2.5))
+      q2.processAllAvailable()
+      evIn.addData(graft.streaming.UserEvent(3, ts("2024-01-01 01:00:00"), 7, "a", 9.0))
+      q2.processAllAvailable()
+      evIn.addData(graft.streaming.UserEvent(4, ts("2024-01-01 03:00:00"), 8, "a", 0.0))
+      q2.processAllAvailable()
+      val s = spark.table("api_sess").as[graft.streaming.UserSession]
+        .collect().filter(_.user_id == 7L)
+      assert(s.exists(x => x.n_events == 2 && x.total_value == 4.0),
+        s"first session wrong: ${s.toSeq}")
+    } finally q2.stop()
+  }
 }
