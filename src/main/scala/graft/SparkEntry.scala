@@ -218,6 +218,9 @@ object SparkEntry {
     // under replay like q111-q115
     "q117_stream_interval_join" -> ((s, d) => graft.streaming.StreamReplay.streamIntervalJoin(s, d)),
     "q118_stream_sessions"   -> ((s, d) => graft.streaming.StreamReplay.streamSessions(s, d)),
+    // streaming EWMA: the unbounded-stream twin q70's Scaladoc
+    // promised — O(1) state per user, event-time-timeout flush
+    "q119_stream_ewma"       -> ((s, d) => graft.streaming.StreamReplay.streamEwma(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -707,6 +710,15 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  list_reduce(list(value ORDER BY ts, event_id), (a,b) -> a + b) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q119: the streamed per-user EWMA must equal the batch fold
+    // (q70's list_reduce recipe) over the replayed slice — same
+    // (ts, event_id) fold order, bit-exact doubles
+    "q119_stream_ewma" ->
+      """SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        | list_reduce(vs, (a, b) -> a * 0.5 + b * 0.5) AS ewma_value
+        |FROM (SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
+        |      FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |      GROUP BY user_id) t""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

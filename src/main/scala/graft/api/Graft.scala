@@ -373,6 +373,17 @@ object Graft {
       : org.apache.spark.sql.Dataset[graft.streaming.UserSession] =
     graft.streaming.Sessionize.sessions(events, gapMs)
 
+  /** Streaming per-user EWMA: O(1) state per user folded in
+    * (ts, event_id) order — bit-identical to the batch fold — with
+    * the final feature row emitted by event-time timeout once a user
+    * is quiet for `quietMs` (driver-checked under replay as q119;
+    * caller sets the input watermark). */
+  def streamEwma(
+      events: org.apache.spark.sql.Dataset[graft.streaming.UserEvent],
+      alpha: Double = 0.5, quietMs: Long = 3600000L)
+      : org.apache.spark.sql.Dataset[graft.streaming.UserEwma] =
+    graft.streaming.StreamEwma.ewmaPerUser(events, alpha, quietMs)
+
   /** Morton (z-order) key of two non-negative integer columns. */
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)

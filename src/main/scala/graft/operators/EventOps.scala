@@ -219,8 +219,9 @@ object EventOps {
     * (α = 0.5), folded in (ts, event_id) order. The sequential fold is
     * the oracle-parity formulation (sort_array(collect_list) ↔
     * `list(value ORDER BY ...)` + list_reduce — bit-identical
-    * doubles); an unbounded stream would instead keep EWMA as
-    * mapGroupsWithState (graft.streaming). */
+    * doubles); the unbounded-stream twin keeps EWMA as O(1)
+    * flatMapGroupsWithState state instead
+    * ([[graft.streaming.StreamEwma]], driver-checked as q119). */
   def ewmaPerUser(t: Tables, alpha: Double = 0.5): DataFrame = {
     import t.spark.implicits._
     val ordered = t.events

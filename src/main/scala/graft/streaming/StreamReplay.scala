@@ -390,4 +390,29 @@ object StreamReplay {
         $"n_events".cast("long").as("n_events"), $"total_value")
       .orderBy($"user_id", $"session_start")
   }
+
+  /** q119 — streaming EWMA features under replay
+    * ([[StreamEwma.ewmaPerUser]], the unbounded-stream twin of batch
+    * q70): O(1) state per user folded in (ts, event_id) order, final
+    * row emitted via event-time timeout. `quietMs` is set past the
+    * slice span so the sentinel's watermark advance is the only flush
+    * — every user emits exactly one row equal to the batch fold over
+    * the whole slice, so the oracle is q70's list_reduce recipe with
+    * the slice predicate, bit-exact. */
+  def streamEwma(spark: SparkSession, dir: String,
+      alpha: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      val events = ds.withWatermark("ts", "0 seconds")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      // quiet horizon > slice span (7 days): no mid-stream flush, the
+      // sentinel (+40 days) is the single end-of-stream flush
+      StreamEwma.ewmaPerUser(events, alpha, quietMs = 30L * 86400000L).toDF()
+    }
+    out.filter($"user_id" >= 0)
+      .select($"user_id", $"n_events", $"ewma_value")
+      .orderBy($"user_id")
+  }
 }
