@@ -221,6 +221,10 @@ object SparkEntry {
     // streaming EWMA: the unbounded-stream twin q70's Scaladoc
     // promised — O(1) state per user, event-time-timeout flush
     "q119_stream_ewma"       -> ((s, d) => graft.streaming.StreamReplay.streamEwma(s, d)),
+    // LEFT OUTER stream-stream join: null-side rows may emit only
+    // after the watermark proves no future match — the timing
+    // semantics q117's inner join cannot exercise
+    "q120_stream_outer_join" -> ((s, d) => graft.streaming.StreamReplay.streamOuterJoin(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -719,6 +723,20 @@ object SparkEntry {
         |FROM (SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
         |      FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
         |      GROUP BY user_id) t""".stripMargin,
+    // q120: the streamed left-outer interval join must equal the
+    // batch LEFT JOIN — matched rows exactly once, null-side rows
+    // exactly once after the watermark closes their horizon
+    "q120_stream_outer_join" ->
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        | c.event_id AS click_id, e.ts AS err_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'error'
+        |        AND ts < TIMESTAMP '2024-01-08 00:00:00') e
+        |LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type = 'click'
+        |        AND ts < TIMESTAMP '2024-01-08 00:00:00') c
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts""".stripMargin,
     // q108: same exactness recipe as q79 (exact int counts, identical
     // IEEE expression shapes, ln ≡ math_ln, sorted-order fold seeded
     // with the first-token term); model counted on doc_id%2==0 half

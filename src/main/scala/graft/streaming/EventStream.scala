@@ -54,7 +54,8 @@ object EventStream {
     * the batch as-of join in operators/AsOfJoin). */
   def errorsWithRecentClicks(
       errors: DataFrame, clicks: DataFrame,
-      horizon: String = "10 minutes"): DataFrame = {
+      horizon: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val e = errors
       .select(col("ts").as("err_ts"), col("user_id"),
         col("event_id").as("error_id"))
@@ -63,10 +64,15 @@ object EventStream {
       .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
         col("event_id").as("click_id"))
       .withWatermark("click_ts", horizon)
+    // joinType "left_outer": an error with no click in its horizon
+    // emits with a NULL click side — but only once the watermark
+    // passes the point where no future click can match, the
+    // state-timeout semantics that distinguish a streaming outer join
+    // from a batch one (inner matches emit eagerly either way)
     e.join(c, expr(
       s"""user_id = click_user AND
          |click_ts >= err_ts - INTERVAL $horizon AND
-         |click_ts <= err_ts""".stripMargin))
+         |click_ts <= err_ts""".stripMargin), joinType)
       .select(col("error_id"), col("user_id"), col("click_id"),
         col("err_ts"), col("click_ts"))
   }

@@ -415,4 +415,32 @@ object StreamReplay {
       .select($"user_id", $"n_events", $"ewma_value")
       .orderBy($"user_id")
   }
+
+  /** q120 — LEFT OUTER stream-stream interval join under replay: like
+    * q117, but errors with no click in their horizon must ALSO emit,
+    * with a NULL click side — and a streaming outer join may emit a
+    * null-match only after the watermark proves no future click can
+    * arrive for that error. That watermark-driven emission is the
+    * semantics under test, so the flush sentinel must advance BOTH
+    * sides' event time: it is admitted through both side filters
+    * (`__flush__` rows) and the sentinel⋈sentinel matches are dropped
+    * from the output by id. Oracle: the plain batch LEFT JOIN — the
+    * stream must emit exactly the batch match set plus exactly the
+    * batch null set, nothing twice. */
+  def streamOuterJoin(spark: SparkSession, dir: String,
+      horizon: String = "6 hours"): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      val df = ds.toDF()
+      // sentinel passes BOTH filters: a pre-watermark filter that
+      // drops it would silently freeze event time (the q118 lesson)
+      // and the outer join would never emit its null matches
+      val err = df.filter($"event_type" === "error" || $"event_type" === "__flush__")
+      val clk = df.filter($"event_type" === "click" || $"event_type" === "__flush__")
+      EventStream.errorsWithRecentClicks(err, clk, horizon, "left_outer")
+    }
+    out.filter($"error_id" >= 0)
+      .orderBy($"error_id", $"click_id")
+  }
 }
