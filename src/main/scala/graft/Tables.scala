@@ -27,12 +27,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   // to any query built over these tables.
   graft.expr.GraftFunctions.register(spark)
 
+  /** Every accessor reads through [[Tables.normalizeAllTs]]: whatever
+    * physical timestamp encoding the fixture generator used this round
+    * — the generator has already shipped TIMESTAMP(NANOS) (rounds 1–4)
+    * and TIMESTAMP_NTZ micros (round 5+), and a real lake mixes all of
+    * them across tables — downstream operators see one TIMESTAMP type.
+    * The sweep is schema-driven, not per-column-by-hand: round 5 lost
+    * five queries to a regeneration that flipped only `events.ts`, and
+    * `orders.o_orderdate` / `lineitem.l_shipdate` carry the same risk. */
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.normalizeAllTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Read through the multi-file layout cache (built on first use). */
   private def tp(name: String): DataFrame =
-    spark.read.parquet(Tables.parallelLayout(spark, dir, name))
+    Tables.normalizeAllTs(spark.read.parquet(Tables.parallelLayout(spark, dir, name)))
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -41,40 +49,47 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = tp("part")
   def orders: DataFrame     = tp("orders")
   def lineitem: DataFrame   = tp("lineitem")
-
-  /** `events`, with `ts` normalized to TIMESTAMP whatever physical
-    * parquet encoding the fixture generator used this round — the
-    * generator has already shipped TIMESTAMP(NANOS) (rounds 1–4) and
-    * TIMESTAMP_NTZ micros (round 5+), and a real lake mixes all of
-    * them across tables. Downstream operators see one type. */
-  def events: DataFrame = Tables.normalizeTs(tp("events"), "ts")
+  def events: DataFrame     = tp("events")
   def documents: DataFrame  = tp("documents")
   def embeddings: DataFrame = tp("embeddings")
 }
 
 object Tables {
 
-  /** Normalize one timestamp column to TIMESTAMP, whichever of the
-    * three encodings Spark surfaced from the parquet footer:
-    *  - `LongType`   — TIMESTAMP(NANOS) read under the
-    *    `nanosAsLong` legacy conf (set once at session build by every
-    *    graft entry point); truncated to micros, the same truncation
-    *    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+  /** Columns FIXTURES.md declares as event time (`events.ts`,
+    * `orders.o_orderdate`, `lineitem.l_shipdate`). A `LongType` column
+    * is reinterpreted as raw TIMESTAMP(NANOS) only for these names —
+    * every other bigint (keys, counts) must pass through untouched. */
+  private[graft] val TsColumns = Set("ts", "o_orderdate", "l_shipdate")
+
+  /** Normalize EVERY timestamp-like column of a frame to TIMESTAMP,
+    * whichever of the three encodings Spark surfaced from the parquet
+    * footer:
     *  - `TimestampNTZType` — isAdjustedToUTC=0 micros; reinterpreted
     *    under the session zone (pinned UTC), matching DuckDB's naive
-    *    TIMESTAMP semantics over the same file.
+    *    TIMESTAMP semantics over the same file. Swept by TYPE, so any
+    *    NTZ column of any table normalizes with no per-column code.
+    *  - `LongType` with a [[TsColumns]] name — TIMESTAMP(NANOS) read
+    *    under the `nanosAsLong` legacy conf (set once at session build
+    *    by every graft entry point); truncated to micros, the same
+    *    truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    *    (The parquet logical type is erased to a bare bigint by that
+    *    conf, so this leg is name-gated rather than type-swept.)
     *  - `TimestampType` — already canonical; untouched.
     * One projection, no shuffle; Catalyst folds the cast into the
-    * scan, so the normalized column still prunes and pushes down. */
-  private[graft] def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    * scan, so normalized columns still prune and push down. A frame
+    * with nothing to normalize is returned as-is (zero plan delta). */
+  private[graft] def normalizeAllTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    df.schema(colName).dataType match {
-      case LongType =>
-        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
-      case TimestampNTZType =>
-        df.withColumn(colName, col(colName).cast(TimestampType))
-      case _ => df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if TsColumns(f.name) =>
+          d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+        case _ => d
+      }
     }
   }
 

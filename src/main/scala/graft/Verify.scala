@@ -74,6 +74,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable coverage story for the rows-only queries: which
+    // hash-checked twin/gate pins each one and why, so the artifact
+    // itself shows a `no_oracle` row is still covered
+    val twinsJson = SparkEntry.twins.toSeq.sortBy(_._1)
+      .map { case (k, (twin, why)) =>
+        s"${jq(k)}: {${jq("twin")}: ${jq(twin)}, ${jq("why")}: ${jq(why)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twins.json"), twinsJson)
     // sidecar: every failed query with its message, always written
     // (empty object on a clean run) so its absence vs emptiness is
     // itself a signal

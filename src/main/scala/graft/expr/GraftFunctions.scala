@@ -34,6 +34,8 @@ object GraftFunctions {
       es => JaccardAtLeast(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_poly",
       es => SimHashPoly(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ts_micros",
+      es => TsMicros(es.head), "scala_udf")
     // the prefilter rewrite is semantically neutral — install it
     // alongside the functions (idempotent: the rule is a singleton).
     // The read-modify-write is synchronized: concurrent register()

@@ -307,7 +307,12 @@ object Relational {
     import t.spark.implicits._
     val approx = t.lineitem.groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
-    val exact = t.lineitem.select($"l_returnflag", $"l_partkey").distinct()
+    // isNotNull preserves countDistinct semantics (NULL is not a
+    // distinct value) — free on the current non-null fixture, correct
+    // if it ever ships nullable partkeys; also matches what
+    // approx_count_distinct excludes
+    val exact = t.lineitem.select($"l_returnflag", $"l_partkey")
+      .filter($"l_partkey".isNotNull).distinct()
       .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_parts"))
     approx.join(broadcast(exact), "l_returnflag")
       .withColumn("rel_err",

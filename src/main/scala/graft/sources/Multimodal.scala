@@ -8,23 +8,23 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The image and audio paths are REAL byte-level container work: the
+  * ALL THREE media paths are REAL byte-level container work: the
   * ingest synthesizes valid BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
-  * palette + pixel rows) and WAV (RIFF/fmt/data chunk walk) files from
-  * the fixture bytes, and the decode stage parses width / height /
-  * sample rate / duration OUT OF THE ACTUAL BINARY LAYOUT — malformed
-  * headers fail decode (spec-asserted). Both are public, documented
-  * formats simple enough to parse dependency-free.
+  * palette + pixel rows), WAV (RIFF/fmt/data chunk walk), and Y4M
+  * (YUV4MPEG2 header + FRAME-delimited raw planes) files from the
+  * fixture bytes, and the decode stage parses width / height / frame
+  * rate / sample rate / duration OUT OF THE ACTUAL BINARY LAYOUT —
+  * malformed headers fail decode (spec-asserted). All are public,
+  * documented formats simple enough to parse dependency-free; frame
+  * sampling reads the actual frame payloads out of the container.
   *
-  * What remains deterministic-fake, clearly declared: the VIDEO path
-  * (no trivial public container; payload stays opaque bytes with
-  * manifest metadata and 1-fps fake frame sampling) and the embedding
-  * itself ([[FakeCodec.decodeEmbedding]] hash-projects the decoded
-  * body — it stands in for a vision/audio model, not for the codec).
+  * What remains deterministic-fake, clearly declared: the embedding
+  * ([[FakeCodec.decodeEmbedding]] hash-projects the decoded body — it
+  * stands in for a vision/audio model, not for the codec).
   *
   * Media payloads derive deterministically from the `documents`
-  * fixture (text bytes = pixel/sample content) so every stage is
-  * reproducible across runs and engines.
+  * fixture (text bytes = pixel/sample/frame content) so every stage
+  * is reproducible across runs and engines.
   */
 object Multimodal {
 
@@ -154,11 +154,114 @@ object Multimodal {
     }
   }
 
-  /** ====== DETERMINISTIC FAKE (declared): model + video stubs ======
+  /** Real Y4M (YUV4MPEG2) encode/decode — the public uncompressed
+    * video container mjpegtools/ffmpeg ship (`yuv4mpeg(5)`): one
+    * ASCII header line `YUV4MPEG2 W<w> H<h> F<num>:<den> …\n`, then
+    * each frame as a `FRAME[ params]\n` marker followed by the raw
+    * plane bytes. Graft writes `Cmono` (a single full-resolution
+    * luma plane, w·h bytes per frame — the documented colorspace for
+    * grayscale), so the fixture text bytes ARE the frame payloads.
+    * Decode parses geometry and frame rate out of the header, walks
+    * the FRAME markers, and fails fast on bad magic, non-numeric or
+    * absurd geometry, unsupported colorspace, or a truncated frame —
+    * the same bar as [[BmpCodec]]/[[WavCodec]]. */
+  object Y4mCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+    private val MaxDim = 1 << 16
+
+    final case class Video(width: Int, height: Int, fpsNum: Int,
+        fpsDen: Int, frames: Array[Array[Byte]])
+
+    /** A valid Y4M whose concatenated frame payloads are `content`
+      * split into w·h-byte frames, zero-padded in the last frame. */
+    def encode(content: Array[Byte], width: Int, height: Int, fps: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0 && width <= MaxDim && height <= MaxDim,
+        s"bad Y4M encode geometry: ${width}x$height@$fps")
+      val fsize = width * height
+      val nFrames = math.max(1, (content.length + fsize - 1) / fsize)
+      val header = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 Cmono\n".getBytes(Ascii)
+      val marker = "FRAME\n".getBytes(Ascii)
+      // allocate() zero-initializes, so skipping the pad region of the
+      // last frame leaves the spec'd zero fill
+      val buf = java.nio.ByteBuffer.allocate(header.length + nFrames * (marker.length + fsize))
+      buf.put(header)
+      var f = 0
+      while (f < nFrames) {
+        buf.put(marker)
+        val start = f * fsize
+        val n = math.min(fsize, math.max(0, content.length - start))
+        if (n > 0) buf.put(content, start, n)
+        if (n < fsize) buf.position(buf.position() + (fsize - n))
+        f += 1
+      }
+      buf.array()
+    }
+
+    /** Parse (geometry, frame rate, frame payloads) out of the binary
+      * layout; rejects anything that isn't the Cmono shape. */
+    def decode(bytes: Array[Byte]): Video = {
+      val nl = indexOfNl(bytes, 0)
+      require(nl > 0 && nl < 256, "not a Y4M: missing header terminator")
+      val header = new String(bytes, 0, nl, Ascii)
+      val parts = header.split(" ")
+      require(parts(0) == "YUV4MPEG2", "not a Y4M: bad magic")
+      var w = -1; var h = -1; var fn = -1; var fd = -1
+      var cs = "420jpeg" // the yuv4mpeg(5) default when C is absent
+      try parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val Array(a, b) = p.substring(1).split(":", 2)
+            fn = a.toInt; fd = b.toInt
+          case 'C' => cs = p.substring(1)
+          case _ => () // Ip/A/X params carry no geometry
+        }
+      } catch {
+        case e: RuntimeException => // NumberFormat / MatchError → loud
+          throw new IllegalArgumentException(s"corrupt Y4M header '$header'", e)
+      }
+      require(w > 0 && h > 0 && fn > 0 && fd > 0 && w <= MaxDim && h <= MaxDim,
+        s"corrupt Y4M geometry: W=$w H=$h F=$fn:$fd")
+      require(cs == "mono", s"unsupported Y4M colorspace: C$cs (only Cmono)")
+      val fsize = w * h
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        require(pos + 5 <= bytes.length &&
+          new String(bytes, pos, 5, Ascii) == "FRAME",
+          s"corrupt Y4M: expected FRAME marker at byte $pos")
+        val end = indexOfNl(bytes, pos + 5) // marker may carry params
+        require(end >= 0, s"corrupt Y4M: unterminated FRAME marker at byte $pos")
+        pos = end + 1
+        require(pos + fsize <= bytes.length, s"truncated Y4M frame at byte $pos")
+        frames += java.util.Arrays.copyOfRange(bytes, pos, pos + fsize)
+        pos += fsize
+      }
+      require(frames.nonEmpty, "Y4M with no frames")
+      Video(w, h, fn, fd, frames.toArray)
+    }
+
+    /** Sample at ~1 fps: every (fpsNum/fpsDen)-th frame starting with
+      * frame 0, reading the ACTUAL payloads parsed by [[decode]]. */
+    def sampleOneFps(v: Video): Array[Array[Byte]] = {
+      val step = math.max(1, v.fpsNum / math.max(1, v.fpsDen))
+      (0 until v.frames.length by step).map(v.frames).toArray
+    }
+
+    private def indexOfNl(bytes: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+      if (i < bytes.length) i else -1
+    }
+  }
+
+  /** ====== DETERMINISTIC FAKE (declared): the embedding model ======
     * `decodeEmbedding` hash-projects decoded body bytes into a dense
-    * vector — the stand-in for a vision/audio embedding model.
-    * `frameCount` is the video path's 1-fps fake frame sampler (no
-    * trivial public video container to really parse). */
+    * vector — the stand-in for a vision/audio embedding model (the
+    * codecs feeding it are real; see [[BmpCodec]]/[[WavCodec]]/
+    * [[Y4mCodec]]). `frameCount` derives the audio sampling count
+    * from the PARSED duration (one sample per 5 s of audio). */
   object FakeCodec {
     def decodeEmbedding(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -173,9 +276,8 @@ object Multimodal {
       out
     }
     def frameCount(kind: String, durationMs: Int): Int = kind match {
-      case "video" => math.max(1, durationMs / 1000) // 1 fps sample
       case "audio" => math.max(1, durationMs / 5000)
-      case _ => 1
+      case _ => 1 // video sampling is real: Y4mCodec.sampleOneFps
     }
   }
 
@@ -185,9 +287,16 @@ object Multimodal {
     * the 8bpp BMP rows need no padding). */
   private def imageWidth(id: Long): Int = 64 + (id % 16).toInt * 16
 
+  /** Video manifest formulas: geometry and frame rate vary per item so
+    * the decode genuinely has to parse them back out of the header. */
+  private def videoWidth(id: Long): Int = 32 + (id % 8).toInt * 16   // 32..144
+  private def videoHeight(id: Long): Int = 16 + (id % 4).toInt * 16  // 16..64
+  private def videoFps(id: Long): Int = 1 + (id % 5).toInt           // 1..5
+
   /** Build the deterministic media table from `documents`: text bytes
-    * become BMP pixels (image), WAV samples (audio), or an opaque
-    * payload (video). */
+    * become BMP pixels (image), WAV samples (audio), or Y4M luma
+    * frames (video). `duration_ms` stays 0 — every kind's geometry,
+    * duration, and frame count now parse from the container bytes. */
   def mediaFromDocuments(t: Tables): Dataset[MediaRow] = {
     import t.spark.implicits._
     t.documents.select($"doc_id", $"text").as[(Long, String)].map { case (id, text) =>
@@ -195,8 +304,8 @@ object Multimodal {
       (id % 3) match {
         case 0 => MediaRow(id, "image", BmpCodec.encode(content, imageWidth(id)), 0)
         case 1 => MediaRow(id, "audio", WavCodec.encode(content, AudioRate), 0)
-        case _ => MediaRow(id, "video", content,
-          1000 + (id % 30).toInt * 1000) // manifest hint: fake sampler input
+        case _ => MediaRow(id, "video", Y4mCodec.encode(content,
+          videoWidth(id), videoHeight(id), videoFps(id)), 0)
       }
     }
   }
@@ -225,9 +334,18 @@ object Multimodal {
               FakeCodec.frameCount(m.kind, durMs),
               FakeCodec.decodeEmbedding(samples, EmbeddingDim))
           case _ =>
-            MediaFeatures(m.media_id, m.kind, m.bytes.length, 0, 0, 0,
-              FakeCodec.frameCount(m.kind, m.duration_ms),
-              FakeCodec.decodeEmbedding(m.bytes, EmbeddingDim))
+            // video: geometry + frame rate from the Y4M header, frame
+            // sampling over the ACTUAL parsed frame payloads (~1 fps),
+            // embedding over the sampled frames' concatenated bytes
+            val v = Y4mCodec.decode(m.bytes)
+            val sampled = Y4mCodec.sampleOneFps(v)
+            val body = new Array[Byte](sampled.length * v.width * v.height)
+            var off = 0
+            sampled.foreach { fr =>
+              System.arraycopy(fr, 0, body, off, fr.length); off += fr.length
+            }
+            MediaFeatures(m.media_id, m.kind, m.bytes.length, v.width, v.height, 0,
+              sampled.length, FakeCodec.decodeEmbedding(body, EmbeddingDim))
         }
       }
     }

@@ -83,6 +83,10 @@ object StreamReplay {
     // streaming job of this key cardinality would pick. The caller's
     // session conf is untouched (bench threads share it).
     val ss = spark.newSession()
+    // a fresh session state means a fresh temp-function registry —
+    // graft's native expressions (ts_micros, simhash64, …) must be
+    // re-registered or any build lambda using them fails resolution
+    graft.expr.GraftFunctions.register(ss)
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     // Every chunk otherwise triggers a trailing zero-row micro-batch
     // just to re-evaluate under the advanced watermark — doubling the
@@ -133,22 +137,33 @@ object StreamReplay {
     * re-sort, and re-collect it (the r5 bench paid that three times
     * over). Same pattern as `Graph.memoized`; the map holds one
     * week-bounded slice per dir for the JVM's lifetime. */
-  private val sliceMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[ReplayEvent], ReplayEvent)]()
+  // SoftReference, not a hard map value: the memo only exists to stop
+  // the replay lane re-collecting the same slice for each of its
+  // queries, but a hard reference would pin a driver-side footprint
+  // linear in SF for the JVM's lifetime — the rest of a Verify/Bench
+  // suite at large SF would carry it. Soft lets the GC reclaim the
+  // slice under pressure once the replay lane is done (worst case: a
+  // re-collect, never an OOM contribution).
+  private val sliceMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[(Seq[ReplayEvent], ReplayEvent)]]()
 
   private def eventSlice(spark: SparkSession, dir: String): (Seq[ReplayEvent], ReplayEvent) =
-    sliceMemo.computeIfAbsent(dir, { _ =>
-      import spark.implicits._
-      val slice = Tables(spark, dir).events
-        .filter($"ts" < to_timestamp(lit(EventCutoff)))
-        .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
-        .orderBy($"ts", $"event_id")
-        .as[ReplayEvent].collect().toSeq
-      val sentinel = ReplayEvent(
-        new java.sql.Timestamp(slice.map(_.ts.getTime).max + 40L * 86400000L),
-        -1L, -1L, "__flush__", 0.0)
-      (slice, sentinel)
-    })
+    sliceMemo.synchronized {
+      Option(sliceMemo.get(dir)).flatMap(r => Option(r.get())).getOrElse {
+        import spark.implicits._
+        val slice = Tables(spark, dir).events
+          .filter($"ts" < to_timestamp(lit(EventCutoff)))
+          .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
+          .orderBy($"ts", $"event_id")
+          .as[ReplayEvent].collect().toSeq
+        val sentinel = ReplayEvent(
+          new java.sql.Timestamp(slice.map(_.ts.getTime).max + 40L * 86400000L),
+          -1L, -1L, "__flush__", 0.0)
+        val v = (slice, sentinel)
+        sliceMemo.put(dir, new java.lang.ref.SoftReference(v))
+        v
+      }
+    }
 
   /** q111 — tumbling event-time windows with watermark finalization:
     * per-day count + DECIMAL-exact value sum per event type, computed

@@ -29,14 +29,20 @@ class AnalysisSmokeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("fixture schemas are pinned (events.ts encoding drift breaks HERE)") {
+  test("fixture schemas are pinned (timestamp encoding drift breaks HERE)") {
     val t = sf001
-    // raw encoding must be one of the three known flavors...
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    assert(Set[DataType](TimestampType, TimestampNTZType, LongType).contains(raw),
-      s"events.ts arrived in an UNKNOWN parquet encoding: $raw — " +
-        "extend Tables.normalizeTs before anything else this round")
-    // ...and the Tables boundary must normalize every flavor to TIMESTAMP
+    // every declared event-time column's raw encoding must be one of
+    // the three known flavors (round 5 flipped events.ts; o_orderdate
+    // and l_shipdate can drift the same way on any regeneration)...
+    for ((table, c) <- Seq("events" -> "ts", "orders" -> "o_orderdate",
+        "lineitem" -> "l_shipdate")) {
+      val raw = spark.read.parquet(s"$dir/$table.parquet").schema(c).dataType
+      assert(Set[DataType](TimestampType, TimestampNTZType, LongType).contains(raw),
+        s"$table.$c arrived in an UNKNOWN parquet encoding: $raw — " +
+          "extend Tables.normalizeAllTs before anything else this round")
+    }
+    // ...and the Tables boundary must normalize every flavor of every
+    // column to TIMESTAMP (the schema-driven sweep, not per-column code)
     assert(t.events.schema("ts").dataType == TimestampType,
       s"Tables.events.ts not normalized: ${t.events.schema("ts").dataType}")
     // column-name/type pin for every fixture table the queries read;
@@ -47,9 +53,9 @@ class AnalysisSmokeSpec extends SparkSpec {
       "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int",
       "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
         "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
-        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz"),
+        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
       "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double," +
-        "o_orderdate:timestamp_ntz,o_orderpriority:string"))
+        "o_orderdate:timestamp,o_orderpriority:string"))
     val tables = Map[String, org.apache.spark.sql.DataFrame](
       "events" -> t.events, "documents" -> t.documents,
       "embeddings" -> t.embeddings, "lineitem" -> t.lineitem,
@@ -58,6 +64,41 @@ class AnalysisSmokeSpec extends SparkSpec {
       val got = tables(name).schema.fields
         .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
       assert(got == want, s"$name schema drifted:\n  got  $got\n  want $want")
+    }
+  }
+
+  test("a re-encoded fixture table normalizes without per-column code") {
+    // simulate the exact drift class that cost round 5: rewrite orders
+    // with o_orderdate as TIMESTAMP_NTZ into a scratch fixture dir and
+    // read it back through the Tables boundary — the schema sweep must
+    // normalize it with no hand-placed normalize call for the column
+    import org.apache.spark.sql.functions.{col, sum, unix_micros}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val orig = spark.read.parquet(s"$dir/orders.parquet")
+    orig.withColumn("o_orderdate", col("o_orderdate").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = Tables(spark, tmp).orders
+    assert(got.schema("o_orderdate").dataType == TimestampType,
+      s"NTZ-drifted o_orderdate not normalized: ${got.schema("o_orderdate").dataType}")
+    // instants preserved, not just the type: checksum of epoch-micros
+    val want = Tables(spark, dir).orders
+      .agg(sum(unix_micros(col("o_orderdate")))).head.getLong(0)
+    assert(got.agg(sum(unix_micros(col("o_orderdate")))).head.getLong(0) == want,
+      "normalization changed instants")
+    Tables.deleteRec(new java.io.File(tmp))
+  }
+
+  test("twins.json invariant: rows-only queries <-> hash-checked twins") {
+    // keys are EXACTLY the queries with no oracle (a new no_oracle
+    // query without a declared twin breaks here), and every twin/gate
+    // itself carries an oracle
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.twins.keySet == noOracle,
+      s"twins keys != no-oracle queries:\n  twins-only ${SparkEntry.twins.keySet -- noOracle}" +
+        s"\n  uncovered  ${noOracle -- SparkEntry.twins.keySet}")
+    SparkEntry.twins.foreach { case (k, (twin, _)) =>
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"$k's declared twin $twin has no oracle itself")
     }
   }
 

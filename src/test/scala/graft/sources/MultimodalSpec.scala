@@ -1,11 +1,12 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.Multimodal.{BmpCodec, WavCodec}
+import graft.sources.Multimodal.{BmpCodec, WavCodec, Y4mCodec}
 
-/** The multimodal decode is genuinely byte-level for image/audio:
-  * geometry and sample rate come out of the container's binary
-  * layout, round-trip exactly, and malformed headers fail decode. */
+/** The multimodal decode is genuinely byte-level for image, audio,
+  * AND video: geometry, sample rate, and frame rate come out of the
+  * container's binary layout, round-trip exactly, and malformed
+  * headers fail decode. */
 class MultimodalSpec extends SparkSpec {
 
   private val content = (0 until 1000).map(i => (i % 251).toByte).toArray
@@ -31,6 +32,51 @@ class MultimodalSpec extends SparkSpec {
     val (rate, samples) = WavCodec.decode(wav)
     assert(rate === 16000)
     assert(samples.toSeq === odd.toSeq, "pad byte is NOT part of the data chunk")
+  }
+
+  test("Y4M round-trip: header drives the parse, frames carry the content") {
+    val y4m = Y4mCodec.encode(content, width = 20, height = 10, fps = 3)
+    // genuine layout: ASCII header line, then FRAME-delimited planes
+    val header = new String(y4m.takeWhile(_ != '\n'.toByte), "US-ASCII")
+    assert(header === "YUV4MPEG2 W20 H10 F3:1 Ip A1:1 Cmono")
+    val v = Y4mCodec.decode(y4m)
+    assert((v.width, v.height, v.fpsNum, v.fpsDen) === (20, 10, 3, 1))
+    assert(v.frames.length === 5, "1000 bytes / 200-byte frames")
+    assert(v.frames.flatten.take(content.length).toSeq === content.toSeq)
+    assert(v.frames.flatten.drop(content.length).forall(_ == 0), "last frame zero-fills")
+    // ~1 fps sampling reads every fps-th ACTUAL frame payload
+    val sampled = Y4mCodec.sampleOneFps(v)
+    assert(sampled.length === 2, "ceil(5 frames / 3 fps)")
+    assert(sampled(0).toSeq === v.frames(0).toSeq)
+    assert(sampled(1).toSeq === v.frames(3).toSeq)
+    // the spec allows FRAME markers to carry parameters — the chunk
+    // walk must honor the marker's own newline, not a fixed offset
+    val withParams = new String(y4m, "ISO-8859-1")
+      .replaceFirst("FRAME\n", "FRAME Xparam\n").getBytes("ISO-8859-1")
+    val decoded2 = Y4mCodec.decode(withParams)
+    assert(decoded2.frames.length === 5)
+    assert(decoded2.frames(0).toSeq === v.frames(0).toSeq)
+  }
+
+  test("Y4M malformed headers fail decode instead of producing garbage") {
+    val y4m = Y4mCodec.encode(content, width = 20, height = 10, fps = 3)
+    val badMagic = y4m.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Y4mCodec.decode(badMagic))
+    // non-numeric width in the header
+    val badW = new String(y4m, "ISO-8859-1")
+      .replaceFirst("W20", "Wxx").getBytes("ISO-8859-1")
+    assertThrows[IllegalArgumentException](Y4mCodec.decode(badW))
+    // unsupported colorspace
+    val badC = new String(y4m, "ISO-8859-1")
+      .replaceFirst("Cmono", "C420j").getBytes("ISO-8859-1")
+    assertThrows[IllegalArgumentException](Y4mCodec.decode(badC))
+    // truncated last frame
+    assertThrows[IllegalArgumentException](
+      Y4mCodec.decode(y4m.take(y4m.length - 1)))
+    // geometry claiming more bytes than the file holds
+    val badGeom = new String(y4m, "ISO-8859-1")
+      .replaceFirst("H10", "H9999").getBytes("ISO-8859-1")
+    assertThrows[IllegalArgumentException](Y4mCodec.decode(badGeom))
   }
 
   test("malformed headers fail decode instead of producing garbage") {
@@ -63,8 +109,10 @@ class MultimodalSpec extends SparkSpec {
         assert(f.height >= 1 && f.sample_rate === 0)
       case "audio" =>
         assert(f.sample_rate === 16000 && f.width === 0)
-      case _ =>
-        assert(f.width === 0 && f.sample_rate === 0)
+      case _ => // video: geometry parsed back from the Y4M header
+        assert(f.width === 32 + (f.media_id % 8).toInt * 16)
+        assert(f.height === 16 + (f.media_id % 4).toInt * 16)
+        assert(f.sample_rate === 0 && f.frames_sampled >= 1)
     }
     // embeddings stay nonzero-dimensional for the similarity stage
     assert(feats.forall(_.embedding.length === Multimodal.EmbeddingDim))

@@ -337,8 +337,8 @@ class FileStreamSpec extends graft.SparkSpec {
     val schema = spark.read.parquet(dir).schema
     // same encoding normalization the batch Tables boundary applies —
     // works unchanged on a streaming frame (pure projection)
-    val streamDf = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(dir), "ts")
+    val streamDf = graft.Tables.normalizeAllTs(
+      spark.readStream.schema(schema).parquet(dir))
 
     val q = EventStream.tumblingCounts(streamDf, "1 day", "1 day")
       .writeStream.outputMode("complete")

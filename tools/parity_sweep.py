@@ -16,7 +16,11 @@ import subprocess
 import sys
 
 def main() -> int:
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # abspath: symlink targets below are resolved relative to the
+    # LINK's directory, so a relative outdir would produce dangling
+    # links ({outdir}/.sweep/{name}/{name} -> {outdir}/{name}) and a
+    # spurious FAIL for every query
+    sfdir, outdir = sys.argv[1], os.path.abspath(sys.argv[2])
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 120
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     here = os.path.dirname(os.path.abspath(__file__))
