@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * sampled every 30 s plus cumulative removals — rather than the
   * flat-start growth the short mode shows. Evidence lands in
   * BASELINE.md.
+  *
+  * `--rocksdb`: run the same workload on the RocksDB state store
+  * provider instead of the default HDFS-backed in-memory map — the
+  * provider a production deployment would use, since its state lives
+  * off-heap/on-disk and is bounded by disk, not executor heap. The
+  * operators are provider-agnostic (nothing in graft touches the
+  * store API directly); this flag exists to RECORD that the
+  * steady-state plateau + eviction behavior reproduces under RocksDB
+  * and at what micro-batch cost (BASELINE.md). Note RocksDB reports
+  * `memoryUsedBytes` as block-cache/memtable usage, not per-row map
+  * bytes — rows + evictions are the comparable columns.
   */
 object StreamBench {
 
@@ -36,13 +47,22 @@ object StreamBench {
     val secs = args.filterNot(_.startsWith("--")).headOption.map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8") // streaming state: small per-batch shuffles
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (args.contains("--rocksdb")) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: upload the per-batch delta, not a
+      // full snapshot — the production setting for sub-second triggers
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      println("[streambench] state store provider: RocksDB (changelog checkpointing)")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("--steady")) {
       steady(spark, secs.getOrElse(330))
