@@ -225,6 +225,9 @@ object SparkEntry {
     // after the watermark proves no future match — the timing
     // semantics q117's inner join cannot exercise
     "q120_stream_outer_join" -> ((s, d) => graft.streaming.StreamReplay.streamOuterJoin(s, d)),
+    // the video container path end-to-end: Y4M header parse + FRAME
+    // walk + ~1 fps sampling + sampled-payload checksum, hash-checked
+    "q121_video_decode"      -> ((s, d) => graft.sources.Multimodal.videoDecode(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -895,6 +898,39 @@ object SparkEntry {
         | MIN(out_width) AS min_w, MAX(out_width) AS max_w,
         | MAX(sample_rate) AS max_rate
         |FROM r GROUP BY kind""".stripMargin,
+    // q121: the oracle re-derives the whole Y4M video path from the
+    // manifest formulas — geometry/fps per doc_id, frame count from
+    // the text length, ~1 fps sampling stride, and the sampled
+    // frames' byte sum with decoded position i mapping to source byte
+    // (i div fsize)·fps·fsize + (i mod fsize), zero past the text
+    // length (the last frame's encoder zero fill). Same ASCII
+    // precondition as q34 (unicode(ch) == UTF-8 byte).
+    "q121_video_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, text, strlen(text) AS len,
+        |  32 + (doc_id % 8) * 16 AS vw,
+        |  16 + (doc_id % 4) * 16 AS vh,
+        |  1 + (doc_id % 5) AS fps
+        | FROM documents WHERE doc_id % 3 = 2),
+        |g AS (
+        | SELECT doc_id, text, len, vw, vh, fps, vw * vh AS fsize,
+        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / (vw * vh)) AS BIGINT)) AS nf
+        | FROM m),
+        |k AS (SELECT *, (nf + fps - 1) // fps AS ks FROM g),
+        |b AS (SELECT doc_id, text, len, fsize, fps,
+        |   unnest(range(0, ks * fsize)) AS i FROM k),
+        |s AS (SELECT doc_id,
+        |   CASE WHEN (i // fsize) * fps * fsize + (i % fsize) < len
+        |    THEN unicode(text[CAST((i // fsize) * fps * fsize + (i % fsize) + 1 AS INTEGER)])
+        |    ELSE 0 END AS byte
+        |  FROM b),
+        |c AS (SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS sampled_byte_sum
+        |  FROM s GROUP BY doc_id)
+        |SELECT k.doc_id AS media_id, CAST(vw AS INTEGER) AS width,
+        | CAST(vh AS INTEGER) AS height, CAST(fps AS INTEGER) AS fps,
+        | CAST(nf AS INTEGER) AS n_frames, CAST(ks AS INTEGER) AS frames_sampled,
+        | c.sampled_byte_sum
+        |FROM k JOIN c ON k.doc_id = c.doc_id ORDER BY media_id""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY

@@ -351,6 +351,35 @@ object Multimodal {
     }
   }
 
+  /** q121: the video path end-to-end as its own hash-checked row —
+    * decode every Y4M container, parse geometry + frame rate from the
+    * header bytes, walk the FRAME markers, sample at ~1 fps, and
+    * checksum the SAMPLED frames' actual payload bytes (unsigned
+    * sum — exact in int64, order-defined, engine-portable). A wrong
+    * header parse, wrong frame walk, wrong zero-pad, or wrong
+    * sampling stride each flips the hash. Embarrassingly parallel:
+    * one task decodes its partition's videos, no shuffle until the
+    * final order. */
+  def videoDecode(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    mediaFromDocuments(t)
+      .filter(_.kind == "video")
+      .map { m =>
+        val v = Y4mCodec.decode(m.bytes)
+        val sampled = Y4mCodec.sampleOneFps(v)
+        var sum = 0L
+        sampled.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sum += (fr(i) & 0xFF); i += 1 }
+        }
+        (m.media_id, v.width, v.height, v.fpsNum, v.frames.length,
+          sampled.length, sum)
+      }
+      .toDF("media_id", "width", "height", "fps", "n_frames",
+        "frames_sampled", "sampled_byte_sum")
+      .orderBy($"media_id")
+  }
+
   /** "Resize": target resolution for the decoded geometry — metadata
     * transform demonstrating the derived-column flow (images only;
     * audio/video carry no raster geometry). */
