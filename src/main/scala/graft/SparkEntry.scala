@@ -228,6 +228,9 @@ object SparkEntry {
     // the video container path end-to-end: Y4M header parse + FRAME
     // walk + ~1 fps sampling + sampled-payload checksum, hash-checked
     "q121_video_decode"      -> ((s, d) => graft.sources.Multimodal.videoDecode(Tables(s, d))),
+    // cross-document duplicated spans: the ExactSubstr dedup pass
+    // (k-gram seeding + gaps-and-islands maximal-span merge)
+    "q122_dup_spans"         -> ((s, d) => operators.PipelineOps.dupSpans(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -931,6 +934,30 @@ object SparkEntry {
         | CAST(nf AS INTEGER) AS n_frames, CAST(ks AS INTEGER) AS frames_sampled,
         | c.sampled_byte_sum
         |FROM k JOIN c ON k.doc_id = c.doc_id ORDER BY media_id""".stripMargin,
+    // q122: same k-gram seeding + islands construction over the
+    // literal gram strings — positions 0-based in both engines, span
+    // end exclusive (pos + 8)
+    "q122_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |   array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.doc_id, g.pos, g.pos + 8 AS e FROM g JOIN d USING (gram)),
+        |i AS (SELECT doc_id, pos, e,
+        |   MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM h),
+        |s AS (SELECT doc_id, pos, e,
+        |   SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM i),
+        |m AS (SELECT doc_id, span_id, MIN(pos) AS s0, MAX(e) AS e0
+        |  FROM s GROUP BY doc_id, span_id)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        | CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens,
+        | CAST(MAX(e0 - s0) AS INTEGER) AS longest_span
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY

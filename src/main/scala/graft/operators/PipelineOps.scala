@@ -310,4 +310,56 @@ object PipelineOps {
       t.documents.filter($"source" === benchmarkSource), $"text", k)
       .orderBy($"doc_id")
   }
+
+  // ── q122: cross-document duplicated spans (exact-substring dedup) ───
+  // The token-level complement of the shingle-set dedup family: find
+  // every MAXIMAL token span that some OTHER document also contains,
+  // per document — the ExactSubstr pass of Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499), which removes repeated boilerplate even when
+  // whole-document similarity is low. Their suffix array is a shared-
+  // memory construction; the distributed re-expression is the
+  // standard k-gram seeding: a position is covered iff its k-gram
+  // occurs in ≥ 2 distinct documents, and runs of covered positions
+  // merge into maximal spans (gaps-and-islands over a per-doc
+  // window). Every stage is a narrow shuffle: (gram, doc) pairs for
+  // the frequency pass, (doc, pos) ints for the span pass — the text
+  // column never moves. Per-doc output is bounded by doc length, so
+  // answer volume is linear in corpus size. The gram key here is the
+  // literal string (engine-neutral, DuckDB-oracle-checkable); a
+  // 100 TB run would key on xxhash64(gram) instead — 8-byte shuffle
+  // rows, same plan shape, collision risk ~n²/2⁶⁴.
+  def dupSpansOver(
+      df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    val grams = df.select(idCol.as("doc_id"),
+      posexplode(wordNgrams(tokens(textCol), k)).as(Seq("pos", "gram")))
+    // grams seen in ≥ 2 distinct docs; within-doc repetition alone
+    // (q65's signal) does not make a span "duplicated elsewhere"
+    val dup = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val hits = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    // islands: a new span starts where pos clears every prior
+    // interval's end (running max over [start, prev] — exclusive of
+    // self, so the first row's NULL marks the first island)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("end", col("pos") + k)
+      .withColumn("pme", max(col("end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("span_id", sum(
+        when(col("pme").isNull || col("pos") > col("pme"), 1).otherwise(0))
+        .over(w))
+    islands.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"),
+        max(col("e") - col("s")).as("longest_span"))
+  }
+
+  def dupSpans(t: Tables, k: Int = 8): DataFrame = {
+    import t.spark.implicits._
+    dupSpansOver(t.documents, $"doc_id", $"text", k).orderBy($"doc_id")
+  }
 }

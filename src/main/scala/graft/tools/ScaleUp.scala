@@ -28,7 +28,26 @@ import org.apache.spark.sql.functions._
   * recall measured on the scaled corpus (tools.AnnTune) tests the
   * OR-construction's stability as N grows, with no planted structure.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs] [withEmbeddings]
+  * With `withDocsGrouped` (for factors beyond ~10), the dup-group
+  * SIZE stays constant as the corpus grows — the realistic crawl
+  * shape, and the one that keeps the q51 near-dup-pair ANSWER linear
+  * in SF (plain `withDocs` makes all `factor` replicas mutual
+  * near-dups, so at factor 100 the answer alone is 4950 pairs per
+  * original — quadratic in SF, which would read as algorithmic
+  * super-linearity in a scale sweep when it is really answer size).
+  * Replicas are split into groups of 10 (rep = g·10 + j): group g's
+  * docs rewrite EVERY token with a `~g` suffix (g = 0 keeps the
+  * original text, so the source fixture embeds verbatim), then only
+  * the tiny `qq<j>` suffix differs within a group — within-group
+  * shingle jaccard ≈ 0.9 (near-dups), cross-group jaccard ≈ 0
+  * EXACTLY (disjoint token spaces). Exactly 0 is the requirement,
+  * not a nicety: the r=2 banding is deliberately permissive
+  * (P(candidate) = 1-(1-J²)^16 ≈ 0.15 even at J = 0.1), so any
+  * design that leaves residual cross-group similarity — e.g. a
+  * shared filler block, J ≈ 0.2-0.45 — floods the candidate join
+  * with billions of spurious pairs at factor 100.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs|withDocsGrouped] [withEmbeddings]
   * e.g.   runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
   */
 object ScaleUp {
@@ -36,9 +55,12 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, factorS) = args.take(3)
     val flags = args.drop(3).toSet
-    require((flags -- Set("withDocs", "withEmbeddings")).isEmpty,
-      s"unknown flags: ${flags -- Set("withDocs", "withEmbeddings")}")
-    val withDocs = flags("withDocs")
+    val known = Set("withDocs", "withDocsGrouped", "withEmbeddings")
+    require((flags -- known).isEmpty, s"unknown flags: ${flags -- known}")
+    require(!(flags("withDocs") && flags("withDocsGrouped")),
+      "withDocs and withDocsGrouped are mutually exclusive")
+    val withDocs = flags("withDocs") || flags("withDocsGrouped")
+    val groupedDocs = flags("withDocsGrouped")
     val withEmbeddings = flags("withEmbeddings")
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2: $factor")
@@ -114,10 +136,29 @@ object ScaleUp {
       if (!withDocs) Nil
       else {
         val docStride = keyStride(src("documents"), "doc_id")
-        Seq("documents" -> replicate(src("documents"), "doc_id" -> docStride)
-          .withColumn("text",
-            concat(col("text"), lit(" qq"),
-              (col("doc_id") / docStride).cast("int").cast("string")))
+        val tagged =
+          if (!groupedDocs)
+            replicate(src("documents"), "doc_id" -> docStride)
+              .withColumn("text",
+                concat(col("text"), lit(" qq"),
+                  (col("doc_id") / docStride).cast("int").cast("string")))
+          else
+            // rep = g·10 + j: the per-token ~g rewrite moves group g
+            // into its own token space (cross-group jaccard exactly
+            // ~0 — see the class doc for why ≈ 0.2 would flood the
+            // r=2 banding); the qq<j> suffix is the within-group
+            // near-dup variation (jaccard ≈ 0.9). Group structure is
+            // invariant under SF — only the NUMBER of groups grows
+            replicate(src("documents"), "doc_id" -> docStride)
+              .withColumn("rep", (col("doc_id") / docStride).cast("int"))
+              .withColumn("g", (col("rep") / 10).cast("int"))
+              .withColumn("j", pmod(col("rep"), lit(10)))
+              .withColumn("text", concat(
+                when(col("g") === 0, col("text")).otherwise(expr(
+                  "array_join(transform(split(text, ' '), w -> concat(w, '~', g)), ' ')")),
+                lit(" qq"), col("j").cast("string")))
+              .drop("rep", "g", "j")
+        Seq("documents" -> tagged
           .withColumn("n_chars", length(col("text")).cast("long")))
       }
 

@@ -249,4 +249,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L)._2 > 0.95)                     // trigrams all duplicates
     assert(got(2L)._1 < 0.1 && got(2L)._2 === 0.0) // all distinct
   }
+
+  test("dupSpans: maximal spans merge overlaps, exclude within-doc-only repeats") {
+    // docs 1 and 2 share tokens 0..9 ("s0..s9") — covered positions
+    // 0,1,2 (k=8 grams fit up to start 2 in a 10-token shared prefix) —
+    // then diverge; doc 3 repeats ITS OWN 8-gram twice but shares
+    // nothing cross-doc; doc 4 shares a separate 8-token run with
+    // doc 1's tail, giving doc 1 a SECOND disjoint span
+    val shared = (0 until 10).map(i => s"s$i")
+    val run = (0 until 8).map(i => s"r$i")
+    val df = Seq(
+      (1L, (shared ++ Seq("x1", "x2") ++ run).mkString(" ")),
+      (2L, (shared ++ Seq("y1", "y2", "y3")).mkString(" ")),
+      (3L, ((0 until 8).map(i => s"z$i") ++ (0 until 8).map(i => s"z$i")).mkString(" ")),
+      (4L, (Seq("w1", "w2") ++ run).mkString(" "))).toDF("id", "text")
+    val got = PipelineOps.dupSpansOver(df, $"id", $"text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // doc 1: span [0,10) from the shared prefix (starts 0,1,2 merged)
+    // + span [12,20) from the shared run → 2 spans, 18 tokens, longest 10
+    assert(got(1L) === ((2L, 18L, 10)))
+    assert(got(2L) === ((1L, 10L, 10)))            // one maximal span
+    assert(!got.contains(3L))                      // within-doc only
+    assert(got(4L) === ((1L, 8L, 8)))
+  }
 }
