@@ -36,6 +36,19 @@ object GraftFunctions {
       es => SimHashPoly(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ts_micros",
       es => TsMicros(es.head), "scala_udf")
+    // band_keys(emb, planesFlat, planesPerBand, dim): the trailing
+    // three arguments are constants folded out of their literals at
+    // resolution time — the plane matrix rides in the expression as
+    // ONE reference object, not thousands of literal nodes
+    reg.createOrReplaceTempFunction("band_keys",
+      es => {
+        require(es.drop(1).forall(_.foldable),
+          "band_keys: planes/planesPerBand/dim must be literals")
+        val planes = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        BandKeys(es.head, planes,
+          es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
+      }, "scala_udf")
     // the prefilter rewrite is semantically neutral — install it
     // alongside the functions (idempotent: the rule is a singleton).
     // The read-modify-write is synchronized: concurrent register()

@@ -230,7 +230,43 @@ object Dedup {
       Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Sub-linear scale path for embedding near-dup at HIGH similarity:
+  /** Corpus size above which [[embeddingNearDupsBanded]] switches
+    * from its fixed small-corpus sizing (b=12, r=4) to
+    * [[adaptiveBandParams]]. Every driver-provided SF sits below the
+    * threshold (sf0.1 has ~2.1k embeddings), so the driver's oracle
+    * hashes are byte-identical to the pre-adaptive implementation;
+    * generated sf1+ corpora get the occupancy-bounded sizing. */
+  private[graft] val AdaptiveAbove = 4096L
+
+  /** Occupancy-targeted LSH sizing — the piece that keeps the banded
+    * path's CANDIDATE volume linear as the corpus grows. With a fixed
+    * plane count r, a random corpus spreads over only 2^r buckets per
+    * band, so expected candidates are b·n²/2^r — quadratic in n (the
+    * round-7 sf3 sweep measured exactly that: 41 GB of shuffle at
+    * 60k vectors). Fix: keep expected bucket OCCUPANCY constant,
+    * r = log2(n/occ), so candidates ≈ b·n·occ/2; then size b from the
+    * recall bound b = ln(maxMiss)/ln(1−p^r), p = 1−arccos(recallCos)/π,
+    * so pairs at cos ≥ recallCos are still caught with probability
+    * ≥ 1−maxMiss. Net growth is the classic LSH n^(1+ρ): b grows as
+    * (1/p)^r ≈ n^0.22 at recallCos 0.9 — e.g. n=20k → (86, 13),
+    * n=200k → (141, 16). maxPlanes=24 covers corpora to ~67M vectors;
+    * raise it (and this doc) for more. */
+  private[graft] def adaptiveBandParams(
+      n: Long, recallCos: Double, maxMiss: Double = 1e-6,
+      targetOcc: Int = 4, minPlanes: Int = 4, maxPlanes: Int = 24,
+      minBands: Int = 12, maxBands: Int = 512): (Int, Int) = {
+    require(n > 0 && recallCos > 0 && recallCos < 1 &&
+      maxMiss > 0 && maxMiss < 1, s"bad adaptive params: n=$n cos=$recallCos")
+    val r = math.min(maxPlanes, math.max(minPlanes,
+      math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(recallCos) / math.Pi
+    val pr = math.pow(p, r)
+    val b = math.min(maxBands, math.max(minBands,
+      math.ceil(math.log(maxMiss) / math.log1p(-pr)).toInt))
+    (b, r)
+  }
+
+  /** Scale path for embedding near-dup at HIGH similarity:
     * random-hyperplane band candidates + exact factored-cosine verify
     * (two-phase, like [[minhashPairsFast]]). Emits a SUBSET of the
     * exact pair set with exact cosines; per-pair recall is
@@ -238,41 +274,51 @@ object Dedup {
     * b=12 bands) that is ≥ 0.9997, while at the 0.4 threshold of
     * [[embeddingNearDups]] it would be ~0.55, which is why the exact
     * blocked join owns the low-threshold regime and this owns genuine
-    * near-dup thresholds. Shuffle volume: b rows of (bandkey, id) per
-    * vector — linear. */
+    * near-dup thresholds.
+    *
+    * Scale shape: the (band, key, id) shuffle is b·n rows, and — the
+    * part a fixed plane count gets wrong — the candidate JOIN output
+    * is kept ≈ b·n·occ/2 by [[adaptiveBandParams]] above
+    * [[AdaptiveAbove]] vectors (sub-threshold corpora, including every
+    * driver SF, keep the legacy fixed sizing bit-for-bit). All band
+    * keys come out of ONE codegen'd pass over a single flat plane
+    * matrix ([[graft.expr.BandKeys]]); the old one-literal-array-per-
+    * plane projection would blow Janino's method limit at adaptive
+    * sizes and fall back to interpreted eval. */
   def embeddingNearDupsBanded(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, minCos: Double,
       bands: Int = 12, planesPerBand: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, adaptive: Boolean = true): DataFrame = {
     import graft.functions.SimilarityFunctions.{dotNative, factoredCosine, l2NormNative}
-    val planes = bandPlanes(bands, planesPerBand, dim, seed)
-    // native codegen'd projection per plane (same double fold as the
-    // HOF formulation — identical sign bits, no interpreted lambdas)
-    def signBit(emb: org.apache.spark.sql.Column, p: Array[Double]) =
-      when(dotNative(array(p.map(lit).toIndexedSeq: _*), emb) >= 0,
-        lit(1)).otherwise(lit(0))
     val e = df
       .select(idCol.as("__id"), embCol.as("__emb"),
         l2NormNative(embCol).as("__nrm"))
-      // guard the dim contract: zip_with null-pads mismatched lengths,
-      // which would silently zero every sign bit and collapse all
-      // vectors into ONE bucket per band (a full n² candidate join) —
-      // fail loudly instead (assert_true returns null when the
-      // predicate holds, so the filter keeps every valid row)
+      // guard the dim contract: a mismatched vector would otherwise
+      // hash garbage sign bits (BandKeys reads exactly `dim`
+      // elements) — fail loudly instead (assert_true returns null
+      // when the predicate holds, so the filter keeps every valid row)
       .filter(assert_true(size(col("__emb")) === dim,
         concat(lit(s"embeddingNearDupsBanded: dim=$dim but embedding has "),
           size(col("__emb")).cast("string"), lit(" elements"))).isNull)
       .localCheckpoint(true) // consumed by banding + two candidate fetches
-    val bandKeys = array((0 until bands).map { b =>
-      val key = planes(b).zipWithIndex
-        .map { case (p, i) => signBit(col("__emb"), p) * lit(1 << i) }
-        .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }: _*)
-    val banded = e.select(col("__id"), explode(bandKeys).as("bk"))
-    val cands = banded.select(col("__id").as("id_a"), col("bk"))
-      .join(banded.select(col("__id").as("id_b"), col("bk")), Seq("bk"))
+    // the count is a cheap job over the eager checkpoint's cached
+    // blocks — the price of sizing the index to the data, paid once
+    val (b2, r2) =
+      if (adaptive) {
+        val n = e.count()
+        if (n > AdaptiveAbove) adaptiveBandParams(n, math.max(minCos, 0.9))
+        else (bands, planesPerBand)
+      } else (bands, planesPerBand)
+    val planesFlat = bandPlanes(b2, r2, dim, seed)
+      .flatten.flatMap(_.toSeq).toArray // band-major (b, p, i) — BandKeys' layout
+    val keys = call_function("band_keys",
+      col("__emb"), lit(planesFlat), lit(r2), lit(dim))
+    val banded = e.select(col("__id"),
+      posexplode(keys).as(Seq("band", "key")))
+    val cands = banded.select(col("__id").as("id_a"), col("band"), col("key"))
+      .join(banded.select(col("__id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -359,7 +405,9 @@ object Dedup {
     *
     *  1. candidate mining + exact verify:
     *     [[embeddingNearDupsBanded]] at `minCos` — b·n narrow
-    *     (bandkey, id) shuffle rows, never a pair product;
+    *     (band, key, id) shuffle rows, and candidate volume held to
+    *     ≈ b·n·occ/2 by the occupancy-targeted adaptive sizing
+    *     ([[adaptiveBandParams]]), never a pair product;
     *  2. [[connectedComponents]] over the ≥ minCos graph (pointer
     *     jumping, O(log diameter) rounds);
     *  3. keeper rule: the MINIMUM id of each component survives — a
