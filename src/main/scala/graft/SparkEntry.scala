@@ -231,6 +231,9 @@ object SparkEntry {
     // cross-document duplicated spans: the ExactSubstr dedup pass
     // (k-gram seeding + gaps-and-islands maximal-span merge)
     "q122_dup_spans"         -> ((s, d) => operators.PipelineOps.dupSpans(Tables(s, d))),
+    // Count–Min sketch point-frequency estimates, gated against exact
+    // counts for the top-20 tokens (CMS one-sidedness + ε=3/w bound)
+    "q123_cms_freq_gate"     -> ((s, d) => operators.TextOps.cmsFrequencyGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -958,6 +961,16 @@ object SparkEntry {
         | CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens,
         | CAST(MAX(e0 - s0) AS INTEGER) AS longest_span
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q123: gate contract like q104/q107 — the sketch cells are
+    // engine-buildable but pointless to replicate (DuckDB lacks
+    // Spark's xxhash64); n_exact and the tracked top-20 set ARE
+    // engine-neutral (deterministic count-desc/word tie-break), so
+    // the oracle hash-checks them and the bound emits TRUE
+    "q123_cms_freq_gate" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, COUNT(*) AS n_exact FROM w GROUP BY word),
+        |t AS (SELECT word, n_exact FROM c ORDER BY n_exact DESC, word LIMIT 20)
+        |SELECT word, n_exact, TRUE AS meets_bound FROM t ORDER BY word""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY
@@ -1395,15 +1408,19 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         | AND a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words) >= 0.8""".stripMargin,
-    // q90: q57's recursive-CTE clustering + a keep-longest window
+    // q90: q103's recursive-CTE clustering (3-gram shingle jaccard,
+    // unblocked — the linear path's predicate) + a keep-longest window
     "q90_dedup_survivors" ->
       """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents),
+        | SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh
+        | FROM documents WHERE len(string_split(text,' ')) >= 3),
         |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-        |    / (len(a.words) + len(b.words) - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)) >= 0.3),
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) <= 0.4),
         |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
         |walk AS (
         |  SELECT doc_id, doc_id AS label FROM documents

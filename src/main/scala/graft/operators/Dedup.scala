@@ -692,14 +692,22 @@ object Dedup {
     * actually SHRINKS the corpus after clustering. Per cluster, keep
     * the longest member (`n_chars`, doc_id as the deterministic
     * tiebreak) and report how many documents it absorbs. One window
-    * over cluster_id on top of the q57 labels: the shuffle key is the
-    * cluster label, whose partition sizes are near-dup cluster sizes
-    * — bounded by block sizes, never corpus-scale. */
+    * over cluster_id on top of the q103 labels: the shuffle key is
+    * the cluster label, whose partition sizes are near-dup cluster
+    * sizes — bounded by dup-group sizes, never corpus-scale.
+    *
+    * Rides the LINEAR clustering ([[dedupClustersFast]] — banding +
+    * exact verify + CC), not the blocked-exact q57 twin: the round-7
+    * sf sweep measured the q57-based composition at 7.6× wall on 3×
+    * data (the Σ|block|² pair join it inherits is q26's DECLARED
+    * quadratic — fine for an oracle twin, wrong for the production
+    * survivor pass), vs 1.8× for the banding path. One recipe with
+    * q103, so threshold changes can never let survivors and the
+    * production clustering silently diverge; q57 stays the
+    * brute-force oracle twin it was built to be. */
   def dedupSurvivors(t: Tables): DataFrame = {
     import t.spark.implicits._
-    // the SAME clustering as q57 — one recipe, so threshold/blocking
-    // changes can never let survivors and clusters silently diverge
-    val clusters = dedupClusters(t).select($"doc_id", $"cluster_id")
+    val clusters = dedupClustersFast(t).select($"doc_id", $"cluster_id")
     val sized = clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")

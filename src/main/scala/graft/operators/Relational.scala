@@ -661,31 +661,80 @@ object Relational {
 
   // ── q84: fuzzy name matching (edit-distance pairs, blocked) ─────────
   // Entity-resolution primitive: near-identical part names within a
-  // brand block at Levenshtein distance ≤ maxDist, via
-  // CANONICALIZE-THEN-EXPAND: the quadratic levenshtein step runs over
-  // DISTINCT (block, name) values only — real entity-resolution
-  // corpora (and the fixtures: 64 distinct names across 20k parts)
-  // repeat names heavily, so Σ|block|² collapses to Σ|distinct
-  // names in block|², and the id-level result is recovered with two
-  // linear expansion joins. When every name is unique this degenerates
-  // to the plain blocked join plus one narrow distinct — never worse.
-  // A |Δlen| ≤ d integer prefilter (implied by lev ≤ d) discards most
-  // name candidates before the levenshtein. Measured at the generated
-  // sf1 (200k parts, 8k per brand): 126 s → ~20 s with identical
-  // rows — and the remaining cost is OUTPUT-bound (duplicated names
-  // make the answer itself quadratically large), not comparison-bound.
+  // brand block at Levenshtein distance ≤ maxDist. Two stacked
+  // de-quadratications, both exact:
+  //
+  //  1. CANONICALIZE-THEN-EXPAND (round 4): the comparison step runs
+  //     over DISTINCT (block, name) values only — dup-heavy corpora
+  //     collapse Σ|block|² to Σ|distinct names|² — and the id-level
+  //     result is recovered with two linear expansion joins.
+  //  2. SEGMENT-INDEX CANDIDATES (round 7): the distinct-name pair
+  //     step itself was still an all-pairs join per block, and brand
+  //     blocks GROW with the corpus (25 brands at every SF — the sf
+  //     sweep measured 4.1× wall on 3× data). Now candidates come
+  //     from PassJoin-style partitioning (Li/Deng/Wang/Feng, PVLDB
+  //     2011): each name splits into d+1 contiguous segments; by
+  //     pigeonhole, ≤ d edits leave SOME segment untouched, so any
+  //     pair within distance d shares one segment EXACTLY, at a
+  //     start shifted ≤ d. Index side emits its d+1 segments keyed
+  //     (block, len, j, seg); probe side emits, for each target
+  //     length l within ±d of its own, the substrings of segment-j
+  //     length starting within ±d of the scheme's segment start (the
+  //     loose-window superset of PassJoin's refined shift bound —
+  //     more candidates, same completeness). Join on the key, verify
+  //     with the real levenshtein. Candidate volume is linear in
+  //     names (≈ (2d+1)²·(d+1) probe keys each) + the true-ish pair
+  //     groups, never a block product.
+  //
+  // A |Δlen| ≤ d integer prefilter (implied by lev ≤ d) still guards
+  // the verify. Same output bit-for-bit: candidates are a superset of
+  // the true pair set by the pigeonhole argument, and the verify
+  // filter is unchanged (OperatorsSpec cross-checks against the
+  // brute-force join).
   /** Generic blocked edit-distance pairing (Graft facade entry). */
   def fuzzyPairsOver(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       blockCol: org.apache.spark.sql.Column,
       nameCol: org.apache.spark.sql.Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 5, s"maxDist out of range: $maxDist")
+    val d = maxDist
     val base = df.select(idCol.as("__id"), blockCol.as("block"), nameCol.as("__nm"))
     val names = base.select(col("block"), col("__nm")).distinct()
-    // unordered distinct-name pairs, including the reflexive pair
-    // (same name twice — its id pairs are the lev-0 duplicates)
-    val namePairs = names.select(col("block"), col("__nm").as("name_a"))
-      .join(names.select(col("block"), col("__nm").as("name_b")), Seq("block"))
-      .filter(col("name_a") <= col("name_b"))
+      .withColumn("len", length(col("__nm")))
+    // segment scheme for a length-l name: start q(j) = floor(j·l/(d+1)),
+    // segment j = [q(j), q(j+1)) — deterministic, shared by both sides
+    def q(j: String, l: String) = s"cast(floor(($j * $l) / ${d + 1}) as int)"
+    def segLen(j: String, l: String) = s"(${q(s"($j + 1)", l)} - ${q(j, l)})"
+    val indexKeys = expr(
+      s"transform(sequence(0, $d), j -> struct(j AS j, " +
+        s"substring(__nm, ${q("j", "len")} + 1, ${segLen("j", "len")}) AS seg))")
+    val index = names
+      .select(col("block"), col("len").as("l"), col("__nm").as("nm_i"),
+        explode(indexKeys).as("k"))
+      .select(col("block"), col("l"), col("k.j").as("j"), col("k.seg").as("seg"),
+        col("nm_i"))
+    // probe: for every target length l (±d) and segment j, all
+    // substrings of that segment's length starting within ±d of the
+    // scheme start (empty when the name is too short to host one)
+    val lo = s"greatest(0, ${q("j", "l")} - $d)"
+    val hi = s"least(len - ${segLen("j", "l")}, ${q("j", "l")} + $d)"
+    val probeKeys = expr(
+      s"""array_distinct(flatten(transform(sequence(greatest(1, len - $d), len + $d), l ->
+         |  flatten(transform(sequence(0, $d), j ->
+         |    transform(filter(sequence($lo, greatest($lo, $hi)), p -> p <= $hi),
+         |      p -> struct(l AS l, j AS j,
+         |        substring(__nm, p + 1, ${segLen("j", "l")}) AS seg)))))))""".stripMargin)
+    val probes = names
+      .select(col("block"), col("__nm").as("nm_p"), explode(probeKeys).as("k"))
+      .select(col("block"), col("k.l").as("l"), col("k.j").as("j"),
+        col("k.seg").as("seg"), col("nm_p"))
+    // unordered distinct-name candidates, including the reflexive pair
+    // (same name twice — its id pairs are the lev-0 duplicates; a name
+    // always probes its own index entry at l = len, p = q(j))
+    val namePairs = probes.join(index, Seq("block", "l", "j", "seg"))
+      .select(col("block"), least(col("nm_p"), col("nm_i")).as("name_a"),
+        greatest(col("nm_p"), col("nm_i")).as("name_b"))
+      .distinct()
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("lev") <= maxDist)

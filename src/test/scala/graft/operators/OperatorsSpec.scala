@@ -367,6 +367,31 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     }
   }
 
+  test("q123 CMS gate: estimates never underestimate, clear the eps bound, and the bound bites") {
+    import spark.implicits._
+    val got = TextOps.cmsFrequencyGate(sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === 20)
+    assert(got.forall(_._3), s"CMS bound violated: ${got.filterNot(_._3).toSeq}")
+    // the tracked set is exactly the brute-force top-20 (count desc,
+    // word tie-break) — the engine-neutral half the oracle hashes
+    val words = sf001.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val want = words.groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(got.map(t => t._1 -> t._2).toSeq === want)
+    // the bound BITES: eps=0 demands est == exact; a w=2 sketch piles
+    // vocabulary mass into both cells, so every estimate overshoots
+    // and the gate must flip — guards against a vacuously-true
+    // meets_bound expression (note w=2 alone cannot flip the default
+    // eps=3/w bound: (est-exact)*2 <= 2N < 3N identically)
+    val tiny = TextOps.cmsFrequencyGate(
+      sf001, width = 2, depth = 1, epsFactor = 0L).collect()
+    assert(tiny.exists(!_.getBoolean(2)),
+      "eps=0 w=2 sketch still met the bound — the gate cannot bite")
+  }
+
   test("q106 exact heavy hitters equal the brute-force above-threshold counts") {
     val got = TextOps.heavyHittersExact(sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
@@ -515,11 +540,12 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     try {
       val t = sf001
       assert(surv.agg(sum("n_members")).head().getLong(0) === t.documents.count())
-      // survivor count equals cluster count from q57
-      val clusters = Dedup.dedupClusters(t).select("cluster_id").distinct().count()
+      // survivor count equals cluster count from the q103 linear path
+      // (the clustering q90 rides since the round-7 scale fix)
+      val clusters = Dedup.dedupClustersFast(t).select("cluster_id").distinct().count()
       assert(surv.count() === clusters)
       // the survivor really is its cluster's longest member (tie: min id)
-      val labeled = Dedup.dedupClusters(t)
+      val labeled = Dedup.dedupClustersFast(t)
         .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
       val best = labeled.groupBy("cluster_id")
         .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
