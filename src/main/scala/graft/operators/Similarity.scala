@@ -53,8 +53,15 @@ object Similarity {
     * bucketing vectors by the sign pattern of `nPlanes` seeded random
     * projections (an nPlanes-bit code); within each table the join
     * compares only same-bucket pairs, and a neighbour is found if ANY
-    * table co-buckets it (OR-construction) — candidate count scales
-    * with bucket occupancy × tables, not corpus size. Multi-probe
+    * table co-buckets it (OR-construction) — candidate count is
+    * bucket occupancy × probes × tables. Occupancy is n/2^nPlanes,
+    * so per-QUERY candidates grow linearly in the corpus at a fixed
+    * plane count (the probe side is a bounded query set, so nothing
+    * here is ever n² — contrast the all-pairs self-join lesson in
+    * Dedup.adaptiveBandParams); for a sub-linear per-query scan at
+    * much larger n, grow nPlanes as log2(n/occ) and re-derive
+    * tables/probes from the recall bound, exactly the
+    * adaptiveBandParams recipe. Multi-probe
     * (all buckets within Hamming distance `probeHamming` of the
     * query's own code, per table) adds the standard recall boost at
     * Σ C(nPlanes,h) extra probe rows per table — probe rows exist
