@@ -234,6 +234,9 @@ object SparkEntry {
     // Count–Min sketch point-frequency estimates, gated against exact
     // counts for the top-20 tokens (CMS one-sidedness + ε=3/w bound)
     "q123_cms_freq_gate"     -> ((s, d) => operators.TextOps.cmsFrequencyGate(Tables(s, d))),
+    // streaming CMS over user_id: O(d·w) state per window regardless
+    // of user cardinality; per-window top-5 users gated q123-style
+    "q124_stream_cms_gate"   -> ((s, d) => graft.streaming.StreamReplay.streamCmsGate(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -971,6 +974,21 @@ object SparkEntry {
         |c AS (SELECT word, COUNT(*) AS n_exact FROM w GROUP BY word),
         |t AS (SELECT word, n_exact FROM c ORDER BY n_exact DESC, word LIMIT 20)
         |SELECT word, n_exact, TRUE AS meets_bound FROM t ORDER BY word""".stripMargin,
+    // q124: per-window twin of q123's contract — exact per-day top-5
+    // user counts are engine-neutral, the CMS bound emits TRUE
+    "q124_stream_cms_gate" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts) AS day_start, user_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |c AS (SELECT day_start, user_id, COUNT(*) AS n_exact
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT day_start, COUNT(*) AS n_window FROM e GROUP BY 1),
+        |r AS (SELECT c.day_start, c.user_id, c.n_exact,
+        |   ROW_NUMBER() OVER (PARTITION BY c.day_start
+        |     ORDER BY c.n_exact DESC, c.user_id) AS rk
+        |  FROM c)
+        |SELECT day_start, user_id, n_exact, TRUE AS meets_bound
+        |FROM r WHERE rk <= 5 ORDER BY day_start, user_id""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY

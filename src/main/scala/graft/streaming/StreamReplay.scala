@@ -458,4 +458,57 @@ object StreamReplay {
     out.filter($"error_id" >= 0)
       .orderBy($"error_id", $"click_id")
   }
+
+  /** q124 — streaming Count–Min sketch over a HIGH-cardinality key
+    * (user_id), the unbounded-stream twin of batch q123: per
+    * event-time window the stream maintains only the d×w counter
+    * grid (state is O(d·w) per open window — independent of user
+    * cardinality, where exact per-user counting needs user-scale
+    * state), finalized by the watermark in append mode. Because a
+    * CMS cell is just an exact count of a hashed bucket, the
+    * windowed streaming aggregation produces cells IDENTICAL to a
+    * batch pass over the same window — stream ≡ batch by
+    * construction, whatever the chunking.
+    *
+    * The driver-visible row gates the finalized cells q123-style:
+    * for each window's exact top-`k` users (count desc, user_id
+    * tie-break — engine-neutral, hash-checked), est = min over the
+    * d cells must satisfy one-sidedness (est ≥ exact, structural)
+    * and the ε = 3/w overshoot bound vs the window's event count. */
+  def streamCmsGate(spark: SparkSession, dir: String,
+      width: Int = 1024, depth: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val rows = array((0 until depth).map(lit): _*)
+    val cells = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      ds.withWatermark("ts", "1 hour")
+        .select($"ts", $"user_id", explode(rows).as("r"))
+        .withColumn("c", pmod(xxhash64($"user_id", $"r"), lit(width)))
+        .groupBy(window($"ts", "1 day"), $"r", $"c")
+        .agg(count(lit(1)).as("cell"))
+        .select($"window.start".as("window_start"), $"r", $"c", $"cell")
+    }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
+    val ev = Tables(spark, dir).events
+      .filter($"ts" < to_timestamp(lit(EventCutoff)))
+      .select(window($"ts", "1 day").getField("start").as("window_start"),
+        $"user_id")
+    val exact = ev.groupBy($"window_start", $"user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val nWin = ev.groupBy($"window_start").agg(count(lit(1)).as("n_window"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start").orderBy($"n_exact".desc, $"user_id")
+    val probes = exact.withColumn("rk", row_number().over(rk))
+      .filter($"rk" <= k)
+      .select($"window_start", $"user_id", $"n_exact", explode(rows).as("r"))
+      .withColumn("c", pmod(xxhash64($"user_id", $"r"), lit(width)))
+    cells.join(broadcast(probes), Seq("window_start", "r", "c"))
+      .groupBy($"window_start", $"user_id", $"n_exact")
+      .agg(min($"cell").as("n_est"))
+      .join(broadcast(nWin), "window_start")
+      .select($"window_start".as("day_start"), $"user_id", $"n_exact",
+        ($"n_est" >= $"n_exact" &&
+          ($"n_est" - $"n_exact") * width <= lit(3L) * $"n_window")
+          .as("meets_bound"))
+      .orderBy($"day_start", $"user_id")
+  }
 }
