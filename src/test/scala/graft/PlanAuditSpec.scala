@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q108_bigram_nll",
     // one-row node-count broadcast per power iteration
     "q85_pagerank",
+    // one-row token-total broadcast for the CMS eps·N bound
+    "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid
     "q96_locf_resample")
 
@@ -89,6 +91,7 @@ object PlanAuditSpec {
     "q113_stream_quantile_gate", "q114_stream_dedup",
     "q115_stream_embed_gate", "q117_stream_interval_join",
     "q118_stream_sessions", "q119_stream_ewma", "q120_stream_outer_join",
+    "q124_stream_cms_gate",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
     "q116_bucketed_join")
