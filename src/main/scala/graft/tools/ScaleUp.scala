@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * ranges, preserving TPC-H's scaling shape — customer, supplier,
   * part, orders, and lineitem all grow together, so per-key densities
   * (orders per customer, customers per (part, month) co-purchase
-  * cell, parts per brand block) stay CONSTANT as the corpus grows,
-  * which is exactly the property the engine's blocking strategies are
-  * designed around. nation/region stay fixed (as in TPC-H); the
+  * cell) stay CONSTANT as the corpus grows, which is exactly the
+  * property the engine's blocking strategies are designed around.
+  * Counter-example kept on purpose: p_brand is a FIXED 25-value
+  * domain, so brand blocks grow linearly with the corpus — the shape
+  * that exposed q84's all-pairs-per-block join in the round-7 sweep
+  * (fixed by PassJoin segment indexing). A blocking key must have
+  * cardinality that scales with the data; a constant-domain key is a
+  * partition, not a block. nation/region stay fixed (as in TPC-H); the
   * events/documents/embeddings corpora are copied unchanged (their
   * queries are swept at the driver-provided SFs).
   *
