@@ -213,6 +213,71 @@ class PropertySpec extends SparkSpec {
       case other => fail(s"not a timestamp at $i: $other")
     }
 
+  test("PassJoin fuzzy pairs equal the brute-force blocked join under adversarial edits") {
+    // the candidate generation's pigeonhole completeness is the risky
+    // half of the round-7 q84 rewrite — exercise it with the edit
+    // shapes that stress segment alignment: substitutions, char
+    // ins/del, SPACE deletion (merges two words), SPACE insertion
+    // (splits a word), edits at segment boundaries, and double edits
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jul")
+    def name(): String =
+      (0 until 3 + rnd.nextInt(3)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def edit(s: String): String = {
+      if (s.isEmpty) s
+      else rnd.nextInt(5) match {
+        case 0 => // substitute
+          val i = rnd.nextInt(s.length)
+          s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+        case 1 => // delete (spaces included — word merges)
+          val i = rnd.nextInt(s.length)
+          s.substring(0, i) + s.substring(i + 1)
+        case 2 => // insert a letter
+          val i = rnd.nextInt(s.length + 1)
+          s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + s.substring(i)
+        case 3 => // insert a SPACE — splits a word
+          val i = rnd.nextInt(s.length + 1)
+          s.substring(0, i) + ' ' + s.substring(i)
+        case _ => // boundary substitution (first/last char of a word)
+          val ws = s.split(" ")
+          val w = rnd.nextInt(ws.length)
+          if (ws(w).isEmpty) s
+          else {
+            val c = ('a' + rnd.nextInt(26)).toChar
+            ws(w) = if (rnd.nextBoolean()) c + ws(w).tail else ws(w).init + c
+            ws.mkString(" ")
+          }
+      }
+    }
+    val rows = (0 until 120).flatMap { i =>
+      val base = name()
+      val once = edit(base)
+      val twice = edit(once)
+      Seq((i * 10L, s"B${i % 3}", base), (i * 10L + 1, s"B${i % 3}", once),
+        (i * 10L + 2, s"B${i % 3}", twice))
+    }
+    val df = rows.toDF("id", "block", "nm")
+    val got = graft.operators.Relational
+      .fuzzyPairsOver(df, $"id", $"block", $"nm", maxDist = 2)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all same-block id pairs with lev ≤ 2
+    val byBlock = rows.groupBy(_._2)
+    val want = byBlock.values.flatMap { g =>
+      for {
+        a <- g; b <- g
+        if a._1 < b._1
+        ed = org.apache.commons.text.similarity.LevenshteinDistance
+          .getDefaultInstance.apply(a._3, b._3)
+        if ed <= 2
+      } yield (a._1, b._1)
+    }.toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
