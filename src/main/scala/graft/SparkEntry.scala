@@ -982,7 +982,6 @@ object SparkEntry {
         |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
         |c AS (SELECT day_start, user_id, COUNT(*) AS n_exact
         |  FROM e GROUP BY 1, 2),
-        |t AS (SELECT day_start, COUNT(*) AS n_window FROM e GROUP BY 1),
         |r AS (SELECT c.day_start, c.user_id, c.n_exact,
         |   ROW_NUMBER() OVER (PARTITION BY c.day_start
         |     ORDER BY c.n_exact DESC, c.user_id) AS rk

@@ -415,7 +415,9 @@ object Graft {
       iters: Int = 3, damping: Double = 0.85): DataFrame =
     graft.operators.Graph.pageRankOver(edges, srcCol, dstCol, iters, damping)
 
-  /** Blocked edit-distance pairs (entity-resolution primitive). */
+  /** Blocked edit-distance pairs (entity-resolution primitive).
+    * `maxDist` ∈ [0, 5]: 0 means exact-duplicate names within a
+    * block; null names never pair. */
   def fuzzyPairs(df: DataFrame, idCol: Column, blockCol: Column,
       nameCol: Column, maxDist: Int = 2): DataFrame =
     graft.operators.Relational.fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist)

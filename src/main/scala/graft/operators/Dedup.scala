@@ -250,20 +250,30 @@ object Dedup {
     * ≥ 1−maxMiss. Net growth is the classic LSH n^(1+ρ): b grows as
     * (1/p)^r ≈ n^0.22 at recallCos 0.9 — e.g. n=20k → (86, 13),
     * n=200k → (141, 16). maxPlanes=24 covers corpora to ~67M vectors;
-    * raise it (and this doc) for more. */
+    * raise it (and this doc) for more. maxBands=1024 keeps the recall
+    * bound honest through the full r range: at recallCos 0.9 and
+    * r=24 the bound needs b≈562, so the default clamp never bites
+    * below ~67M vectors (a caller-supplied lower maxBands is honored
+    * but weakens the promised miss rate to (1−p^r)^maxBands — the
+    * require below refuses a clamp that would cut the computed b,
+    * rather than silently degrading recall). */
   private[graft] def adaptiveBandParams(
       n: Long, recallCos: Double, maxMiss: Double = 1e-6,
       targetOcc: Int = 4, minPlanes: Int = 4, maxPlanes: Int = 24,
-      minBands: Int = 12, maxBands: Int = 512): (Int, Int) = {
+      minBands: Int = 12, maxBands: Int = 1024): (Int, Int) = {
     require(n > 0 && recallCos > 0 && recallCos < 1 &&
       maxMiss > 0 && maxMiss < 1, s"bad adaptive params: n=$n cos=$recallCos")
     val r = math.min(maxPlanes, math.max(minPlanes,
       math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(recallCos) / math.Pi
     val pr = math.pow(p, r)
-    val b = math.min(maxBands, math.max(minBands,
-      math.ceil(math.log(maxMiss) / math.log1p(-pr)).toInt))
-    (b, r)
+    val bNeeded = math.max(minBands,
+      math.ceil(math.log(maxMiss) / math.log1p(-pr)).toInt)
+    require(bNeeded <= maxBands,
+      s"adaptiveBandParams: recall bound needs b=$bNeeded bands at r=$r " +
+        s"but maxBands=$maxBands — raise maxBands or relax maxMiss " +
+        s"(actual miss at the clamp would be ${math.pow(1 - pr, maxBands)})")
+    (bNeeded, r)
   }
 
   /** Scale path for embedding near-dup at HIGH similarity:
@@ -307,7 +317,12 @@ object Dedup {
     val (b2, r2) =
       if (adaptive) {
         val n = e.count()
-        if (n > AdaptiveAbove) adaptiveBandParams(n, math.max(minCos, 0.9))
+        // recall target must stay strictly below 1 — minCos = 1.0
+        // (exact-duplicate search) would otherwise feed recallCos = 1
+        // into adaptiveBandParams' require; 0.999 keeps the bound
+        // meaningful (p = 0.986) without changing any minCos < 0.999
+        if (n > AdaptiveAbove)
+          adaptiveBandParams(n, math.min(0.999, math.max(minCos, 0.9)))
         else (bands, planesPerBand)
       } else (bands, planesPerBand)
     val planesFlat = bandPlanes(b2, r2, dim, seed)

@@ -691,14 +691,30 @@ object Relational {
   // the true pair set by the pigeonhole argument, and the verify
   // filter is unchanged (OperatorsSpec cross-checks against the
   // brute-force join).
-  /** Generic blocked edit-distance pairing (Graft facade entry). */
+  /** Generic blocked edit-distance pairing (Graft facade entry).
+    * `maxDist` ∈ [0, 5]: 0 degenerates to exact-duplicate names
+    * within a block (no segment index needed); null names never pair
+    * (SQL equality semantics — same as the pre-round-7 all-pairs
+    * join, where a null name's levenshtein is null and filters out). */
   def fuzzyPairsOver(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       blockCol: org.apache.spark.sql.Column,
       nameCol: org.apache.spark.sql.Column, maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 5, s"maxDist out of range: $maxDist")
+    require(maxDist >= 0 && maxDist <= 5, s"maxDist out of range: $maxDist")
     val d = maxDist
-    val base = df.select(idCol.as("__id"), blockCol.as("block"), nameCol.as("__nm"))
+    val base = df
+      .select(idCol.as("__id"), blockCol.as("block"), nameCol.as("__nm"))
+      .filter(col("__nm").isNotNull)
+    if (maxDist == 0) {
+      // lev-0 pairs are exactly identical names in a block — one
+      // equi-join on (block, name), no candidate generation
+      return base.select(col("__id").as("id_a"), col("block"),
+          col("__nm").as("__nm"))
+        .join(base.select(col("__id").as("id_b"), col("block"),
+          col("__nm").as("__nm")), Seq("block", "__nm"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("block"), lit(0).as("lev"))
+    }
     val names = base.select(col("block"), col("__nm")).distinct()
       .withColumn("len", length(col("__nm")))
     // segment scheme for a length-l name: start q(j) = floor(j·l/(d+1)),
@@ -715,11 +731,16 @@ object Relational {
         col("nm_i"))
     // probe: for every target length l (±d) and segment j, all
     // substrings of that segment's length starting within ±d of the
-    // scheme start (empty when the name is too short to host one)
+    // scheme start (empty when the name is too short to host one).
+    // The length sequence starts at greatest(0, len−d) — including
+    // the l = 0 target — so names of length ≤ d probe the empty
+    // name's index entries (all-empty segments) and the reflexive
+    // empty-name pair survives; only length-≤d names ever emit an
+    // l = 0 key, so the extra volume is O(d) keys per tiny name.
     val lo = s"greatest(0, ${q("j", "l")} - $d)"
     val hi = s"least(len - ${segLen("j", "l")}, ${q("j", "l")} + $d)"
     val probeKeys = expr(
-      s"""array_distinct(flatten(transform(sequence(greatest(1, len - $d), len + $d), l ->
+      s"""array_distinct(flatten(transform(sequence(greatest(0, len - $d), len + $d), l ->
          |  flatten(transform(sequence(0, $d), j ->
          |    transform(filter(sequence($lo, greatest($lo, $hi)), p -> p <= $hi),
          |      p -> struct(l AS l, j AS j,

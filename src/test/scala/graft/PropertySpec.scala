@@ -278,6 +278,38 @@ class PropertySpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("fuzzy pairs: empty names, null names, and maxDist = 0 (round-8 ADVICE)") {
+    // round-7 regression: probe lengths started at greatest(1, len−d),
+    // so the l = 0 index entry was never probed and two ids sharing an
+    // empty name lost their lev-0 pair; maxDist = 0 threw outright
+    val rows: Seq[(Long, String, String)] = Seq(
+      (1L, "B", ""), (2L, "B", ""),            // reflexive empty pair
+      (3L, "B", "a"), (4L, "B", "ab"),         // short names near empty
+      (5L, "B", "abc"), (6L, "B", "abd"),
+      (7L, "B", "abc"),                        // exact dup of id 5
+      (8L, "C", ""))                           // empty in another block
+    val df = rows.toDF("id", "block", "nm")
+      .union(Seq((9L, "B", null.asInstanceOf[String])).toDF("id", "block", "nm"))
+    def pairs(d: Int): Set[(Long, Long)] = graft.operators.Relational
+      .fuzzyPairsOver(df, $"id", $"block", $"nm", maxDist = d)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def brute(d: Int): Set[(Long, Long)] = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2
+      ed = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a._3, b._3)
+      if ed <= d
+    } yield (a._1, b._1)).toSet
+    for (d <- 0 to 3)
+      assert(pairs(d) === brute(d), s"maxDist=$d")
+    assert(pairs(0) === Set((1L, 2L), (5L, 7L)))
+    assert(pairs(1).contains((1L, 2L)) && pairs(1).contains((2L, 3L)))
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Relational.fuzzyPairsOver(df, $"id", $"block", $"nm", -1)
+    }
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()

@@ -73,6 +73,18 @@ class BandKeysSpec extends SparkSpec {
     val (bSmall, rSmall) = Dedup.adaptiveBandParams(64L, recallCos = 0.9)
     assert(rSmall === 4)
     assert(bSmall === 18) // ceil(ln 1e-6 / ln(1 - p^4)), p = 1 - acos(.9)/pi
+    // round-8 ADVICE: at r = 24 (n ≳ 34M) the bound needs b ≈ 562 —
+    // the old maxBands = 512 clamp silently degraded recall; now the
+    // default admits it and an insufficient clamp refuses loudly
+    val (bBig, rBig) = Dedup.adaptiveBandParams(40000000L, recallCos = 0.9)
+    assert(rBig === 24)
+    val pBig = 1.0 - math.acos(0.9) / math.Pi
+    assert(math.pow(1.0 - math.pow(pBig, rBig), bBig) <= 1e-6 * 1.01,
+      s"b=$bBig r=$rBig misses the bound")
+    assert(bBig > 512, "the old clamp would have bitten here")
+    intercept[IllegalArgumentException] {
+      Dedup.adaptiveBandParams(40000000L, recallCos = 0.9, maxBands = 512)
+    }
   }
 
   test("banded near-dup finds planted twins on an above-threshold corpus with adaptive sizing") {
@@ -94,5 +106,13 @@ class BandKeysSpec extends SparkSpec {
     // ≪ 1e-6 — the seeded run finds every planted pair, and random
     // 6k-vector noise contributes no pairs at 0.95
     assert(got === want)
+    // round-8 ADVICE regression: minCos = 1.0 above AdaptiveAbove used
+    // to feed recallCos = 1 into adaptiveBandParams' require and throw;
+    // the 0.999 clamp makes exact-duplicate search work again (the
+    // ≈0.999-cos twins are not exact, so a strict filter finds nothing)
+    val exact = Dedup.embeddingNearDupsBanded(
+      df, $"vec_id", $"embedding", minCos = 1.0)
+      .collect()
+    assert(exact.forall(_.getDouble(2) >= 1.0))
   }
 }
