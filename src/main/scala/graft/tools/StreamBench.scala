@@ -69,8 +69,64 @@ object StreamBench {
       spark.stop()
       return
     }
+    if (args.contains("--recovery")) {
+      recovery(spark)
+      spark.stop()
+      return
+    }
     runShort(spark, secs.getOrElse(20))
     spark.stop()
+  }
+
+  /** Crash-recovery timing (`--recovery`, pair with `--rocksdb` for
+    * the production provider): for each stateful workload, run the
+    * deterministic [[graft.streaming.StreamRecovery]] corpus
+    * uninterrupted, then again with an injected sink crash mid-stream
+    * and a restart from the same checkpoint. Reports the
+    * uninterrupted wall, the resume wall (restart → termination,
+    * which includes state-store restore + redelivery of the failed
+    * batch + the remaining half of the stream), rows lost (must be
+    * 0), duplicate rows beyond the asserted-identical whole-batch
+    * redelivery (must be 0), and output-vs-truth equality. */
+  private def recovery(spark: SparkSession): Unit = {
+    import graft.streaming.StreamRecovery
+    val nFiles = 40
+    val rowsPerFile = 3000
+    val crashAt = nFiles / 2L
+    val inDir = java.nio.file.Files.createTempDirectory("recovery_in").toString
+    StreamRecovery.writeInput(spark, inDir, nFiles, rowsPerFile)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        Vector[String])] = Seq(
+      ("windowed-agg", StreamRecovery.windowedAgg _,
+        StreamRecovery.aggTruth(spark, nFiles * rowsPerFile)),
+      ("fingerprint-dedup", StreamRecovery.fingerprintDedup _,
+        StreamRecovery.dedupTruth(spark, nFiles * rowsPerFile)))
+    for ((label, transform, truth) <- cases) {
+      val ckA = java.nio.file.Files.createTempDirectory("recovery_ckA").toString
+      val sinkA = new StreamRecovery.CollectingSink()
+      val tA = System.nanoTime()
+      StreamRecovery.start(spark, inDir, ckA, transform, sinkA).awaitTermination()
+      val wallA = (System.nanoTime() - tA) / 1e9
+
+      val ckB = java.nio.file.Files.createTempDirectory("recovery_ckB").toString
+      val sinkB = new StreamRecovery.CollectingSink(crashAtBatch = crashAt)
+      val qB1 = StreamRecovery.start(spark, inDir, ckB, transform, sinkB)
+      try qB1.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        require(e.getMessage.contains("injected sink crash"), e.getMessage) }
+      val tB = System.nanoTime()
+      StreamRecovery.start(spark, inDir, ckB, transform, sinkB).awaitTermination()
+      val wallResume = (System.nanoTime() - tB) / 1e9
+
+      import scala.jdk.CollectionConverters._
+      val lost = truth.diff(sinkB.allRealRows).size
+      val duped = sinkB.allRealRows.diff(truth).size
+      println(f"[streambench] recovery $label%s rows=${nFiles * rowsPerFile}%d " +
+        f"files=${nFiles + 2}%d crashAtBatch=$crashAt%d: " +
+        f"uninterrupted=$wallA%.1f s resume=$wallResume%.1f s " +
+        f"redeliveredBatches=${sinkB.redelivered.asScala.toSet}%s " +
+        f"lost=$lost%d duped=$duped%d truthMatch=${sinkB.allRealRows == truth}%s")
+    }
   }
 
   /** Sample a query's first state operator every 30 s.
