@@ -430,4 +430,31 @@ object Graft {
     graft.operators.EventOps.intervalJoinOver(
       windows, winIdCol, winKeyCol, startUsCol, endUsCol,
       points, ptIdCol, ptKeyCol, ptUsCol, bucketUs)
+
+  /** Count–Min point-frequency estimates: build the d×w grid from the
+    * occurrence stream (shuffle ≤ tasks·d·w rows regardless of N) and
+    * return `(item, n_est)` per distinct probe — one-sided, overshoot
+    * ≤ εN at ε = e/width, min over `depth` rows (q123's contract). */
+  def cmsFrequency(df: DataFrame, itemCol: Column,
+      probes: DataFrame, probeCol: Column,
+      width: Int = 2048, depth: Int = 5): DataFrame =
+    graft.operators.TextOps.cmsFrequencyOver(
+      df, itemCol, probes, probeCol, width, depth)
+
+  /** Windowed Count–Min grid over an unbounded keyed stream:
+    * finalized `(window_start, r, c, cell)` rows, O(depth·width)
+    * state per window independent of key cardinality (q124's
+    * production operator). Works on batch frames too (same plan). */
+  def streamCms(events: DataFrame, tsCol: String, keyCol: Column,
+      windowDur: String, watermarkDelay: String,
+      width: Int = 1024, depth: Int = 5): DataFrame =
+    graft.streaming.StreamCms.windowedCells(
+      events, tsCol, keyCol, windowDur, watermarkDelay, width, depth)
+
+  /** Cross-document duplicated spans (ExactSubstr-style): per doc,
+    * merged islands of word `k`-grams that appear in ≥ 2 distinct
+    * docs — `(doc_id, n_spans, dup_tokens, longest_span)`. */
+  def dupSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8): DataFrame =
+    graft.operators.PipelineOps.dupSpansOver(df, idCol, textCol, k)
 }

@@ -486,6 +486,30 @@ object TextOps {
     *
     * All hashes are seeded xxhash64(word, row) — deterministic across
     * partitionings and engines, like the LSH planes. */
+  /** Generic CMS point-frequency estimates (Graft facade entry):
+    * build the d×w grid from the occurrence stream `df[itemCol]`
+    * (one row per occurrence; groupBy combines map-side, so the
+    * shuffle is ≤ tasks·d·w rows regardless of N) and return
+    * `(item, n_est)` for each distinct probe item. The bounded grid
+    * is broadcast into the probe join — at most d·w rows no matter
+    * the corpus — and an absent cell counts 0, so unseen probes
+    * estimate correctly (min over d cells, missing = 0). */
+  def cmsFrequencyOver(df: DataFrame, itemCol: org.apache.spark.sql.Column,
+      probes: DataFrame, probeCol: org.apache.spark.sql.Column,
+      width: Int = 2048, depth: Int = 5): DataFrame = {
+    require(width >= 2 && depth >= 1, s"bad CMS shape: w=$width d=$depth")
+    val rows = array((0 until depth).map(lit): _*)
+    val cms = df
+      .select(itemCol.as("item"), explode(rows).as("r"))
+      .select(col("r"), pmod(xxhash64(col("item"), col("r")), lit(width)).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
+    val pr = probes.select(probeCol.as("item")).distinct()
+      .select(col("item"), explode(rows).as("r"))
+      .withColumn("c", pmod(xxhash64(col("item"), col("r")), lit(width)))
+    pr.join(broadcast(cms), Seq("r", "c"), "left")
+      .groupBy(col("item")).agg(min(coalesce(col("cell"), lit(0L))).as("n_est"))
+  }
+
   def cmsFrequencyGate(t: Tables, width: Int = 2048, depth: Int = 5,
       k: Int = 20, epsFactor: Long = 3L): DataFrame = {
     import t.spark.implicits._

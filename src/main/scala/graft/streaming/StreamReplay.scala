@@ -481,12 +481,11 @@ object StreamReplay {
     val (slice, sentinel) = eventSlice(spark, dir)
     val rows = array((0 until depth).map(lit): _*)
     val cells = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
-      ds.withWatermark("ts", "1 hour")
-        .select($"ts", $"user_id", explode(rows).as("r"))
-        .withColumn("c", pmod(xxhash64($"user_id", $"r"), lit(width)))
-        .groupBy(window($"ts", "1 day"), $"r", $"c")
-        .agg(count(lit(1)).as("cell"))
-        .select($"window.start".as("window_start"), $"r", $"c", $"cell")
+      // the production operator, replayed verbatim (StreamCms is the
+      // facade-reachable form; this keeps q124 exercising it)
+      StreamCms.windowedCells(ds.toDF(), "ts", $"user_id",
+        windowDur = "1 day", watermarkDelay = "1 hour", width = width,
+        depth = depth)
     }.filter($"window_start" < to_timestamp(lit(EventCutoff)))
     val ev = Tables(spark, dir).events
       .filter($"ts" < to_timestamp(lit(EventCutoff)))

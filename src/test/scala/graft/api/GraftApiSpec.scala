@@ -215,4 +215,54 @@ class GraftApiSpec extends SparkSpec {
         s"first session wrong: ${s.toSeq}")
     } finally q2.stop()
   }
+
+  test("cmsFrequency estimates arbitrary probe items, unseen probes included") {
+    val occ = (Seq.fill(7)("apple") ++ Seq.fill(3)("pear") ++ Seq("plum"))
+      .toDF("w")
+    val probes = Seq("apple", "pear", "plum", "never_seen").toDF("p")
+    val got = Graft.cmsFrequency(occ, $"w", probes, $"p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 items in a 5×2048 grid: collision-free, so est == exact and
+    // the unseen probe reads its empty cells as 0
+    assert(got === Map("apple" -> 7L, "pear" -> 3L, "plum" -> 1L,
+      "never_seen" -> 0L))
+  }
+
+  test("streamCms windowed grid recovers per-window key counts (batch twin)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val ev = Seq(
+      (ts(1), 7L), (ts(2), 7L), (ts(3), 8L),        // window 0
+      (ts(70), 7L), (ts(71), 9L), (ts(72), 9L))     // window 1
+      .toDF("ts", "user_id")
+    val cells = Graft.streamCms(ev, "ts", $"user_id", "1 hour", "1 hour",
+      width = 512, depth = 5)
+    // estimate = min over the key's d cells within its window
+    def est(winStartMin: Long, key: Long): Long = cells
+      .filter($"window_start" === ts(winStartMin) &&
+        $"c" === pmod(xxhash64(lit(key), $"r"), lit(512)))
+      .agg(min($"cell")).head().getLong(0)
+    assert(est(0, 7L) === 2L)
+    assert(est(0, 8L) === 1L)
+    assert(est(60, 7L) === 1L)
+    assert(est(60, 9L) === 2L)
+    // grid is bounded: ≤ depth·width cells per window regardless of keys
+    assert(cells.count() <= 2L * 5 * 512)
+  }
+
+  test("dupSpans merges overlapping shared k-grams into islands per doc") {
+    // docs 1 and 2 share a 10-word run (3 overlapping 8-grams → ONE
+    // span of 10 tokens); doc 3 is unrelated
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"x y $shared"),
+      (3L, "totally different words that never repeat anywhere else here"))
+      .toDF("id", "text")
+    val got = Graft.dupSpans(docs, $"id", $"text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    // (doc, n_spans, dup_tokens): one merged 10-token island each side
+    assert(got === List((1L, 1L, 10L), (2L, 1L, 10L)), s"got $got")
+  }
 }
