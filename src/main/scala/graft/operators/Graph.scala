@@ -37,10 +37,21 @@ object Graph {
 
   /** `iters` rounds of PageRank with damping `d` over a directed edge
     * list (src, dst). Every node must have out-degree ≥ 1 (symmetrize
-    * first for undirected graphs — `pageRankCustSupp` does). */
+    * first for undirected graphs — `pageRankCustSupp` does).
+    *
+    * `edgeStorage` is the single-box pressure valve: the default
+    * MEMORY_AND_DISK checkpoint is right on a cluster (and at every
+    * driver SF), but when the edge list is mined from a fact-fact
+    * join at the top of one JVM's envelope (sf30: 180M lineitem rows
+    * on 96g), its cached blocks compete with the iteration joins'
+    * execution memory — DISK_ONLY keeps the whole heap for execution
+    * and lets the run complete. The plan shape is identical either
+    * way (one new shuffle per iteration — spec-asserted). */
   def pageRankOver(
       edges: DataFrame, srcCol: Column, dstCol: Column,
-      iters: Int, d: Double): DataFrame = {
+      iters: Int, d: Double,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     // LAZY localCheckpoint: the deduped edge list is consumed iters+1
     // times across the unrolled plan; checkpointing cuts the edge
@@ -56,7 +67,7 @@ object Graph {
     // regroup by dst), not three.
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .localCheckpoint(false, edgeStorage)
     // (id, deg): doubles as the node set — out-degree >= 1 contract
     // means every node appears as a src. Degree rides INSIDE the rank
     // frame from here on; no per-iteration degree join.
@@ -134,7 +145,12 @@ object Graph {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .union(pairs.select($"s".as("src"), $"c".as("dst")))
-    pageRankOver(edges, $"src", $"dst", iters, d)
+    // single-box scale valve (see pageRankOver): DISK_ONLY lets the
+    // sf30 edge checkpoint coexist with the iteration joins in one
+    // 96g JVM; results are storage-level-independent (same plan)
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK"))
+    pageRankOver(edges, $"src", $"dst", iters, d, storage)
       .select($"id",
         when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         $"pr")

@@ -30,6 +30,39 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> p2c, 2L -> p2l, 3L -> p2l))
   }
 
+  test("pageRank executes exactly one NEW shuffle per additional iteration, any edge storage") {
+    // the 100×-scale contract — each power-iteration round may
+    // MATERIALIZE only the contribution regroup by dst; the repeated
+    // deg / node-count subtrees over the checkpointed edge scan must
+    // collapse to ReusedExchange (AQE stage reuse), not re-shuffle.
+    // Counted in the FINAL adaptive plan (after execution), excluding
+    // reused and broadcast exchanges — the shuffles that actually ran.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    def executedShuffles(iters: Int,
+        storage: org.apache.spark.storage.StorageLevel): Int = {
+      val df = Graph.pageRankOver(edges, $"src", $"dst", iters, 0.85, storage)
+      df.collect()
+      val fin = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+        .split("== Initial Plan ==").head
+      fin.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange") &&
+          (l.contains("hashpartitioning") || l.contains("SinglePartition")))
+    }
+    import org.apache.spark.storage.StorageLevel.{DISK_ONLY, MEMORY_AND_DISK}
+    for (st <- Seq(MEMORY_AND_DISK, DISK_ONLY)) {
+      assert(executedShuffles(4, st) - executedShuffles(3, st) === 1,
+        s"storage=$st")
+      assert(executedShuffles(6, st) - executedShuffles(5, st) === 1,
+        s"storage=$st")
+    }
+    // and DISK_ONLY changes no values (same plan, different blocks)
+    val a = Graph.pageRankOver(edges, $"src", $"dst", 3, 0.85).collect().toSet
+    val b = Graph.pageRankOver(edges, $"src", $"dst", 3, 0.85,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY).collect().toSet
+    assert(a === b)
+  }
+
   test("a pure-source node keeps its base rank and its out-edges keep feeding") {
     // directed: 1→2, 2→1, 3→1 — node 3 has out-degree 1 (contract-
     // legal) but in-degree 0; it must survive every iteration with the
