@@ -26,8 +26,11 @@ import scala.concurrent.duration._
   *   whichever query happened to land behind a wide stage (round-3
   *   telemetry showed q86 at 16.1 s vs a 6.98 s solo cost for
   *   exactly this reason). The median keeps the numbers stable
-  *   (±20% across consecutive runs) without paying for a serial
-  *   solo pass per query.
+  *   (±20% across consecutive runs).
+  * - After the concurrent passes, ONE warm serial solo run per query
+  *   lands in bench_full.json's "solo" map (telemetry only — "value"
+  *   stays the two-lane wall): the queue-free number a regression diff
+  *   should read first. SPARK_GRAFT_SOLO=0 skips it.
   * - A warm-up absorbs JVM/session startup.
   */
 object Bench {
@@ -177,6 +180,20 @@ object Bench {
       runPass(replayLane)
       (1 to passes).map(_ => runPass(replayLane))
     }
+    // SOLO lane (telemetry, not part of "value"): one warm serial run
+    // per query, nothing else on the pool — the per-query number that
+    // queue time cannot pollute. Concurrent-lane walls inflate 2–3×
+    // for whichever query lands behind a wide stage, which every round
+    // masqueraded as regression until the solo sweep re-explained it
+    // (round-7 verdict: q06 4.6→6.2 s on an unchanged plan). Next
+    // round's regression diff should read THIS map first. Skippable
+    // with SPARK_GRAFT_SOLO=0 for quick iterations.
+    val soloT0 = System.nanoTime()
+    val solo: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SOLO", "1") == "0") Map.empty
+      else names.map(runQuery).toMap
+    val soloWall = if (solo.isEmpty) 0.0 else (System.nanoTime() - soloT0) / 1e9
+
     // median over the passes, per query and for the wall; a failure
     // (-1) in ANY pass surfaces as -1 rather than being median'd away
     def median(xs: Seq[Double]): Double = {
@@ -207,9 +224,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     // best-effort: an unwritable cwd must not cost the stdout line —
     // that line is the driver's only guaranteed artifact
+    val soloJson =
+      if (solo.isEmpty) ""
+      else s""","solo_lane_sec":${fmt(soloWall)},"solo":""" +
+        names.map(n => "\"" + n + "\":" + fmt(solo(n)))
+          .mkString("{", ",", "}")
     val wrote = try {
       java.nio.file.Files.writeString(outPath,
-        line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), "") + "\n")
+        line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), soloJson) + "\n")
       true
     } catch {
       case e: java.io.IOException =>
@@ -218,7 +240,8 @@ object Bench {
     // stdout (last line, tail-safe): totals + the slowest 10 only
     val slowest = names.sortBy(n => -byQuery(n)).take(10)
     println(line(slowest.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
-      if (wrote) s""","full":"${outPath.toAbsolutePath}"""" else ""))
+      (if (solo.isEmpty) "" else s""","solo_lane_sec":${fmt(soloWall)}""") +
+        (if (wrote) s""","full":"${outPath.toAbsolutePath}"""" else "")))
     ec.shutdown()
     spark.stop()
   }
