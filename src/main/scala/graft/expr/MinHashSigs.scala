@@ -95,20 +95,35 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  private def isLongs: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires (array<string>, array<string>)")
+          s"$prettyName requires two sorted arrays of the same type " +
+            "(array<string> or array<bigint>)")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isLongs)
+      SortedIntersectSize.computeLongs(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectSize.compute(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.SortedIntersectSize.compute($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLongs) "computeLongs" else "compute"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.SortedIntersectSize.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSize =
@@ -137,6 +152,27 @@ object SortedIntersectSize {
       else j += 1
     }
     if (na > 0 && nb > 0 && a.isNullAt(na - 1) && b.isNullAt(nb - 1)) n += 1
+    n
+  }
+
+  /** Long-array merge walk (signed ascending order — what `array_sort`
+    * over bigint produces); called from generated code. Inputs must be
+    * sorted, distinct, and null-free (the shingle-hash arrays of the
+    * dedup verify path are: `array_sort(array_distinct(transform(sh,
+    * xxhash64)))` over null-free shingles). */
+  def computeLongs(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
     n
   }
 }

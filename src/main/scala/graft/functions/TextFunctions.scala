@@ -141,11 +141,13 @@ object TextFunctions {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Jaccard over SORTED distinct string arrays via the native
-    * merge-walk expression (graft.expr.SortedIntersectSize) — same
-    * value as [[jaccard]] on the same sets, but O(|A|+|B|) with zero
-    * per-pair allocation, the property that matters when this runs
-    * once per candidate pair in a dedup join. */
+  /** Jaccard over SORTED distinct arrays (string or bigint) via the
+    * native merge-walk expression (graft.expr.SortedIntersectSize) —
+    * same value as [[jaccard]] on the same sets, but O(|A|+|B|) with
+    * zero per-pair allocation, the property that matters when this
+    * runs once per candidate pair in a dedup join. The bigint form is
+    * the scale path: verify joins carry 8-byte shingle hashes, not
+    * shingle strings (collision bound documented at the call sites). */
   def jaccardSorted(a: Column, b: Column): Column = {
     val inter = call_function("sorted_intersect_size", a, b).cast("double")
     inter / (size(a) + size(b) - inter)

@@ -134,9 +134,22 @@ object Dedup {
     // are NOT pinned in the CacheManager for the session lifetime —
     // the context cleaner releases them once the returned plan is no
     // longer referenced.
+    // Alongside the string shingles (consumed once, by banding), an
+    // 8-byte xxhash64 per shingle: the VERIFY join below carries only
+    // these packed long arrays — ~8·|sh| bytes/doc vs ~2 KB of shingle
+    // strings, the difference between ~90 GB and ~270 GB of join
+    // intermediates at sf30's 67.5M answer-bound pairs (the one-box
+    // page-cache cliff in BASELINE.md). Jaccard over the hash SETS
+    // equals jaccard over the shingle sets unless two distinct
+    // shingles in one candidate pair's union collide in 64 bits:
+    // P ≤ (|A|+|B|)²/2⁶⁵ ≈ 1e-14 per pair at ~600 shingles — ~1e-6
+    // expected affected pairs across sf30's 67.5M, and the driver-SF
+    // oracles re-confirm bit-equality every round.
     val docs = df
       .select(idCol.as("doc_id"), array_sort(shingles(textCol, shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("shh",
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))))
       .localCheckpoint(true)
     // All minhash signatures in ONE pass (native expression), then
     // one band key per `rowsPerBand` signatures. The band join carries
@@ -156,12 +169,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // fetch shingle sets only for surviving candidate pairs
+    // fetch shingle-HASH sets only for surviving candidate pairs —
+    // never the shingle strings (see the collision-bound note above)
     cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
+        (lit(1.0) - graft.functions.TextFunctions.jaccardSorted(col("shh_a"), col("shh_b")))
           .as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxDist)
   }
@@ -496,6 +510,10 @@ object Dedup {
         txt: org.apache.spark.sql.Column) =
       df.select(id.as("__id"), array_sort(shingles(txt, shingleK)).as("__sh"))
         .filter(size(col("__sh")) > 0)
+        // 8-byte shingle hashes for the verify join — same trade and
+        // collision bound as minhashPairsCore (see the note there)
+        .withColumn("__shh",
+          array_sort(array_distinct(transform(col("__sh"), s => xxhash64(s)))))
         .localCheckpoint(true)
     def bandKeys(docs: DataFrame): DataFrame = {
       val sigs = call_function("minhash_sigs", col("__sh"), lit(bands * rowsPerBand))
@@ -519,12 +537,12 @@ object Dedup {
       .join(bandKeys(refDocs).select(col("__id").as("__rid"), col("__bk")), Seq("__bk"))
       .select(col("__id"), col("__rid")).distinct()
     val evicted = pairIds
-      .join(corpusDocs.select(col("__id"), col("__sh")), Seq("__id"))
-      .join(refDocs.select(col("__id").as("__rid"), col("__sh").as("__ref_sh")), Seq("__rid"))
+      .join(corpusDocs.select(col("__id"), col("__shh")), Seq("__id"))
+      .join(refDocs.select(col("__id").as("__rid"), col("__shh").as("__ref_shh")), Seq("__rid"))
       // compare on the SIMILARITY side (j >= 1-maxDist) so the oracle's
       // `jaccard >= t` is the literally identical IEEE comparison
       .filter(graft.functions.TextFunctions.jaccardSorted(
-        col("__sh"), col("__ref_sh")) >= lit(1.0 - maxDist))
+        col("__shh"), col("__ref_shh")) >= lit(1.0 - maxDist))
       .select(col("__id")).distinct()
     exactClean.join(evicted, idCol === col("__id"), "left_anti")
   }
