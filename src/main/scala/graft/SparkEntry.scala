@@ -237,6 +237,7 @@ object SparkEntry {
     // streaming CMS over user_id: O(d·w) state per window regardless
     // of user cardinality; per-window top-5 users gated q123-style
     "q124_stream_cms_gate"   -> ((s, d) => graft.streaming.StreamReplay.streamCmsGate(s, d)),
+    "q125_skew_join"         -> ((s, d) => graft.operators.Skew.skewJoinAgg(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -988,6 +989,21 @@ object SparkEntry {
         |  FROM c)
         |SELECT day_start, user_id, n_exact, TRUE AS meets_bound
         |FROM r WHERE rk <= 5 ORDER BY day_start, user_id""".stripMargin,
+    // q125: the AQE skew-split join — the oracle is the plain
+    // aggregate-then-join in SQL; the split must change nothing
+    // (exact integer counts/sums both sides)
+    "q125_skew_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN event_id % 10 <> 0 THEN CAST(0 AS BIGINT)
+        |              ELSE event_id END AS k,
+        |         user_id AS lu
+        |  FROM events),
+        |r AS (SELECT event_id AS k, user_id AS ru FROM events)
+        |SELECT l.k % 7 AS kb, COUNT(*) AS n_rows,
+        |       CAST(SUM(l.lu) AS BIGINT) AS sum_lu,
+        |       CAST(SUM(r.ru) AS BIGINT) AS sum_ru
+        |FROM l JOIN r USING (k)
+        |GROUP BY 1 ORDER BY kb""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY

@@ -38,6 +38,60 @@ object Skew {
         sum(col("_pcnt")).as(cntName))
   }
 
+  /** q125: the RUNTIME skew path, driver-visible — the complement of
+    * q42's manual salting for when skew is data-dependent. A
+    * hub-skewed probe side (90% of events collapse onto key 0) joins
+    * a keyed aggregate under AQE's `OptimizeSkewedJoin` with
+    * fixture-scaled thresholds: the hub's map-output partition
+    * exceeds factor × median, gets split into parallel sub-joins, and
+    * the matching build partition is duplicated — the mechanism a
+    * 1000-executor job leans on instead of one 9×-median straggler.
+    * SkewJoinSpec asserts `skew=true` fires in THIS query's executed
+    * plan; the DuckDB oracle checks the split changed nothing.
+    *
+    * Two shape constraints, both learned by reading executed plans:
+    *
+    *  - The build side joins RAW on a unique key (event_id), not
+    *    pre-aggregated: `OptimizeSkewedJoin` pattern-matches a join
+    *    whose children are BARE shuffle reads (Sort over
+    *    ShuffleQueryStage) — an aggregate fused between shuffle and
+    *    join breaks the match and silently disables the split. The
+    *    unique key keeps the ANSWER linear anyway (each probe row
+    *    matches exactly one build row; 7 output rows after rollup).
+    *  - The final rollup keys on k % 7, NOT the join key: an
+    *    aggregate reusing the join's hash partitioning fuses into
+    *    the join's stage, and a skew split inside a fused stage would
+    *    break the aggregate's required distribution — AQE correctly
+    *    refuses. Re-keying puts an exchange after the join, which is
+    *    where a split join's output lands on a real pipeline anyway.
+    *
+    * Broadcasting is disabled because this is the fact-fact pattern.
+    * All aggregates are exact integers (counts + int64 user-id sums),
+    * so the oracle is a plain GROUP BY. A child session keeps the
+    * scaled-down AQE knobs from leaking into the shared session. */
+  def skewJoinAgg(t: Tables): DataFrame = {
+    val s = t.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    val ev = Tables(s, t.dir).events
+    val left = ev.select(
+      when($"event_id" % 10 =!= 0, lit(0L)).otherwise($"event_id").as("k"),
+      $"user_id".as("lu"))
+    val right = ev.select($"event_id".as("k"), $"user_id".as("ru"))
+    left.join(right, "k")
+      .groupBy(($"k" % 7).as("kb"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"lu").as("sum_lu"), sum($"ru").as("sum_ru"))
+      .orderBy($"kb")
+  }
+
   /** q42: revenue by returnflag — a genuinely skewed key (3 values
     * across the whole lineitem table) — via the salted two-phase plan.
     * Result must equal the direct GROUP BY (the oracle). */

@@ -72,4 +72,22 @@ class SkewJoinSpec extends SparkSpec {
     assert(tasks > 8,
       s"hub partition was not subdivided: $tasks tasks for 8 static reducers:\n$plan")
   }
+
+  test("q125 (driver-visible skew join) fires the split in its own executed plan") {
+    // the promoted query carries its AQE knobs in a child session —
+    // assert the mechanism actually engages when the DRIVER runs it,
+    // not only in this suite's hand-built workload
+    val df = SparkEntry.queries("q125_skew_join")(spark, "/root/testdata/sf0.01")
+    val qe = df.queryExecution
+    qe.toRdd.count(): Unit
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"q125 executed without a skew split:\n$plan")
+    assert(plan.contains("AQEShuffleRead skewed"),
+      s"q125's skewed shuffle read not marked:\n$plan")
+    // and the parent session's confs were not touched by the child
+    assert(spark.conf.getOption(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      .forall(_ != "32k"))
+  }
 }
