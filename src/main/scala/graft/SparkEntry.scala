@@ -238,6 +238,8 @@ object SparkEntry {
     // of user cardinality; per-window top-5 users gated q123-style
     "q124_stream_cms_gate"   -> ((s, d) => graft.streaming.StreamReplay.streamCmsGate(s, d)),
     "q125_skew_join"         -> ((s, d) => graft.operators.Skew.skewJoinAgg(Tables(s, d))),
+    "q126_weighted_sample"   -> ((s, d) => PipelineOps.weightedSample(Tables(s, d))),
+    "q127_quantized_knn"     -> ((s, d) => Similarity.quantizedKnnGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1004,6 +1006,55 @@ object SparkEntry {
         |       CAST(SUM(r.ru) AS BIGINT) AS sum_ru
         |FROM l JOIN r USING (k)
         |GROUP BY 1 ORDER BY kb""".stripMargin,
+    // q126: the race keys are bit-portable by construction (md5-derived
+    // exact-int u, one division, glibc-exact ln — see weightedSampleOver)
+    "q126_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+        |    ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, weight,
+        |  -ln((h + 1) / 281474976710657.0) / weight AS race_key
+        |FROM s WHERE weight >= 1
+        |ORDER BY race_key, doc_id LIMIT 100""".stripMargin,
+    // q127: BOTH rankings (exact float cosine and int8-quantized
+    // cosine) replayed in portable arithmetic — full hash check of the
+    // per-query overlap, recall, and gate
+    "q127_quantized_knn" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(x /
+         |      (list_max(list_transform(v, y -> abs(y))) / 127.0), 0) AS BIGINT)) AS qv
+         |  FROM e),
+         |qn AS (
+         |  SELECT vec_id, qv,
+         |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(qv, qv), p -> p[1]*p[2])), (a,b) -> a+b) AS DOUBLE)) AS nrm
+         |  FROM q8),
+         |ex AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${dotOf("q.v", "c.v")} / (sqrt(${dotOf("q.v", "q.v")}) * sqrt(${dotOf("c.v", "c.v")})) DESC,
+         |      c.vec_id) AS rk
+         |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |qx AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(list_zip(q.qv, c.qv), p -> p[1]*p[2])), (a,b) -> a+b) AS DOUBLE)
+         |        / (q.nrm * c.nrm) DESC,
+         |      c.vec_id) AS rk
+         |  FROM qn q, qn c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, COUNT(*) AS n_hits,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall,
+         |       COUNT(*) >= 8 AS meets_bound
+         |FROM ex JOIN qx USING (q_id, vec_id)
+         |WHERE ex.rk <= 10 AND qx.rk <= 10
+         |GROUP BY q_id ORDER BY q_id""".stripMargin,
     // q44: the language-ID heuristic is an argmax over exact rational
     // marker-hit scores; ties resolve to the lexicographically LAST
     // language in both engines (array_max struct ordering ↔ ORDER BY

@@ -457,4 +457,20 @@ object Graft {
   def dupSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 8): DataFrame =
     graft.operators.PipelineOps.dupSpansOver(df, idCol, textCol, k)
+
+  /** Deterministic weight-proportional top-`n` sample without
+    * replacement (Efraimidis–Spirakis race keyed on the content
+    * hash, no RNG — bit-reproducible on any engine/partitioning). */
+  def weightedSample(df: DataFrame, idCol: Column, contentCol: Column,
+      weightCol: Column, n: Int): DataFrame =
+    graft.operators.PipelineOps.weightedSampleOver(
+      df, idCol, contentCol, weightCol, n)
+
+  /** Int8 scalar-quantized top-`k` nearest neighbours by quantized
+    * cosine — 4× less memory traffic than float32 scans; rows
+    * `(q_id, vec_id, rk, qcos)` for ids matching `probePred` (q127
+    * gates this path's recall against the exact scan). */
+  def quantizedKnn(df: DataFrame, idCol: Column, embCol: Column,
+      probePred: Column => Column, k: Int = 10): DataFrame =
+    graft.operators.Similarity.quantizedTopKOver(df, idCol, embCol, probePred, k)
 }

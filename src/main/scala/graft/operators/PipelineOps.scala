@@ -283,6 +283,44 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  // ── q126: deterministic weighted sampling (Efraimidis–Spirakis) ─────
+  /** Weight-proportional top-`n` sample WITHOUT RNG — the
+    * data-budgeting primitive a mixture pipeline needs when sources
+    * get token-weighted quotas rather than q68's per-source rates.
+    * Efraimidis–Spirakis A-Res: each row draws key = −ln(u)/w and the
+    * n SMALLEST keys win — inclusion probability proportional to `w`,
+    * sampling without replacement, one distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps, k rows to the
+    * driver — no shuffle of the corpus).
+    *
+    * Determinism/portability: u comes from the content hash, not an
+    * RNG — h = first 48 bits of md5, u = (h+1)/(2⁴⁸+1) ∈ (0,1). Both
+    * operands are exact in double, the division is one correctly-
+    * rounded IEEE op, ln is the glibc-bit-exact `math_ln`, and the
+    * negate/divide shapes match the oracle SQL literally — so the
+    * race keys (and the sample) are bit-identical on any engine and
+    * any partitioning, and exact duplicate texts always race
+    * identically. */
+  def weightedSampleOver(
+      df: DataFrame, idCol: Column, contentCol: Column,
+      weightCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    val h = conv(substring(md5(contentCol), 1, 12), 16, 10).cast("bigint")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710657.0) // 2^48+1
+    val key = -call_function("math_ln", u) / weightCol.cast("double")
+    df.filter(weightCol >= 1) // before the key: w = 0 must not divide
+      .select(idCol.as("doc_id"), weightCol.cast("long").as("weight"),
+        key.as("race_key"))
+      .orderBy(col("race_key"), col("doc_id"))
+      .limit(n)
+  }
+
+  def weightedSample(t: Tables, n: Int = 100): DataFrame = {
+    import t.spark.implicits._
+    weightedSampleOver(t.documents, $"doc_id", $"text",
+      tokenCount($"text"), n)
+  }
+
   // ── q67: benchmark contamination check ──────────────────────────────
   // What fraction of each corpus document's shingles appear in a
   // benchmark set? The benchmark's distinct shingle set is small →

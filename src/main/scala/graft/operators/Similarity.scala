@@ -48,6 +48,70 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** q127: int8 scalar-quantized kNN vs the exact float path — the
+    * memory-bandwidth lever production vector search pulls first: a
+    * symmetric per-vector int8 code is 4× smaller than float32 (8×
+    * smaller than the widened doubles), so 4× more corpus fits in
+    * cache/RAM per scan, and the inner loop is integer
+    * multiply-accumulate. This is the correctness contract for that
+    * trade: top-`k` by quantized cosine vs top-`k` by exact cosine,
+    * per query — overlap (`n_hits`), recall, and a `minHits` gate.
+    *
+    * Everything is engine-portable arithmetic, so the oracle replays
+    * BOTH rankings and the answer is a full hash check, not a
+    * rows-only gate: float→double widening is exact; scale = max|x|/127
+    * and x/scale are single correctly-rounded ops; `round` is
+    * half-away-from-zero in both engines; the int8 dot is an exact
+    * int64 sum; and the final cosine is the same fixed
+    * divide-by-norm-product shape as q28. Ranking ties break on
+    * vec_id in both paths. */
+  /** Generic int8-quantized top-`k` (Graft facade entry): per-query
+    * `(q_id, vec_id, rk, qcos)` over quantized codes, queries marked
+    * by `probePred` over the id. See [[quantizedKnnGate]] for the
+    * portability/exactness contract. */
+  def quantizedTopKOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column,
+      probePred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val q8 = df
+      .select(idCol.as("vec_id"), transform(embCol, _.cast("double")).as("v"))
+      .withColumn("sc", array_max(transform(col("v"), abs(_))) / lit(127.0))
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x / col("sc"), 0).cast("long")).as("qv"))
+      .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
+    val probes = q8.filter(probePred(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+    q8.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (idot(col("q_qv"), col("qv")).cast("double") /
+          (col("q_qn") * col("qn"))).as("qcos"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+  }
+
+  def quantizedKnnGate(t: Tables, k: Int = 10, minHits: Int = 8): DataFrame = {
+    import t.spark.implicits._
+    val qTop = quantizedTopKOver(
+      t.embeddings, $"vec_id", $"embedding", _ < QueryCount, k)
+      .select($"q_id", $"vec_id")
+    val we = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    val exTop = cosinePairs(t)
+      .withColumn("rk", row_number().over(we))
+      .filter($"rk" <= k)
+      .select($"q_id", $"vec_id")
+    qTop.join(exTop, Seq("q_id", "vec_id"))
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select($"q_id", $"n_hits",
+        ($"n_hits".cast("double") / lit(k.toDouble)).as("recall"),
+        ($"n_hits" >= minHits).as("meets_bound"))
+      .orderBy($"q_id")
+  }
+
   /** Sub-linear scale path for nearest-neighbour search: multi-table
     * random-hyperplane LSH. `nTables` independent hash tables, each
     * bucketing vectors by the sign pattern of `nPlanes` seeded random

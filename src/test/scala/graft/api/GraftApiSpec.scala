@@ -250,6 +250,28 @@ class GraftApiSpec extends SparkSpec {
     assert(cells.count() <= 2L * 5 * 512)
   }
 
+  test("weightedSample + quantizedKnn facades work on arbitrary frames") {
+    // weighted race: heavy row always wins, n caps the sample
+    val docs = (0L until 30L).map(i => (i, s"body $i", if (i == 7L) 100000 else 2))
+      .toDF("id", "text", "w")
+    val picked = Graft.weightedSample(docs, $"id", $"text", $"w", n = 5)
+      .collect().map(_.getLong(0))
+    assert(picked.length === 5 && picked.head === 7L)
+    // quantized kNN: identical vectors rank first at qcos 1.0
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vecs = Seq(
+      (0L, base), (1L, base.map(_ * 2f)),                 // colinear with 0
+      (2L, Array.tabulate(8)(i => (8 - i).toFloat)))      // different
+      .toDF("vid", "emb")
+    val knn = Graft.quantizedKnn(vecs, $"vid", $"emb", _ === 0L, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3), r.getDouble(2))).toList
+      .sortBy(_._2)
+    assert(knn.map(_._1) === List(1L, 2L), s"rank order wrong: $knn")
+    // colinear vectors quantize to the SAME code → qcos = d/(√d·√d),
+    // 1.0 up to one sqrt rounding
+    assert(math.abs(knn.head._3 - 1.0) < 1e-12, s"qcos ${knn.head._3}")
+  }
+
   test("dupSpans merges overlapping shared k-grams into islands per doc") {
     // docs 1 and 2 share a 10-word run (3 overlapping 8-grams → ONE
     // span of 10 tokens); doc 3 is unrelated

@@ -76,6 +76,15 @@ class OperatorsSpec extends SparkSpec {
     assert(knn.filter(col("q_id") === col("vec_id")).count() === 0)
   }
 
+  test("q127 quantized kNN: full top-10 agreement with the exact path on the fixture") {
+    val gate = Similarity.quantizedKnnGate(sf001).collect()
+    assert(gate.length === 5)
+    // int8 quantization of 64-dim gaussian vectors preserves the exact
+    // top-10 verbatim here — pin it so a quantizer regression surfaces
+    assert(gate.forall(_.getLong(1) === 10L), gate.mkString(", "))
+    assert(gate.forall(_.getBoolean(3)))
+  }
+
   test("q22 exact dedup: keeper count equals distinct text count") {
     val t = sf001
     val keepers = TextOps.exactDedup(t).count()

@@ -272,4 +272,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(3L))                      // within-doc only
     assert(got(4L) === ((1L, 8L, 8)))
   }
+
+  test("weighted sample: deterministic, duplicate texts race identically, weight dominates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 light docs (distinct texts, weight 5) + 1 heavy doc whose
+    // weight dwarfs the race noise: -ln(u) ∈ (0, ~33) for 48-bit u,
+    // so weight 1e6 puts its key below any weight-5 doc's possible key
+    val light = (0L until 60L).map(i => (i, s"doc body $i x y z"))
+    val heavy = Seq((999L, Seq.fill(6)("w").mkString(" "))) // any text
+    val df = (light ++ heavy).toDF("id", "text")
+    val w = when($"id" === 999L, 1000000).otherwise(5)
+    def run() = PipelineOps
+      .weightedSampleOver(df, $"id", $"text", w, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val a = run()
+    assert(a === run(), "not deterministic")
+    assert(a.length === 10)
+    assert(a.head._1 === 999L, s"heavy doc must win the race: $a")
+    // duplicate content + equal weight ⇒ identical race key (dedup-safe)
+    val dup = Seq((1L, "same text here"), (2L, "same text here"))
+      .toDF("id", "text")
+    val keys = PipelineOps
+      .weightedSampleOver(dup, $"id", $"text", lit(3), n = 2)
+      .collect().map(_.getDouble(2))
+    assert(keys(0) === keys(1))
+    // zero/absent weights never sample
+    val z = Seq((1L, "a", 0), (2L, "b", 4)).toDF("id", "text", "w")
+    val kept = PipelineOps
+      .weightedSampleOver(z, $"id", $"text", $"w", n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L))
+  }
 }
