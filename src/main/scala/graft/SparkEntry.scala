@@ -240,6 +240,7 @@ object SparkEntry {
     "q125_skew_join"         -> ((s, d) => graft.operators.Skew.skewJoinAgg(Tables(s, d))),
     "q126_weighted_sample"   -> ((s, d) => PipelineOps.weightedSample(Tables(s, d))),
     "q127_quantized_knn"     -> ((s, d) => Similarity.quantizedKnnGate(Tables(s, d))),
+    "q128_bm25_topk"         -> ((s, d) => PipelineOps.bm25TopK(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1485,6 +1486,32 @@ object SparkEntry {
         |  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
         |      (CAST(dl.dl AS DOUBLE) / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))) AS bm25
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN st""".stripMargin,
+    // q128: q88's matrix + broadcast query terms; the per-(q, d) score
+    // folds in word order (the q79 recipe) so the double sum is
+    // cross-engine exact; rank ties break on doc_id
+    "q128_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |bm AS (SELECT tf.doc_id, tf.word,
+        |  ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |   * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |   / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |       (CAST(dl.dl AS DOUBLE) / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))) AS bm25
+        | FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN st),
+        |q AS (SELECT doc_id AS q_id,
+        |   unnest(list_distinct(string_split(text, ' ')[1:4])) AS word
+        |  FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT q.q_id, bm.doc_id, COUNT(*) AS n_terms,
+        |  list_reduce(list_prepend(0.0, list(bm.bm25 ORDER BY bm.word)),
+        |    (a, b) -> a + b) AS score
+        | FROM bm JOIN q USING (word) GROUP BY 1, 2)
+        |SELECT q_id, doc_id, n_terms, score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q89_containment" ->
       """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS words FROM documents)
         |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,

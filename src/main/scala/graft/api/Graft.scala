@@ -466,6 +466,15 @@ object Graft {
     graft.operators.PipelineOps.weightedSampleOver(
       df, idCol, contentCol, weightCol, n)
 
+  /** BM25 top-`k` retrieval: score each query's distinct terms
+    * against the corpus scoring matrix (queries broadcast, word-
+    * ordered exact double fold), rank per query. */
+  def bm25Search(corpus: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, qIdCol: Column, qTextCol: Column,
+      k: Int = 10): DataFrame =
+    graft.operators.PipelineOps.bm25TopKOver(
+      corpus, idCol, textCol, queries, qIdCol, qTextCol, k)
+
   /** Int8 scalar-quantized top-`k` nearest neighbours by quantized
     * cosine — 4× less memory traffic than float32 scans; rows
     * `(q_id, vec_id, rk, qcos)` for ids matching `probePred` (q127

@@ -84,6 +84,47 @@ object PipelineOps {
     bm25Over(t.documents, $"doc_id", $"text").orderBy($"doc_id", $"word")
   }
 
+  // ── q128: BM25 top-k retrieval ──────────────────────────────────────
+  /** The query-side half of the q88 scoring matrix — what a user of a
+    * corpus search layer actually runs: score(q, d) = Σ_{w ∈ q}
+    * bm25(d, w) over the query's DISTINCT terms, top `k` docs per
+    * query. The matrix join touches only postings of query terms
+    * (queries broadcast — the |Q|-bounded side never shuffles the
+    * corpus), and the per-(q, d) score folds its ≤|q| terms in word
+    * order (sorted struct array ↔ `list(term ORDER BY word)`), the
+    * q79 recipe that makes the order-dependent double sum
+    * cross-engine exact. Top-k is one ranking window over ≤ |Q|·N
+    * candidate rows, tie-broken on doc_id. */
+  def bm25TopKOver(
+      corpus: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, qIdCol: Column, qTextCol: Column,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val m = bm25Over(corpus, idCol, textCol, k1, b)
+    val qw = queries.select(qIdCol.as("q_id"),
+      explode(array_distinct(tokens(qTextCol))).as("word"))
+    val scored = m.join(broadcast(qw), Seq("word"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("word"), col("bm25")))).as("arr"))
+      .select(col("q_id"), col("doc_id"), col("n_terms"),
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("bm25"))
+          .as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Fixture retrieval: queries are the first 4 tokens of docs 0–4
+    * (deterministic, reconstructible in the oracle). */
+  def bm25TopK(t: Tables, k: Int = 10): DataFrame = {
+    import t.spark.implicits._
+    val queries = t.documents.filter($"doc_id" < 5)
+      .select($"doc_id".as("qid"),
+        array_join(slice(tokens($"text"), 1, 4), " ").as("qtext"))
+    bm25TopKOver(t.documents, $"doc_id", $"text", queries, $"qid", $"qtext", k)
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q93: inverted index (posting lists) ─────────────────────────────
   // The retrieval-side dual of TF-IDF/BM25: per term, document
   // frequency, collection frequency, and the doc-id posting list in

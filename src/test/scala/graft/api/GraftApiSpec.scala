@@ -272,6 +272,23 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(knn.head._3 - 1.0) < 1e-12, s"qcos ${knn.head._3}")
   }
 
+  test("bm25Search ranks the term-matching docs and respects k") {
+    val corpus = Seq(
+      (1L, "spark runs distributed queries on clusters"),
+      (2L, "spark spark spark everywhere spark"),
+      (3L, "ducks swim on ponds"),
+      (4L, "distributed systems need consensus")).toDF("id", "text")
+    val queries = Seq((100L, "spark distributed")).toDF("qid", "qtext")
+    val got = Graft.bm25Search(corpus, $"id", $"text", queries, $"qid", $"qtext", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toList.sortBy(_._2)
+    // docs 1/2/4 match ≥1 term; k=2 keeps the two best; doc 3 never appears
+    assert(got.length === 2)
+    assert(!got.map(_._1).contains(3L))
+    // doc 1 matches BOTH query terms — its two-term sum must outrank
+    // the single-term matches
+    assert(got.head._1 === 1L, s"two-term match must rank first: $got")
+  }
+
   test("dupSpans merges overlapping shared k-grams into islands per doc") {
     // docs 1 and 2 share a 10-word run (3 overlapping 8-grams → ONE
     // span of 10 tokens); doc 3 is unrelated
