@@ -241,6 +241,7 @@ object SparkEntry {
     "q126_weighted_sample"   -> ((s, d) => PipelineOps.weightedSample(Tables(s, d))),
     "q127_quantized_knn"     -> ((s, d) => Similarity.quantizedKnnGate(Tables(s, d))),
     "q128_bm25_topk"         -> ((s, d) => PipelineOps.bm25TopK(Tables(s, d))),
+    "q129_overlap_join"      -> ((s, d) => graft.operators.EventOps.purchaseClickOverlaps(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1352,6 +1353,17 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(w.ts)
         | AND epoch_us(e.ts) < epoch_us(w.ts) + 1800000000
         |WHERE w.event_type = 'purchase' AND e.event_id <> w.event_id""".stripMargin,
+    // q129: exact-integer overlap predicate + length — the oracle is
+    // the plain range join the bucketed plan de-quadratizes
+    "q129_overlap_join" ->
+      """SELECT p.event_id AS l_id, c.event_id AS r_id, p.user_id,
+        | (LEAST(epoch_us(p.ts) + 1800000000, epoch_us(c.ts) + 600000000)
+        |  - GREATEST(epoch_us(p.ts), epoch_us(c.ts))) AS overlap_us
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND epoch_us(p.ts) < epoch_us(c.ts) + 600000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY l_id, r_id""".stripMargin,
     // p(w) = c(w)/T is one double division of exact integers; ln is
     // libm on both engines (math_ln ↔ DuckDB ln); the per-doc sum
     // folds tf·(-ln p) in word order on both sides.

@@ -422,6 +422,18 @@ object Graft {
       nameCol: Column, maxDist: Int = 2): DataFrame =
     graft.operators.Relational.fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist)
 
+  /** Interval-OVERLAP join of two interval sets (same key): pairs
+    * whose ranges intersect, with exact overlap length — bucketed
+    * equi-join, each pair counted once in the bucket of
+    * max(start_l, start_r). */
+  def overlapJoin(left: DataFrame, lIdCol: Column, lKeyCol: Column,
+      lStartUsCol: Column, lEndUsCol: Column,
+      right: DataFrame, rIdCol: Column, rKeyCol: Column,
+      rStartUsCol: Column, rEndUsCol: Column, bucketUs: Long): DataFrame =
+    graft.operators.EventOps.overlapJoinOver(
+      left, lIdCol, lKeyCol, lStartUsCol, lEndUsCol,
+      right, rIdCol, rKeyCol, rStartUsCol, rEndUsCol, bucketUs)
+
   /** Interval-containment join via fixed-width bucket equi-join. */
   def intervalJoin(windows: DataFrame, winIdCol: Column, winKeyCol: Column,
       startUsCol: Column, endUsCol: Column,

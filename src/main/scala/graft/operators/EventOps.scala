@@ -118,6 +118,63 @@ object EventOps {
       .orderBy($"win_id", $"pt_id")
   }
 
+  // ── q129: interval-OVERLAP join (two interval sets) ─────────────────
+  /** The general form q78's point-in-window join specializes: pairs of
+    * intervals (same key) whose ranges intersect, with the exact
+    * overlap length. Same bucketed de-quadratication — both sides
+    * explode to their covered fixed-width buckets, the join is an
+    * equi-join on (key, bucket) plus the exact overlap predicate —
+    * but a pair of OVERLAPPING intervals shares every bucket of its
+    * intersection, so the pair is kept only in the bucket containing
+    * max(start_l, start_r): exactly one bucket per pair by
+    * construction, no dedup pass, shuffle stays linear in
+    * rows × buckets-per-interval. */
+  def overlapJoinOver(
+      left: DataFrame, lIdCol: Column, lKeyCol: Column,
+      lStartUsCol: Column, lEndUsCol: Column,
+      right: DataFrame, rIdCol: Column, rKeyCol: Column,
+      rStartUsCol: Column, rEndUsCol: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    def fdiv(sqlExpr: String): Column =
+      expr(s"(($sqlExpr) - pmod($sqlExpr, ${bucketUs}L)) div ${bucketUs}L")
+    val l = left
+      .select(lIdCol.as("l_id"), lKeyCol.as("key"),
+        lStartUsCol.as("l_start"), lEndUsCol.as("l_end"))
+      .filter(col("l_end") > col("l_start"))
+      .withColumn("bucket", explode(sequence(fdiv("l_start"), fdiv("l_end - 1"))))
+    val r = right
+      .select(rIdCol.as("r_id"), rKeyCol.as("key"),
+        rStartUsCol.as("r_start"), rEndUsCol.as("r_end"))
+      .filter(col("r_end") > col("r_start"))
+      .withColumn("bucket", explode(sequence(fdiv("r_start"), fdiv("r_end - 1"))))
+    l.join(r, Seq("key", "bucket"))
+      .filter(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .filter(col("bucket") === fdiv("greatest(l_start, r_start)"))
+      .select(col("l_id"), col("r_id"), col("key"),
+        (least(col("l_end"), col("r_end")) -
+          greatest(col("l_start"), col("r_start"))).as("overlap_us"))
+  }
+
+  /** q129: purchase influence windows (30 min) overlapped with click
+    * attention windows (10 min) per user — which purchases and clicks
+    * compete for the same attention span, and for how long. */
+  def purchaseClickOverlaps(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val us30 = 1800L * 1000000L
+    val us10 = 600L * 1000000L
+    val p = t.events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", tsMicros($"ts").as("s"))
+      .withColumn("e", $"s" + us30)
+    val c = t.events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", tsMicros($"ts").as("s"))
+      .withColumn("e", $"s" + us10)
+    overlapJoinOver(p, $"event_id", $"user_id", $"s", $"e",
+        c, $"event_id", $"user_id", $"s", $"e", bucketUs = us30)
+      .select($"l_id", $"r_id", $"key".as("user_id"), $"overlap_us")
+      .orderBy($"l_id", $"r_id")
+  }
+
   /** q96: LOCF resampling — regularize each user's irregular event
     * stream onto a fixed time grid, carrying the last observation
     * forward. Composes two existing pieces: a broadcast-span grid

@@ -310,6 +310,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlap join equals the brute-force range join for adversarial interval shapes") {
+    // shapes that stress the bucket trick: intervals spanning many
+    // buckets, nested, touching (end == start: NOT an overlap),
+    // identical, sub-bucket, and straddling bucket boundaries
+    val rnd = new scala.util.Random(23)
+    val bucket = 100L
+    def intervals(n: Int, tag: Long): Seq[(Long, Long, Long, Long)] =
+      (0 until n).map { i =>
+        val s = rnd.nextInt(2000).toLong
+        val len = rnd.nextInt(3) match {
+          case 0 => 1L + rnd.nextInt(30)        // sub-bucket
+          case 1 => 100L + rnd.nextInt(150)     // straddles boundaries
+          case _ => 400L + rnd.nextInt(500)     // many buckets
+        }
+        (tag * 1000 + i, (i % 4).toLong, s, s + len)
+      }
+    val ls = intervals(150, 1) ++ Seq((9001L, 0L, 100L, 200L))
+    val rs = intervals(150, 2) ++ Seq(
+      (9002L, 0L, 200L, 300L),  // touches 9001 exactly: no overlap
+      (9003L, 0L, 100L, 200L))  // identical to 9001: full overlap
+    val ldf = ls.toDF("id", "k", "s", "e")
+    val rdf = rs.toDF("id", "k", "s", "e")
+    val got = graft.operators.EventOps.overlapJoinOver(
+      ldf, $"id", $"k", $"s", $"e", rdf, $"id", $"k", $"s", $"e", bucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val want = (for {
+      (li, lk, lsv, le) <- ls
+      (ri, rk, rsv, re) <- rs
+      if lk == rk && lsv < re && rsv < le
+    } yield (li, ri, math.min(le, re) - math.max(lsv, rsv))).toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && got.contains((9001L, 9003L, 100L)))
+    assert(!got.exists(p => p._1 == 9001L && p._2 == 9002L), "touching pair leaked")
+  }
+
   test("as-of join: every match is the max right-ts ≤ left-ts within the key") {
     val t = sf001
     val out = graft.operators.AsOfJoin.errorsAfterClicks(t).collect()
