@@ -242,6 +242,7 @@ object SparkEntry {
     "q127_quantized_knn"     -> ((s, d) => Similarity.quantizedKnnGate(Tables(s, d))),
     "q128_bm25_topk"         -> ((s, d) => PipelineOps.bm25TopK(Tables(s, d))),
     "q129_overlap_join"      -> ((s, d) => graft.operators.EventOps.purchaseClickOverlaps(Tables(s, d))),
+    "q130_image_resize"      -> ((s, d) => graft.sources.Multimodal.imageResize(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -919,6 +920,34 @@ object SparkEntry {
     // (i div fsize)·fps·fsize + (i mod fsize), zero past the text
     // length (the last frame's encoder zero fill). Same ASCII
     // precondition as q34 (unicode(ch) == UTF-8 byte).
+    // q130: the resized thumbnail's byte sum replayed over the source
+    // text — resized position i maps to source pixel
+    // (⌊(i div 32)·h/16⌋·w + ⌊(i mod 32)·w/32⌋), zero past the text
+    // length (encoder zero fill). Same ASCII precondition as q34.
+    "q130_image_resize" ->
+      """WITH m AS (
+        | SELECT doc_id, text, strlen(text) AS len,
+        |  64 + (doc_id % 16) * 16 AS w
+        | FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        | SELECT doc_id, text, len, w,
+        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / w) AS BIGINT)) AS h
+        | FROM m),
+        |r AS (SELECT doc_id, text, len, w, h,
+        |   unnest(range(0, 512)) AS i FROM g),
+        |b AS (SELECT doc_id, text, len,
+        |   ((i // 32) * h // 16) * w + ((i % 32) * w // 32) AS idx
+        |  FROM r),
+        |c AS (SELECT doc_id,
+        |   CAST(SUM(CASE WHEN idx < len
+        |     THEN unicode(text[CAST(idx + 1 AS INTEGER)]) ELSE 0 END) AS BIGINT)
+        |    AS resized_byte_sum
+        |  FROM b GROUP BY doc_id)
+        |SELECT g.doc_id AS media_id, CAST(g.w AS INTEGER) AS width,
+        | CAST(g.h AS INTEGER) AS height,
+        | CAST(32 AS INTEGER) AS new_w, CAST(16 AS INTEGER) AS new_h,
+        | c.resized_byte_sum
+        |FROM g JOIN c USING (doc_id) ORDER BY media_id""".stripMargin,
     "q121_video_decode" ->
       """WITH m AS (
         | SELECT doc_id, text, strlen(text) AS len,

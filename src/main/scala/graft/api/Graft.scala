@@ -409,6 +409,13 @@ object Graft {
   def decodeWav(bytes: Array[Byte]): (Int, Array[Byte]) =
     graft.sources.Multimodal.WavCodec.decode(bytes)
 
+  /** Decode a BMP payload and nearest-neighbor-resample its pixels to
+    * `tw`×`th` — returns (origW, origH, resized pixel bytes). */
+  def resizeBmp(bytes: Array[Byte], tw: Int, th: Int): (Int, Int, Array[Byte]) = {
+    val (w, h, px) = graft.sources.Multimodal.BmpCodec.decode(bytes)
+    (w, h, graft.sources.Multimodal.resizeNearest(w, h, px, tw, th))
+  }
+
   /** PageRank by power iteration over a directed edge list (every
     * node needs out-degree ≥ 1 — symmetrize undirected graphs). */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,

@@ -380,6 +380,53 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Real nearest-neighbor resample over a decoded 8bpp pixel grid:
+    * out(y, x) = src(⌊y·h/th⌋, ⌊x·w/tw⌋) — pure integer index
+    * arithmetic, no filtering, so the operation (and any checksum of
+    * its output) is exactly reproducible on any engine. */
+  def resizeNearest(w: Int, h: Int, pixels: Array[Byte],
+      tw: Int, th: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0 &&
+      pixels.length >= w * h, s"bad resize geometry: ${w}x$h -> ${tw}x$th")
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = pixels(sy * w + (x.toLong * w / tw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q130: the image path's transform leg made real — decode every
+    * BMP, nearest-neighbor-resample the ACTUAL pixels to a fixed
+    * thumbnail geometry, and checksum the RESIZED bytes (unsigned
+    * int64 sum). A wrong header parse, wrong row indexing, wrong
+    * zero-pad, or wrong resample mapping each flips the hash; the
+    * oracle replays the index arithmetic over the source text bytes.
+    * Embarrassingly parallel like q121 — partition-local decode +
+    * resample, no shuffle until the final order. */
+  def imageResize(t: Tables, tw: Int = 32, th: Int = 16): DataFrame = {
+    import t.spark.implicits._
+    mediaFromDocuments(t)
+      .filter(_.kind == "image")
+      .map { m =>
+        val (w, h, px) = BmpCodec.decode(m.bytes)
+        val out = resizeNearest(w, h, px, tw, th)
+        var sum = 0L
+        var i = 0
+        while (i < out.length) { sum += (out(i) & 0xFF); i += 1 }
+        (m.media_id, w, h, tw, th, sum)
+      }
+      .toDF("media_id", "width", "height", "new_w", "new_h",
+        "resized_byte_sum")
+      .orderBy($"media_id")
+  }
+
   /** "Resize": target resolution for the decoded geometry — metadata
     * transform demonstrating the derived-column flow (images only;
     * audio/video carry no raster geometry). */

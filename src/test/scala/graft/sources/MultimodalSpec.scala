@@ -117,4 +117,26 @@ class MultimodalSpec extends SparkSpec {
     // embeddings stay nonzero-dimensional for the similarity stage
     assert(feats.forall(_.embedding.length === Multimodal.EmbeddingDim))
   }
+
+  test("nearest-neighbor resize: identity, exact index mapping, geometry guard") {
+    // 4x2 grid with distinct bytes
+    val px = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    // identity: same target geometry returns the same pixels
+    assert(Multimodal.resizeNearest(4, 2, px, 4, 2).toSeq === px.toSeq)
+    // 2x1 downscale: out(0,0)=src(0,0)=1, out(0,1)=src(0,2)=3
+    assert(Multimodal.resizeNearest(4, 2, px, 2, 1).toSeq === Seq[Byte](1, 3))
+    // 8x4 upscale replicates each source pixel 2x2
+    val up = Multimodal.resizeNearest(4, 2, px, 8, 4)
+    assert(up.length === 32)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(up(y * 8 + x) === px((y / 2) * 4 + (x / 2)), s"($x,$y)")
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(4, 2, px, 0, 2)
+    }
+    // end-to-end through the BMP container (the q130 path)
+    val bmp = Multimodal.BmpCodec.encode("abcdefgh".getBytes("US-ASCII"), 4)
+    val (w, h, out) = graft.api.Graft.resizeBmp(bmp, 2, 1)
+    assert((w, h) === ((4, 2)))
+    assert(out.toSeq === Seq('a'.toByte, 'c'.toByte))
+  }
 }
