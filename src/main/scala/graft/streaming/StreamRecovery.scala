@@ -41,7 +41,9 @@ object StreamRecovery {
     StructField("ts", TimestampType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("event_id", LongType),
+    StructField("user_id", LongType)))
 
   val Epoch0: Long =
     java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -50,16 +52,22 @@ object StreamRecovery {
     java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
 
   final case class Ev(ts: java.sql.Timestamp, event_type: String,
-      value: Double, text: String)
+      value: Double, text: String, event_id: Long, user_id: Long)
 
   /** i-th synthetic event: 7-second cadence, 1-in-97 value cycle,
     * text duplicated in adjacent triples (i, i+1, i+2 share a body —
-    * so a 3-divisible rowsPerFile keeps each dup group in one file). */
+    * so a 3-divisible rowsPerFile keeps each dup group in one file).
+    * Users come in BURSTS of 10 consecutive events (user (i/10) % 50):
+    * in-burst gaps are 7 s, the user's next burst is ≥ 3500 s away —
+    * so a 600 s session gap closes exactly one session per burst,
+    * which is what the sessionization recovery workload needs. */
   def eventAt(i: Int): Ev = Ev(
     new java.sql.Timestamp(Epoch0 + i * 7000L),
     Seq("click", "view", "purchase")(i % 3),
     (i % 97).toDouble,
-    s"document body ${i - i % 3}")
+    s"document body ${i - i % 3}",
+    i.toLong,
+    (i / 10) % 50L)
 
   def realEvents(n: Int): Seq[Ev] = (0 until n).map(eventAt)
 
@@ -93,10 +101,10 @@ object StreamRecovery {
     // watermark past all real windows, the second flushes them
     writeOne("z0_sentinel.parquet",
       Seq(Ev(new java.sql.Timestamp(SentinelMs), "sentinel", 0.0,
-        "sentinel body 0")), base + nFiles * 1000L)
+        "sentinel body 0", 1000000L, 99999L)), base + nFiles * 1000L)
     writeOne("z1_sentinel.parquet",
       Seq(Ev(new java.sql.Timestamp(SentinelMs + 3600L * 1000), "sentinel",
-        0.0, "sentinel body 1")), base + (nFiles + 1) * 1000L)
+        0.0, "sentinel body 1", 1000001L, 99998L)), base + (nFiles + 1) * 1000L)
   }
 
   def fileStream(spark: SparkSession, dir: String): DataFrame =
@@ -115,6 +123,22 @@ object StreamRecovery {
     StreamDedup.dedupedByContent(
       events.select("ts", "text"), "ts", "text", "30 minutes")
       .select("ts", "text")
+
+  /** Workload 3: gap sessionization — the CUSTOM-state class
+    * (flatMapGroupsWithState + event-time timeout), whose recovery
+    * path restores an arbitrary user-defined state object, not a
+    * built-in agg/dedup map. Burst structure (see [[eventAt]]) closes
+    * one session per 10-event burst; the sentinels advance the
+    * watermark so every timeout fires and the final sessions emit. */
+  def sessionize(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ue = events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[UserEvent]
+    Sessionize.sessions(ue, gapMs = 600000L).toDF()
+  }
 
   /** Driver-side idempotent batch sink with optional one-shot crash
     * injection. Rows are canonicalized (sorted strings) per batchId;
@@ -176,6 +200,43 @@ object StreamRecovery {
   def aggTruth(spark: SparkSession, nRows: Int): Vector[String] = {
     import spark.implicits._
     windowedAgg(realEvents(nRows).toDF())
+      .collect().map(_.toString).toVector.sorted
+  }
+
+  /** Ground truth for [[sessionize]]: fold the real events per user in
+    * (ts, event_id) order — the operator's own deterministic order —
+    * splitting at >600 s gaps; the value total accumulates in the same
+    * IEEE sequence the operator uses. Rendered through a DataFrame so
+    * the row strings compare byte-for-byte with the sink's. */
+  def sessionTruth(spark: SparkSession, nRows: Int): Vector[String] = {
+    import spark.implicits._
+    val gapUs = 600000000L
+    def us(t: java.sql.Timestamp): Long = Sessionize.toMicros(t)
+    val sessions = realEvents(nRows).groupBy(_.user_id).toSeq.flatMap {
+      case (uid, evs) =>
+        val sorted = evs.sortBy(e => (us(e.ts), e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        var cur: Option[(Long, Long, Long, Double)] = None // start, last, n, total
+        for (e <- sorted) {
+          val t = us(e.ts)
+          cur match {
+            case Some((s, l, n, tot)) if t - l <= gapUs =>
+              cur = Some((s, math.max(l, t), n + 1, tot + e.value))
+            case Some((s, l, n, tot)) =>
+              out += ((uid, Sessionize.fromMicros(s), Sessionize.fromMicros(l), n, tot))
+              cur = Some((t, t, 1L, e.value))
+            case None =>
+              cur = Some((t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { case (s, l, n, tot) =>
+          out += ((uid, Sessionize.fromMicros(s), Sessionize.fromMicros(l), n, tot))
+        }
+        out
+    }
+    sessions
+      .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
       .collect().map(_.toString).toVector.sorted
   }
 

@@ -52,7 +52,7 @@ import org.apache.spark.sql.functions._
   * shared filler block, J ≈ 0.2-0.45 — floods the candidate join
   * with billions of spurious pairs at factor 100.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs|withDocsGrouped] [withEmbeddings]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor> [withDocs|withDocsGrouped] [withEmbeddings] [withEvents]
   * e.g.   runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
   */
 object ScaleUp {
@@ -60,13 +60,14 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, factorS) = args.take(3)
     val flags = args.drop(3).toSet
-    val known = Set("withDocs", "withDocsGrouped", "withEmbeddings")
+    val known = Set("withDocs", "withDocsGrouped", "withEmbeddings", "withEvents")
     require((flags -- known).isEmpty, s"unknown flags: ${flags -- known}")
     require(!(flags("withDocs") && flags("withDocsGrouped")),
       "withDocs and withDocsGrouped are mutually exclusive")
     val withDocs = flags("withDocs") || flags("withDocsGrouped")
     val groupedDocs = flags("withDocsGrouped")
     val withEmbeddings = flags("withEmbeddings")
+    val withEvents = flags("withEvents")
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -84,7 +85,8 @@ object ScaleUp {
     // unscaled tables: byte-identical file copies (events keeps its
     // TIMESTAMP(NANOS) physical type this way — a Spark rewrite would
     // change it)
-    val unscaled = Seq("region", "nation", "events") ++
+    val unscaled = Seq("region", "nation") ++
+      (if (withEvents) Nil else Seq("events")) ++
       (if (withEmbeddings) Nil else Seq("embeddings")) ++
       (if (withDocs) Nil else Seq("documents"))
     // recursive copy: a fixture may be a single file OR a multi-file
@@ -196,7 +198,24 @@ object ScaleUp {
           .select("vec_id", "embedding", "label"))
       }
 
-    val out = docsOut ++ embOut ++ Seq(
+    // events: replicas keep the SAME time span (windows get factor×
+    // denser — the realistic shape for higher ingest rates) but carry
+    // disjoint event_id/user_id spaces, so every per-user structure
+    // (sessions, funnels, as-of matches, interval joins) is invariant
+    // under SF and the answers scale linearly with the factor. The ts
+    // column is read as TIMESTAMP(NANOS)→bigint (nanosAsLong) and
+    // written back as plain BIGINT nanos — Tables.normalizeAllTs
+    // converts it by its TsColumns name on read, same as the source.
+    val evOut =
+      if (!withEvents) Nil
+      else {
+        val evStride = keyStride(src("events"), "event_id")
+        val userStride = keyStride(src("events"), "user_id")
+        Seq("events" -> replicate(src("events"),
+          "event_id" -> evStride, "user_id" -> userStride))
+      }
+
+    val out = docsOut ++ embOut ++ evOut ++ Seq(
       "customer" -> replicate(src("customer"), "c_custkey" -> custStride),
       "supplier" -> replicate(src("supplier"), "s_suppkey" -> suppStride),
       // p_name perturbed per replica so fuzzy matching does not see

@@ -109,4 +109,10 @@ class StreamRecoverySpec extends SparkSpec {
     recoveryCase(StreamRecovery.fingerprintDedup,
       StreamRecovery.dedupTruth(spark, NRows))
   }
+
+  test("gap sessionization (flatMapGroupsWithState custom state) recovers from a " +
+    "mid-stream crash (RocksDB + changelog): output equals the uninterrupted run") {
+    recoveryCase(StreamRecovery.sessionize,
+      StreamRecovery.sessionTruth(spark, NRows))
+  }
 }
