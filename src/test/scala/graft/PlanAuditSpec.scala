@@ -26,7 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     // one-row token-total broadcast for the CMS eps·N bound
     "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid
-    "q96_locf_resample")
+    "q96_locf_resample",
+    // probe-broadcast non-equi scans on BOTH ranking paths (exact
+    // q28-style + the quantized codes) — the Q×N scan IS the gate
+    "q127_quantized_knn",
+    // one-row (N, Σdl) corpus-stats broadcast inherited from q88's
+    // BM25 matrix; the query-term join itself is an equi-join
+    "q128_bm25_topk")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 
