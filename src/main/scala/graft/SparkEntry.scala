@@ -243,6 +243,7 @@ object SparkEntry {
     "q128_bm25_topk"         -> ((s, d) => PipelineOps.bm25TopK(Tables(s, d))),
     "q129_overlap_join"      -> ((s, d) => graft.operators.EventOps.purchaseClickOverlaps(Tables(s, d))),
     "q130_image_resize"      -> ((s, d) => graft.sources.Multimodal.imageResize(Tables(s, d))),
+    "q131_audio_features"    -> ((s, d) => graft.sources.Multimodal.audioFeatures(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -974,6 +975,48 @@ object SparkEntry {
         | CAST(nf AS INTEGER) AS n_frames, CAST(ks AS INTEGER) AS frames_sampled,
         | c.sampled_byte_sum
         |FROM k JOIN c ON k.doc_id = c.doc_id ORDER BY media_id""".stripMargin,
+    // q131: the audio feature pass replayed over the source text —
+    // WAV data-chunk bytes ARE the text bytes, deviations scaled by n
+    // (dev_i = n·s_i − Σs) stay exact integers, frames are 64-sample
+    // windows (i // 64), crossings compare consecutive deviation
+    // signs, loudest frame is energy-desc/frame-asc rank 1. Same
+    // ASCII precondition as q34.
+    "q131_audio_features" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |b AS (SELECT doc_id, len, i,
+        |   CAST(unicode(text[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS v
+        |  FROM m, unnest(range(0, len)) AS u(i)),
+        |t AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM b GROUP BY doc_id),
+        |d AS (SELECT b.doc_id, b.len, b.i, b.i // 64 AS frame,
+        |   b.len * b.v - t.total AS dev
+        |  FROM b JOIN t USING (doc_id)),
+        |x AS (SELECT doc_id, dev,
+        |   lag(dev) OVER (PARTITION BY doc_id ORDER BY i) AS pdev
+        |  FROM d),
+        |f AS (SELECT doc_id, frame, CAST(SUM(dev * dev) AS BIGINT) AS fe
+        |  FROM d GROUP BY doc_id, frame),
+        |l AS (SELECT doc_id, frame, fe,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fe DESC, frame) AS rn
+        |  FROM f),
+        |a AS (SELECT doc_id,
+        |   CAST(SUM(dev * dev) AS BIGINT) AS total_energy,
+        |   CAST(MAX(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM d GROUP BY doc_id),
+        |c AS (SELECT doc_id,
+        |   CAST(SUM(CASE WHEN pdev IS NOT NULL
+        |     AND ((dev > 0 AND pdev < 0) OR (dev < 0 AND pdev > 0))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS mean_crossings
+        |  FROM x GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+        | CAST(m.len AS BIGINT) AS n_samples,
+        | CAST((m.len + 63) // 64 AS BIGINT) AS n_frames,
+        | a.total_energy, c.mean_crossings, a.peak_dev,
+        | CAST(l.frame AS BIGINT) AS loudest_frame,
+        | l.fe AS loudest_energy
+        |FROM m JOIN a USING (doc_id) JOIN c USING (doc_id)
+        | JOIN l ON m.doc_id = l.doc_id AND l.rn = 1
+        |ORDER BY media_id""".stripMargin,
     // q122: same k-gram seeding + islands construction over the
     // literal gram strings — positions 0-based in both engines, span
     // end exclusive (pos + 8)

@@ -409,6 +409,12 @@ object Graft {
   def decodeWav(bytes: Array[Byte]): (Int, Array[Byte]) =
     graft.sources.Multimodal.WavCodec.decode(bytes)
 
+  /** Decode a WAV payload and extract exact-integer signal features
+    * (frame energies, mean-crossing rate, loudest frame) — see
+    * [[graft.sources.Multimodal.audioFeatures]] for the arithmetic. */
+  def audioFeatures(bytes: Array[Byte]): graft.sources.Multimodal.AudioFeatures =
+    graft.sources.Multimodal.wavFeatures(bytes)
+
   /** Decode a BMP payload and nearest-neighbor-resample its pixels to
     * `tw`×`th` — returns (origW, origH, resized pixel bytes). */
   def resizeBmp(bytes: Array[Byte], tw: Int, th: Int): (Int, Int, Array[Byte]) = {

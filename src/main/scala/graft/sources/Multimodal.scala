@@ -427,6 +427,84 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** q131: the audio path's feature-extraction leg made real — decode
+    * every WAV container and compute frame-wise signal features over
+    * the ACTUAL PCM samples, in exact integer arithmetic so the result
+    * (not just a row count) is engine-reproducible:
+    *
+    *  - deviations are scaled by n to stay integral: dev_i = n·s_i − Σs
+    *    (s_i the unsigned 8-bit sample) — sign(dev_i) is the sample's
+    *    position vs the clip mean without ever forming the rational mean
+    *  - `total_energy` = Σ dev_i² (scaled variance ×n²), `peak_dev` =
+    *    max |dev_i|, `mean_crossings` counts strict sign flips between
+    *    consecutive deviations (the ZCR analog for unsigned PCM, where
+    *    a fixed 128 center would never flip on ASCII-range samples)
+    *  - frames are [[AudioFrame]] samples (4 ms at 16 kHz); the loudest
+    *    frame is the argmax of the per-frame energy, ties to the lowest
+    *    index — the exact-integer form of "find the signal peak"
+    *
+    * Bounds: dev² ≤ (255n)² and Σ dev² ≤ n·(255n)², so int64 is exact
+    * through n ≈ 300k samples per clip (fixture clips are ≤ 1k; the
+    * require below refuses louder input rather than silently wrapping).
+    * Embarrassingly parallel like q121/q130 — partition-local decode +
+    * feature pass, no shuffle until the final order. */
+  def audioFeatures(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    mediaFromDocuments(t)
+      .filter(_.kind == "audio")
+      .map { m =>
+        val a = wavFeatures(m.bytes)
+        (m.media_id, a.sampleRate, a.nSamples, a.nFrames, a.totalEnergy,
+          a.meanCrossings, a.peakDev, a.loudestFrame, a.loudestEnergy)
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "n_frames",
+        "total_energy", "mean_crossings", "peak_dev",
+        "loudest_frame", "loudest_energy")
+      .orderBy($"media_id")
+  }
+
+  /** Frame length in samples for [[audioFeatures]] (4 ms at 16 kHz). */
+  val AudioFrame = 64
+
+  case class AudioFeatures(sampleRate: Int, nSamples: Long, nFrames: Long,
+      totalEnergy: Long, meanCrossings: Long, peakDev: Long,
+      loudestFrame: Long, loudestEnergy: Long)
+
+  /** The per-clip feature pass behind [[audioFeatures]] (see its doc
+    * for the arithmetic and the int64-exactness bound). */
+  def wavFeatures(bytes: Array[Byte]): AudioFeatures = {
+    val (rate, s) = WavCodec.decode(bytes)
+    val n = s.length
+    require(n > 0 && n <= 300000, s"audio clip out of int64-exact range: $n samples")
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (s(i) & 0xFF); i += 1 }
+    var energy = 0L; var peak = 0L; var crossings = 0L
+    var prevDev = 0L
+    val nFrames = (n + AudioFrame - 1) / AudioFrame
+    var loudestFrame = 0; var loudestEnergy = Long.MinValue
+    var f = 0
+    while (f < nFrames) {
+      var fe = 0L
+      var j = f * AudioFrame
+      val end = math.min(j + AudioFrame, n)
+      while (j < end) {
+        val dev = n.toLong * (s(j) & 0xFF) - total
+        fe += dev * dev
+        if (math.abs(dev) > peak) peak = math.abs(dev)
+        if (j > 0 && ((dev > 0 && prevDev < 0) || (dev < 0 && prevDev > 0)))
+          crossings += 1
+        prevDev = dev
+        j += 1
+      }
+      energy += fe
+      if (fe > loudestEnergy) { loudestEnergy = fe; loudestFrame = f }
+      f += 1
+    }
+    AudioFeatures(rate, n.toLong, nFrames.toLong, energy, crossings, peak,
+      loudestFrame.toLong, loudestEnergy)
+  }
+
   /** "Resize": target resolution for the decoded geometry — metadata
     * transform demonstrating the derived-column flow (images only;
     * audio/video carry no raster geometry). */

@@ -118,6 +118,55 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.embedding.length === Multimodal.EmbeddingDim))
   }
 
+  test("audio features: exact integer signal math, frame argmax, container round-trip") {
+    def wav(s: Array[Byte]) = WavCodec.encode(s, 16000)
+    // alternating 100/200, n=6: dev_i = 6·s_i − 900 = ∓300 → 5 strict
+    // sign flips, peak 300, energy 6·300², single 64-sample frame
+    val alt = Multimodal.wavFeatures(wav(Array[Byte](100, -56, 100, -56, 100, -56))) // -56 = 200 unsigned
+    assert(alt.nSamples === 6 && alt.nFrames === 1)
+    assert(alt.meanCrossings === 5 && alt.peakDev === 300)
+    assert(alt.totalEnergy === 6L * 300 * 300)
+    assert(alt.loudestFrame === 0 && alt.loudestEnergy === alt.totalEnergy)
+    // constant signal: zero deviation everywhere
+    val const = Multimodal.wavFeatures(wav(Array.fill[Byte](10)(42)))
+    assert(const.totalEnergy === 0 && const.meanCrossings === 0 && const.peakDev === 0)
+    // independent reference over a 200-sample pseudorandom signal
+    // (4 frames): recompute with BigInt + functional code, no shared
+    // arithmetic with the production while-loop
+    val sig = Array.tabulate[Byte](200)(i => ((i * 131 + 17) % 251).toByte)
+    val got = graft.api.Graft.audioFeatures(wav(sig))
+    val n = sig.length
+    val us = sig.map(b => BigInt(b & 0xFF))
+    val total = us.sum
+    val dev = us.map(v => BigInt(n) * v - total)
+    assert(got.totalEnergy === dev.map(d => d * d).sum)
+    assert(got.peakDev === dev.map(_.abs).max)
+    assert(got.meanCrossings ===
+      dev.sliding(2).count(p => p(0).signum * p(1).signum == -1))
+    val frames = dev.grouped(Multimodal.AudioFrame).map(_.map(d => d * d).sum).toVector
+    assert(got.nFrames === frames.length)
+    assert(got.loudestEnergy === frames.max)
+    assert(got.loudestFrame === frames.indexOf(frames.max))
+    // end-to-end q131 at sf0.001: every audio doc's row matches an
+    // independent recompute from the document text bytes
+    import spark.implicits._
+    val rows = Multimodal.audioFeatures(sf001).collect()
+    val docs = sf001.documents.select($"doc_id", $"text").as[(Long, String)]
+      .collect().filter(_._1 % 3 == 1).toMap
+    assert(rows.length === docs.size && rows.nonEmpty)
+    for (r <- rows.take(20)) {
+      val bytes = docs(r.getLong(0)).getBytes("US-ASCII")
+      val m = bytes.length
+      val t2 = bytes.map(b => BigInt(b & 0xFF)).sum
+      val dv = bytes.map(b => BigInt(m) * BigInt(b & 0xFF) - t2)
+      assert(r.getLong(2) === m.toLong, "n_samples")
+      assert(r.getLong(4) === dv.map(d => d * d).sum, "total_energy")
+      assert(r.getLong(5) ===
+        dv.sliding(2).count(p => p(0).signum * p(1).signum == -1).toLong,
+        "mean_crossings")
+    }
+  }
+
   test("nearest-neighbor resize: identity, exact index mapping, geometry guard") {
     // 4x2 grid with distinct bytes
     val px = Array.tabulate[Byte](8)(i => (i + 1).toByte)
