@@ -244,6 +244,7 @@ object SparkEntry {
     "q129_overlap_join"      -> ((s, d) => graft.operators.EventOps.purchaseClickOverlaps(Tables(s, d))),
     "q130_image_resize"      -> ((s, d) => graft.sources.Multimodal.imageResize(Tables(s, d))),
     "q131_audio_features"    -> ((s, d) => graft.sources.Multimodal.audioFeatures(Tables(s, d))),
+    "q132_stream_asof_join"  -> ((s, d) => graft.streaming.StreamReplay.streamAsOfJoin(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -712,6 +713,19 @@ object SparkEntry {
         |WHERE e.event_type = 'error' AND c.event_type = 'click'
         |  AND e.ts < TIMESTAMP '2024-01-08 00:00:00'
         |  AND c.ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // q132: the streamed as-of matches must equal DuckDB's native
+    // ASOF LEFT JOIN over the slice (q40's oracle + the slice
+    // predicate) — same inclusive e.ts >= c.ts semantics, same
+    // -1/epoch no-match convention
+    "q132_stream_asof_join" ->
+      """SELECT e.user_id, e.event_id AS error_id,
+        | COALESCE(c.event_id, -1) AS click_id,
+        | COALESCE(CAST(c.ts AS TIMESTAMP), TIMESTAMP '1970-01-01') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'error'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+        |      AND ts < TIMESTAMP '2024-01-08 00:00:00') c
+        | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     // q118: the streamed gap sessions must equal the batch lag+cumsum
     // sessionization (q66's recipe, grouped to session rows);
     // total_value folds doubles in (ts, event_id) order on both

@@ -373,6 +373,19 @@ object Graft {
       : org.apache.spark.sql.Dataset[graft.streaming.UserSession] =
     graft.streaming.Sessionize.sessions(events, gapMs)
 
+  /** Streaming as-of join: each error emits the latest same-user
+    * click at-or-before it, finalized exactly once when the
+    * watermark passes the error's event time — custom state, because
+    * argmax-per-left-row is not expressible as a stream-stream join
+    * predicate. State per user is bounded by the watermark horizon
+    * (pending errors + one dominating carry click). Driver-checked
+    * under replay as q132 against DuckDB's native ASOF LEFT JOIN;
+    * caller sets the input watermark. */
+  def streamAsOf(
+      events: org.apache.spark.sql.Dataset[graft.streaming.UserEvent])
+      : org.apache.spark.sql.Dataset[graft.streaming.AsOfRow] =
+    graft.streaming.StreamAsOf.asOfMatches(events)
+
   /** Streaming per-user EWMA: O(1) state per user folded in
     * (ts, event_id) order — bit-identical to the batch fold — with
     * the final feature row emitted by event-time timeout once a user

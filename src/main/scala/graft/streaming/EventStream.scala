@@ -93,6 +93,95 @@ case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
   * session_start/end values. */
 case class SessState(start: Long, last: Long, n: Int, total: Double)
 
+/** An emitted as-of match: the error and the latest same-user click
+  * at-or-before it (click_id −1 / epoch click_ts when none exists —
+  * q40's left-join convention). */
+case class AsOfRow(user_id: Long, error_id: Long, click_id: Long,
+    click_ts: java.sql.Timestamp)
+
+/** One buffered event (epoch micros + id) in as-of state. */
+case class AsOfEvt(ts: Long, id: Long)
+
+/** Per-user as-of state: candidate clicks + errors awaiting
+  * watermark finalization (public for encoder codegen). */
+case class AsOfBuf(clicks: Seq[AsOfEvt], errors: Seq[AsOfEvt])
+
+/** Streaming as-of join — the unbounded-stream twin of the batch
+  * union+window as-of in operators/AsOfJoin (q40), built on custom
+  * state because Spark's stream-stream joins can express "clicks
+  * within a horizon" (q117) but not "the LATEST prior click,
+  * horizon-free": argmax-per-left-row is not a join predicate.
+  *
+  * Per user, clicks and errors buffer in [[AsOfBuf]]; an error
+  * finalizes — emits its latest at-or-before click, exactly once —
+  * when the watermark passes its event time, because only then can no
+  * earlier-or-equal click still arrive. Ties at equal click ts break
+  * to the highest click id (deterministic; the fixture has no such
+  * ties, so batch q40 agrees). State is bounded by the watermark
+  * horizon: finalized errors leave, and of the clicks at-or-below the
+  * watermark only the LATEST survives pruning (it dominates — every
+  * future error's event time is ≥ the watermark, so older clicks can
+  * never again be the argmax). An event-time timeout re-invokes the
+  * group when the watermark passes its earliest pending error, so
+  * finalization doesn't wait for the user's next event.
+  *
+  * Scale: one shuffle of both sides on user_id into the state
+  * operator; per-key state is O(pending errors + 1 carry click +
+  * in-horizon clicks) regardless of stream length — the same
+  * watermark-bounds-state property as q117/q118. */
+object StreamAsOf {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import Sessionize.{toMicros, fromMicros}
+
+  def asOfMatches(events: Dataset[UserEvent]): Dataset[AsOfRow] = {
+    implicit val rowEnc = Encoders.product[AsOfRow]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val bufEnc = Encoders.product[AsOfBuf]
+
+    def fn(userId: Long, evs: Iterator[UserEvent],
+        state: GroupState[AsOfBuf]): Iterator[AsOfRow] = {
+      val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+      val incoming = evs.toVector
+      def merge(kept: Seq[AsOfEvt], kind: String) =
+        (kept ++ incoming.filter(_.event_type == kind)
+          .map(e => AsOfEvt(toMicros(e.ts), e.event_id)))
+          .sortBy(c => (c.ts, c.id)).toVector
+      val clicks = merge(prev.clicks, "click")
+      val errors = merge(prev.errors, "error")
+      // micros form of the engine's millis watermark: truncation only
+      // lowers it, so finalization stays conservative (never early)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (done, pending) = errors.partition(_.ts < wmUs)
+      val out = done.map { e =>
+        clicks.filter(_.ts <= e.ts).lastOption match {
+          case Some(c) => AsOfRow(userId, e.id, c.id, fromMicros(c.ts))
+          case None    => AsOfRow(userId, e.id, -1L, new java.sql.Timestamp(0L))
+        }
+      }
+      val i = clicks.lastIndexWhere(_.ts < wmUs)
+      val keptClicks = if (i < 0) clicks else clicks.drop(i)
+      if (pending.isEmpty && keptClicks.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(AsOfBuf(keptClicks, pending))
+        // pending.head.ts ≥ wmUs, so ceil-to-millis + 1 is strictly
+        // beyond the current watermark (the API's requirement) and
+        // fires as soon as the watermark passes the earliest pending
+        // error
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.floorDiv(pending.head.ts + 999L, 1000L) + 1L)
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)(longEnc)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)(bufEnc, rowEnc)
+  }
+}
+
 object Sessionize {
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
   import org.apache.spark.sql.{Dataset, Encoders}

