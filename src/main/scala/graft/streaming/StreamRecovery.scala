@@ -140,6 +140,24 @@ object StreamRecovery {
     Sessionize.sessions(ue, gapMs = 600000L).toDF()
   }
 
+  /** Workload 4: streaming as-of join — the SECOND custom-state class
+    * ([[StreamAsOf]], q132), whose recovery restores buffered
+    * click/error vectors plus a pending event-time timeout, not a
+    * scalar fold. Purchases are re-labelled as the error side, so
+    * each purchase finalizes against the user's latest prior click
+    * once the watermark passes it; the sentinels flush the tail. */
+  def asOfJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ue = events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        when(col("event_type") === "purchase", "error")
+          .otherwise(col("event_type")).as("event_type"),
+        col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[UserEvent]
+    StreamAsOf.asOfMatches(ue).toDF()
+  }
+
   /** Driver-side idempotent batch sink with optional one-shot crash
     * injection. Rows are canonicalized (sorted strings) per batchId;
     * a redelivered batchId must carry byte-identical content —
@@ -237,6 +255,29 @@ object StreamRecovery {
     }
     sessions
       .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toString).toVector.sorted
+  }
+
+  /** Ground truth for [[asOfJoin]]: per purchase, the latest
+    * same-user click at-or-before it (micros compare, max-id
+    * tie-break — the operator's own deterministic order), −1/epoch
+    * when none. Rendered through a DataFrame so the row strings
+    * compare byte-for-byte with the sink's. */
+  def asOfTruth(spark: SparkSession, nRows: Int): Vector[String] = {
+    import spark.implicits._
+    val evs = realEvents(nRows)
+    val byUser = evs.groupBy(_.user_id)
+    val rows = evs.filter(_.event_type == "purchase").map { e =>
+      val clicks = byUser(e.user_id).filter(c => c.event_type == "click" &&
+        Sessionize.toMicros(c.ts) <= Sessionize.toMicros(e.ts))
+      if (clicks.isEmpty)
+        (e.user_id, e.event_id, -1L, new java.sql.Timestamp(0L))
+      else {
+        val best = clicks.maxBy(c => (Sessionize.toMicros(c.ts), c.event_id))
+        (e.user_id, e.event_id, best.event_id, best.ts)
+      }
+    }
+    rows.toDF("user_id", "error_id", "click_id", "click_ts")
       .collect().map(_.toString).toVector.sorted
   }
 

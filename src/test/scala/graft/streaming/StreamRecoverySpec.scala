@@ -115,4 +115,10 @@ class StreamRecoverySpec extends SparkSpec {
     recoveryCase(StreamRecovery.sessionize,
       StreamRecovery.sessionTruth(spark, NRows))
   }
+
+  test("streaming as-of join (buffered custom state + pending timeouts) recovers " +
+    "from a mid-stream crash (RocksDB + changelog): output equals the uninterrupted run") {
+    recoveryCase(StreamRecovery.asOfJoin,
+      StreamRecovery.asOfTruth(spark, NRows))
+  }
 }
