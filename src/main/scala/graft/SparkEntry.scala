@@ -245,6 +245,7 @@ object SparkEntry {
     "q130_image_resize"      -> ((s, d) => graft.sources.Multimodal.imageResize(Tables(s, d))),
     "q131_audio_features"    -> ((s, d) => graft.sources.Multimodal.audioFeatures(Tables(s, d))),
     "q132_stream_asof_join"  -> ((s, d) => graft.streaming.StreamReplay.streamAsOfJoin(s, d)),
+    "q133_bpe_merges"        -> ((s, d) => PipelineOps.bpeMerges(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -257,6 +258,40 @@ object SparkEntry {
        |FROM embeddings, q WHERE vec_id <> q_id""".stripMargin
 
   private val stopList = "('the','a','of','and','to','in')"
+
+  // q133: k chained BPE rounds — each round re-derives pair counts on
+  // the previous round's word-symbol table, picks the (count desc,
+  // pair lexicographic) top pair, and replays the identical
+  // position-local merge CASE (l ≠ r pairs cannot self-overlap, so
+  // the simultaneous CASE equals greedy left-to-right). Generated:
+  // one (pair-count, top-1, merge) CTE trio per round.
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         | SELECT u.l AS l, u.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(list_filter(list_transform(range(1, len(syms)), i ->
+         |    CASE WHEN syms[i] <> syms[i+1] THEN struct_pack(l := syms[i], r := syms[i+1]) END),
+         |    p -> p IS NOT NULL)) AS u
+         |  FROM w${r - 1}) GROUP BY u.l, u.r),
+         |t$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$r AS (SELECT n, list_filter(list_transform(range(1, len(syms)+1), i ->
+         |    CASE WHEN i < len(syms) AND syms[i] = t.l AND syms[i+1] = t.r THEN syms[i] || syms[i+1]
+         |         WHEN i > 1 AND syms[i-1] = t.l AND syms[i] = t.r THEN NULL
+         |         ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+         | FROM w${r - 1}, t$r t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, l, r, l || r AS merged, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       | SELECT list_filter(string_split(word, ''), c -> c <> '') AS syms,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       | WHERE strlen(word) >= 2 GROUP BY word),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   // Shared oracle CTE: recompute the portable 60-bit SimHash with the
   // identical polynomial folds (unicode() ↔ codePointAt; exact int64).
@@ -1031,6 +1066,7 @@ object SparkEntry {
         |FROM m JOIN a USING (doc_id) JOIN c USING (doc_id)
         | JOIN l ON m.doc_id = l.doc_id AND l.rn = 1
         |ORDER BY media_id""".stripMargin,
+    "q133_bpe_merges" -> bpeOracleSql(6),
     // q122: same k-gram seeding + islands construction over the
     // literal gram strings — positions 0-based in both engines, span
     // end exclusive (pos + 8)

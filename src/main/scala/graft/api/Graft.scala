@@ -520,4 +520,12 @@ object Graft {
   def quantizedKnn(df: DataFrame, idCol: Column, embCol: Column,
       probePred: Column => Column, k: Int = 10): DataFrame =
     graft.operators.Similarity.quantizedTopKOver(df, idCol, embCol, probePred, k)
+
+  /** Learn `k` BPE merges over a text column (distinct-pair variant;
+    * count-desc/lexicographic tie-break — engine-deterministic). One
+    * corpus pass builds the word-frequency table; every merge round
+    * runs on the distinct-word table. Output: (merge_rank, l, r,
+    * merged, pair_count) per round. */
+  def bpeMerges(df: DataFrame, textCol: Column, k: Int): DataFrame =
+    graft.operators.PipelineOps.bpeMergesOver(df, textCol, k)
 }

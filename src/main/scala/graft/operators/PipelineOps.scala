@@ -441,4 +441,73 @@ object PipelineOps {
     import t.spark.implicits._
     dupSpansOver(t.documents, $"doc_id", $"text", k).orderBy($"doc_id")
   }
+
+  // ── q133: BPE merge induction (tokenizer training) ──────────────────
+  // Real byte-pair-encoding vocabulary learning, the way production
+  // tokenizer trainers run it: ONE corpus-scale pass builds the
+  // (word, frequency) table, then every merge round operates on the
+  // DISTINCT-WORD table — orders of magnitude smaller than the corpus
+  // — so k rounds cost k narrow pair-count shuffles over words, not k
+  // corpus scans. Variant: only DISTINCT pairs (l ≠ r) are merge
+  // candidates, which makes a merge position-local (an l≠r pattern
+  // cannot overlap itself, so greedy left-to-right == simultaneous
+  // replacement) — every round is a pure `transform`+`filter` over
+  // the symbol array, codegen'd builtins end to end, no UDF, and the
+  // identical CASE arithmetic replays in the oracle's chained CTEs.
+  // Tie-break (count desc, then pair lexicographic) makes the merge
+  // sequence engine-deterministic.
+  /** Learn `k` BPE merges over a text column. Output: one row per
+    * round — (merge_rank, l, r, merged, pair_count). The per-round
+    * top-1 collect is a bounded driver scalar (one row per round,
+    * k ≤ 64), the same declared shape as PageRank's per-iteration
+    * node-count broadcast. */
+  def bpeMergesOver(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    require(k >= 1 && k <= 64, s"merge rounds out of range: $k")
+    val syms = col("syms")
+    var state = df
+      .select(explode(split(textCol, " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("word"), ""), c => c =!= "").as("syms"), col("n"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      for (round <- 1 to k) {
+        // adjacent distinct pairs, weighted by word frequency
+        val top = state
+          .select(col("n"), explode(filter(transform(syms,
+            (x, i) => when(x =!= get(syms, i + 1),
+              struct(x.as("l"), get(syms, i + 1).as("r")))),
+            p => p.isNotNull)).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"corpus exhausted after ${round - 1} merges")
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, cnt))
+        val (lc, rc) = (lit(l), lit(r))
+        // position-local merge: emit l||r where the pair starts, drop
+        // the consumed right symbol, keep everything else (l ≠ r ⇒ the
+        // two conditions can never both hold at one position)
+        val next = state.select(filter(transform(syms, (x, i) =>
+          when(x === lc && get(syms, i + 1) === rc, concat(x, get(syms, i + 1)))
+            .when(get(syms, i - 1) === lc && x === rc, lit(null).cast("string"))
+            .otherwise(x)), x => x.isNotNull).as("syms"), col("n"))
+          .persist()
+        next.count() // materialize before releasing the parent round
+        state.unpersist()
+        state = next
+      }
+    } finally state.unpersist()
+    merges.toSeq.toDF("merge_rank", "l", "r", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  def bpeMerges(t: Tables, k: Int = 6): DataFrame = {
+    import t.spark.implicits._
+    bpeMergesOver(t.documents, $"text", k)
+  }
 }

@@ -304,4 +304,53 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(2L))
   }
+
+  test("bpeMerges: hand-checked merge sequence, then equivalence with a local trainer") {
+    import spark.implicits._
+    // banana×2 + bandana: round 1 merges (a,n)→an with count 6; round
+    // 2 ties (b,an)=3 vs (an,a)=3 and lexicographic order picks
+    // (an,a)→ana; round 3 then takes (b,an)→ban
+    val df = Seq("banana banana bandana").toDF("text")
+    val got = PipelineOps.bpeMergesOver(df, $"text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, "a", "n", "an", 6L),
+      (2, "an", "a", "ana", 3L),
+      (3, "b", "an", "ban", 3L)))
+    // independent local reference: greedy distinct-pair BPE over the
+    // word-frequency table, no shared code with the operator
+    def localBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var tbl = words.map { case (w, n) => (w.split("").toVector, n) }
+      (1 to k).map { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, n) <- tbl; i <- 0 until syms.length - 1
+             if syms(i) != syms(i + 1))
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        tbl = tbl.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+        (l, r, cnt)
+      }
+    }
+    val corpus = Seq(
+      "the theme of the thesis is the theory",
+      "there is a theme in the theory of themes",
+      "a thesis on theories and themes there")
+    val wordFreq = corpus.flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = localBpe(wordFreq, 6)
+    val got2 = PipelineOps.bpeMergesOver(corpus.toDF("text"), $"text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got2 === expect, s"got $got2 vs local $expect")
+  }
 }
