@@ -220,6 +220,36 @@ object StreamBench {
     println(f"[streambench] embdedup-steady rate=$rate%d horizon=60s run=$secs%ds " +
       f"twinHits=${hits.get()}%d " +
       f"maxBatch=${if (d2.nonEmpty) d2.max else 0.0}%.0f ms batches=${d2.size}%d")
+
+    // streaming as-of join (q132's operator): 500-user domain,
+    // clicks:errors 2:1, 10 s watermark — state must PLATEAU at
+    // ~(1 dominating carry click + in-flight errors) per user (the
+    // pruning invariant) while finalized matches keep accumulating
+    val matches = new java.util.concurrent.atomic.AtomicLong(0)
+    val asofIn = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"),
+        (col("value") % 500).as("user_id"),
+        when(col("value") % 3 === 2, lit("error"))
+          .otherwise(lit("click")).as("event_type"),
+        (col("value") % 97).cast("double").as("value"))
+      .withWatermark("ts", "10 seconds")
+      .as[graft.streaming.UserEvent]
+    val q3 = graft.streaming.StreamAsOf.asOfMatches(asofIn)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AsOfRow], _: Long) =>
+        matches.addAndGet(df.count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    sampleState("asof-steady", q3, secs)(s"matches=${matches.get()}")
+    val p3 = q3.recentProgress.toSeq
+    q3.stop()
+    val d3 = p3.drop(1).filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    println(f"[streambench] asof-steady rate=$rate%d users=500 wm=10s run=$secs%ds " +
+      f"matches=${matches.get()}%d " +
+      f"maxBatch=${if (d3.nonEmpty) d3.max else 0.0}%.0f ms batches=${d3.size}%d")
   }
 
   private def runShort(spark: SparkSession, secs: Int): Unit = {
