@@ -246,6 +246,7 @@ object SparkEntry {
     "q131_audio_features"    -> ((s, d) => graft.sources.Multimodal.audioFeatures(Tables(s, d))),
     "q132_stream_asof_join"  -> ((s, d) => graft.streaming.StreamReplay.streamAsOfJoin(s, d)),
     "q133_bpe_merges"        -> ((s, d) => PipelineOps.bpeMerges(Tables(s, d))),
+    "q134_bpe_vocab"         -> ((s, d) => PipelineOps.bpeVocab(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -265,7 +266,7 @@ object SparkEntry {
   // position-local merge CASE (l ≠ r pairs cannot self-overlap, so
   // the simultaneous CASE equals greedy left-to-right). Generated:
   // one (pair-count, top-1, merge) CTE trio per round.
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          | SELECT u.l AS l, u.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -280,18 +281,30 @@ object SparkEntry {
          |         ELSE syms[i] END), x -> x IS NOT NULL) AS syms
          | FROM w${r - 1}, t$r t)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map(r =>
-      s"SELECT $r AS merge_rank, l, r, l || r AS merged, cnt AS pair_count FROM t$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        | SELECT list_filter(string_split(word, ''), c -> c <> '') AS syms,
        |  CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        | WHERE strlen(word) >= 2 GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val out = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, l, r, l || r AS merged, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(k)}
        |$out
        |ORDER BY merge_rank""".stripMargin
   }
+
+  // q134: the apply side — the tokenized corpus IS the final
+  // word-symbol table re-weighted by word frequency
+  private def bpeVocabOracleSql(k: Int, topN: Int): String =
+    s"""WITH ${bpeCtes(k)}
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest(syms) AS token, n FROM w$k)
+       |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT $topN""".stripMargin
 
   // Shared oracle CTE: recompute the portable 60-bit SimHash with the
   // identical polynomial folds (unicode() ↔ codePointAt; exact int64).
@@ -1067,6 +1080,7 @@ object SparkEntry {
         | JOIN l ON m.doc_id = l.doc_id AND l.rn = 1
         |ORDER BY media_id""".stripMargin,
     "q133_bpe_merges" -> bpeOracleSql(6),
+    "q134_bpe_vocab" -> bpeVocabOracleSql(6, 20),
     // q122: same k-gram seeding + islands construction over the
     // literal gram strings — positions 0-based in both engines, span
     // end exclusive (pos + 8)

@@ -528,4 +528,12 @@ object Graft {
     * merged, pair_count) per round. */
   def bpeMerges(df: DataFrame, textCol: Column, k: Int): DataFrame =
     graft.operators.PipelineOps.bpeMergesOver(df, textCol, k)
+
+  /** Apply the learned BPE vocabulary: tokenize the corpus with `k`
+    * merges and return the `topN` subword tokens by total occurrence
+    * count (count desc, token asc). The apply step is one
+    * explode+agg over the distinct-word table — the corpus itself
+    * never reshuffles. */
+  def bpeVocab(df: DataFrame, textCol: Column, k: Int, topN: Int): DataFrame =
+    graft.operators.PipelineOps.bpeVocabOver(df, textCol, k, topN)
 }

@@ -463,6 +463,17 @@ object PipelineOps {
     * node-count broadcast. */
   def bpeMergesOver(df: DataFrame, textCol: Column, k: Int): DataFrame = {
     import df.sparkSession.implicits._
+    val (merges, state) = bpeTrain(df, textCol, k)
+    state.unpersist()
+    merges.toSeq.toDF("merge_rank", "l", "r", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The k training rounds behind [[bpeMergesOver]]/[[bpeVocabOver]]:
+    * returns the merge sequence plus the final PERSISTED word-symbol
+    * table (caller unpersists). */
+  private def bpeTrain(df: DataFrame, textCol: Column, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(k >= 1 && k <= 64, s"merge rounds out of range: $k")
     val syms = col("syms")
     var state = df
@@ -473,41 +484,64 @@ object PipelineOps {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    try {
-      for (round <- 1 to k) {
-        // adjacent distinct pairs, weighted by word frequency
-        val top = state
-          .select(col("n"), explode(filter(transform(syms,
-            (x, i) => when(x =!= get(syms, i + 1),
-              struct(x.as("l"), get(syms, i + 1).as("r")))),
-            p => p.isNotNull)).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(top.nonEmpty, s"corpus exhausted after ${round - 1} merges")
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round, l, r, l + r, cnt))
-        val (lc, rc) = (lit(l), lit(r))
-        // position-local merge: emit l||r where the pair starts, drop
-        // the consumed right symbol, keep everything else (l ≠ r ⇒ the
-        // two conditions can never both hold at one position)
-        val next = state.select(filter(transform(syms, (x, i) =>
-          when(x === lc && get(syms, i + 1) === rc, concat(x, get(syms, i + 1)))
-            .when(get(syms, i - 1) === lc && x === rc, lit(null).cast("string"))
-            .otherwise(x)), x => x.isNotNull).as("syms"), col("n"))
-          .persist()
-        next.count() // materialize before releasing the parent round
-        state.unpersist()
-        state = next
-      }
-    } finally state.unpersist()
-    merges.toSeq.toDF("merge_rank", "l", "r", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+    for (round <- 1 to k) {
+      // adjacent distinct pairs, weighted by word frequency
+      val top = state
+        .select(col("n"), explode(filter(transform(syms,
+          (x, i) => when(x =!= get(syms, i + 1),
+            struct(x.as("l"), get(syms, i + 1).as("r")))),
+          p => p.isNotNull)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"corpus exhausted after ${round - 1} merges")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((round, l, r, l + r, cnt))
+      val (lc, rc) = (lit(l), lit(r))
+      // position-local merge: emit l||r where the pair starts, drop
+      // the consumed right symbol, keep everything else (l ≠ r ⇒ the
+      // two conditions can never both hold at one position)
+      val next = state.select(filter(transform(syms, (x, i) =>
+        when(x === lc && get(syms, i + 1) === rc, concat(x, get(syms, i + 1)))
+          .when(get(syms, i - 1) === lc && x === rc, lit(null).cast("string"))
+          .otherwise(x)), x => x.isNotNull).as("syms"), col("n"))
+        .persist()
+      next.count() // materialize before releasing the parent round
+      state.unpersist()
+      state = next
+    }
+    (merges.toSeq, state)
   }
 
   def bpeMerges(t: Tables, k: Int = 6): DataFrame = {
     import t.spark.implicits._
     bpeMergesOver(t.documents, $"text", k)
+  }
+
+  /** q134: APPLY the learned vocabulary — tokenize the corpus with
+    * the k merges and emit the top subword tokens by total occurrence
+    * count (count desc, token asc — deterministic). The tokenized
+    * corpus is just the final word-symbol table re-weighted by word
+    * frequency, so the apply step costs one explode+agg over the
+    * distinct-word table — the corpus itself never reshuffles. */
+  def bpeVocabOver(df: DataFrame, textCol: Column, k: Int,
+      topN: Int): DataFrame = {
+    val (_, state) = bpeTrain(df, textCol, k)
+    val top = state.select(explode(col("syms")).as("token"), col("n"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topN)
+    // materialize the (bounded, topN-row) result before releasing the
+    // trained table — a lazy frame over an unpersisted state would
+    // replay all k rounds on every downstream action
+    val rows = java.util.Arrays.asList(top.collect(): _*)
+    state.unpersist()
+    df.sparkSession.createDataFrame(rows, top.schema)
+  }
+
+  def bpeVocab(t: Tables, k: Int = 6, topN: Int = 20): DataFrame = {
+    import t.spark.implicits._
+    bpeVocabOver(t.documents, $"text", k, topN)
   }
 }

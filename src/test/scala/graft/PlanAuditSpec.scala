@@ -98,9 +98,9 @@ object PlanAuditSpec {
     "q115_stream_embed_gate", "q117_stream_interval_join",
     "q118_stream_sessions", "q119_stream_ewma", "q120_stream_outer_join",
     "q124_stream_cms_gate", "q132_stream_asof_join",
-    // runs the k merge rounds (one bounded top-1 collect per round)
+    // run the k merge rounds (one bounded top-1 collect per round)
     // during construction, like the CC driver loop
-    "q133_bpe_merges",
+    "q133_bpe_merges", "q134_bpe_vocab",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
     "q116_bucketed_join")

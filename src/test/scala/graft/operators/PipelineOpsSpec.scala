@@ -352,5 +352,11 @@ class PipelineOpsSpec extends SparkSpec {
     val got2 = PipelineOps.bpeMergesOver(corpus.toDF("text"), $"text", 6)
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
     assert(got2 === expect, s"got $got2 vs local $expect")
+    // apply side: the banana corpus after 2 merges tokenizes to
+    // banana→[b,an,ana]×2, bandana→[b,an,d,ana] — weighted counts
+    // an:3, ana:3, b:3, d:1 (ties break token-ascending)
+    val vocab = PipelineOps.bpeVocabOver(df, $"text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab === Seq(("an", 3L), ("ana", 3L), ("b", 3L), ("d", 1L)))
   }
 }
