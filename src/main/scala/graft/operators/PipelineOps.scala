@@ -463,15 +463,26 @@ object PipelineOps {
     * node-count broadcast. */
   def bpeMergesOver(df: DataFrame, textCol: Column, k: Int): DataFrame = {
     import df.sparkSession.implicits._
-    val (merges, state) = bpeTrain(df, textCol, k)
-    state.unpersist()
+    val (merges, _) = bpeTrain(df, textCol, k)
     merges.toSeq.toDF("merge_rank", "l", "r", "merged", "pair_count")
       .orderBy(col("merge_rank"))
   }
 
   /** The k training rounds behind [[bpeMergesOver]]/[[bpeVocabOver]]:
-    * returns the merge sequence plus the final PERSISTED word-symbol
-    * table (caller unpersists). */
+    * returns the merge sequence plus the final materialized
+    * word-symbol table.
+    *
+    * Lineage is cut per round with an EAGER `localCheckpoint`, not
+    * `persist`: Spark's CacheManager keys cached plans by
+    * logical-plan equality, so two concurrent queries training over
+    * the same corpus (q133 + q134 in the bench's throughput lane)
+    * SHARE each round's cache entry — and whichever finishes first
+    * unpersists it out from under the other. The survivor's next
+    * round then recomputes through the collapsed k-round nested
+    * `transform` chain, whose project-collapsed expression grows
+    * ~5^k copies of the base plan (measured: 1.6 s solo → 430 s in
+    * the 16-stream lane). A checkpoint truncates the plan itself, so
+    * no cross-query cache race can ever re-expand it. */
   private def bpeTrain(df: DataFrame, textCol: Column, k: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(k >= 1 && k <= 64, s"merge rounds out of range: $k")
@@ -481,7 +492,7 @@ object PipelineOps {
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(filter(split(col("word"), ""), c => c =!= "").as("syms"), col("n"))
-      .persist()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     for (round <- 1 to k) {
@@ -502,14 +513,13 @@ object PipelineOps {
       // position-local merge: emit l||r where the pair starts, drop
       // the consumed right symbol, keep everything else (l ≠ r ⇒ the
       // two conditions can never both hold at one position)
-      val next = state.select(filter(transform(syms, (x, i) =>
+      // eager checkpoint materializes the round AND truncates the
+      // plan — see the lineage note on bpeTrain
+      state = state.select(filter(transform(syms, (x, i) =>
         when(x === lc && get(syms, i + 1) === rc, concat(x, get(syms, i + 1)))
           .when(get(syms, i - 1) === lc && x === rc, lit(null).cast("string"))
           .otherwise(x)), x => x.isNotNull).as("syms"), col("n"))
-        .persist()
-      next.count() // materialize before releasing the parent round
-      state.unpersist()
-      state = next
+        .localCheckpoint()
     }
     (merges.toSeq, state)
   }
@@ -528,16 +538,12 @@ object PipelineOps {
   def bpeVocabOver(df: DataFrame, textCol: Column, k: Int,
       topN: Int): DataFrame = {
     val (_, state) = bpeTrain(df, textCol, k)
-    val top = state.select(explode(col("syms")).as("token"), col("n"))
+    // the trained table is checkpointed, so this topN reads the
+    // materialized blocks — no round replays downstream
+    state.select(explode(col("syms")).as("token"), col("n"))
       .groupBy(col("token")).agg(sum(col("n")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topN)
-    // materialize the (bounded, topN-row) result before releasing the
-    // trained table — a lazy frame over an unpersisted state would
-    // replay all k rounds on every downstream action
-    val rows = java.util.Arrays.asList(top.collect(): _*)
-    state.unpersist()
-    df.sparkSession.createDataFrame(rows, top.schema)
   }
 
   def bpeVocab(t: Tables, k: Int = 6, topN: Int = 20): DataFrame = {
