@@ -247,6 +247,7 @@ object SparkEntry {
     "q132_stream_asof_join"  -> ((s, d) => graft.streaming.StreamReplay.streamAsOfJoin(s, d)),
     "q133_bpe_merges"        -> ((s, d) => PipelineOps.bpeMerges(Tables(s, d))),
     "q134_bpe_vocab"         -> ((s, d) => PipelineOps.bpeVocab(Tables(s, d))),
+    "q135_ann_pq_gate"       -> ((s, d) => Similarity.pqRecallGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1358,6 +1359,9 @@ object SparkEntry {
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q102_ann_ivf_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q135_ann_pq_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // q34: the oracle replays the stub codec's float32 arithmetic —

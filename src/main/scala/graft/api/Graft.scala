@@ -521,6 +521,20 @@ object Graft {
       probePred: Column => Column, k: Int = 10): DataFrame =
     graft.operators.Similarity.quantizedTopKOver(df, idCol, embCol, probePred, k)
 
+  /** IVF-PQ approximate nearest neighbours: coarse k-means inverted
+    * lists + per-subspace product-quantization codes (m·log2(ks) bits
+    * per vector — ~25× less scan memory at the defaults), asymmetric-
+    * distance shortlist, exact-cosine re-rank of the top `rerank`.
+    * Rows `(q_id, vec_id, cos_sim, rank)` for ids matching
+    * `probePred` (q135 gates this path's recall against the exact
+    * scan). */
+  def annPq(df: DataFrame, idCol: Column, embCol: Column,
+      probePred: Column => Column, m: Int = 16, ks: Int = 32,
+      nList: Int = 16, nProbe: Int = 6, nAssign: Int = 3,
+      rerank: Int = 200): DataFrame =
+    graft.operators.Similarity.annPqOver(
+      df, idCol, embCol, probePred, m, ks, nList, nProbe, nAssign, rerank)
+
   /** Learn `k` BPE merges over a text column (distinct-pair variant;
     * count-desc/lexicographic tie-break — engine-deterministic). One
     * corpus pass builds the word-frequency table; every merge round

@@ -49,6 +49,17 @@ object GraftFunctions {
         BandKeys(es.head, planes,
           es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
       }, "scala_udf")
+    // pq_codes(emb, codebookFlat, ks, dsub): same literal-folding
+    // shape as band_keys — the codebook rides as ONE reference object
+    reg.createOrReplaceTempFunction("pq_codes",
+      es => {
+        require(es.drop(1).forall(_.foldable),
+          "pq_codes: codebook/ks/dsub must be literals")
+        val cb = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        PqCodes(es.head, cb,
+          es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
+      }, "scala_udf")
     // the prefilter rewrite is semantically neutral — install it
     // alongside the functions (idempotent: the rule is a singleton).
     // The read-modify-write is synchronized: concurrent register()

@@ -298,10 +298,17 @@ object Similarity {
     * hit count sits within a hit or two of the floor — per-probe
     * gating would trip on fixture variance, not regressions. The
     * AnnTune sweep is the evidence for the floor. */
-  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.8): DataFrame = {
+  def annRecallGate(t: Tables, lsh: Boolean, floor: Double = 0.8): DataFrame =
+    recallGateOver(t, (if (lsh) annLsh(t) else annIvf(t)).select(
+      col("q_id"), col("vec_id")), floor)
+
+  /** Mean-recall@10 gate of an arbitrary ANN result (`q_id, vec_id`)
+    * against the exact brute-force top-10 — the engine-neutral
+    * contract shape shared by q101/q102/q135. */
+  private def recallGateOver(t: Tables, ann: DataFrame,
+      floor: Double): DataFrame = {
     import t.spark.implicits._
     val exact = knnBruteForce(t).select($"q_id", $"vec_id")
-    val ann = (if (lsh) annLsh(t) else annIvf(t)).select($"q_id", $"vec_id")
     val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
     val perProbe = exact.select($"q_id").distinct()
@@ -312,6 +319,161 @@ object Similarity {
         .as("meets_floor"))
     perProbe.select($"q_id").crossJoin(broadcast(meanGate))
       .orderBy($"q_id")
+  }
+
+  /** IVF-PQ: the memory-compressed ANN index production vector search
+    * runs at billion-vector scale (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    * FAISS `IVFPQ` layout). Two quantizers compose:
+    *
+    *  - the COARSE quantizer is [[annIvf]]'s seeded k-means over
+    *    `nList` inverted lists with multi-assignment — the pruning
+    *    lever: a probe scans `nProbe` lists, never the corpus;
+    *  - the PRODUCT quantizer splits each vector into `m` subvectors
+    *    and encodes each as the id of its nearest per-subspace
+    *    centroid (`ks` per subspace, one tiny seeded k-means each,
+    *    trained on a bounded seeded sample above `trainCap` rows the
+    *    way production trainers do). A 64-dim float32 vector (256 B)
+    *    becomes m codes (m·log2(ks) bits = 10 B at m=16, ks=32) — the
+    *    probed scan reads ~25× less memory, which is THE lever that
+    *    fits a 100 TB embedding corpus's search index in cluster RAM.
+    *    (m=16/ks=32 over m=8 variants is a measured recall choice on
+    *    this near-uniform fixture: 0.96 mean vs 0.84 at equal rerank —
+    *    smaller subspaces cut quantization distortion faster than
+    *    fewer/larger centroids at the same byte budget.)
+    *
+    * Ranking inside the probed lists is asymmetric distance (ADC):
+    * the query stays exact-float and scores against each candidate's
+    * RECONSTRUCTION — its m chosen centroids concatenated, a pure
+    * literal-array lookup (`element_at` on the driver-side codebook
+    * constant), so decoding is a projection: no shuffle, no join
+    * against a codebook table. The ADC top-`rerank` per probe are
+    * then re-ranked by EXACT cosine against the raw vectors (the
+    * standard refine step): a broadcast semi-join back to the store
+    * that touches rerank·Q rows — at cluster scale a point-read,
+    * never a scan. Both k-means fits consume one eagerly-checkpointed
+    * projection of the corpus (lineage cut, same reason as bpeTrain).
+    *
+    * Encode/assign ties break toward the smallest centroid id
+    * (struct `array_min` ordering), so the index is deterministic
+    * given the seeded fits. Codebooks are engine-specific → the
+    * driver-visible check is the q135 recall-contract gate
+    * ([[pqRecallGate]]), exactly like q101/q102. */
+  def annPq(t: Tables, m: Int = 16, ks: Int = 32, nList: Int = 16,
+      nProbe: Int = 6, nAssign: Int = 3, rerank: Int = 200,
+      trainCap: Long = 131072L): DataFrame = {
+    import t.spark.implicits._
+    annPqOver(t.embeddings, $"vec_id", $"embedding", _ < QueryCount,
+      m, ks, nList, nProbe, nAssign, rerank, trainCap)
+  }
+
+  /** Generic IVF-PQ over any `(id, embedding)` frame — see [[annPq]]
+    * for the design contract. Probe rows are those whose id matches
+    * `probePred`. */
+  def annPqOver(src: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column,
+      probePred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      m: Int = 16, ks: Int = 32, nList: Int = 16,
+      nProbe: Int = 6, nAssign: Int = 3, rerank: Int = 200,
+      trainCap: Long = 131072L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import src.sparkSession.implicits._
+    require(nAssign >= 1 && nAssign <= nList, s"nAssign must be in [1, $nList]")
+    require(nProbe >= 1 && nProbe <= nList, s"nProbe must be in [1, $nList]")
+    require(rerank >= 10, s"rerank must cover the top-10, got $rerank")
+    val base = src.select(idCol.as("vec_id"), embCol.as("embedding"))
+    val dim = base.select(size($"embedding")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // one materialized projection feeds the m+1 fits (bounded scalar
+    // count + seeded sample cap keeps trainer input size fixed as the
+    // corpus grows — quantizer quality saturates long before that)
+    val full = base
+      .select($"vec_id", $"embedding",
+        array_to_vector(transform($"embedding", _.cast("double"))).as("features"))
+      .localCheckpoint(true)
+    val n = full.count()
+    val train = (if (n > trainCap) full.sample(withReplacement = false,
+        trainCap.toDouble / n, seed = 7L) else full).localCheckpoint(true)
+    def centersOf(df: DataFrame, featCol: String, k: Int, seed: Long) =
+      new KMeans().setK(k).setSeed(seed).setMaxIter(3).setInitMode("random")
+        .setFeaturesCol(featCol).setPredictionCol("pq_pred")
+        .fit(df).clusterCenters.map(_.toArray)
+    val coarse = centersOf(train, "features", nList, 42L)
+    val cNorm = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    def listScores(emb: org.apache.spark.sql.Column) =
+      array((0 until nList).map { i =>
+        struct((dotNative(array(coarse(i).map(lit).toIndexedSeq: _*), emb) / cNorm(i))
+          .as("s"), lit(i).as("ivf_list"))
+      }: _*)
+    def topLists(emb: org.apache.spark.sql.Column, k: Int) =
+      transform(slice(reverse(array_sort(listScores(emb))), 1, k),
+        x => x.getField("ivf_list"))
+    def subOf(emb: org.apache.spark.sql.Column, i: Int) =
+      slice(emb, i * dsub + 1, dsub)
+    // per-subspace codebooks, fit on the same sampled projection
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { i =>
+      centersOf(
+        train.select(array_to_vector(transform(subOf($"embedding", i),
+          _.cast("double"))).as("sub")), "sub", ks, 42L + i + 1)
+    }
+    // encode: argmin_j ||sub - c_j||^2 per subspace, all m codes in
+    // ONE native expression (graft.expr.PqCodes) — the per-centroid-
+    // literal column formulation at m=16, ks=32 puts 512 dot nodes in
+    // one projection and blows Janino's 64 KB method limit (measured:
+    // codegen falls back to interpreted on the index-build scan);
+    // the flat-codebook constant keeps the scan whole-stage-codegen'd
+    val cbFlat: IndexedSeq[Double] =
+      (0 until m).flatMap(i => cb(i).flatMap(_.toIndexedSeq))
+    def codesOf(emb: org.apache.spark.sql.Column) =
+      call_function("pq_codes", emb, typedlit(cbFlat), lit(ks), lit(dsub))
+    // reconstruction: concatenate the coded centroids — literal
+    // lookups, evaluated where the codes live
+    val cbLit: IndexedSeq[org.apache.spark.sql.Column] =
+      (0 until m).map(i => typedlit(cb(i).map(_.toIndexedSeq).toIndexedSeq))
+    def reconOf(codes: org.apache.spark.sql.Column) =
+      flatten(array((0 until m).map(i =>
+        element_at(cbLit(i), element_at(codes, i + 1) + 1)): _*))
+    // the compressed index: (vec_id, ivf_list, m codes) — the raw
+    // embedding column is DROPPED from everything the probe scan reads
+    val indexed = base.select($"vec_id",
+      explode(topLists($"embedding", nAssign)).as("ivf_list"),
+      codesOf($"embedding").as("codes"))
+    val probes = base.filter(probePred($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        explode(topLists($"embedding", nProbe)).as("ivf_list"))
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+    val shortlist = indexed.join(broadcast(probes), Seq("ivf_list"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        cosine($"q_emb", reconOf($"codes")).as("adc"))
+      .distinct() // multi-assign × multi-probe co-buckets pairs repeatedly
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter($"adc_rank" <= rerank)
+      .select($"q_id", $"vec_id")
+    // refine: exact cosine over the shortlist only
+    val raw = base
+      .select($"vec_id", $"embedding", l2NormNative($"embedding").as("nrm"))
+    val qRaw = raw.filter(probePred($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val wEx = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    raw.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qRaw), Seq("q_id"))
+      .select($"q_id", $"vec_id",
+        factoredCosine(dotNative($"q_emb", $"embedding"), $"q_nrm", $"nrm")
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter($"rank" <= 10)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q135 driver gate: mean recall@10 of the IVF-PQ path vs the
+    * oracle-checked brute-force truth — same contract shape as
+    * q101/q102. */
+  def pqRecallGate(t: Tables, floor: Double = 0.8): DataFrame = {
+    import t.spark.implicits._
+    recallGateOver(t, annPq(t).select($"q_id", $"vec_id"), floor)
   }
 
   /** Production centroid computation over an ARBITRARY corpus: per-

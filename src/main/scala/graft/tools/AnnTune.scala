@@ -54,6 +54,7 @@ object AnnTune {
         na <- Seq(1, 2, 3)
       } recall(s"ivf nList=$nl nProbe=$np nAssign=$na",
         Similarity.annIvf(t, nList = nl, nProbe = np, nAssign = na))
+      recall("ivfpq m=16 ks=32 rerank=200 (defaults)", Similarity.annPq(t))
       exact.unpersist()
     }
     spark.stop()

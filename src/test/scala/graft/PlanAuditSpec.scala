@@ -83,6 +83,9 @@ object PlanAuditSpec {
     "q31_minhash_pairs", "q41_tfidf", "q43_ann_lsh", "q52_ann_ivf",
     "q57_dedup_clusters", "q90_dedup_survivors",
     "q101_ann_lsh_gate", "q102_ann_ivf_gate", "q103_clusters_fast",
+    // IVF-PQ gate: m+1 k-means fits + the one-row verdict broadcast,
+    // same construction/verdict shape as q101/q102
+    "q135_ann_pq_gate",
     // banded-dedup gate: one-row verdict broadcast crossJoined onto
     // the probe ids (same scalar-broadcast shape as q101/q102);
     // q105 runs the banding checkpoint + the CC driver loop during

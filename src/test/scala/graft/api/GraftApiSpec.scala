@@ -301,6 +301,23 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(knn.head._3 - 1.0) < 1e-12, s"qcos ${knn.head._3}")
   }
 
+  test("annPq facade indexes an arbitrary frame and ranks cluster mates first") {
+    val rnd = new scala.util.Random(5)
+    // two well-separated direction clusters in 8 dims
+    def near(sign: Float) =
+      Array.tabulate(8)(i => sign * (1f + i) + rnd.nextGaussian().toFloat * 0.05f)
+    val vecs = (0L until 10L).map(i => (i, near(1f))) ++
+      (10L until 20L).map(i => (i, near(-1f)))
+    val df = vecs.toDF("vid", "emb")
+    val got = Graft.annPq(df, $"vid", $"emb", _ === 0L,
+        m = 2, ks = 2, nList = 2, nProbe = 2, nAssign = 1, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === 10 && got.forall(_._1 === 0L))
+    assert(got.map(_._4).toList === (1 to 10).toList)
+    // the top neighbour is a same-cluster vector at cosine ≈ 1
+    assert(got.head._2 < 10L && got.head._3 > 0.9, s"top: ${got.head}")
+  }
+
   test("bm25Search ranks the term-matching docs and respects k") {
     val corpus = Seq(
       (1L, "spark runs distributed queries on clusters"),

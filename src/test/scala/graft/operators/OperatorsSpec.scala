@@ -189,6 +189,28 @@ class ScaleOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("IVF-PQ meets the recall floor, and its gate row shape matches q101/q102") {
+    val exact = Similarity.knnBruteForce(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annPq(sf001)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ANN ivf-pq recall@10 = $recall%.2f")
+    assert(recall >= 0.8, s"ivf-pq recall $recall below the 0.8 gate floor")
+    val gate = Similarity.pqRecallGate(sf001).collect()
+    assert(gate.length === 5 && gate.forall(_.getBoolean(1)))
+  }
+
+  test("IVF-PQ shortlist is rerank-bounded per probe and deterministic across runs") {
+    // the refine step must see at most `rerank` candidates per query
+    // — the point-read contract that keeps the exact pass tiny
+    val a = Similarity.annPq(sf001, rerank = 20)
+    val perQ = a.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) === 10L))
+    val b = Similarity.annPq(sf001, rerank = 20)
+    assert(a.collect().toSeq === b.collect().toSeq) // seeded fits + tie-broken ranks
+  }
+
   test("language ID picks the language whose markers dominate") {
     import spark.implicits._
     val samples = Seq(
