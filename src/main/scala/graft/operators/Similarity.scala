@@ -400,7 +400,26 @@ object Similarity {
       new KMeans().setK(k).setSeed(seed).setMaxIter(3).setInitMode("random")
         .setFeaturesCol(featCol).setPredictionCol("pq_pred")
         .fit(df).clusterCenters.map(_.toArray)
-    val coarse = centersOf(train, "features", nList, 42L)
+    // the m+1 fits are independent (disjoint outputs, fixed seeds,
+    // shared checkpointed input) — run them concurrently: each fit is
+    // a chain of small DRIVER-latency-bound jobs, so m+1 sequential
+    // fits cost m+1 × job-turnaround wall while the executors idle.
+    // Concurrency does not touch the result (seeded init + a
+    // deterministic input), it only overlaps the scheduling gaps.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def subOf(emb: org.apache.spark.sql.Column, i: Int) =
+      slice(emb, i * dsub + 1, dsub)
+    val coarseF = Future(centersOf(train, "features", nList, 42L))
+    // per-subspace codebooks, fit on the same sampled projection
+    val cbF: IndexedSeq[Future[Array[Array[Double]]]] =
+      (0 until m).map { i =>
+        Future(centersOf(
+          train.select(array_to_vector(transform(subOf($"embedding", i),
+            _.cast("double"))).as("sub")), "sub", ks, 42L + i + 1))
+      }
+    val coarse = Await.result(coarseF, Duration.Inf)
     val cNorm = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
     def listScores(emb: org.apache.spark.sql.Column) =
       array((0 until nList).map { i =>
@@ -410,14 +429,8 @@ object Similarity {
     def topLists(emb: org.apache.spark.sql.Column, k: Int) =
       transform(slice(reverse(array_sort(listScores(emb))), 1, k),
         x => x.getField("ivf_list"))
-    def subOf(emb: org.apache.spark.sql.Column, i: Int) =
-      slice(emb, i * dsub + 1, dsub)
-    // per-subspace codebooks, fit on the same sampled projection
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { i =>
-      centersOf(
-        train.select(array_to_vector(transform(subOf($"embedding", i),
-          _.cast("double"))).as("sub")), "sub", ks, 42L + i + 1)
-    }
+    val cb: IndexedSeq[Array[Array[Double]]] =
+      cbF.map(Await.result(_, Duration.Inf))
     // encode: argmin_j ||sub - c_j||^2 per subspace, all m codes in
     // ONE native expression (graft.expr.PqCodes) — the per-centroid-
     // literal column formulation at m=16, ks=32 puts 512 dot nodes in
