@@ -104,7 +104,7 @@ object Bench {
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
       "q57_dedup_clusters", "q90_dedup_survivors", "q103_clusters_fast",
-      "q105_semantic_dedup",
+      "q105_semantic_dedup", "q135_ann_pq_gate",
       "q85_pagerank", "q52_ann_ivf", "q39_approx_distinct",
       "q41_tfidf", "q31_minhash_pairs", "q64_hash_split",
       "q61_tfidf_exact", "q51_minhash_fast", "q65_repetition",
@@ -129,7 +129,10 @@ object Bench {
     // whose round latency, not throughput, sets the bench makespan
     val weighted = Set("q57_dedup_clusters", "q90_dedup_survivors",
       "q103_clusters_fast", "q105_semantic_dedup", "q52_ann_ivf",
-      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank")
+      "q41_tfidf", "q31_minhash_pairs", "q85_pagerank",
+      // 17 concurrent quantizer fits = many small sequential jobs,
+      // the exact latency-bound shape the heavy pool exists for
+      "q135_ann_pq_gate")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:
