@@ -308,16 +308,46 @@ object Dedup {
     * keys come out of ONE codegen'd pass over a single flat plane
     * matrix ([[graft.expr.BandKeys]]); the old one-literal-array-per-
     * plane projection would blow Janino's method limit at adaptive
-    * sizes and fall back to interpreted eval. */
+    * sizes and fall back to interpreted eval.
+    *
+    * VERIFY is two-tier (round 8 — the b62da75 treatment applied to
+    * the embedding family): the candidate join carries int8 codes
+    * (64 B + three scalars ≈ 88 B/vector) instead of float32 arrays
+    * (256 B), and screens on the exact-integer quantized dot plus a
+    * SOUND error bound — for a = â+δ, b = b̂+ε with |δᵢ| ≤ s_a/2,
+    * |εᵢ| ≤ s_b/2: |dot(a,b) − dot(â,b̂)| ≤ (s_b/2)·‖â‖₁ +
+    * (s_a/2)·‖b̂‖₁ + d·s_a·s_b/4 — so every pair with exact
+    * cos ≥ minCos survives the screen by construction (the bound is
+    * inflated by 1e-9 relative to absorb double rounding). Only the
+    * screened survivors (≈ the answer plus a thin borderline shell:
+    * the bound is ~2–3e-2 in cosine at these scales) join back to the
+    * raw embeddings for the EXACT factored-cosine verify, so the
+    * output pair set and cosines are bit-identical to the one-tier
+    * join at every SF while the wide verify intermediates shrink ~3×
+    * — the difference between fitting the sf30 corpus in one box's
+    * memory hierarchy and not. */
   def embeddingNearDupsBanded(
       df: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, minCos: Double,
       bands: Int = 12, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L, adaptive: Boolean = true): DataFrame = {
     import graft.functions.SimilarityFunctions.{dotNative, factoredCosine, l2NormNative}
+    // int8 screening codes, one pass per VECTOR: scale s = max|x|/127,
+    // code = round(x/s) (half-away, |x − code·s| ≤ s/2), plus the two
+    // scalars the per-pair error bound needs (‖â‖₁ as l1 = s·Σ|code|,
+    // and the L2 norm the exact verify reuses). All-zero vectors take
+    // code 0 everywhere (s = 0 would otherwise divide to NaN).
+    val scRaw = array_max(transform(embCol, x => abs(x.cast("double")))) / lit(127.0)
+    val q8 = transform(col("__emb"), x =>
+      when(col("__sc") === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / col("__sc"), 0)).cast("tinyint"))
     val e = df
       .select(idCol.as("__id"), embCol.as("__emb"),
-        l2NormNative(embCol).as("__nrm"))
+        l2NormNative(embCol).as("__nrm"), scRaw.as("__sc"))
+      .withColumn("__q8", q8)
+      .withColumn("__l1", col("__sc") *
+        aggregate(col("__q8"), lit(0L), (acc, x) => acc + abs(x.cast("long")))
+          .cast("double"))
       // guard the dim contract: a mismatched vector would otherwise
       // hash garbage sign bits (BandKeys reads exactly `dim`
       // elements) — fail loudly instead (assert_true returns null
@@ -351,7 +381,29 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cands
+    // tier 1: int8 screen — candidates carry codes + scalars, never
+    // the float arrays; the bound keeps every true pair (see Scaladoc)
+    val screened = cands
+      .join(e.select(col("__id").as("id_a"), col("__q8").as("qa"),
+        col("__sc").as("sc_a"), col("__l1").as("l1_a"),
+        col("__nrm").as("nrm_a")), Seq("id_a"))
+      .join(e.select(col("__id").as("id_b"), col("__q8").as("qb"),
+        col("__sc").as("sc_b"), col("__l1").as("l1_b"),
+        col("__nrm").as("nrm_b")), Seq("id_b"))
+      .filter {
+        val approxDot = call_function("qdot8", col("qa"), col("qb"))
+          .cast("double") * col("sc_a") * col("sc_b")
+        val bound = (col("sc_b") / 2 * col("l1_a") +
+          col("sc_a") / 2 * col("l1_b") +
+          lit(dim / 4.0) * col("sc_a") * col("sc_b")) *
+          lit(1.0 + 1e-9) + lit(1e-12)
+        approxDot + bound >= lit(minCos) * col("nrm_a") * col("nrm_b")
+      }
+      .select(col("id_a"), col("id_b"))
+    // tier 2: exact verify on the surviving shell only — identical
+    // arithmetic to the pre-screen implementation, so the emitted
+    // pair set and cosines are bit-for-bit unchanged
+    screened
       .join(e.select(col("__id").as("id_a"), col("__emb").as("e_a"),
         col("__nrm").as("nrm_a")), Seq("id_a"))
       .join(e.select(col("__id").as("id_b"), col("__emb").as("e_b"),

@@ -357,6 +357,53 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(gate.forall(_.getBoolean(1)), "banded recall fell below the 0.8 floor")
   }
 
+  test("int8 screen in the banded verify is sound: output equals the unscreened pair set at borderline thresholds") {
+    import spark.implicits._
+    // pairs engineered to straddle the threshold: base vectors plus
+    // twins at cos ≈ minCos ± small offsets, where an UNSOUND screen
+    // (quantized dot without the error bound) would drop true pairs
+    val rnd = new scala.util.Random(23)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def mix(a: Array[Double], cos: Double): Array[Double] = {
+      // b = cos·a + sin·w with w ⊥ a ⇒ exact cos(a,b) = cos
+      val w0 = unit()
+      val d = a.zip(w0).map { case (x, y) => x * y }.sum
+      val w = w0.zip(a).map { case (y, x) => y - d * x }
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      a.zip(w).map { case (x, y) => cos * x + math.sqrt(1 - cos * cos) * y / wn }
+    }
+    val minCos = 0.9
+    val rows = (0 until 40).flatMap { i =>
+      val a = unit()
+      // offsets chosen INSIDE the quantization-noise shell (~2e-2)
+      val c = Seq(-0.004, -0.001, 0.0005, 0.002, 0.01)(i % 5)
+      Seq((i.toLong * 2, a.map(_.toFloat)),
+        (i.toLong * 2 + 1, mix(a, minCos + c).map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // ground truth: the same banding (seeded, sub-adaptive) with the
+    // verify done brute-force over ALL candidate pairs
+    val exact = Similarity.cosinePairs _ // (not used — direct compute below)
+    val truth = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if dot / (na * nb) >= minCos
+    } yield (i, j)).toSet
+    val got = Dedup.embeddingNearDupsBanded(df, $"vec_id", $"embedding", minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding at cos 0.9 / b=12 / r=4 has per-pair miss ~3e-4 — with
+    // 40-odd true pairs a miss is possible but the SCREEN must never
+    // be the cause; assert the banded result equals truth (seeded run
+    // observed complete) so any screen-dropped borderline pair fails
+    assert(got === truth, s"missing: ${truth -- got}, extra: ${got -- truth}")
+  }
+
   test("semantic dedup keeps exactly the min-id survivor of each embedding near-dup component") {
     import spark.implicits._
     // two planted components: {0,1,2} mutual near-dups (chain via 1),
