@@ -252,6 +252,16 @@ object Dedup {
     * generated sf1+ corpora get the occupancy-bounded sizing. */
   private[graft] val AdaptiveAbove = 4096L
 
+  /** Corpus-size bound for broadcasting the verify-side vector table
+    * in [[embeddingNearDupsBanded]]. Below it the per-vector codes
+    * (~88 B) / raw embeddings (~270 B) fit a single broadcast
+    * (≤ ~180 MB / ~550 MB — torrent-distributed once per executor on
+    * a cluster), so the candidate-pair set never shuffles for either
+    * verify tier; above it the side table is itself distributed-scale
+    * and the joins fall back to shuffle-hash. Physical strategy only —
+    * the emitted rows are identical on both sides of the bound. */
+  private[graft] val BroadcastVerifyBelow = 2000000L
+
   /** Occupancy-targeted LSH sizing — the piece that keeps the banded
     * path's CANDIDATE volume linear as the corpus grows. With a fixed
     * plane count r, a random corpus spreads over only 2^r buckets per
@@ -358,9 +368,10 @@ object Dedup {
       .localCheckpoint(true) // consumed by banding + two candidate fetches
     // the count is a cheap job over the eager checkpoint's cached
     // blocks — the price of sizing the index to the data, paid once
+    // (it also picks the verify joins' physical strategy below)
+    val n = e.count()
     val (b2, r2) =
       if (adaptive) {
-        val n = e.count()
         // recall target must stay strictly below 1 — minCos = 1.0
         // (exact-duplicate search) would otherwise feed recallCos = 1
         // into adaptiveBandParams' require; 0.999 keeps the bound
@@ -369,6 +380,16 @@ object Dedup {
           adaptiveBandParams(n, math.min(0.999, math.max(minCos, 0.9)))
         else (bands, planesPerBand)
       } else (bands, planesPerBand)
+    // Both verify tiers join the (small) per-vector side table against
+    // the (huge) candidate-pair set. Below the bound the side table is
+    // ≤ ~180 MB of codes / ~550 MB of raw embeddings — broadcast it so
+    // the candidates never shuffle (map-side hash joins where banding
+    // left them; at sf30 the shuffle formulation moved ~39 GB twice
+    // and fell off the one-box page-cache cliff). Above the bound the
+    // side table itself is distributed-scale → plain shuffle joins.
+    val bcastVerify = n <= BroadcastVerifyBelow
+    def sideTable(projected: DataFrame): DataFrame =
+      if (bcastVerify) broadcast(projected) else projected
     val planesFlat = bandPlanes(b2, r2, dim, seed)
       .flatten.flatMap(_.toSeq).toArray // band-major (b, p, i) — BandKeys' layout
     val keys = call_function("band_keys",
@@ -384,12 +405,12 @@ object Dedup {
     // tier 1: int8 screen — candidates carry codes + scalars, never
     // the float arrays; the bound keeps every true pair (see Scaladoc)
     val screened = cands
-      .join(e.select(col("__id").as("id_a"), col("__q8").as("qa"),
+      .join(sideTable(e.select(col("__id").as("id_a"), col("__q8").as("qa"),
         col("__sc").as("sc_a"), col("__l1").as("l1_a"),
-        col("__nrm").as("nrm_a")), Seq("id_a"))
-      .join(e.select(col("__id").as("id_b"), col("__q8").as("qb"),
+        col("__nrm").as("nrm_a"))), Seq("id_a"))
+      .join(sideTable(e.select(col("__id").as("id_b"), col("__q8").as("qb"),
         col("__sc").as("sc_b"), col("__l1").as("l1_b"),
-        col("__nrm").as("nrm_b")), Seq("id_b"))
+        col("__nrm").as("nrm_b"))), Seq("id_b"))
       .filter {
         val approxDot = call_function("qdot8", col("qa"), col("qb"))
           .cast("double") * col("sc_a") * col("sc_b")
@@ -404,10 +425,10 @@ object Dedup {
     // arithmetic to the pre-screen implementation, so the emitted
     // pair set and cosines are bit-for-bit unchanged
     screened
-      .join(e.select(col("__id").as("id_a"), col("__emb").as("e_a"),
-        col("__nrm").as("nrm_a")), Seq("id_a"))
-      .join(e.select(col("__id").as("id_b"), col("__emb").as("e_b"),
-        col("__nrm").as("nrm_b")), Seq("id_b"))
+      .join(sideTable(e.select(col("__id").as("id_a"), col("__emb").as("e_a"),
+        col("__nrm").as("nrm_a"))), Seq("id_a"))
+      .join(sideTable(e.select(col("__id").as("id_b"), col("__emb").as("e_b"),
+        col("__nrm").as("nrm_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         factoredCosine(dotNative(col("e_a"), col("e_b")),
           col("nrm_a"), col("nrm_b")).as("cos_sim"))

@@ -404,6 +404,30 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     assert(got === truth, s"missing: ${truth -- got}, extra: ${got -- truth}")
   }
 
+  test("banded verify broadcasts both tiers' side tables below the corpus bound — no candidate shuffle in the verify joins") {
+    import spark.implicits._
+    // kill auto-broadcast so any BroadcastHashJoin in the plan can
+    // only come from embeddingNearDupsBanded's explicit hint — the
+    // physical contract that the candidate-pair set stays where the
+    // banding left it (4 joins: screen a/b + exact-verify a/b)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until 200).map { i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+      }
+      val got = Dedup.embeddingNearDupsBanded(
+        rows.toDF("vec_id", "embedding"), $"vec_id", $"embedding", 0.9)
+      got.collect()
+      val plan = got.queryExecution.executedPlan.toString
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nBroadcast == 4,
+        s"expected 4 broadcast verify joins (screen a/b + exact a/b), got $nBroadcast:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("semantic dedup keeps exactly the min-id survivor of each embedding near-dup component") {
     import spark.implicits._
     // two planted components: {0,1,2} mutual near-dups (chain via 1),
