@@ -248,6 +248,9 @@ object SparkEntry {
     "q133_bpe_merges"        -> ((s, d) => PipelineOps.bpeMerges(Tables(s, d))),
     "q134_bpe_vocab"         -> ((s, d) => PipelineOps.bpeVocab(Tables(s, d))),
     "q135_ann_pq_gate"       -> ((s, d) => Similarity.pqRecallGate(Tables(s, d))),
+    "q136_chunk_dedup"       -> ((s, d) => PipelineOps.chunkDedup(Tables(s, d))),
+    "q137_jl_project"        -> ((s, d) => Similarity.jlProject(Tables(s, d))),
+    "q138_mixture_alloc"     -> ((s, d) => PipelineOps.mixtureAlloc(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -288,6 +291,31 @@ object SparkEntry {
        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        | WHERE strlen(word) >= 2 GROUP BY word),
        |$rounds""".stripMargin
+  }
+
+  // q137: replay the JL projection with the SAME md5-derived ±1 sign
+  // matrix inlined as list literals; each component folds its
+  // multiply-adds in ascending j via list_reduce (left fold ≡ Spark's
+  // left-associated chain), so every double is bit-identical
+  private def jlOracleSql(dim: Int, k: Int): String = {
+    val signs = graft.operators.Similarity.jlSigns(k, dim)
+    def lst(i: Int): String =
+      signs(i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    def fold(term: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), j -> $term), (a, b) -> a + b)"
+    val yCols = (0 until k).map { i =>
+      fold(s"CAST(embedding[j] AS DOUBLE) * ((${lst(i)})[j])") +
+        f" AS y$i%02d"
+    }.mkString(",\n ")
+    val xn = fold("CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)")
+    val yn = (0 until k).map(i => f"(y$i%02d * y$i%02d)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH p AS (SELECT vec_id, $xn AS xnorm2,
+       | $yCols
+       |FROM embeddings)
+       |SELECT vec_id, xnorm2, ${(0 until k).map(i => f"y$i%02d").mkString(", ")},
+       | $yn AS ynorm2, $yn / ($k.0 * xnorm2) AS distortion
+       |FROM p""".stripMargin
   }
 
   private def bpeOracleSql(k: Int): String = {
@@ -1364,6 +1392,38 @@ object SparkEntry {
     "q135_ann_pq_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q136: same 16-token chunking as q63's recipe; global keep-first
+    // via row_number over (doc_id, chunk_idx); the cleaned doc is the
+    // ordered concat of surviving chunks, compared by md5
+    "q136_chunk_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(string_split(text, ' '), CAST((c-1)*16+1 AS INTEGER), CAST(c*16 AS INTEGER)), ' ') AS chunk_text,
+        |  CAST(len(list_slice(string_split(text, ' '), CAST((c-1)*16+1 AS INTEGER), CAST(c*16 AS INTEGER))) AS BIGINT) AS chunk_tokens
+        | FROM documents, range(1, 1000) t(c)
+        | WHERE c <= CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn FROM u),
+        |c2 AS (SELECT doc_id, COUNT(*) AS n_kept, CAST(SUM(chunk_tokens) AS BIGINT) AS clean_tokens,
+        |  md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS clean_md5
+        | FROM k WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM u GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks, COALESCE(c2.n_kept, 0) AS n_kept,
+        | COALESCE(c2.clean_tokens, 0) AS clean_tokens, c2.clean_md5
+        |FROM tot t LEFT JOIN c2 USING (doc_id)""".stripMargin,
+    "q137_jl_project" -> jlOracleSql(64, 16),
+    // q138: α = 0.5 temperature mixture — √c is correctly-rounded
+    // IEEE, Σ√c folds in source order (list_reduce has no init but
+    // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)
+    "q138_mixture_alloc" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, c_tokens, sqrt(CAST(c_tokens AS DOUBLE)) AS w FROM s),
+        |n AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS sum_w FROM w)
+        |SELECT source, n_docs, c_tokens, w / sum_w AS p,
+        | 1000000.0 * (w / sum_w) AS alloc_tokens,
+        | (1000000.0 * (w / sum_w)) / CAST(c_tokens AS DOUBLE) AS epochs
+        |FROM w, n""".stripMargin,
     // q34: the oracle replays the stub codec's float32 arithmetic —
     // per byte, h = b*2654435761 + pos*40503 (int64), bucket =
     // (h>>16)%16, contribution = float((h>>32)&255)/255f − 0.5f,

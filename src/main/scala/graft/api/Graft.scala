@@ -550,4 +550,31 @@ object Graft {
     * never reshuffles. */
   def bpeVocab(df: DataFrame, textCol: Column, k: Int, topN: Int): DataFrame =
     graft.operators.PipelineOps.bpeVocabOver(df, textCol, k, topN)
+
+  /** C4-style global unit-level dedup that REWRITES the corpus: split
+    * each document into `chunkTokens`-token chunks, keep only the
+    * globally-first occurrence of each exact chunk, reassemble. Rows
+    * `(doc_id, n_chunks, n_kept, clean_tokens, clean_md5)`;
+    * `clean_md5` is NULL when every chunk of the doc was removed. */
+  def chunkDedup(df: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int = 16): DataFrame =
+    graft.operators.PipelineOps.chunkDedupOver(df, idCol, textCol, chunkTokens)
+
+  /** Johnson–Lindenstrauss ±1 random projection of a `dim`-dim
+    * embedding column to `k` components (train-free compression;
+    * sign matrix derived deterministically from md5 nibble parity).
+    * Emits `y00..y{k-1}` plus `xnorm2`/`ynorm2`/`distortion`
+    * (= ‖y‖²/(k·‖x‖²) ≈ 1, the per-point JL guarantee). */
+  def jlProject(df: DataFrame, idCol: Column, embCol: Column,
+      dim: Int, k: Int = 16): DataFrame =
+    graft.operators.Similarity.jlProjectOver(df, idCol, embCol, dim, k)
+
+  /** α-temperature domain mixture allocation: per `sourceCol` value,
+    * sampling probability p ∝ (token count)^0.5, the token
+    * allocation out of `budgetTokens`, and the implied epochs over
+    * that domain — the XLM-style budgeting layer above per-source
+    * sampling. */
+  def mixtureAlloc(df: DataFrame, sourceCol: Column, textCol: Column,
+      budgetTokens: Long): DataFrame =
+    graft.operators.PipelineOps.mixtureAllocOver(df, sourceCol, textCol, budgetTokens)
 }

@@ -550,4 +550,104 @@ object PipelineOps {
     import t.spark.implicits._
     bpeVocabOver(t.documents, $"text", k, topN)
   }
+
+  // ── q136: global chunk-level dedup → cleaned corpus (C4-style) ──────
+  /** The REMOVAL member of the dedup family: every other dedup query
+    * detects (pairs, clusters, spans, survivors) — this one rewrites
+    * the corpus. C4's famous preprocessing step deduplicates the web
+    * at the LINE level, keeping only the first occurrence of each
+    * line corpus-wide (Raffel et al. 2020, §2.2 "we discard all but
+    * one of any three-sentence span occurring more than once").
+    * The fixture corpus has no line breaks, so the unit is the q63
+    * fixed-width token chunk; the semantics are identical: a chunk
+    * survives iff its (doc_id, chunk_idx) is the global minimum over
+    * all occurrences of that exact chunk text, and each document is
+    * reassembled from its surviving chunks in order.
+    *
+    * Plan shape (the part that must survive 100 TB): chunk texts
+    * shuffle ONCE, keyed by md5(chunk) — (1) a groupBy(md5) min-
+    * (doc, idx) pass with map-side combine (hot chunks collapse to
+    * one row per map task, so the keeper agg is skew-proof), (2) an
+    * equi-join of the chunk stream against the keeper table on the
+    * same 16-byte key (AQE splits a pathological hot-chunk partition;
+    * the join output is pre-filtered to the keeper row), (3) a
+    * (doc_id) agg to reassemble. Text never moves except as the
+    * chunk payload itself, and the rewritten corpus is emitted as
+    * per-doc token counts + md5 so the answer volume is O(docs),
+    * not O(text). Collision risk of keying on md5 is n²/2¹²⁸.
+    *
+    * Output: (doc_id, n_chunks, n_kept, clean_tokens, clean_md5) —
+    * clean_md5 is md5 of the surviving chunks joined in order (NULL
+    * when the whole document was removed, e.g. an exact duplicate of
+    * an earlier doc loses every chunk). */
+  def chunkDedupOver(df: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int): DataFrame = {
+    val units = chunkOver(df, idCol, textCol, chunkTokens)
+      .withColumn("ck", md5(col("chunk_text")))
+    val keepers = units.groupBy(col("ck"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    val kept = units.join(keepers, "ck")
+      .filter(col("doc_id") === col("keeper.doc_id") &&
+        col("chunk_idx") === col("keeper.chunk_idx"))
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("chunk_tokens")).cast("bigint").as("clean_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          c => c.getField("chunk_text")), " ")).as("clean_md5"))
+    units.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        col("clean_md5"))
+  }
+
+  def chunkDedup(t: Tables, chunkTokens: Int = 16): DataFrame = {
+    import t.spark.implicits._
+    chunkDedupOver(t.documents, $"doc_id", $"text", chunkTokens)
+      .orderBy($"doc_id")
+  }
+
+  // ── q138: temperature-scaled domain mixture allocation ──────────────
+  /** The budgeting layer ABOVE q68/q126: given per-source token
+    * counts, α-temperature sampling (Lample & Conneau 2019 §3.1 —
+    * the XLM/mBERT recipe) allocates a token budget B as
+    * p_s ∝ c_s^α, so low-resource domains are upsampled relative to
+    * their share (α < 1 flattens the distribution; α = 1 is
+    * proportional, α = 0 uniform). Emits per source the sampling
+    * probability, the allocated tokens, and the implied epoch count
+    * alloc/c (how many passes over that domain the budget buys —
+    * the number a curriculum planner actually reads).
+    *
+    * Exactness: c_s is an exact integer; c^0.5 = sqrt is correctly
+    * rounded in IEEE, and Σ√c folds in source order (the q79 sorted-
+    * fold recipe) so both engines build bit-identical doubles. The
+    * per-source table is tiny — domain counts, not documents — so
+    * the normalizer rides a one-row broadcast; the only corpus-sized
+    * work is the (source) token-count agg, map-side combined. */
+  def mixtureAllocOver(df: DataFrame, sourceCol: Column, textCol: Column,
+      budgetTokens: Long): DataFrame = {
+    val perSource = df
+      .select(sourceCol.as("source"), tokenCount(textCol).cast("bigint").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("c_tokens"))
+      .withColumn("w", sqrt(col("c_tokens").cast("double")))
+    val norm = perSource
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("sum_w"))
+    perSource.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("c_tokens"),
+        (col("w") / col("sum_w")).as("p"),
+        (lit(budgetTokens.toDouble) * (col("w") / col("sum_w"))).as("alloc_tokens"),
+        (lit(budgetTokens.toDouble) * (col("w") / col("sum_w")) /
+          col("c_tokens").cast("double")).as("epochs"))
+  }
+
+  def mixtureAlloc(t: Tables, budgetTokens: Long = 1000000L): DataFrame = {
+    import t.spark.implicits._
+    mixtureAllocOver(t.documents, $"source", $"text", budgetTokens)
+      .orderBy($"source")
+  }
 }

@@ -558,4 +558,61 @@ object Similarity {
       .select($"label", cosine($"centroid", $"base_centroid").as("cos_to_label0"))
       .orderBy($"label")
   }
+
+  // ── q137: Johnson–Lindenstrauss random projection ───────────────────
+  /** Database-friendly dimensionality reduction (Achlioptas 2003):
+    * project d-dim embeddings to k dims with a ±1 sign matrix —
+    * y_i = Σ_j s_ij·x_j, E[‖y‖²] = k·‖x‖², pairwise distances
+    * preserved within (1±ε) w.h.p. This is the third member of the
+    * embedding-compression family (int8 q127, PQ q135): unlike those
+    * it needs NO training pass, so it is the compression a pipeline
+    * applies on ingest, before any index exists.
+    *
+    * Determinism/portability: the sign matrix is derived once,
+    * driver-side, from md5("i|j") nibble parity — no RNG, no engine
+    * hash — and inlined as LITERALS into both the Spark expression
+    * tree and the generated oracle SQL, so both engines evaluate the
+    * identical ±1.0 constants. Each output component folds its 64
+    * multiply-adds in ascending j (an explicit left-associated chain
+    * ↔ DuckDB `list_reduce`), the q79 recipe that makes the order-
+    * dependent double sum bit-exact cross-engine. `distortion` =
+    * ‖y‖²/(k·‖x‖²) is the per-point JL guarantee made visible
+    * (≈ 1, sd ≈ √(2/k)).
+    *
+    * Plan shape: one embarrassingly-parallel projection — no
+    * shuffle, no join, no state; 1024 codegen'd fused multiply-adds
+    * per row. At 100 TB this runs at scan speed and cuts the vector
+    * payload 4× (64 floats → 16 doubles → cast down as needed). */
+  def jlSigns(k: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(k, dim) { (i, j) =>
+      val hex = md.digest(s"$i|${j + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  def jlProjectOver(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, dim: Int, k: Int): DataFrame = {
+    val signs = jlSigns(k, dim)
+    val e = (j: Int) => element_at(embCol, j).cast("double")
+    val ys = (0 until k).map { i =>
+      (1 to dim).map(j => e(j) * lit(signs(i)(j - 1))).reduceLeft(_ + _)
+        .as(f"y$i%02d")
+    }
+    val xnorm2 = (1 to dim).map(j => e(j) * e(j)).reduceLeft(_ + _).as("xnorm2")
+    val projected = df.select(idCol.as("vec_id") +: xnorm2 +: ys: _*)
+    val ynorm2 = (0 until k)
+      .map(i => col(f"y$i%02d") * col(f"y$i%02d")).reduceLeft(_ + _)
+    projected
+      .withColumn("ynorm2", ynorm2)
+      .withColumn("distortion",
+        col("ynorm2") / (lit(k.toDouble) * col("xnorm2")))
+  }
+
+  def jlProject(t: Tables, k: Int = 16): DataFrame = {
+    import t.spark.implicits._
+    jlProjectOver(t.embeddings, $"vec_id", $"embedding", 64, k)
+      .orderBy($"vec_id")
+  }
 }

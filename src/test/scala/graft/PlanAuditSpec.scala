@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     "q127_quantized_knn",
     // one-row (N, Σdl) corpus-stats broadcast inherited from q88's
     // BM25 matrix; the query-term join itself is an equi-join
-    "q128_bm25_topk")
+    "q128_bm25_topk",
+    // one-row Σ√c normalizer broadcast over the 20-row domain table
+    "q138_mixture_alloc")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 

@@ -350,4 +350,34 @@ class GraftApiSpec extends SparkSpec {
     // (doc, n_spans, dup_tokens): one merged 10-token island each side
     assert(got === List((1L, 1L, 10L), (2L, 1L, 10L)), s"got $got")
   }
+
+  test("chunkDedup rewrites an arbitrary frame keeping globally-first chunks") {
+    val docs = Seq(
+      (7L, "a b c d e f"),
+      (9L, "a b c z z z")).toDF("id", "body")
+    val got = Graft.chunkDedup(docs, $"id", $"body", chunkTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    // doc 9's first chunk "a b c" loses to doc 7's
+    assert(got === List((7L, 2L, 6L), (9L, 1L, 3L)), s"got $got")
+  }
+
+  test("jlProject emits k components with near-unit distortion") {
+    val out = Graft.jlProject(sf001.embeddings, $"vec_id", $"embedding", dim = 64, k = 8)
+    assert(out.columns.count(_.startsWith("y")) === 9) // y00..y07 + ynorm2
+    val d = out.agg(avg($"distortion")).collect()(0).getDouble(0)
+    assert(d > 0.7 && d < 1.3, s"mean distortion $d")
+  }
+
+  test("mixtureAlloc allocates the budget by the α=0.5 power of domain size") {
+    val docs = Seq(
+      ("big", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      ("small", "x1")).toDF("src", "body")
+    val got = Graft.mixtureAlloc(docs, $"src", $"body", budgetTokens = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("p"))).toList
+    // √16 : √1 = 4 : 1 → p = 0.8 / 0.2
+    assert(math.abs(got(0)._2 - 0.8) < 1e-12 && math.abs(got(1)._2 - 0.2) < 1e-12,
+      s"got $got")
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the corpus-rewrite / budgeting additions:
+  * q136 global chunk dedup (the removal member of the dedup family),
+  * q137 JL random projection, q138 α-temperature mixture allocation.
+  * Cross-engine value parity is the DuckDB harness's job; these pin
+  * the semantics and the plan shapes. */
+class CorpusRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDedup: exact-duplicate doc loses everything, partial overlap loses only the shared chunk") {
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 x1 x2 x3 x4"), // keeper of both chunks
+      (1L, "w1 w2 w3 w4 x1 x2 x3 x4"), // exact dup → fully removed
+      (2L, "w1 w2 w3 w4 z1 z2 z3")     // first chunk dup, tail survives
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.chunkDedupOver(docs, $"doc_id", $"text", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "clean_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 2L, 2L, 8L), (1L, 2L, 0L, 0L), (2L, 2L, 1L, 3L)))
+    val md5s = PipelineOps.chunkDedupOver(docs, $"doc_id", $"text", 4)
+      .orderBy("doc_id").select("clean_md5").collect().map(_.isNullAt(0))
+    assert(md5s.toSeq === Seq(false, true, false),
+      "clean_md5 must be NULL exactly for the fully-removed doc")
+  }
+
+  test("chunkDedup fixture: removal fires, token accounting is consistent") {
+    val out = PipelineOps.chunkDedup(sf001).cache()
+    val agg = out.agg(
+      sum("n_chunks"), sum("n_kept"),
+      sum(when($"n_kept" === 0 && $"clean_md5".isNotNull, 1).otherwise(0)),
+      sum(when($"n_kept" > 0 && $"clean_md5".isNull, 1).otherwise(0))).collect()(0)
+    assert(agg.getLong(1) < agg.getLong(0),
+      "fixture has planted duplicates — some chunk must be removed")
+    assert(agg.getLong(2) == 0 && agg.getLong(3) == 0,
+      "clean_md5 must be NULL iff nothing was kept")
+    out.unpersist()
+  }
+
+  test("chunkDedup plan: equi-joins only — no cartesian or nested-loop pairing") {
+    val plan = PipelineOps.chunkDedup(sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must stay an equi-join on the chunk hash:\n$plan")
+  }
+
+  test("jlProject: distortion concentrates near 1 and ynorm2 is the exact fold of the emitted components") {
+    val out = Similarity.jlProject(sf001).collect()
+    val mean = out.map(_.getAs[Double]("distortion")).sum / out.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean drifted from the JL expectation")
+    // ynorm2 must equal the left fold of the emitted y components —
+    // same order, same doubles, so equality is exact
+    out.take(50).foreach { r =>
+      val fold = (0 until 16).map(i => {
+        val y = r.getAs[Double](f"y$i%02d"); y * y
+      }).reduceLeft(_ + _)
+      assert(r.getAs[Double]("ynorm2") == fold)
+    }
+  }
+
+  test("jlProject plan: a pure projection — no shuffle, no join") {
+    val body = Similarity.jlProjectOver(
+      sf001.embeddings, col("vec_id"), col("embedding"), 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!body.contains("Exchange") && !body.contains("Join"),
+      s"JL projection must run at scan speed:\n$body")
+  }
+
+  test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
+    val out = PipelineOps.mixtureAlloc(sf001).collect()
+    assert(out.length == 20)
+    val pSum = out.map(_.getAs[Double]("p")).sum
+    val allocSum = out.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(pSum - 1.0) < 1e-9, s"p sums to $pSum")
+    assert(math.abs(allocSum - 1000000.0) < 1e-3, s"alloc sums to $allocSum")
+    out.foreach { r =>
+      val rel = r.getAs[Double]("epochs") * r.getAs[Long]("c_tokens") /
+        r.getAs[Double]("alloc_tokens")
+      assert(math.abs(rel - 1.0) < 1e-12)
+    }
+    // α = 0.5 flattens: the largest domain's p-share must be SMALLER
+    // than its proportional token share, the smallest's larger
+    val totalC = out.map(_.getAs[Long]("c_tokens")).sum.toDouble
+    val big = out.maxBy(_.getAs[Long]("c_tokens"))
+    val small = out.minBy(_.getAs[Long]("c_tokens"))
+    assert(big.getAs[Double]("p") <= big.getAs[Long]("c_tokens") / totalC + 1e-12)
+    assert(small.getAs[Double]("p") >= small.getAs[Long]("c_tokens") / totalC - 1e-12)
+  }
+}
