@@ -251,6 +251,7 @@ object SparkEntry {
     "q136_chunk_dedup"       -> ((s, d) => PipelineOps.chunkDedup(Tables(s, d))),
     "q137_jl_project"        -> ((s, d) => Similarity.jlProject(Tables(s, d))),
     "q138_mixture_alloc"     -> ((s, d) => PipelineOps.mixtureAlloc(Tables(s, d))),
+    "q139_kmeans"            -> ((s, d) => Similarity.kmeansAssign(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -316,6 +317,39 @@ object SparkEntry {
        |SELECT vec_id, xnorm2, ${(0 until k).map(i => f"y$i%02d").mkString(", ")},
        | $yn AS ynorm2, $yn / ($k.0 * xnorm2) AS distortion
        |FROM p""".stripMargin
+  }
+
+  // q139: replay every Lloyd iteration — assignment = argmin of the
+  // same 64-term (v[j]−c[j])² left fold with (d, cluster) tie-break,
+  // update = exact integer sums of the 2²⁰-quantized components then
+  // one division; one (assign, sums, centroids) CTE trio per round
+  private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String = {
+    val q = "1048576.0"
+    def fold(term: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), j -> $term), (a, b) -> a + b)"
+    val dist = fold("(q.v[j] - cc.c[j]) * (q.v[j] - cc.c[j])")
+    def assign(src: String): String =
+      s"""(SELECT vec_id, cluster, d FROM (
+         |  SELECT q.vec_id, cc.cluster, $dist AS d FROM q, $src cc)
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS ${assign(s"c${t - 1}")},
+         |s$t AS (SELECT a.cluster, CAST(j AS INTEGER) AS j,
+         |  CAST(SUM(q.qv[CAST(j AS INTEGER)]) AS BIGINT) AS s, COUNT(*) AS n
+         | FROM a$t a JOIN q USING (vec_id), range(1, ${dim + 1}) r$t(j) GROUP BY 1, 2),
+         |c$t AS (SELECT cluster, list(CAST(s AS DOUBLE) / ($q * n) ORDER BY j) AS c
+         | FROM s$t GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(range(1, ${dim + 1}), j -> CAST(embedding[j] AS DOUBLE)) AS v,
+       |  list_transform(range(1, ${dim + 1}), j -> CAST(round(CAST(embedding[j] AS DOUBLE) * $q, 0) AS BIGINT)) AS qv
+       | FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+       |  list_transform(qv, x -> CAST(x AS DOUBLE) / $q) AS c FROM q WHERE vec_id < $k),
+       |$rounds
+       |SELECT vec_id, cluster, d AS dist2 FROM (
+       | SELECT q.vec_id, cc.cluster, $dist AS d FROM q, c$iters cc)
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1""".stripMargin
   }
 
   private def bpeOracleSql(k: Int): String = {
@@ -1411,6 +1445,7 @@ object SparkEntry {
         | COALESCE(c2.clean_tokens, 0) AS clean_tokens, c2.clean_md5
         |FROM tot t LEFT JOIN c2 USING (doc_id)""".stripMargin,
     "q137_jl_project" -> jlOracleSql(64, 16),
+    "q139_kmeans" -> kmeansOracleSql(64, 4, 2),
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

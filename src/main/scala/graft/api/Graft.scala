@@ -577,4 +577,14 @@ object Graft {
   def mixtureAlloc(df: DataFrame, sourceCol: Column, textCol: Column,
       budgetTokens: Long): DataFrame =
     graft.operators.PipelineOps.mixtureAllocOver(df, sourceCol, textCol, budgetTokens)
+
+  /** Distributed Lloyd k-means with exact integer centroid
+    * accumulation (order-independent 2²⁰-quantized sums — bit-
+    * reproducible on any cluster/partitioning); seeds are rows with
+    * id 0..k−1; `iters` update rounds. Rows `(vec_id, cluster,
+    * dist2)` under the final centroids. Fails loudly on an empty
+    * cluster rather than re-seeding. */
+  def kmeans(df: DataFrame, idCol: Column, embCol: Column,
+      dim: Int, k: Int, iters: Int): DataFrame =
+    graft.operators.Similarity.kmeansAssignOver(df, idCol, embCol, dim, k, iters)
 }

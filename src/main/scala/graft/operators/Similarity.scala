@@ -615,4 +615,85 @@ object Similarity {
     jlProjectOver(t.embeddings, $"vec_id", $"embedding", 64, k)
       .orderBy($"vec_id")
   }
+
+  // ── q139: distributed exact-arithmetic k-means (Lloyd) ──────────────
+  /** Real k-means clustering — the operator behind IVF coarse
+    * quantizers, SemDeDup's cluster stage, and corpus topic
+    * bucketing — run so that EVERY iteration is engine-reproducible
+    * and the final assignment carries a full-value oracle (the ML-lib
+    * KMeans this library uses inside q52/q135 is seeded/approximate
+    * and only its downstream recall is gated; this is the exact
+    * member of that family).
+    *
+    * The classic distributed-mean problem is that float summation is
+    * order-dependent, so a shuffle-reduced centroid differs run to
+    * run. Same fix as q85 PageRank: accumulate QUANTIZED components —
+    * q_j = round(x_j·2²⁰) as int64 — whose sums are exact and
+    * order-independent (|Σq| < 2⁵³ through ~10⁹ rows/cluster, so
+    * even the double cast back is exact), then divide once:
+    * c_j = Σq/(2²⁰·n), a single correctly-rounded op. Assignment is
+    * argmin of squared L2 distance against centroid LITERALS — a
+    * 64-term left-associated chain per centroid, codegen'd, map-only;
+    * ties go to the lowest cluster id. Per iteration the cluster
+    * sums shuffle as (cluster, dim) rows with map-side combine —
+    * k·d rows per map task, skew-proof regardless of cluster
+    * imbalance — and k·d longs come to the driver (the same loop
+    * shape as q133's BPE rounds). Seeds are vectors 0..k-1 pushed
+    * through the identical quantize→divide arithmetic (an n=1
+    * "update"), so the oracle replays every iteration with one CTE
+    * trio per round. Empty clusters are rejected loudly
+    * (`require`) rather than silently re-seeded — the oracle has no
+    * re-seed rule.
+    *
+    * Output: (vec_id, cluster, dist2) under the final centroids. */
+  def kmeansAssignOver(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, dim: Int, k: Int,
+      iters: Int, quantBits: Int = 20): DataFrame = {
+    val q = (1L << quantBits).toDouble
+    val base = df
+      .select(idCol.cast("long").as("vec_id"),
+        transform(embCol, _.cast("double")).as("v"))
+      .localCheckpoint() // iterated: materialize once, cut lineage
+    def quantDriver(x: Double): Long =
+      new java.math.BigDecimal(x * q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    var cents: IndexedSeq[Array[Double]] = base
+      .filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).map(x => quantDriver(x) / q).toArray)
+      .toIndexedSeq
+    require(cents.length == k, s"need vec_id 0..${k - 1} as seeds, got ${cents.length}")
+    def dist2(c: Array[Double]) =
+      (1 to dim).map { j =>
+        val d = element_at(col("v"), j) - lit(c(j - 1)); d * d
+      }.reduceLeft(_ + _)
+    def assignExpr = array_min(array(
+      cents.indices.map(i => struct(dist2(cents(i)).as("d"), lit(i).as("c"))): _*))
+    for (_ <- 1 to iters) {
+      val sums = base
+        .select(assignExpr.getField("c").as("cluster"),
+          posexplode(col("v")).as(Seq("j", "x")))
+        .select(col("cluster"), col("j"),
+          round(col("x") * lit(q), 0).cast("long").as("qx"))
+        .groupBy(col("cluster"), col("j"))
+        .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val seen = sums.map(_.getInt(0)).distinct
+      require(seen.length == k, s"empty cluster: only ${seen.sorted.toSeq} populated")
+      val next = Array.fill(k)(new Array[Double](dim))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (q * r.getLong(3))
+      }
+      cents = next.toIndexedSeq
+    }
+    base.select(col("vec_id"),
+      assignExpr.getField("c").as("cluster"),
+      assignExpr.getField("d").as("dist2"))
+  }
+
+  def kmeansAssign(t: Tables, k: Int = 4, iters: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    kmeansAssignOver(t.embeddings, $"vec_id", $"embedding", 64, k, iters)
+      .orderBy($"vec_id")
+  }
 }

@@ -69,6 +69,36 @@ class CorpusRewriteSpec extends SparkSpec {
       s"JL projection must run at scan speed:\n$body")
   }
 
+  test("kmeans: separates two obvious clusters and reports exact squared distances") {
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (4L, Array(1.1f, -0.1f, 0f, 0f)), (5L, Array(-0.1f, 1.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignOver(vs, $"vec_id", $"embedding", 4, 2, 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(got === List((0L, 0), (1L, 1), (2L, 0), (3L, 1), (4L, 0), (5L, 1)))
+  }
+
+  test("kmeans: an empty cluster fails loudly instead of silently re-seeding") {
+    val vs = Seq( // seed 1 identical to seed 0 → tie-break starves cluster 1
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignOver(vs, $"vec_id", $"embedding", 2, 2, 1).collect()
+    }
+    assert(e.getMessage.contains("empty cluster"))
+  }
+
+  test("kmeans: the assignment pass is map-only — centroids are literals, no join, no shuffle") {
+    val plan = Similarity.kmeansAssignOver(
+      sf001.embeddings, col("vec_id"), col("embedding"), 64, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"final assignment must be a projection over the checkpointed base:\n$plan")
+  }
+
   test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
     val out = PipelineOps.mixtureAlloc(sf001).collect()
     assert(out.length == 20)
