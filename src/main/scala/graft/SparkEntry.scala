@@ -252,6 +252,7 @@ object SparkEntry {
     "q137_jl_project"        -> ((s, d) => Similarity.jlProject(Tables(s, d))),
     "q138_mixture_alloc"     -> ((s, d) => PipelineOps.mixtureAlloc(Tables(s, d))),
     "q139_kmeans"            -> ((s, d) => Similarity.kmeansAssign(Tables(s, d))),
+    "q140_contrastive"       -> ((s, d) => Similarity.contrastivePairs(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1446,6 +1447,20 @@ object SparkEntry {
         |FROM tot t LEFT JOIN c2 USING (doc_id)""".stripMargin,
     "q137_jl_project" -> jlOracleSql(64, 16),
     "q139_kmeans" -> kmeansOracleSql(64, 4, 2),
+    // q140: argmax/argmin ride lexicographic struct min/max with the
+    // tie-break inside the key (−vec_id for the max side) — both
+    // engines compare structs field-by-field, so this is full-value
+    "q140_contrastive" ->
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT a_id, a_label, vec_id, label,
+         |  ${dotOf("a_emb", "embedding")} / (sqrt(${dotOf("a_emb", "a_emb")}) * sqrt(${dotOf("embedding", "embedding")})) AS c
+         | FROM embeddings, a WHERE vec_id <> a_id)
+         |SELECT a_id,
+         | -struct_extract(max(CASE WHEN label <> a_label THEN {'c': c, 'nid': -vec_id} END), 'nid') AS hard_neg_id,
+         | struct_extract(max(CASE WHEN label <> a_label THEN {'c': c, 'nid': -vec_id} END), 'c') AS hard_neg_cos,
+         | struct_extract(min(CASE WHEN label = a_label THEN {'c': c, 'pid': vec_id} END), 'pid') AS hard_pos_id,
+         | struct_extract(min(CASE WHEN label = a_label THEN {'c': c, 'pid': vec_id} END), 'c') AS hard_pos_cos
+         |FROM p GROUP BY a_id""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

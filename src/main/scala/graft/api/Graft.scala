@@ -587,4 +587,13 @@ object Graft {
   def kmeans(df: DataFrame, idCol: Column, embCol: Column,
       dim: Int, k: Int, iters: Int): DataFrame =
     graft.operators.Similarity.kmeansAssignOver(df, idCol, embCol, dim, k, iters)
+
+  /** Contrastive-pair mining: per anchor (ids matching `anchorPred`),
+    * the hardest negative (max cosine, other label) and hardest
+    * positive (min cosine, same label), ties to the lowest id.
+    * Anchors broadcast; the corpus never shuffles — the agg reduces
+    * each task to ≤ |anchors| rows. */
+  def contrastivePairs(df: DataFrame, idCol: Column, embCol: Column,
+      labelCol: Column, anchorPred: Column => Column): DataFrame =
+    graft.operators.Similarity.contrastivePairsOver(df, idCol, embCol, labelCol, anchorPred)
 }

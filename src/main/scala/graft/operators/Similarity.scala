@@ -696,4 +696,52 @@ object Similarity {
     kmeansAssignOver(t.embeddings, $"vec_id", $"embedding", 64, k, iters)
       .orderBy($"vec_id")
   }
+
+  // ── q140: contrastive-pair mining (hard negatives/positives) ────────
+  /** Training-pair construction for contrastive embedding fine-tuning
+    * (the batch-mining step of SimCSE/SBERT-style pipelines): per
+    * anchor, the HARDEST NEGATIVE (max cosine among other-label
+    * vectors — the near-miss the loss learns most from) and the
+    * HARDEST POSITIVE (min cosine among same-label vectors — the
+    * far-flung in-class example). Ties are deterministic: lowest
+    * vec_id, encoded in the comparison key itself — argmax rides
+    * `max(struct(cos, −vec_id))`, argmin rides
+    * `min(struct(cos, vec_id))`, both lexicographic-struct
+    * comparisons DuckDB reproduces with the identical struct
+    * semantics, so the oracle is full-value.
+    *
+    * Plan: anchors broadcast (the q29 shape — the corpus side never
+    * shuffles), cosines per (anchor, vector) via the native fused
+    * CosineSim, then one (a_id) agg whose partial aggregation
+    * reduces each map task to ≤ |anchors| struct rows — at 100 TB
+    * the shuffle is |anchors|·tasks rows, independent of corpus
+    * size. */
+  def contrastivePairsOver(df: DataFrame,
+      idCol: org.apache.spark.sql.Column, embCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      anchorPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val base = df.select(idCol.as("vec_id"), embCol.as("emb"), labelCol.as("label"))
+    val anchors = base.filter(anchorPred(col("vec_id")))
+      .select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+        col("label").as("a_label"))
+    val scored = base.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"), col("label"), col("a_label"),
+        cosine(col("a_emb"), col("emb")).as("c"))
+    scored.groupBy(col("a_id"))
+      .agg(
+        max(when(col("label") =!= col("a_label"),
+          struct(col("c"), (-col("vec_id")).as("nid")))).as("hn"),
+        min(when(col("label") === col("a_label"),
+          struct(col("c"), col("vec_id").as("pid")))).as("hp"))
+      .select(col("a_id"),
+        (-col("hn.nid")).as("hard_neg_id"), col("hn.c").as("hard_neg_cos"),
+        col("hp.pid").as("hard_pos_id"), col("hp.c").as("hard_pos_cos"))
+  }
+
+  def contrastivePairs(t: Tables, nAnchors: Int = 20): DataFrame = {
+    import t.spark.implicits._
+    contrastivePairsOver(t.embeddings, $"vec_id", $"embedding", $"label",
+      _ < nAnchors).orderBy($"a_id")
+  }
 }

@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     // BM25 matrix; the query-term join itself is an equi-join
     "q128_bm25_topk",
     // one-row Σ√c normalizer broadcast over the 20-row domain table
-    "q138_mixture_alloc")
+    "q138_mixture_alloc",
+    // anchor-broadcast non-equi scan (the q29 shape): the corpus side
+    // never shuffles, the agg folds each task to ≤ |anchors| rows
+    "q140_contrastive")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 

@@ -99,6 +99,30 @@ class CorpusRewriteSpec extends SparkSpec {
       s"final assignment must be a projection over the checkpointed base:\n$plan")
   }
 
+  test("contrastivePairs: hardest negative crosses labels, hardest positive stays inside, ties to lowest id") {
+    val vs = Seq(
+      // label 1: anchor + a twin (cos 1 with anchor) + a far member
+      (0L, Array(1f, 0f, 0f), 1), (1L, Array(1f, 0f, 0f), 1), (2L, Array(0f, 0f, 1f), 1),
+      // label 2: one vector very close to the anchor (the hard negative),
+      // one orthogonal
+      (3L, Array(0.99f, 0.14f, 0f), 2), (4L, Array(0f, 1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastivePairsOver(
+      vs, $"vec_id", $"embedding", $"label", _ === 0L).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("hard_neg_id") === 3L, "nearest other-label vector")
+    assert(r.getAs[Long]("hard_pos_id") === 2L, "farthest same-label vector")
+    assert(r.getAs[Double]("hard_neg_cos") > 0.9 && r.getAs[Double]("hard_pos_cos") < 0.1)
+  }
+
+  test("contrastivePairs: corpus side never shuffles before the anchor agg") {
+    val plan = Similarity.contrastivePairs(sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchors must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "the corpus must not shuffle for the pairing")
+  }
+
   test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
     val out = PipelineOps.mixtureAlloc(sf001).collect()
     assert(out.length == 20)
