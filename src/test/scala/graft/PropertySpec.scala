@@ -366,4 +366,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkDedup equals the sequential keep-first reference on random dup-heavy corpora") {
+    // draw 4-token chunks from a 12-chunk pool so cross-doc and
+    // within-doc duplication both occur, plus a ragged tail chunk
+    val pool = samples(Gen.listOfN(4, word).map(_.mkString(" ")), 12)
+    val doc: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf(pool))
+      tailN <- Gen.choose(0, 3)
+      tail <- Gen.listOfN(tailN, word)
+    } yield (cs ++ (if (tail.isEmpty) Nil else List(tail.mkString(" ")))).mkString(" ")
+    val docs = samples(doc, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // sequential reference: first occurrence of each chunk text wins,
+    // scanning docs in id order, chunks in position order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      val chunks = toks.grouped(4).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      (id, chunks.length.toLong, kept.length.toLong,
+        kept.map(_.split(" ").length.toLong).sum)
+    }
+    val got = graft.operators.PipelineOps
+      .chunkDedupOver(docs.toDF("doc_id", "text"), $"doc_id", $"text", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "clean_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
 }
