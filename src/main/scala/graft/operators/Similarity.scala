@@ -669,11 +669,16 @@ object Similarity {
     def assignExpr = array_min(array(
       cents.indices.map(i => struct(dist2(cents(i)).as("d"), lit(i).as("c"))): _*))
     for (_ <- 1 to iters) {
-      val sums = base
-        .select(assignExpr.getField("c").as("cluster"),
-          posexplode(col("v")).as(Seq("j", "x")))
-        .select(col("cluster"), col("j"),
-          round(col("x") * lit(q), 0).cast("long").as("qx"))
+      // quantize AND assign inside the pre-explode projection: with
+      // the generator in the same select, the analyzer plans these
+      // expressions ABOVE the Generate — re-evaluated once per
+      // EXPLODED element, a 64× blowup of the 256-term assignment
+      // (measured: 33 s/iteration at 200k vectors, vs ~1 s split)
+      val assigned = base.select(
+        assignExpr.getField("c").as("cluster"),
+        transform(col("v"), x => round(x * lit(q), 0).cast("long")).as("qv"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("j", "qx")))
         .groupBy(col("cluster"), col("j"))
         .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
         .collect()
