@@ -254,6 +254,7 @@ object SparkEntry {
     "q139_kmeans"            -> ((s, d) => Similarity.kmeansAssign(Tables(s, d))),
     "q140_contrastive"       -> ((s, d) => Similarity.contrastivePairs(Tables(s, d))),
     "q141_split_leakage"     -> ((s, d) => PipelineOps.splitLeakage(Tables(s, d))),
+    "q142_survival"          -> ((s, d) => graft.operators.EventOps.kaplanMeier(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1487,6 +1488,28 @@ object SparkEntry {
         |      (VALUES ('test', 'train'), ('test', 'valid'), ('train', 'valid')) p(split_a, split_b))
         |SELECT g.scheme, g.split_a, g.split_b, COALESCE(l.n_shared, 0) AS n_shared
         |FROM g LEFT JOIN l ON g.scheme = l.scheme AND g.split_a = l.split_a AND g.split_b = l.split_b""".stripMargin,
+    // q142: K-M replay — integer lifetimes/buckets ('//' floors =
+    // Spark 'div' truncates on the positive operands), Ŝ as an
+    // init-prepended ordered product fold (1.0·x = x exactly)
+    "q142_survival" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id),
+        |g AS (SELECT max(last_us) AS m_us, min(first_us) AS lo_us FROM pu),
+        |u AS (SELECT user_id, (last_us - first_us) AS life_us,
+        |  (last_us <= m_us - (m_us - lo_us) // 5) AS death,
+        |  CAST((last_us - first_us) * 64 // ((m_us - lo_us) + 1) AS INTEGER) AS bucket
+        | FROM pu, g),
+        |bk AS (SELECT bucket, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths
+        | FROM u GROUP BY bucket),
+        |t AS (SELECT COUNT(*) AS n_total FROM u),
+        |wr AS (SELECT bucket, n_users, n_deaths,
+        |  CAST(n_total - COALESCE(SUM(n_users) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        | FROM bk, t),
+        |a AS (SELECT list({'bucket': bucket, 'n_deaths': n_deaths, 'n_at_risk': n_at_risk} ORDER BY bucket) AS km FROM wr)
+        |SELECT bucket, n_users, n_deaths, n_at_risk,
+        | list_reduce(list_prepend(1.0, list_transform(list_filter(km, x -> x.bucket <= wr.bucket),
+        |   x -> 1.0 - CAST(x.n_deaths AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE))), (p, q) -> p * q) AS s_hat
+        |FROM wr, a""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

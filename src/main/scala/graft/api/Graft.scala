@@ -607,4 +607,13 @@ object Graft {
       trainPct: Int = 80, validPct: Int = 10, chunkTokens: Int = 16): DataFrame =
     graft.operators.PipelineOps.splitLeakageOver(
       df, idCol, textCol, trainPct, validPct, chunkTokens)
+
+  /** Kaplan–Meier survival over per-key lifetimes (last − first event
+    * per `userCol`): deaths vs right-censored by a span/`censorDiv`
+    * quiet-horizon rule, lifetimes bucketed into `buckets` integer
+    * bins, Ŝ = Π(1 − d/n) folded in bucket order. Rows `(bucket,
+    * n_users, n_deaths, n_at_risk, s_hat)`. */
+  def kaplanMeier(df: DataFrame, userCol: Column, tsCol: Column,
+      buckets: Int = 64, censorDiv: Int = 5): DataFrame =
+    graft.operators.EventOps.kaplanMeierOver(df, userCol, tsCol, buckets, censorDiv)
 }

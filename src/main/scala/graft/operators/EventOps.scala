@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFunctions.tsMicros
 
@@ -293,5 +294,64 @@ object EventOps {
         element_at($"recs", 1).getField("v"),
         (acc, r) => acc * (1 - alpha) + r.getField("v") * alpha).as("ewma_value"))
       .orderBy($"user_id")
+  }
+
+  // ── q142: Kaplan–Meier survival over user lifetimes ─────────────────
+  /** The survival-analysis member of the events family (churn/
+    * retention modeling's standard estimator): per user, lifetime =
+    * last − first event (exact micros); a user is an observed
+    * "death" if their last event predates the global horizon by more
+    * than span/5 (quiet users churned), otherwise right-censored
+    * (still active at the edge of the window). Lifetimes bucket into
+    * `buckets` fixed-width bins — pure integer arithmetic, so the
+    * discretization is engine-exact and the K-M table is bounded by
+    * the bucket count regardless of corpus size. Ŝ(b) =
+    * Π_{j ≤ b} (1 − d_j/n_j) folds ascending over the ≤`buckets`-row
+    * table (left product, init 1.0 ↔ DuckDB's init-free
+    * `list_reduce` — 1.0·x = x exactly), the q79 recipe.
+    *
+    * Plan: the only corpus-sized work is the per-user (min, max) agg
+    * — one narrow shuffle, map-side combined. Everything after runs
+    * on ≤`buckets` rows riding one-row broadcasts. */
+  def kaplanMeierOver(df: DataFrame, userCol: Column, tsCol: Column,
+      buckets: Int = 64, censorDiv: Int = 5): DataFrame = {
+    val perUser = df
+      .groupBy(userCol.as("user_id"))
+      .agg(min(tsMicros(tsCol)).as("first_us"), max(tsMicros(tsCol)).as("last_us"))
+    val g = perUser.agg(max(col("last_us")).as("m_us"), min(col("first_us")).as("lo_us"))
+    val u = perUser.crossJoin(broadcast(g))
+      .select(col("user_id"),
+        (col("last_us") - col("first_us")).as("life_us"),
+        (col("m_us") - col("lo_us")).as("span"),
+        (col("last_us") <= col("m_us") - expr("(m_us - lo_us) div " + censorDiv))
+          .as("death"))
+      .withColumn("bucket", expr(s"(life_us * $buckets) div (span + 1)").cast("int"))
+    val bk = u.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("death"), 1L).otherwise(0L)).as("n_deaths"))
+    // at-risk = users whose bucket ≥ b: total − cumsum of earlier
+    // buckets; windows/folds below run on ≤ `buckets` rows
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val withRisk = bk
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("n_users")).over(w), lit(0L)))
+    val arr = withRisk
+      .agg(sort_array(collect_list(
+        struct(col("bucket"), col("n_deaths"), col("n_at_risk")))).as("km"))
+    withRisk.crossJoin(broadcast(arr))
+      .select(col("bucket"), col("n_users"), col("n_deaths"), col("n_at_risk"),
+        aggregate(
+          filter(col("km"), x => x.getField("bucket") <= col("bucket")),
+          lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("n_deaths").cast("double") /
+              x.getField("n_at_risk").cast("double"))).as("s_hat"))
+  }
+
+  def kaplanMeier(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    kaplanMeierOver(t.events, $"user_id", $"ts").orderBy($"bucket")
   }
 }

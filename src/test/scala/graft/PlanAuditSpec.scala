@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     "q140_contrastive",
     // six-row literal (scheme × split-pair) grid joined against the
     // leak counts so zeros are emitted, not omitted
-    "q141_split_leakage")
+    "q141_split_leakage",
+    // one-row broadcasts: global horizon, user total, and the
+    // ≤64-row K-M table array for the ordered product fold
+    "q142_survival")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 

@@ -149,6 +149,33 @@ class CorpusRewriteSpec extends SparkSpec {
       "content-keyed splitting closes the exact-doc channel but NOT chunk leakage")
   }
 
+  test("kaplanMeier: hand-checked deaths, censoring, at-risk counts, and product fold") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1 lives [0, 100s] → quiet since before the 800s horizon: death
+    // u2 [0, 900s], u3 [0, 1000s] → active at the edge: censored
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(100)),
+      (2L, ts(0)), (2L, ts(900)),
+      (3L, ts(0)), (3L, ts(1000))).toDF("user_id", "ts")
+    val got = EventOps.kaplanMeierOver(ev, $"user_id", $"ts", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // bucket 0: u1 dies with 3 at risk → Ŝ = 2/3; bucket 3: both
+    // censored, no deaths → Ŝ carries
+    assert(got.toSeq === Seq(
+      (0, 1L, 1L, 3L, 1.0 * (1.0 - 1.0 / 3.0)),
+      (3, 2L, 0L, 2L, 1.0 * (1.0 - 1.0 / 3.0) * (1.0 - 0.0 / 2.0))))
+  }
+
+  test("kaplanMeier: the only corpus-sized stage is the per-user agg") {
+    val plan = EventOps.kaplanMeier(sf001).queryExecution.executedPlan.toString
+    // events never sort globally; the unpartitioned window runs on
+    // the ≤64-row bucket table after the per-user aggregation
+    assert(plan.contains("BroadcastNestedLoopJoin"), "horizon must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join expected:\n$plan")
+  }
+
   test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
     val out = PipelineOps.mixtureAlloc(sf001).collect()
     assert(out.length == 20)
