@@ -255,6 +255,7 @@ object SparkEntry {
     "q140_contrastive"       -> ((s, d) => Similarity.contrastivePairs(Tables(s, d))),
     "q141_split_leakage"     -> ((s, d) => PipelineOps.splitLeakage(Tables(s, d))),
     "q142_survival"          -> ((s, d) => graft.operators.EventOps.kaplanMeier(Tables(s, d))),
+    "q143_skyline"           -> ((s, d) => Relational.partSkyline(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1510,6 +1511,13 @@ object SparkEntry {
         | list_reduce(list_prepend(1.0, list_transform(list_filter(km, x -> x.bucket <= wr.bucket),
         |   x -> 1.0 - CAST(x.n_deaths AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE))), (p, q) -> p * q) AS s_hat
         |FROM wr, a""".stripMargin,
+    // q143: the O(n²) NOT-EXISTS dominance definition IS the oracle;
+    // the engine's windowed formulation must reproduce it exactly
+    "q143_skyline" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b WHERE b.p_brand = a.p_brand
+        | AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        | AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

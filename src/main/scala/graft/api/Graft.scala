@@ -616,4 +616,12 @@ object Graft {
   def kaplanMeier(df: DataFrame, userCol: Column, tsCol: Column,
       buckets: Int = 64, censorDiv: Int = 5): DataFrame =
     graft.operators.EventOps.kaplanMeierOver(df, userCol, tsCol, buckets, censorDiv)
+
+  /** Per-group 2-D skyline (Pareto frontier): rows where no other row
+    * in the group has `costCol` ≤ and `gainCol` ≥ with one strict.
+    * Windowed sorted-pass formulation — two narrow shuffles, never
+    * the O(n²) dominance self-join. */
+  def skyline(df: DataFrame, groupCol: Column, costCol: Column,
+      gainCol: Column): DataFrame =
+    graft.operators.Relational.skylineOver(df, groupCol, costCol, gainCol)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -777,5 +777,47 @@ object Relational {
     fuzzyPairsOver(t.part, $"p_partkey", $"p_brand", $"p_name", maxDist)
       .withColumnRenamed("block", "p_brand")
       .orderBy($"id_a", $"id_b")
+  }
+
+  // ── q143: per-group skyline (Pareto frontier) ───────────────────────
+  /** The classic multi-criteria operator relational engines lack as a
+    * builtin (Börzsönyi et al., ICDE 2001): rows not DOMINATED by any
+    * other — here, per brand, parts where no other part is at most as
+    * expensive AND at least as large with one strict. The naive
+    * formulation is the O(n²) NOT-EXISTS self-join (that stays as the
+    * oracle); the 2-D case collapses to a sorted pass: aggregate max
+    * gain per (group, cost) — so a ROWS −1 frame steps over DISTINCT
+    * cost values, i.e. "strictly cheaper" (a RANGE −1 bound would
+    * mean cost−1.0, wrong for non-integer costs) — then a row is
+    * dominated iff the strictly-cheaper running max reaches its gain,
+    * or an equal-cost row strictly exceeds it. Both are exact value
+    * comparisons — no arithmetic — so the oracle is full-value.
+    * Duplicate (cost, gain) rows dominate neither, matching the
+    * strict definition.
+    *
+    * Plan shape: a (group, cost) agg, a (group) window over the
+    * DISTINCT-cost rows, and an equi-join back — two narrow shuffles,
+    * never a self-join; skyline-per-group parallelizes over groups
+    * at any scale. */
+  def skylineOver(df: DataFrame, groupCol: Column, costCol: Column,
+      gainCol: Column): DataFrame = {
+    val base = df.withColumn("__grp", groupCol)
+      .withColumn("__cost", costCol).withColumn("__gain", gainCol)
+    val wPrev = Window.partitionBy(col("__grp")).orderBy(col("__cost"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = base.groupBy(col("__grp"), col("__cost"))
+      .agg(max(col("__gain")).as("__cmax"))
+      .withColumn("__best_cheaper", max(col("__cmax")).over(wPrev))
+    base.join(groups, Seq("__grp", "__cost"))
+      .filter((col("__best_cheaper").isNull || col("__best_cheaper") < col("__gain")) &&
+        col("__cmax") <= col("__gain"))
+      .drop("__grp", "__cost", "__gain", "__cmax", "__best_cheaper")
+  }
+
+  def partSkyline(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    skylineOver(t.part.select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice"),
+      $"p_brand", $"p_retailprice", $"p_size")
+      .orderBy($"p_brand", $"p_retailprice", $"p_partkey")
   }
 }

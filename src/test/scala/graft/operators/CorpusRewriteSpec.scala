@@ -176,6 +176,31 @@ class CorpusRewriteSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join expected:\n$plan")
   }
 
+  test("skyline: equals brute-force dominance filtering, duplicates kept, strictness honored") {
+    val rows = Seq(
+      // grp A: (1,5) frontier; (1,5) dup kept; (2,5) dominated by (1,5);
+      // (2,9) frontier; (3,9) dominated; (0.5,1) frontier (cheapest)
+      ("A", 1.0, 5), ("A", 1.0, 5), ("A", 2.0, 5), ("A", 2.0, 9), ("A", 3.0, 9), ("A", 0.5, 1),
+      ("B", 7.0, 2) // singleton group always on its frontier
+    ).toDF("g", "cost", "gain")
+    val got = Relational.skylineOver(rows, $"g", $"cost", $"gain")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+      .sortBy(x => (x._1, x._2, x._3))
+    val brute = rows.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val expected = brute.filter { a =>
+      !brute.exists(b => b._1 == a._1 && b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3))
+    }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(got === expected)
+    assert(got.count(_ == ("A", 1.0, 5)) === 2, "exact duplicates dominate neither")
+  }
+
+  test("skyline plan: no dominance self-join — windows over the brand partition") {
+    val plan = Relational.partSkyline(sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan the O(n²) dominance join:\n$plan")
+  }
+
   test("mixtureAlloc: probabilities sum to 1, the budget is conserved, epochs = alloc/c") {
     val out = PipelineOps.mixtureAlloc(sf001).collect()
     assert(out.length == 20)
