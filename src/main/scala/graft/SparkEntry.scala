@@ -256,6 +256,7 @@ object SparkEntry {
     "q141_split_leakage"     -> ((s, d) => PipelineOps.splitLeakage(Tables(s, d))),
     "q142_survival"          -> ((s, d) => graft.operators.EventOps.kaplanMeier(Tables(s, d))),
     "q143_skyline"           -> ((s, d) => Relational.partSkyline(Tables(s, d))),
+    "q144_ppr"               -> ((s, d) => graft.operators.Graph.pprCustSupp(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1518,6 +1519,34 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM part b WHERE b.p_brand = a.p_brand
         | AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         | AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
+    // q144: q85's unrolled quantized iterations with the personalized
+    // base term — restart mass (1-d)/|S| lands only on seed nodes
+    // (custkey % 20 = 0 ⇒ id % 40 = 0), recomputed from the id so no
+    // extra join; every node has in-degree ≥ 1 (symmetrized edges),
+    // so the inner contribution group covers the node set like q85's
+    "q144_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |ns AS (SELECT SUM(CASE WHEN src % 40 = 0 THEN 1 ELSE 0 END) AS ns FROM deg),
+        |p0 AS (SELECT src AS id, CASE WHEN src % 40 = 0 THEN 1.0e0/ns ELSE 0.0e0 END AS pr FROM deg CROSS JOIN ns),
+        |p1 AS (SELECT t.id, (CASE WHEN t.id % 40 = 0 THEN (1.0e0-0.85e0)/ns.ns ELSE 0.0e0 END) + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   SUM(CAST(floor(p0.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM e JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN ns),
+        |p2 AS (SELECT t.id, (CASE WHEN t.id % 40 = 0 THEN (1.0e0-0.85e0)/ns.ns ELSE 0.0e0 END) + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   SUM(CAST(floor(p1.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM e JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN ns),
+        |p3 AS (SELECT t.id, (CASE WHEN t.id % 40 = 0 THEN (1.0e0-0.85e0)/ns.ns ELSE 0.0e0 END) + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT e.dst AS id,
+        |   SUM(CAST(floor(p2.pr/deg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM e JOIN p2 ON e.src = p2.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst) t CROSS JOIN ns)
+        |SELECT id, (id % 40 = 0) AS seed, pr FROM p3""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

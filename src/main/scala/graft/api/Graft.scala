@@ -624,4 +624,14 @@ object Graft {
   def skyline(df: DataFrame, groupCol: Column, costCol: Column,
       gainCol: Column): DataFrame =
     graft.operators.Relational.skylineOver(df, groupCol, costCol, gainCol)
+
+  /** Personalized (topic-sensitive) PageRank: restart mass flows only
+    * to nodes matching `seedPred`, so ranks measure proximity to the
+    * seed set. Same exact integer-quantized contributions and
+    * one-new-shuffle-per-iteration plan as [[pageRank]]; with
+    * `seedPred = _ => lit(true)` it reduces bit-identically to the
+    * uniform variant. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: Column, dstCol: Column,
+      seedPred: Column => Column, iters: Int, d: Double = 0.85): DataFrame =
+    graft.operators.Graph.pageRankPersonalizedOver(edges, srcCol, dstCol, seedPred, iters, d)
 }

@@ -98,6 +98,65 @@ object Graph {
     last.select(col("id"), col("pr"))
   }
 
+  // ── q144: personalized (topic-sensitive) PageRank ───────────────────
+  /** Haveliwala's topic-sensitive variant (WWW 2002): the restart
+    * mass (1−d) flows only to a SEED set instead of uniformly — the
+    * ranking a recommender runs from "customers like these" or an
+    * entity-resolution pipeline runs from a labeled seed cluster.
+    * Identical machinery to [[pageRankOver]] — same 2⁻⁴⁰ integer
+    * quantization of contributions (exact, order-independent,
+    * hub-safe map-side sums), same one-new-shuffle-per-iteration
+    * plan — with two deltas: init = 1/|S| on seeds (0 elsewhere) and
+    * the per-iteration base term is seed-indicator·(1−d)/|S|. Mass
+    * is conserved exactly as in the uniform case; non-seed nodes
+    * hold rank only through incoming links, so ranks measure
+    * proximity to the seed set. */
+  def pageRankPersonalizedOver(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      seedPred: Column => Column, iters: Int, d: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumn("seed", seedPred(col("src")))
+    val nsAgg = deg.agg(sum(when(col("seed"), 1L).otherwise(0L)).as("ns"))
+    val pr0 = deg.crossJoin(broadcast(nsAgg))
+      .select(col("src").as("id"),
+        when(col("seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("pr"),
+        col("deg"), col("seed"))
+    val last = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg") * lit(PrScale) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("dst"))
+        .agg(sum(col("q")).as("qs"))
+      deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .crossJoin(broadcast(nsAgg))
+        .select(deg("src").as("id"),
+          (when(col("seed"), lit(1.0 - d) / col("ns")).otherwise(lit(0.0)) +
+            lit(d) * (coalesce(col("qs"), lit(0L)).cast("double") / lit(PrScale))).as("pr"),
+          deg("deg"), deg("seed"))
+    }
+    last.select(col("id"), col("seed"), col("pr"))
+  }
+
+  /** Fixture personalization: seeds are the customer nodes whose
+    * custkey is divisible by 20 (a deterministic ~5% cohort). */
+  def pprCustSupp(t: Tables, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    import t.spark.implicits._
+    val pairs = t.orders
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .union(pairs.select($"s".as("src"), $"c".as("dst")))
+    pageRankPersonalizedOver(edges, $"src", $"dst",
+      id => id % 40 === 0, iters, d)
+      .orderBy($"id")
+  }
+
   /** Unquantized reference formulation: per-destination contributions
     * folded in SOURCE-ID ORDER (`sort_array(collect_list)` ↔ the
     * oracle's `list(x ORDER BY src)` + `list_reduce`). Materializes a

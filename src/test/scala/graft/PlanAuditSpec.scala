@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q108_bigram_nll",
     // one-row node-count broadcast per power iteration
     "q85_pagerank",
+    // one-row seed-count broadcast per personalized power iteration
+    "q144_ppr",
     // one-row token-total broadcast for the CMS eps·N bound
     "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 /** PageRank contracts: mass conservation, hand-checked values on a
   * tiny graph (replicating the exact fold order), and the fixture
@@ -28,6 +29,32 @@ class GraphSpec extends SparkSpec {
     val p2c = step(d, 3, q(p1l / 1) + q(p1l / 1))
     val p2l = step(d, 3, q(p1c / 2))
     assert(got === Map(1L -> p2c, 2L -> p2l, 3L -> p2l))
+  }
+
+  test("personalized pageRank: all-seed personalization reduces bit-identically to uniform") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val uni = Graph.pageRankOver(edges, $"src", $"dst", iters = 3, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppr = Graph.pageRankPersonalizedOver(
+      edges, $"src", $"dst", _ => lit(true), iters = 3, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppr === uni, "uniform seeds must reproduce classic PageRank exactly")
+  }
+
+  test("personalized pageRank: restart mass stays near the seed, totals conserve") {
+    // path 1-2-3-4 (symmetrized), seed = {1}: the seed outranks every
+    // other node, the farthest node ranks last (strict monotonicity
+    // does NOT hold on a reflecting path — node 4 funnels all its
+    // mass back to 3), and total mass stays ≈ 1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankPersonalizedOver(
+      edges, $"src", $"dst", id => id === 1L, iters = 6, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got.values.max, s"seed must rank first: $got")
+    assert(got(4L) == got.values.min, s"farthest node must rank last: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass conserved: ${got.values.sum}")
   }
 
   test("pageRank executes exactly one NEW shuffle per additional iteration, any edge storage") {
