@@ -257,6 +257,11 @@ object SparkEntry {
     "q142_survival"          -> ((s, d) => graft.operators.EventOps.kaplanMeier(Tables(s, d))),
     "q143_skyline"           -> ((s, d) => Relational.partSkyline(Tables(s, d))),
     "q144_ppr"               -> ((s, d) => graft.operators.Graph.pprCustSupp(Tables(s, d))),
+    "q145_label_prop"        -> ((s, d) => graft.operators.Graph.labelPropCommunities(Tables(s, d))),
+    "q146_anomaly"           -> ((s, d) => graft.operators.EventOps.rollingAnomalies(Tables(s, d))),
+    "q147_chisq"             -> ((s, d) => Relational.segmentPriorityChiSquare(Tables(s, d))),
+    "q148_attribution"       -> ((s, d) => graft.operators.EventOps.purchaseAttribution(Tables(s, d))),
+    "q149_dim_stats"         -> ((s, d) => graft.operators.Similarity.embeddingDimStats(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1547,6 +1552,106 @@ object SparkEntry {
         |  FROM e JOIN p2 ON e.src = p2.id JOIN deg ON e.src = deg.src
         |  GROUP BY e.dst) t CROSS JOIN ns)
         |SELECT id, (id % 40 = 0) AS seed, pr FROM p3""".stripMargin,
+    // q145: 3 unrolled synchronous label-propagation rounds over the
+    // co-purchase graph — plurality label per node with smallest-label
+    // tie-break, packed into one arg_max key cnt·2³² − lab (labels and
+    // counts both < 2³¹, so the key is collision-free); all-integer,
+    // hash-exact by construction
+    "q145_label_prop" ->
+      """WITH lo AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |eu AS (SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |e AS (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+        |l1 AS (SELECT dst AS id, arg_max(lab, cnt*4294967296 - lab) AS lab FROM (
+        |  SELECT e.dst AS dst, l0.lab AS lab, COUNT(*) AS cnt
+        |  FROM e JOIN l0 ON e.src = l0.id GROUP BY 1, 2) t GROUP BY 1),
+        |l2 AS (SELECT dst AS id, arg_max(lab, cnt*4294967296 - lab) AS lab FROM (
+        |  SELECT e.dst AS dst, l1.lab AS lab, COUNT(*) AS cnt
+        |  FROM e JOIN l1 ON e.src = l1.id GROUP BY 1, 2) t GROUP BY 1),
+        |l3 AS (SELECT dst AS id, arg_max(lab, cnt*4294967296 - lab) AS lab FROM (
+        |  SELECT e.dst AS dst, l2.lab AS lab, COUNT(*) AS cnt
+        |  FROM e JOIN l2 ON e.src = l2.id GROUP BY 1, 2) t GROUP BY 1)
+        |SELECT id AS cust, lab AS community FROM l3""".stripMargin,
+    // q146: the anomaly flag clears denominators — (W·q−Σq)² >
+    // z²·(W·Σq²−(Σq)²) in exact 128-bit integers (HUGEINT here,
+    // DECIMAL(38,0) in Spark) over 10⁻⁶-quantized values, so the flag
+    // has no float rounding at all; the reported z is one fixed double
+    // expression over the same exact integers (NULL on σ = 0 windows)
+    "q146_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS q FROM events),
+        |w AS (SELECT event_id, user_id, value, q,
+        |  COUNT(q) OVER win AS cnt,
+        |  SUM(CAST(q AS HUGEINT)) OVER win AS sq,
+        |  SUM(CAST(q*q AS HUGEINT)) OVER win AS sqq
+        | FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        | CASE WHEN 5*sqq - sq*sq > 0
+        |  THEN CAST(5*q - sq AS DOUBLE) / sqrt(CAST(5*sqq - sq*sq AS DOUBLE)) END AS z
+        |FROM w
+        |WHERE cnt = 5 AND (5*q - sq)*(5*q - sq) > 9*(5*sqq - sq*sq)""".stripMargin,
+    // q147: χ² with ABSENT cells completed at o=0 (they still carry
+    // expected mass), terms folded in (r,c) sorted order with the
+    // identical left-associated double chain (q138's init-free
+    // list_reduce ≡ Spark's 0.0-init fold since 0.0+t₁ = t₁ exactly)
+    "q147_chisq" ->
+      """WITH obs AS (SELECT c_mktsegment AS r, o_orderpriority AS c, COUNT(*) AS o
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2),
+        |grid AS (SELECT r, c FROM (SELECT DISTINCT r FROM obs), (SELECT DISTINCT c FROM obs)),
+        |cells AS (SELECT g.r, g.c, COALESCE(obs.o, 0) AS o
+        |  FROM grid g LEFT JOIN obs ON g.r = obs.r AND g.c = obs.c),
+        |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |f AS (SELECT cells.r, cells.c, o, rt, ct FROM cells JOIN rt USING (r) JOIN ct USING (c)),
+        |pk AS (SELECT list(struct_pack(r := r, c := c, o := o, rt := rt, ct := ct) ORDER BY r, c) AS cells,
+        |  CAST(SUM(o) AS BIGINT) AS tot, COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc FROM f)
+        |SELECT list_reduce(list_transform(cells, x ->
+        |   (CAST(x.o AS DOUBLE) - CAST(x.rt*x.ct AS DOUBLE)/CAST(tot AS DOUBLE))
+        |   * (CAST(x.o AS DOUBLE) - CAST(x.rt*x.ct AS DOUBLE)/CAST(tot AS DOUBLE))
+        |   / (CAST(x.rt*x.ct AS DOUBLE)/CAST(tot AS DOUBLE))), (a, b) -> a + b) AS chi2,
+        | (nr-1)*(nc-1) AS dof, tot AS n, nr*nc AS n_cells FROM pk""".stripMargin,
+    // q148: linear multi-touch attribution — credit = n_ch/n_touches,
+    // one double division over exact integer counts per row
+    "q148_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT p.purchase_id, e.event_type AS channel
+        |  FROM p JOIN ev e ON e.user_id = p.user_id
+        |   AND e.event_type IN ('click', 'view')
+        |   AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts < p.ts),
+        |c AS (SELECT purchase_id, channel, COUNT(*) AS n_ch FROM t GROUP BY 1, 2)
+        |SELECT purchase_id, channel, n_ch,
+        | CAST(SUM(n_ch) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+        | CAST(n_ch AS DOUBLE) / CAST(SUM(n_ch) OVER (PARTITION BY purchase_id) AS BIGINT) AS credit
+        |FROM c""".stripMargin,
+    // q149: per-dimension standardization stats — components quantized
+    // by the exact power-of-two shift 2³⁰ (no multiply rounding for
+    // float32 inputs), 128-bit integer moments; Σq² is carried as two
+    // <2⁵³ exact sums (hi = div 2³⁰, lo = mod 2³⁰) and reconstructed
+    // hiD·2³⁰ + loD so the single rounding is the same IEEE add on
+    // both engines (a raw 128-bit→double cast diverged by 1 ulp)
+    "q149_dim_stats" ->
+      """WITH x AS (SELECT CAST(floor(CAST(v AS DOUBLE) * 1073741824.0 + 0.5) AS BIGINT) AS q, dim
+        |  FROM (SELECT unnest(embedding) AS v,
+        |          unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings)),
+        |m AS (SELECT dim, COUNT(*) AS n,
+        |  SUM(CAST(q AS HUGEINT)) AS sq,
+        |  SUM(CAST((q*q) // 1073741824 AS HUGEINT)) AS sqq_hi,
+        |  SUM(CAST((q*q) % 1073741824 AS HUGEINT)) AS sqq_lo,
+        |  MIN(q) AS qmin, MAX(q) AS qmax FROM x GROUP BY 1)
+        |SELECT dim, n,
+        | CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1073741824.0 AS mean,
+        | CASE WHEN n > 1 THEN
+        |  sqrt(((CAST(sqq_hi AS DOUBLE) * 1073741824.0 + CAST(sqq_lo AS DOUBLE))
+        |     - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1.0)) / 1073741824.0 END AS std,
+        | CAST(qmin AS DOUBLE) / 1073741824.0 AS vmin,
+        | CAST(qmax AS DOUBLE) / 1073741824.0 AS vmax
+        |FROM m""".stripMargin,
     // q138: α = 0.5 temperature mixture — √c is correctly-rounded
     // IEEE, Σ√c folds in source order (list_reduce has no init but
     // 0.0 + w₁ = w₁ exactly, so it matches Spark's aggregate fold)

@@ -634,4 +634,44 @@ object Graft {
   def pageRankPersonalized(edges: DataFrame, srcCol: Column, dstCol: Column,
       seedPred: Column => Column, iters: Int, d: Double = 0.85): DataFrame =
     graft.operators.Graph.pageRankPersonalizedOver(edges, srcCol, dstCol, seedPred, iters, d)
+
+  /** Deterministic synchronous label-propagation communities:
+    * plurality neighbor label per round, ties to the smallest label —
+    * all-integer, so results are engine-exact. Two narrow agg
+    * shuffles per round, nothing driver-side. */
+  def labelPropagation(edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int, symmetrize: Boolean = true): DataFrame =
+    graft.operators.Graph.labelPropagationOver(edges, srcCol, dstCol, iters, symmetrize)
+
+  /** Rolling z-score anomalies: each event scored against the exact
+    * integer moments of its `lookback` preceding same-user events;
+    * the flag clears denominators so it carries no float rounding. */
+  def rollingAnomalies(df: DataFrame, userCol: Column, tsCol: Column,
+      idCol: Column, valueCol: Column, lookback: Int = 5,
+      zThresh: Int = 3): DataFrame =
+    graft.operators.EventOps.rollingAnomaliesOver(
+      df, userCol, tsCol, idCol, valueCol, lookback, zThresh)
+
+  /** Pearson's χ² test of independence over a two-way contingency
+    * table — absent cells enter at o = 0, the statistic folds in
+    * (row, col) sorted order so it is engine-exact. */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame =
+    graft.operators.Relational.chiSquareOver(df, rowCol, colCol)
+
+  /** Linear multi-touch attribution: each `purchaseType` event's unit
+    * of credit splits evenly across its `touchTypes` events in the
+    * preceding horizon (bucketed interval join — no per-user cross
+    * product). */
+  def attribution(events: DataFrame, idCol: Column, userCol: Column,
+      tsCol: Column, typeCol: Column, purchaseType: String,
+      touchTypes: Seq[String], horizonSeconds: Long = 1800L): DataFrame =
+    graft.operators.EventOps.attributionOver(events, idCol, userCol, tsCol,
+      typeCol, purchaseType, touchTypes, horizonSeconds)
+
+  /** Per-dimension feature statistics (count/mean/std/min/max) for an
+    * embedding column — the fit half of a z-score standardizer;
+    * engine-exact via power-of-two quantization and split 128-bit
+    * moments. */
+  def dimStats(df: DataFrame, vecCol: Column, scaleBits: Int = 30): DataFrame =
+    graft.operators.Similarity.dimStatsOver(df, vecCol, scaleBits)
 }

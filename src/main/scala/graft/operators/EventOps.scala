@@ -354,4 +354,108 @@ object EventOps {
     import t.spark.implicits._
     kaplanMeierOver(t.events, $"user_id", $"ts").orderBy($"bucket")
   }
+
+  // ── q146: rolling z-score anomaly detection ─────────────────────────
+  /** Classic streaming-metrics outlier flag, made ENGINE-EXACT: per
+    * user (ordered by ts, then event_id for sub-µs ties), each event
+    * is scored against the mean/std of its `lookback` PRECEDING
+    * events (the event itself excluded — no self-masking). All frame
+    * moments are exact integers over 10⁻⁶-quantized values
+    * (`floor(v·10⁶ + 0.5)` — identical IEEE ops both engines), and
+    * the anomaly predicate clears denominators:
+    *   |v − μ| > z·σ  ⇔  (W·q − Σq)² > z²·(W·Σq² − (Σq)²)
+    * — DECIMAL(38,0) on both sides so no overflow at any value scale
+    * and the flag is bit-free of float rounding. The reported z
+    * itself is one double expression over those exact integers
+    * (NULL when the window is constant — σ = 0 — where the flag
+    * alone decides). A zero-variance window flags ANY deviation, by
+    * the same inequality.
+    *
+    * Plan: one window over (user, time) — a single hash-partitioned
+    * sort, no joins, nothing corpus-sized on the driver; at 100×
+    * the partition key is the user and frames never exceed
+    * `lookback`. */
+  def rollingAnomaliesOver(
+      df: DataFrame, userCol: Column, tsCol: Column, idCol: Column,
+      valueCol: Column, lookback: Int = 5, zThresh: Int = 3): DataFrame = {
+    require(lookback >= 2 && zThresh >= 1,
+      s"bad params: lookback=$lookback z=$zThresh")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val dec = "decimal(38,0)"
+    val base = df.select(userCol.as("user_id"), idCol.as("event_id"),
+        tsMicros(tsCol).as("__us"), valueCol.as("value"))
+      .withColumn("q",
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("cnt", count(col("q")).over(w))
+      .withColumn("sq", sum(col("q").cast(dec)).over(w))
+      .withColumn("sqq", sum(col("q").cast(dec) * col("q")).over(w))
+    val num = lit(lookback) * col("q") - col("sq")
+    val den = lit(lookback) * col("sqq") - col("sq") * col("sq")
+    base
+      .filter(col("cnt") === lookback &&
+        num.cast(dec) * num > lit(zThresh * zThresh) * den)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(den > 0,
+          num.cast("double") / sqrt(den.cast("double"))).as("z"))
+  }
+
+  def rollingAnomalies(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    rollingAnomaliesOver(t.events, $"user_id", $"ts", $"event_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  // ── q148: multi-touch attribution ────────────────────────────────────
+  /** Linear multi-touch attribution, the standard marketing-analytics
+    * credit split: every click/view in the `horizonSeconds` before a
+    * purchase (strictly before — the purchase instant itself doesn't
+    * self-attribute) is a touch, and the purchase's unit of credit
+    * splits evenly across its touches; per (purchase, channel) the
+    * credit is n_channel/n_touches — one double division over exact
+    * integer counts, so rows are engine-exact. Purchases with no
+    * touches in the horizon are unattributed and not emitted.
+    *
+    * Plan: the touch set comes from [[intervalJoinOver]]'s bucketed
+    * equi-join (linear shuffle, no per-user cross product), channel
+    * names ride a narrow event_id join, and the per-purchase total is
+    * a window over the (purchase, channel) aggregate — partition size
+    * = a purchase's channel count (≤ the channel-type cardinality,
+    * never corpus-scale). */
+  def attributionOver(
+      events: DataFrame, idCol: Column, userCol: Column, tsCol: Column,
+      typeCol: Column, purchaseType: String, touchTypes: Seq[String],
+      horizonSeconds: Long = 1800L): DataFrame = {
+    require(touchTypes.nonEmpty && horizonSeconds > 0, "bad attribution params")
+    val us = horizonSeconds * 1000000L
+    val ev = events.select(idCol.as("event_id"), userCol.as("user_id"),
+      tsMicros(tsCol).as("__us"), typeCol.as("event_type"))
+    val wins = ev.filter(col("event_type") === purchaseType)
+      .select(col("event_id"), col("user_id"),
+        (col("__us") - us).as("start_us"), col("__us").as("end_us"))
+    val pts = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id"), col("user_id"), col("__us").as("pt_us"),
+        col("event_type").as("channel"))
+    val touched = intervalJoinOver(
+        wins, col("event_id"), col("user_id"), col("start_us"), col("end_us"),
+        pts.select(col("event_id"), col("user_id"), col("pt_us")),
+        col("event_id"), col("user_id"), col("pt_us"), bucketUs = us)
+      .join(pts.select(col("event_id").as("pt_id"), col("channel")), "pt_id")
+    val perChannel = touched
+      .groupBy(col("win_id").as("purchase_id"), col("channel"))
+      .agg(count(lit(1)).as("n_ch"))
+    val wp = Window.partitionBy(col("purchase_id"))
+    perChannel
+      .withColumn("n_touches", sum(col("n_ch")).over(wp))
+      .select(col("purchase_id"), col("channel"), col("n_ch"), col("n_touches"),
+        (col("n_ch").cast("double") / col("n_touches")).as("credit"))
+  }
+
+  def purchaseAttribution(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    attributionOver(t.events, $"event_id", $"user_id", $"ts", $"event_type",
+      purchaseType = "purchase", touchTypes = Seq("click", "view"))
+      .orderBy($"purchase_id", $"channel")
+  }
 }

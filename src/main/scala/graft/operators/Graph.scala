@@ -385,6 +385,61 @@ object Graph {
       (num / nullif(den, lit(0.0))).as("assortativity"))
   }
 
+  // ── q145: label-propagation communities ─────────────────────────────
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * near-linear community-detection baseline), made fully
+    * deterministic: labels start as node ids, and each round every
+    * node adopts its neighbors' PLURALITY label with ties broken to
+    * the SMALLEST label — so the result is a pure function of the
+    * edge set and `iters`, with no floats anywhere (integer counts,
+    * integer labels ⇒ hash-exact across engines).
+    *
+    * Plurality-with-tie-break is one `max_by` over the packed key
+    * `cnt·2³² − lab` (labels are node ids < 2³¹, counts < 2³¹, so the
+    * key is collision-free and strictly orders (cnt asc, lab desc) —
+    * maximizing it yields most-frequent-then-smallest) — no window,
+    * no per-node array. Per round: the label frame relocates onto the
+    * edge partitioning (zero-exchange when both sides already hash on
+    * the node id), then two narrow agg shuffles — (dst, lab) counts
+    * (map-side combined, ≤ |E| rows pre-combine) and the per-dst
+    * argmax (≤ distinct neighbor labels per node). Nothing
+    * driver-side; every frame is keyed by node id. Nodes outside the
+    * edge list have no neighbors and are not emitted (the fixture
+    * graph is symmetrized, so every listed node votes every round). */
+  def labelPropagationOver(
+      edges: DataFrame, srcCol: Column, dstCol: Column, iters: Int,
+      symmetrize: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e0 = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val e = (if (symmetrize)
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0)
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val init = e.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    (1 to iters).foldLeft(init) { (labels, _) =>
+      e.join(labels, e("src") === labels("id"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("lab"),
+          col("cnt") * lit(4294967296L) - col("lab")).as("lab"))
+        .select(col("dst").as("id"), col("lab"))
+    }
+  }
+
+  /** Fixture instance: 3 rounds over the co-purchase graph (already
+    * canonical a<b, so symmetrization doubles it back to both
+    * directions), labeled `community`. */
+  def labelPropCommunities(t: Tables, iters: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    labelPropagationOver(customerCoEdges(t), $"a", $"b", iters)
+      .select($"id".as("cust"), $"lab".as("community"))
+      .orderBy($"cust")
+  }
+
   /** q92: top co-purchase partner per customer — the partner sharing
     * the most distinct (part, month) cells, smallest partner id on
     * ties. The shape of an item-item collaborative-filtering

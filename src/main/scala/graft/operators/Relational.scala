@@ -820,4 +820,57 @@ object Relational {
       $"p_brand", $"p_retailprice", $"p_size")
       .orderBy($"p_brand", $"p_retailprice", $"p_partkey")
   }
+
+  // ── q147: χ² test of independence ────────────────────────────────────
+  /** Pearson's χ² over a two-way contingency table — the A/B-test /
+    * feature-selection significance primitive. Observed counts are
+    * exact integers from one narrow agg; ABSENT cells participate
+    * with o = 0 (they still carry expected mass rt·ct/T — dropping
+    * them understates χ², so the cell grid is completed by a
+    * dims × dims cross of the two DISTINCT category sets, each a
+    * category-cardinality row count, never corpus-scale). χ² =
+    * Σ (o−e)²/e folds over the cells in (row, col) sorted order with
+    * the identical left-associated double chain both engines (the
+    * q85/q138 ordered-fold recipe), each term one fixed IEEE
+    * expression over exact bigints — so the statistic is
+    * bit-identical, not approximately equal.
+    *
+    * Plan: one corpus-sized agg (map-side combined), then everything
+    * runs on R·C rows; the completed grid rides two tiny hash joins
+    * and the fold is a one-row collect_list over R·C cells. */
+  def chiSquareOver(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val obs = df.groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(count(lit(1)).as("o"))
+    val grid = obs.select(col("r")).distinct()
+      .crossJoin(obs.select(col("c")).distinct())
+    val cells = grid.join(obs, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+    val full = cells.join(rt, "r").join(ct, "c")
+    val packed = full.agg(
+      sort_array(collect_list(struct(col("r"), col("c"), col("o"),
+        col("rt"), col("ct")))).as("cells"),
+      sum(col("o")).as("tot"),
+      count_distinct(col("r")).as("nr"),
+      count_distinct(col("c")).as("nc"))
+    packed.select(
+      aggregate(col("cells"), lit(0.0), (acc, x) => {
+        val e = (x.getField("rt") * x.getField("ct")).cast("double") /
+          col("tot").cast("double")
+        val d = x.getField("o").cast("double") - e
+        acc + d * d / e
+      }).as("chi2"),
+      ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+      col("tot").as("n"),
+      (col("nr") * col("nc")).as("n_cells"))
+  }
+
+  /** Fixture instance: market segment × order priority. */
+  def segmentPriorityChiSquare(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    chiSquareOver(
+      t.customer.join(t.orders, $"c_custkey" === $"o_custkey"),
+      $"c_mktsegment", $"o_orderpriority")
+  }
 }

@@ -749,4 +749,67 @@ object Similarity {
     contrastivePairsOver(t.embeddings, $"vec_id", $"embedding", $"label",
       _ < nAnchors).orderBy($"a_id")
   }
+
+  // ── q149: per-dimension feature statistics (standardization fit) ────
+  /** The "fit" half of feature standardization — per embedding
+    * dimension: count, mean, sample std, min, max — the stats a
+    * z-score normalizer or whitening step needs before training.
+    * Exactness across engines: each float32 component is quantized by
+    * the EXACT power-of-two shift 2³⁰ (a float's value times 2³⁰ is
+    * an integer-valued double, so floor(+0.5) is exact — unlike the
+    * 10⁶ recipe, no multiply rounding at all for inputs < 2²³), and
+    * the per-dim moments are DECIMAL(38,0) integer sums; mean/std are
+    * then one fixed double expression each over those exact integers,
+    * and min/max ride the quantized integers back to exact doubles.
+    *
+    * The second-moment sum exceeds 2⁵³ beyond ~10k vectors, where
+    * integer→double casts stop being exact and engines may round a
+    * 128-bit value differently (1-ulp divergence measured at sf0.1).
+    * So Σq² is carried as TWO exact sums — hi = Σ(q² div 2³⁰),
+    * lo = Σ(q² mod 2³⁰), each < 2⁵³ through ~25M vectors — and
+    * reconstructed as hiD·2³⁰ + loD: one rounding, the identical IEEE
+    * add on both engines.
+    *
+    * Plan: posexplode is map-side (n·d rows, no shuffle), the agg is
+    * d groups with map-side partial aggregation — the shuffle carries
+    * ≈ tasks·d rows regardless of corpus size. The 100 TB shape of
+    * every per-column profiling pass. */
+  def dimStatsOver(df: DataFrame, vecCol: org.apache.spark.sql.Column,
+      scaleBits: Int = 30): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
+    val dec = "decimal(38,0)"
+    // domain: |v| < 2^(31.5−scaleBits) keeps q² inside a long (the
+    // default 30 covers |v| < 2.8 — any normalized embedding); larger
+    // values need a smaller scaleBits, and an out-of-domain input
+    // fails LOUDLY via the ANSI overflow, never silently wraps
+    val scale = math.pow(2.0, scaleBits) // power-of-two: exact shift
+    val scaleL = 1L << scaleBits
+    val q = floor(col("__v").cast("double") * lit(scale) + lit(0.5)).cast("long")
+    val exploded = df.select(posexplode(vecCol).as(Seq("__pos", "__v")))
+      .select((col("__pos") + 1).as("dim"), q.as("q"))
+    val q2 = col("q") * col("q") // ≤ (0.6·2³⁰)² ≈ 4e17, exact in long
+    val m = exploded.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q").cast(dec)).as("sq"),
+      sum(expr(s"(q * q) div ${scaleL}L").cast(dec)).as("sqq_hi"), // q² ≥ 0: div = floor
+      sum(pmod(q2, lit(scaleL)).cast(dec)).as("sqq_lo"),
+      min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    val nD = col("n").cast("double")
+    val sqD = col("sq").cast("double")
+    val sqqD = col("sqq_hi").cast("double") * lit(scale) +
+      col("sqq_lo").cast("double")
+    m.select(col("dim"), col("n"),
+      (sqD / nD / lit(scale)).as("mean"),
+      // sample std is undefined at n = 1 (and ANSI double division
+      // would throw on the zero divisor) — NULL there
+      when(col("n") > 1,
+        sqrt((sqqD - sqD * sqD / nD) / (nD - lit(1.0))) / lit(scale)).as("std"),
+      (col("qmin").cast("double") / lit(scale)).as("vmin"),
+      (col("qmax").cast("double") / lit(scale)).as("vmax"))
+  }
+
+  def embeddingDimStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    dimStatsOver(t.embeddings, $"embedding").orderBy($"dim")
+  }
 }

@@ -45,7 +45,11 @@ class PlanAuditSpec extends SparkSpec {
     "q141_split_leakage",
     // one-row broadcasts: global horizon, user total, and the
     // ≤64-row K-M table array for the ordered product fold
-    "q142_survival")
+    "q142_survival",
+    // the R×C contingency grid: a cross of the two DISTINCT category
+    // sets (each category-cardinality rows), so absent cells enter
+    // the χ² at o = 0 — never corpus-scale
+    "q147_chisq")
 
   private val constructionHeavy = PlanAuditSpec.constructionHeavy
 

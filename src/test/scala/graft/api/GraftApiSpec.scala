@@ -369,6 +369,85 @@ class GraftApiSpec extends SparkSpec {
     assert(d > 0.7 && d < 1.3, s"mean distortion $d")
   }
 
+  test("rollingAnomalies flags a spike after 5 priors, zero-variance windows flag any deviation") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: five constant 10.0s then a spike (σ=0 window ⇒ flag, z NULL);
+    // user 2: 1..5 then 3.5 (|z| < 3 ⇒ silent) then 30.0 (flagged, z = 26.5)
+    val ev = (1 to 5).map(i => (1L, i.toLong, ts(i), 10.0)) ++
+      Seq((1L, 6L, ts(6), 100.0)) ++
+      (1 to 5).map(i => (2L, 10L + i, ts(i), i.toDouble)) ++
+      Seq((2L, 16L, ts(6), 3.5), (2L, 17L, ts(7), 30.0))
+    val got = Graft.rollingAnomalies(
+      ev.toDF("user_id", "event_id", "ts", "value"),
+      $"user_id", $"ts", $"event_id", $"value")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(6L, 17L), s"got $got")
+    assert(got(6L).isEmpty, "zero-variance window must report z = NULL")
+    // window {2,3,4,5,3.5}: num = 132.5e6, den = 25e12 ⇒ z = 26.5
+    assert(got(17L).exists(z => math.abs(z - 26.5) < 1e-9),
+      s"z of the 30.0 spike: ${got(17L)}")
+  }
+
+  test("chiSquare: exactly proportional table scores 0, diagonal table scores n") {
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val i = Graft.chiSquare(indep, $"r", $"c").head()
+    assert(i.getDouble(0) === 0.0 && i.getLong(1) === 1L && i.getLong(2) === 4L)
+    // perfect association incl. two ABSENT cells entering at o = 0:
+    // χ² = n for a 2×2 diagonal table
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    val d = Graft.chiSquare(dep, $"r", $"c").head()
+    assert(d.getDouble(0) === 4.0 && d.getLong(3) === 4L, s"got $d")
+  }
+
+  test("attribution splits one purchase's credit across in-horizon touches only") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 09:20:00"), "view"),   // 40 min before — outside
+      (2L, 10L, ts("2024-01-01 09:50:00"), "click"),
+      (3L, 10L, ts("2024-01-01 09:55:00"), "view"),
+      (4L, 10L, ts("2024-01-01 10:00:00"), "purchase"),
+      (5L, 20L, ts("2024-01-01 10:00:00"), "purchase") // no touches — dropped
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Graft.attribution(ev, $"event_id", $"user_id", $"ts",
+      $"event_type", "purchase", Seq("click", "view"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList.sortBy(_._2)
+    assert(got === List((4L, "click", 1L, 2L, 0.5), (4L, "view", 1L, 2L, 0.5)),
+      s"got $got")
+  }
+
+  test("dimStats computes per-dimension mean/std/min/max of float vectors") {
+    val df = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 2.5f)))
+      .toDF("id", "v")
+    val got = Graft.dimStats(df, $"v").orderBy("dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
+    assert(got === List(
+      (1, 2L, 1.0, math.sqrt(2.0), 0.0, 2.0),
+      (2, 2L, 1.75, math.sqrt(1.125), 1.0, 2.5)), s"got $got")
+  }
+
+  test("dimStats fails LOUDLY (ANSI overflow) outside the documented |v| domain") {
+    val big = Seq((1L, Array(100000.0f))).toDF("id", "v")
+    // ANSI long overflow in q² — the point is LOUD, not silent
+    intercept[ArithmeticException] { Graft.dimStats(big, $"v").collect() }
+    // a smaller quantization scale re-admits the value; sample std of
+    // a single observation is NULL, not a division error
+    val ok = Graft.dimStats(big, $"v", scaleBits = 10).head()
+    assert(ok.getDouble(2) === 100000.0 && ok.isNullAt(3))
+  }
+
+  test("labelPropagation facade matches the operator on a bridge graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L)).toDF("src", "dst")
+    val viaApi = Graft.labelPropagation(edges, $"src", $"dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.operators.Graph.labelPropagationOver(edges, $"src", $"dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi === direct)
+  }
+
   test("mixtureAlloc allocates the budget by the α=0.5 power of domain size") {
     val docs = Seq(
       ("big", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),

@@ -57,6 +57,43 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass conserved: ${got.values.sum}")
   }
 
+  test("labelPropagation equals a sequential synchronous reference on random graphs") {
+    // deterministic random graphs with dup-heavy edges so plurality
+    // ties (the min-label branch) actually occur
+    for (seed <- 1 to 5; iters <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // sequential reference: symmetrized distinct adjacency, labels
+      // start at node id, each round every node takes the plurality
+      // neighbor label with ties to the smallest label
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val adj = sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      var lab = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to iters) {
+        lab = adj.map { case (v, nbrs) =>
+          val counts = nbrs.map(lab).groupBy(identity).view.mapValues(_.size)
+          v -> counts.maxBy { case (l, c) => (c.toLong, -l) }._1
+        }
+      }
+      val got = Graph.labelPropagationOver(
+        edges.toDF("src", "dst"), $"src", $"dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === lab, s"seed=$seed iters=$iters")
+    }
+  }
+
+  test("labelPropagation: two disjoint cliques collapse to their min ids") {
+    val clique = (xs: Seq[Long]) => for (a <- xs; b <- xs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagationOver(edges, $"src", $"dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("pageRank executes exactly one NEW shuffle per additional iteration, any edge storage") {
     // the 100×-scale contract — each power-iteration round may
     // MATERIALIZE only the contribution regroup by dst; the repeated
