@@ -262,6 +262,7 @@ object SparkEntry {
     "q147_chisq"             -> ((s, d) => Relational.segmentPriorityChiSquare(Tables(s, d))),
     "q148_attribution"       -> ((s, d) => graft.operators.EventOps.purchaseAttribution(Tables(s, d))),
     "q149_dim_stats"         -> ((s, d) => graft.operators.Similarity.embeddingDimStats(Tables(s, d))),
+    "q150_stream_anomaly"    -> ((s, d) => graft.streaming.StreamReplay.streamAnomalies(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1583,6 +1584,23 @@ object SparkEntry {
     "q146_anomaly" ->
       """WITH b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS q FROM events),
+        |w AS (SELECT event_id, user_id, value, q,
+        |  COUNT(q) OVER win AS cnt,
+        |  SUM(CAST(q AS HUGEINT)) OVER win AS sq,
+        |  SUM(CAST(q*q AS HUGEINT)) OVER win AS sqq
+        | FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        | CASE WHEN 5*sqq - sq*sq > 0
+        |  THEN CAST(5*q - sq AS DOUBLE) / sqrt(CAST(5*sqq - sq*sq AS DOUBLE)) END AS z
+        |FROM w
+        |WHERE cnt = 5 AND (5*q - sq)*(5*q - sq) > 9*(5*sqq - sq*sq)""".stripMargin,
+    // q150: stream ≡ batch — q146's denominator-cleared integer recipe
+    // restricted to the replayed first-week slice
+    "q150_stream_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS q FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
         |w AS (SELECT event_id, user_id, value, q,
         |  COUNT(q) OVER win AS cnt,
         |  SUM(CAST(q AS HUGEINT)) OVER win AS sq,

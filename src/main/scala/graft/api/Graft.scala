@@ -397,6 +397,16 @@ object Graft {
       : org.apache.spark.sql.Dataset[graft.streaming.UserEwma] =
     graft.streaming.StreamEwma.ewmaPerUser(events, alpha, quietMs)
 
+  /** Streaming rolling z-score anomalies: O(lookback) state per user,
+    * hits emitted in the carrying micro-batch (no watermark wait);
+    * bit-identical to the batch [[rollingAnomalies]] — driver-checked
+    * under replay as q150 (caller sets the input watermark). */
+  def streamAnomalies(
+      events: org.apache.spark.sql.Dataset[graft.streaming.UserEvent],
+      lookback: Int = 5, zThresh: Int = 3, quietMs: Long = 3600000L)
+      : org.apache.spark.sql.Dataset[graft.streaming.AnomalyHit] =
+    graft.streaming.StreamAnomaly.anomaliesPerUser(events, lookback, zThresh, quietMs)
+
   /** Morton (z-order) key of two non-negative integer columns. */
   def zvalue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Bucketing.zvalue(x, y, bits)

@@ -535,4 +535,29 @@ object StreamReplay {
           .as("meets_bound"))
       .orderBy($"day_start", $"user_id")
   }
+
+  /** q150 — streaming rolling z-score anomalies under replay
+    * ([[StreamAnomaly.anomaliesPerUser]], the unbounded-stream twin of
+    * batch q146): a ring of the last 5 quantized values per user,
+    * hits emitted IMMEDIATELY in the carrying micro-batch (the flag
+    * depends only on preceding events — no watermark wait; the
+    * sentinel exists to exercise the state-eviction timeout path).
+    * Must equal the batch operator restricted to the slice, so the
+    * oracle is q146's denominator-cleared integer SQL with the slice
+    * predicate — stream ≡ batch, hash-exact including z. */
+  def streamAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (slice, sentinel) = eventSlice(spark, dir)
+    val out = replay(spark, withFlush(chunked(slice, EventChunks), sentinel)) { ds =>
+      val events = ds.withWatermark("ts", "0 seconds")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      // quiet horizon > slice span: no mid-stream ring reset, so the
+      // stream scores exactly the batch windows (q119's recipe)
+      StreamAnomaly.anomaliesPerUser(events, quietMs = 30L * 86400000L).toDF()
+    }
+    out.filter($"user_id" >= 0)
+      .select($"event_id", $"user_id", $"value", $"z")
+      .orderBy($"event_id")
+  }
 }

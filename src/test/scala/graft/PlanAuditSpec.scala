@@ -117,7 +117,7 @@ object PlanAuditSpec {
     "q113_stream_quantile_gate", "q114_stream_dedup",
     "q115_stream_embed_gate", "q117_stream_interval_join",
     "q118_stream_sessions", "q119_stream_ewma", "q120_stream_outer_join",
-    "q124_stream_cms_gate", "q132_stream_asof_join",
+    "q124_stream_cms_gate", "q132_stream_asof_join", "q150_stream_anomaly",
     // run the k merge rounds (one bounded top-1 collect per round)
     // during construction, like the CC driver loop
     "q133_bpe_merges", "q134_bpe_vocab",
