@@ -263,6 +263,7 @@ object SparkEntry {
     "q148_attribution"       -> ((s, d) => graft.operators.EventOps.purchaseAttribution(Tables(s, d))),
     "q149_dim_stats"         -> ((s, d) => graft.operators.Similarity.embeddingDimStats(Tables(s, d))),
     "q150_stream_anomaly"    -> ((s, d) => graft.streaming.StreamReplay.streamAnomalies(s, d)),
+    "q151_hits"              -> ((s, d) => graft.operators.Graph.hitsCustSupp(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1576,6 +1577,32 @@ object SparkEntry {
         |  SELECT e.dst AS dst, l2.lab AS lab, COUNT(*) AS cnt
         |  FROM e JOIN l2 ON e.src = l2.id GROUP BY 1, 2) t GROUP BY 1)
         |SELECT id AS cust, lab AS community FROM l3""".stripMargin,
+    // q151: 2 unrolled HITS rounds — per phase, quantized per-edge
+    // contributions (2⁻⁴⁰ quanta, exact integer sums) and ONE double
+    // division by the exact L1 total; bipartite by id parity (even =
+    // customer hubs, odd = supplier authorities)
+    "q151_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nh AS (SELECT COUNT(DISTINCT src) AS nh FROM e),
+        |qa1 AS (SELECT dst, SUM(CAST(floor((1.0/nh)*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM e CROSS JOIN nh GROUP BY dst),
+        |sa1 AS (SELECT SUM(qs) AS s FROM qa1),
+        |a1 AS (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa1 CROSS JOIN sa1),
+        |qh1 AS (SELECT src, SUM(CAST(floor(a1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY src),
+        |sh1 AS (SELECT SUM(qs) AS s FROM qh1),
+        |h1 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh1 CROSS JOIN sh1),
+        |qa2 AS (SELECT dst, SUM(CAST(floor(h1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM e JOIN h1 ON e.src = h1.id GROUP BY dst),
+        |sa2 AS (SELECT SUM(qs) AS s FROM qa2),
+        |a2 AS (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa2 CROSS JOIN sa2),
+        |qh2 AS (SELECT src, SUM(CAST(floor(a2.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY src),
+        |sh2 AS (SELECT SUM(qs) AS s FROM qh2),
+        |h2 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
+        |SELECT id, 'auth' AS kind, score FROM a2
+        |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
     // q146: the anomaly flag clears denominators — (W·q−Σq)² >
     // z²·(W·Σq²−(Σq)²) in exact 128-bit integers (HUGEINT here,
     // DECIMAL(38,0) in Spark) over 10⁻⁶-quantized values, so the flag

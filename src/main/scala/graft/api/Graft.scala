@@ -645,6 +645,13 @@ object Graft {
       seedPred: Column => Column, iters: Int, d: Double = 0.85): DataFrame =
     graft.operators.Graph.pageRankPersonalizedOver(edges, srcCol, dstCol, seedPred, iters, d)
 
+  /** HITS hubs/authorities over a directed edge list — L1-normalized
+    * rounds with 2⁻⁴⁰-quantized exact contribution sums, so scores
+    * are engine-exact; `(id, kind ∈ {hub, auth}, score)`. */
+  def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int): DataFrame =
+    graft.operators.Graph.hitsOver(edges, srcCol, dstCol, iters)
+
   /** Deterministic synchronous label-propagation communities:
     * plurality neighbor label per round, ties to the smallest label —
     * all-integer, so results are engine-exact. Two narrow agg

@@ -440,6 +440,62 @@ object Graph {
       .orderBy($"cust")
   }
 
+  // ── q151: HITS hubs and authorities ─────────────────────────────────
+  /** Kleinberg's HITS (JACM 1999) over a directed edge list, engine-
+    * exact: per round, authority(i) = Σ hub(j) over in-edges then
+    * hub(j) = Σ auth(i) over out-edges, each L1-NORMALIZED (classic
+    * L2 needs a sqrt that breaks cross-engine bit-equality; L1 keeps
+    * the same fixed point up to scale). Exactness recipe: each edge
+    * contribution is quantized to integer 2⁻⁴⁰ quanta (q85's trick),
+    * per-node sums are exact integer adds, and the normalization is
+    * ONE double division of two exact integers (qs/S) — identical
+    * IEEE both engines, so scores stay bit-identical inductively.
+    *
+    * Overflow bound: after normalization Σscore = 1, so a round's
+    * total quanta ≤ max-degree·2⁴⁰ — int64-safe while the hottest
+    * node's degree < 2²³ (~8.4M); the start h⁰ = 1/|hubs| is
+    * normalized for the same reason. One join + one agg + a one-row
+    * total broadcast per phase — two new shuffles per round, nothing
+    * driver-side. */
+  def hitsOver(edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .localCheckpoint(false)
+    val nh = e.agg(countDistinct(col("src")).as("nh"))
+    val h0 = e.select(col("src").as("id")).distinct()
+      .crossJoin(broadcast(nh))
+      .select(col("id"), (lit(1.0) / col("nh").cast("double")).as("score"))
+    def phase(scores: DataFrame, from: String, to: String): DataFrame = {
+      val q = e.join(scores, e(from) === scores("id"))
+        .select(col(to),
+          floor(col("score") * lit(PrScale) + lit(0.5)).cast("long").as("q"))
+        .groupBy(col(to)).agg(sum(col("q")).as("qs"))
+      val s = q.agg(sum(col("qs")).as("s"))
+      q.crossJoin(broadcast(s))
+        .select(col(to).as("id"),
+          (col("qs").cast("double") / col("s").cast("double")).as("score"))
+    }
+    val (hFinal, aFinal) = (1 to iters).foldLeft((h0, h0)) { case ((h, _), _) =>
+      val a = phase(h, "src", "dst")
+      (phase(a, "dst", "src"), a)
+    }
+    aFinal.select(col("id"), lit("auth").as("kind"), col("score"))
+      .union(hFinal.select(col("id"), lit("hub").as("kind"), col("score")))
+  }
+
+  /** Fixture instance: the DIRECTED customer→supplier purchase graph
+    * (bipartite: hubs = well-connected buyers, authorities =
+    * suppliers weighted by their buyers' breadth), 2 rounds. */
+  def hitsCustSupp(t: Tables, iters: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    val e = t.orders
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    hitsOver(e, $"src", $"dst", iters).orderBy($"kind", $"id")
+  }
+
   /** q92: top co-purchase partner per customer — the partner sharing
     * the most distinct (part, month) cells, smallest partner id on
     * ties. The shape of an item-item collaborative-filtering

@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "q85_pagerank",
     // one-row seed-count broadcast per personalized power iteration
     "q144_ppr",
+    // one-row hub-count / L1-total broadcasts per HITS phase
+    "q151_hits",
     // one-row token-total broadcast for the CMS eps·N bound
     "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid

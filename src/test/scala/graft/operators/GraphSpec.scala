@@ -94,6 +94,25 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("HITS: bipartite hand-check — breadth ranks hubs, buyer breadth ranks authorities") {
+    // hubs {1, 2}, authorities {10, 11}: 1→10, 2→10, 2→11
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val got = Graph.hitsOver(edges, $"src", $"dst", iters = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    // authority: 10 has both hubs, 11 only the weaker share of hub 2
+    assert(got(("auth", 10L)) > got(("auth", 11L)), s"got $got")
+    // hub: 2 points at both authorities, 1 at one
+    assert(got(("hub", 2L)) > got(("hub", 1L)), s"got $got")
+    // L1 normalization: each side sums to ≈ 1
+    val sums = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    assert(math.abs(sums("auth") - 1.0) < 1e-9 && math.abs(sums("hub") - 1.0) < 1e-9,
+      s"sums $sums")
+    // first-round authority is exactly indegree/|E| under the exact
+    // quantized recipe: a(10) = 2/3, a(11) = 1/3 feeds round 2
+    val a2 = got(("auth", 10L))
+    assert(a2 > 0.6 && a2 < 0.8, s"auth(10) = $a2")
+  }
+
   test("pageRank executes exactly one NEW shuffle per additional iteration, any edge storage") {
     // the 100×-scale contract — each power-iteration round may
     // MATERIALIZE only the contribution regroup by dst; the repeated
