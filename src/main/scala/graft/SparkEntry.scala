@@ -264,6 +264,8 @@ object SparkEntry {
     "q149_dim_stats"         -> ((s, d) => graft.operators.Similarity.embeddingDimStats(Tables(s, d))),
     "q150_stream_anomaly"    -> ((s, d) => graft.streaming.StreamReplay.streamAnomalies(s, d)),
     "q151_hits"              -> ((s, d) => graft.operators.Graph.hitsCustSupp(Tables(s, d))),
+    "q152_path_trigrams"     -> ((s, d) => graft.operators.EventOps.pathTrigrams(Tables(s, d))),
+    "q153_rank_normalize"    -> ((s, d) => Relational.partPriceRanks(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1603,6 +1605,28 @@ object SparkEntry {
         |h2 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q152: consecutive event-type triples per user in (ts, event_id)
+    // order, global counts + one-division shares
+    "q152_path_trigrams" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type FROM events),
+        |seq AS (SELECT
+        |  LAG(event_type, 2) OVER w AS t0,
+        |  LAG(event_type, 1) OVER w AS t1,
+        |  event_type AS t2
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT t0, t1, t2, COUNT(*) AS n FROM seq
+        |  WHERE t0 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t0, t1, t2, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+        |FROM tri""".stripMargin,
+    // q153: rank-based (tie-deterministic) normalization — percent_rank
+    // and cume_dist share one definition in both engines
+    "q153_rank_normalize" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume_dist
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)""".stripMargin,
     // q146: the anomaly flag clears denominators — (W·q−Σq)² >
     // z²·(W·Σq²−(Σq)²) in exact 128-bit integers (HUGEINT here,
     // DECIMAL(38,0) in Spark) over 10⁻⁶-quantized values, so the flag

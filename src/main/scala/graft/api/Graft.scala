@@ -685,6 +685,17 @@ object Graft {
     graft.operators.EventOps.attributionOver(events, idCol, userCol, tsCol,
       typeCol, purchaseType, touchTypes, horizonSeconds)
 
+  /** Global event-type trigram counts + shares over per-user paths in
+    * (ts, id) order — "most common 3-step paths". */
+  def pathTrigrams(df: DataFrame, userCol: Column, tsCol: Column,
+      idCol: Column, typeCol: Column): DataFrame =
+    graft.operators.EventOps.pathTrigramsOver(df, userCol, tsCol, idCol, typeCol)
+
+  /** Per-group rank normalization: percent_rank + cume_dist of a
+    * value column — tie-deterministic (rank-based), engine-exact. */
+  def rankNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    graft.operators.Relational.rankNormalizeOver(df, groupCol, valueCol)
+
   /** Per-dimension feature statistics (count/mean/std/min/max) for an
     * embedding column — the fit half of a z-score standardizer;
     * engine-exact via power-of-two quantization and split 128-bit

@@ -458,4 +458,36 @@ object EventOps {
       purchaseType = "purchase", touchTypes = Seq("click", "view"))
       .orderBy($"purchase_id", $"channel")
   }
+
+  // ── q152: behavioral path mining (event-type trigrams) ──────────────
+  /** The "most common 3-step user paths" product-analytics query: per
+    * user, consecutive event-type triples in (ts, event_id) order,
+    * counted globally, with each trigram's share of all trigrams.
+    * Exact: integer counts; share is one double division (n/total).
+    *
+    * Plan: one window shuffle by user (the lag pair), one narrow
+    * map-side-combined agg to ≤ |types|³ rows; the share rides a
+    * single-partition window over that tiny aggregated frame — never
+    * corpus-scale. */
+  def pathTrigramsOver(df: DataFrame, userCol: Column, tsCol: Column,
+      idCol: Column, typeCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val tri = df.select(userCol.as("user_id"), idCol.as("event_id"),
+        tsMicros(tsCol).as("__us"), typeCol.as("t2"))
+      .withColumn("t1", lag(col("t2"), 1).over(w))
+      .withColumn("t0", lag(col("t2"), 2).over(w))
+      .filter(col("t0").isNotNull)
+      .groupBy(col("t0"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    tri.select(col("t0"), col("t1"), col("t2"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(all)).as("share"))
+  }
+
+  def pathTrigrams(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    pathTrigramsOver(t.events, $"user_id", $"ts", $"event_id", $"event_type")
+      .orderBy($"t0", $"t1", $"t2")
+  }
 }

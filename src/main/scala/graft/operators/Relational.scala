@@ -821,6 +821,36 @@ object Relational {
       .orderBy($"p_brand", $"p_retailprice", $"p_partkey")
   }
 
+  // ── q153: rank / quantile normalization ─────────────────────────────
+  /** The rank-transform half of feature preprocessing: per group,
+    * `percent_rank` ((rank−1)/(n−1)) and `cume_dist` (rows ≤ v / n)
+    * of a value — both RANK-based, so ties get identical scores and
+    * the result is deterministic under any physical row order (an
+    * `ntile` bucketing would depend on intra-tie order and was
+    * rejected for exactly that). Scores are integer-derived double
+    * divisions — engine-exact.
+    *
+    * Plan: one window shuffle on the group key; partition sizes are
+    * group sizes. The 100 TB caveat is the usual rank-transform one —
+    * a single giant group serializes into one partition — so group
+    * by a real blocking key (brand here), not a constant. */
+  def rankNormalizeOver(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__grp")).orderBy(col("__val"))
+    df.withColumn("__grp", groupCol).withColumn("__val", valueCol)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .drop("__grp", "__val")
+  }
+
+  def partPriceRanks(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    rankNormalizeOver(
+      t.part.select($"p_partkey", $"p_brand", $"p_retailprice"),
+      $"p_brand", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
   // ── q147: χ² test of independence ────────────────────────────────────
   /** Pearson's χ² over a two-way contingency table — the A/B-test /
     * feature-selection significance primitive. Observed counts are
