@@ -158,6 +158,36 @@ object StreamRecovery {
     StreamAsOf.asOfMatches(ue).toDF()
   }
 
+  /** Workload 5: rolling z-score anomalies — the THIRD custom-state
+    * class ([[StreamAnomaly]], q150): recovery must restore a
+    * per-user RING of the last 5 quantized values (an ordered buffer,
+    * not a scalar fold or a pending join) so that a hit whose window
+    * straddles the crash batch still fires exactly once. In-burst
+    * gaps are 7 s and inter-burst gaps ≈ 3500 s < the 3600 s quiet
+    * horizon (with the 30-min watermark delay the eviction timeout
+    * never fires mid-stream), so the ring is equivalent to the batch
+    * operator's frame and the truth is batch q146 over the real
+    * events. */
+  def anomalies(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ue = events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[UserEvent]
+    StreamAnomaly.anomaliesPerUser(ue).toDF()
+  }
+
+  /** Ground truth for [[anomalies]]: the batch q146 operator (the
+    * sentinel users carry < lookback events — they flag nothing). */
+  def anomalyTruth(spark: SparkSession, nRows: Int): Vector[String] = {
+    import spark.implicits._
+    graft.operators.EventOps.rollingAnomaliesOver(
+      realEvents(nRows).toDF(), col("user_id"), col("ts"),
+      col("event_id"), col("value"))
+      .collect().map(_.toString).toVector.sorted
+  }
+
   /** Driver-side idempotent batch sink with optional one-shot crash
     * injection. Rows are canonicalized (sorted strings) per batchId;
     * a redelivered batchId must carry byte-identical content —

@@ -121,4 +121,11 @@ class StreamRecoverySpec extends SparkSpec {
     recoveryCase(StreamRecovery.asOfJoin,
       StreamRecovery.asOfTruth(spark, NRows))
   }
+
+  test("rolling-anomaly ring state (q150) recovers from a mid-stream crash " +
+    "(RocksDB + changelog): output equals the batch operator, zero loss, zero dup") {
+    val truth = StreamRecovery.anomalyTruth(spark, NRows)
+    assert(truth.nonEmpty, "workload must actually flag anomalies")
+    recoveryCase(StreamRecovery.anomalies, truth)
+  }
 }
