@@ -266,6 +266,7 @@ object SparkEntry {
     "q151_hits"              -> ((s, d) => graft.operators.Graph.hitsCustSupp(Tables(s, d))),
     "q152_path_trigrams"     -> ((s, d) => graft.operators.EventOps.pathTrigrams(Tables(s, d))),
     "q153_rank_normalize"    -> ((s, d) => Relational.partPriceRanks(Tables(s, d))),
+    "q154_gopher_rules"      -> ((s, d) => TextOps.gopherRules(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1605,6 +1606,28 @@ object SparkEntry {
         |h2 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q154: the Gopher rule set (Rae et al. 2021 §A1.1) — per-doc
+    // exact-integer stats + one division each; ASCII text keeps
+    // length ↔ strlen aligned
+    "q154_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  CAST(list_reduce(list_transform(toks, w -> CAST(strlen(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','a','of','and','to','in'])) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_filter(toks, w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS symbol_ratio
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits, symbol_ratio,
+        | (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |  AND mean_word_len <= 10.0 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+        |  AND symbol_ratio < 0.1) AS keep
+        |FROM s""".stripMargin,
     // q152: consecutive event-type triples per user in (ts, event_id)
     // order, global counts + one-division shares
     "q152_path_trigrams" ->

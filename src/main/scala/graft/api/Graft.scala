@@ -685,6 +685,17 @@ object Graft {
     graft.operators.EventOps.attributionOver(events, idCol, userCol, tsCol,
       typeCol, purchaseType, touchTypes, horizonSeconds)
 
+  /** Gopher-rules composite quality filter (Rae et al. 2021 §A1.1):
+    * per-doc word-count/mean-length/alpha-ratio/stopword/symbol gates
+    * in one codegen'd map pass — zero shuffles. */
+  def gopherRules(df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame =
+    graft.operators.TextOps.gopherRulesOver(
+      df, idCol, textCol, minWords, maxWords, stopWords, minStopHits)
+
   /** Global event-type trigram counts + shares over per-user paths in
     * (ts, id) order — "most common 3-step paths". */
   def pathTrigrams(df: DataFrame, userCol: Column, tsCol: Column,

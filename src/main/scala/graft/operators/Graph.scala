@@ -454,23 +454,38 @@ object Graph {
     * Overflow bound: after normalization Σscore = 1, so a round's
     * total quanta ≤ max-degree·2⁴⁰ — int64-safe while the hottest
     * node's degree < 2²³ (~8.4M); the start h⁰ = 1/|hubs| is
-    * normalized for the same reason. One join + one agg + a one-row
-    * total broadcast per phase — two new shuffles per round, nothing
-    * driver-side. */
+    * normalized for the same reason.
+    *
+    * Plan: phases ALTERNATE join keys (hub→auth, auth→hub), so one
+    * pinned edge partitioning can't serve both — the edge list is
+    * checkpointed TWICE, hashed by src and by dst, and every phase's
+    * rank join is then zero-exchange (scores come out of the previous
+    * phase partitioned by exactly the key the next join needs). The
+    * per-phase contribution frame feeds both the L1 total and the
+    * score division, so it is EAGERLY checkpointed (node-count rows,
+    * two columns) — without that, the |E|-row contribution agg would
+    * compute twice per phase (measured 2× wall at sf1). Net: one
+    * contribution-regroup shuffle + one one-row total broadcast per
+    * phase, nothing driver-side. */
   def hitsOver(edges: DataFrame, srcCol: Column, dstCol: Column,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+    val e0 = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
       .localCheckpoint(false)
-    val nh = e.agg(countDistinct(col("src")).as("nh"))
-    val h0 = e.select(col("src").as("id")).distinct()
+    val eBy = Map(
+      "src" -> e0.repartition(col("src")).localCheckpoint(false),
+      "dst" -> e0.repartition(col("dst")).localCheckpoint(false))
+    val nh = e0.agg(countDistinct(col("src")).as("nh"))
+    val h0 = eBy("src").select(col("src").as("id")).distinct()
       .crossJoin(broadcast(nh))
       .select(col("id"), (lit(1.0) / col("nh").cast("double")).as("score"))
     def phase(scores: DataFrame, from: String, to: String): DataFrame = {
+      val e = eBy(from)
       val q = e.join(scores, e(from) === scores("id"))
         .select(col(to),
           floor(col("score") * lit(PrScale) + lit(0.5)).cast("long").as("q"))
         .groupBy(col(to)).agg(sum(col("q")).as("qs"))
+        .localCheckpoint(true) // read twice: the L1 total + the division
       val s = q.agg(sum(col("qs")).as("s"))
       q.crossJoin(broadcast(s))
         .select(col(to).as("id"),

@@ -541,6 +541,60 @@ object TextOps {
   }
 
   // ── q54: BPE-ish regex tokenization vs whitespace tokenization ──────
+  // ── q154: Gopher-rules quality filter ────────────────────────────────
+  /** The published composite quality filter of Rae et al. 2021
+    * (Gopher, §A1.1), the rule set large pretraining pipelines
+    * actually run — restricted to the rules meaningful on one-line
+    * fixture text: word-count bounds, mean-word-length ∈ [3, 10],
+    * ≥ 80% alphabetic words, ≥ 2 distinct stop words from the 8-word
+    * list, and < 10% symbol words (#/ellipsis). Every statistic is an
+    * exact integer (or one double division of exact integers) from
+    * per-row higher-order functions — no UDFs, engine-exact, and the
+    * whole filter is a single codegen'd map pass: zero shuffles, the
+    * 100 TB shape of any per-document gate. ASCII fixture text keeps
+    * Spark `length` (chars) ↔ DuckDB `strlen` (bytes) aligned. */
+  def gopherRulesOver(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame = {
+    require(stopWords.nonEmpty && minWords >= 1, "bad gopher params")
+    val gopherStops = stopWords
+    val toks = filter(split(textCol, " "), w => w =!= "")
+    val n = size(toks)
+    val nD = n.cast("double")
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    val alpha = size(filter(toks, w => w.rlike("[a-z]")))
+    val stopHits = size(array_intersect(
+      array_distinct(toks), array(gopherStops.map(lit): _*)))
+    val symbols = size(filter(toks,
+      w => w.contains("#") || w.contains("...")))
+    df.select(idCol.as("doc_id"), n.as("n_words"),
+        (sumLen.cast("double") / nD).as("mean_word_len"),
+        (alpha.cast("double") / nD).as("alpha_ratio"),
+        stopHits.cast("long").as("stop_hits"),
+        (symbols.cast("double") / nD).as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_ratio") >= 0.8 && col("stop_hits") >= minStopHits &&
+          col("symbol_ratio") < 0.1)
+  }
+
+  /** Fixture instance: the RULE SET is Gopher's; the thresholds and
+    * stop list are re-parameterized to the synthetic corpus (its
+    * vocabulary draws from a 6-stopword pool and docs run 10–100
+    * words) so the gate PARTITIONS the corpus instead of rejecting
+    * 100% of it — a filter that fails everything exercises nothing. */
+  def gopherRules(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    gopherRulesOver(t.documents, $"doc_id", $"text", minWords = 20,
+      stopWords = Seq("the", "a", "of", "and", "to", "in"),
+      minStopHits = 2)
+      .orderBy($"doc_id")
+  }
+
   def bpeishTokenStats(t: Tables): DataFrame = {
     import t.spark.implicits._
     // nullif-guard: engines disagree on double/0 (Spark → NULL,

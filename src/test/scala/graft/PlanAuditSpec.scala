@@ -25,8 +25,6 @@ class PlanAuditSpec extends SparkSpec {
     "q85_pagerank",
     // one-row seed-count broadcast per personalized power iteration
     "q144_ppr",
-    // one-row hub-count / L1-total broadcasts per HITS phase
-    "q151_hits",
     // one-row token-total broadcast for the CMS eps·N bound
     "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid
@@ -123,6 +121,9 @@ object PlanAuditSpec {
     // run the k merge rounds (one bounded top-1 collect per round)
     // during construction, like the CC driver loop
     "q133_bpe_merges", "q134_bpe_vocab",
+    // eagerly checkpoints each HITS phase's node-count contribution
+    // frame during construction (read twice: L1 total + division)
+    "q151_hits",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
     "q116_bucketed_join")
