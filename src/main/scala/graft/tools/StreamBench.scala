@@ -250,6 +250,35 @@ object StreamBench {
     println(f"[streambench] asof-steady rate=$rate%d users=500 wm=10s run=$secs%ds " +
       f"matches=${matches.get()}%d " +
       f"maxBatch=${if (d3.nonEmpty) d3.max else 0.0}%.0f ms batches=${d3.size}%d")
+
+    // rolling anomalies (q150's operator): 500-user domain, a planted
+    // spike every 101 values — state must PLATEAU at ~users × ring(5)
+    // (the smallest custom state here; the point is batch turnaround
+    // at rate with hits accumulating continuously)
+    val aHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val anomIn = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"),
+        (col("value") % 500).as("user_id"), lit("metric").as("event_type"),
+        when(col("value") % 101 === 0, lit(1000.0))
+          .otherwise((col("value") % 7).cast("double")).as("value"))
+      .withWatermark("ts", "10 seconds")
+      .as[graft.streaming.UserEvent]
+    val q4 = graft.streaming.StreamAnomaly.anomaliesPerUser(anomIn, quietMs = 30000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnomalyHit], _: Long) =>
+        aHits.addAndGet(df.count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    sampleState("anomaly-steady", q4, secs)(s"hits=${aHits.get()}")
+    val p4 = q4.recentProgress.toSeq
+    q4.stop()
+    val d4 = p4.drop(1).filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    println(f"[streambench] anomaly-steady rate=$rate%d users=500 wm=10s run=$secs%ds " +
+      f"hits=${aHits.get()}%d " +
+      f"maxBatch=${if (d4.nonEmpty) d4.max else 0.0}%.0f ms batches=${d4.size}%d")
   }
 
   private def runShort(spark: SparkSession, secs: Int): Unit = {
