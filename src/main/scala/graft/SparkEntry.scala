@@ -1583,27 +1583,31 @@ object SparkEntry {
     // q151: 2 unrolled HITS rounds — per phase, quantized per-edge
     // contributions (2⁻⁴⁰ quanta, exact integer sums) and ONE double
     // division by the exact L1 total; bipartite by id parity (even =
-    // customer hubs, odd = supplier authorities)
+    // customer hubs, odd = supplier authorities). Every CTE is
+    // MATERIALIZED: the qa/sa double-reference per phase otherwise
+    // lets DuckDB's inlining re-evaluate the chain exponentially
+    // (measured >37 GB of temp spill at generated sf1; materialized:
+    // 2.9 s) — the oracle-side mirror of the Spark eager checkpoint
     "q151_hits" ->
-      """WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |nh AS (SELECT COUNT(DISTINCT src) AS nh FROM e),
-        |qa1 AS (SELECT dst, SUM(CAST(floor((1.0/nh)*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |nh AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS nh FROM e),
+        |qa1 AS MATERIALIZED (SELECT dst, SUM(CAST(floor((1.0/nh)*1099511627776.0 + 0.5) AS BIGINT)) AS qs
         |  FROM e CROSS JOIN nh GROUP BY dst),
-        |sa1 AS (SELECT SUM(qs) AS s FROM qa1),
-        |a1 AS (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa1 CROSS JOIN sa1),
-        |qh1 AS (SELECT src, SUM(CAST(floor(a1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |sa1 AS MATERIALIZED (SELECT SUM(qs) AS s FROM qa1),
+        |a1 AS MATERIALIZED (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa1 CROSS JOIN sa1),
+        |qh1 AS MATERIALIZED (SELECT src, SUM(CAST(floor(a1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
         |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY src),
-        |sh1 AS (SELECT SUM(qs) AS s FROM qh1),
-        |h1 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh1 CROSS JOIN sh1),
-        |qa2 AS (SELECT dst, SUM(CAST(floor(h1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |sh1 AS MATERIALIZED (SELECT SUM(qs) AS s FROM qh1),
+        |h1 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh1 CROSS JOIN sh1),
+        |qa2 AS MATERIALIZED (SELECT dst, SUM(CAST(floor(h1.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
         |  FROM e JOIN h1 ON e.src = h1.id GROUP BY dst),
-        |sa2 AS (SELECT SUM(qs) AS s FROM qa2),
-        |a2 AS (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa2 CROSS JOIN sa2),
-        |qh2 AS (SELECT src, SUM(CAST(floor(a2.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
+        |sa2 AS MATERIALIZED (SELECT SUM(qs) AS s FROM qa2),
+        |a2 AS MATERIALIZED (SELECT dst AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qa2 CROSS JOIN sa2),
+        |qh2 AS MATERIALIZED (SELECT src, SUM(CAST(floor(a2.score*1099511627776.0 + 0.5) AS BIGINT)) AS qs
         |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY src),
-        |sh2 AS (SELECT SUM(qs) AS s FROM qh2),
-        |h2 AS (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
+        |sh2 AS MATERIALIZED (SELECT SUM(qs) AS s FROM qh2),
+        |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
     // q154: the Gopher rule set (Rae et al. 2021 §A1.1) — per-doc
