@@ -267,6 +267,7 @@ object SparkEntry {
     "q152_path_trigrams"     -> ((s, d) => graft.operators.EventOps.pathTrigrams(Tables(s, d))),
     "q153_rank_normalize"    -> ((s, d) => Relational.partPriceRanks(Tables(s, d))),
     "q154_gopher_rules"      -> ((s, d) => TextOps.gopherRules(Tables(s, d))),
+    "q155_exact_quantiles"   -> ((s, d) => Relational.priceQuantiles(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1610,6 +1611,20 @@ object SparkEntry {
         |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q155: type-1 quantiles — the value at sorted position ⌈p·n⌉, a
+    // SELECTION (no interpolation arithmetic), engine-exact; ⌈p·n⌉ is
+    // the same double-multiply + ceil both engines
+    "q155_exact_quantiles" ->
+      """WITH w AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        | MAX(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN v END) AS p25,
+        | MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS p50,
+        | MAX(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END) AS p75,
+        | MAX(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95
+        |FROM w GROUP BY g""".stripMargin,
     // q154: the Gopher rule set (Rae et al. 2021 §A1.1) — per-doc
     // exact-integer stats + one division each; ASCII text keeps
     // length ↔ strlen aligned

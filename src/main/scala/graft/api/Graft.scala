@@ -707,6 +707,14 @@ object Graft {
   def rankNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
     graft.operators.Relational.rankNormalizeOver(df, groupCol, valueCol)
 
+  /** Exact per-group type-1 quantiles (value at ⌈p·n⌉, no
+    * interpolation) — the ground truth the approx-quantile sketch is
+    * gated against. */
+  def exactQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      ps: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p95" -> 0.95)): DataFrame =
+    graft.operators.Relational.rankQuantilesOver(df, groupCol, valueCol, ps)
+
   /** Per-dimension feature statistics (count/mean/std/min/max) for an
     * embedding column — the fit half of a z-score standardizer;
     * engine-exact via power-of-two quantization and split 128-bit

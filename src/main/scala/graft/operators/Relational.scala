@@ -851,6 +851,43 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  // ── q155: exact per-group quantiles (type-1, rank-based) ────────────
+  /** Exact distributed quantiles — the ground-truth companion to the
+    * q107 approx-quantile gate. Type-1 (no interpolation): the p-th
+    * quantile is the VALUE at sorted position ⌈p·n⌉, so the result is
+    * a selection, not arithmetic — engine-exact for any column type,
+    * deterministic under ties (the value at a sorted position is
+    * well-defined whatever order equal values land in). ⌈p·n⌉ is one
+    * double multiply + ceil, the identical IEEE pair both engines.
+    *
+    * Plan: one window sort per group (exact quantiles need the sort —
+    * that IS the cost), then a narrow agg; parallelism = groups, and
+    * the q153 caveat applies: quantiles of ONE giant group serialize
+    * into its partition — at that shape use the mergeable
+    * approx-quantile sketch (q107) instead. */
+  def rankQuantilesOver(df: DataFrame, groupCol: Column, valueCol: Column,
+      ps: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
+      s"quantiles must be in (0, 1]: $ps")
+    val w = Window.partitionBy(col("__grp")).orderBy(col("__val"))
+    val ranked = df.select(groupCol.as("__grp"), valueCol.as("__val"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__grp"))))
+    val qCols = ps.map { case (name, p) =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("__val"))).as(name)
+    }
+    ranked.groupBy(col("__grp"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
+
+  def priceQuantiles(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    rankQuantilesOver(t.lineitem, $"l_returnflag", $"l_extendedprice")
+      .withColumnRenamed("__grp", "l_returnflag")
+      .orderBy($"l_returnflag")
+  }
+
   // ── q147: χ² test of independence ────────────────────────────────────
   /** Pearson's χ² over a two-way contingency table — the A/B-test /
     * feature-selection significance primitive. Observed counts are
@@ -869,7 +906,12 @@ object Relational {
     * runs on R·C rows; the completed grid rides two tiny hash joins
     * and the fold is a one-row collect_list over R·C cells. */
   def chiSquareOver(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
-    val obs = df.groupBy(rowCol.as("r"), colCol.as("c"))
+    // NULL categories are excluded up front: a NULL key would enter
+    // the DISTINCT grid but never match the left join (SQL NULL
+    // equality), leaving an all-zero row/column whose expected mass
+    // is 0 — and (o−0)²/0 would poison the statistic with NaN
+    val obs = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("r"), colCol.as("c"))
       .agg(count(lit(1)).as("o"))
     val grid = obs.select(col("r")).distinct()
       .crossJoin(obs.select(col("c")).distinct())

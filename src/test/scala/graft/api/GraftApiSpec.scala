@@ -399,6 +399,11 @@ class GraftApiSpec extends SparkSpec {
     val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
     val d = Graft.chiSquare(dep, $"r", $"c").head()
     assert(d.getDouble(0) === 4.0 && d.getLong(3) === 4L, s"got $d")
+    // NULL categories are excluded, not NaN-poisoned
+    val withNull = Seq[(String, String)](("a", "x"), ("a", "y"), ("b", "x"),
+      ("b", "y"), (null, "x"), ("a", null)).toDF("r", "c")
+    val n = Graft.chiSquare(withNull, $"r", $"c").head()
+    assert(n.getDouble(0) === 0.0 && n.getLong(2) === 4L, s"got $n")
   }
 
   test("attribution splits one purchase's credit across in-horizon touches only") {
