@@ -712,8 +712,9 @@ object Graft {
     * gated against. */
   def exactQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
       ps: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
-        "p75" -> 0.75, "p95" -> 0.95)): DataFrame =
-    graft.operators.Relational.rankQuantilesOver(df, groupCol, valueCol, ps)
+        "p75" -> 0.75, "p95" -> 0.95),
+      buckets: Int = 1024): DataFrame =
+    graft.operators.Relational.rankQuantilesOver(df, groupCol, valueCol, ps, buckets)
 
   /** Per-dimension feature statistics (count/mean/std/min/max) for an
     * embedding column — the fit half of a z-score standardizer;

@@ -851,34 +851,74 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
-  // ── q155: exact per-group quantiles (type-1, rank-based) ────────────
+  // ── q155: exact per-group quantiles (type-1, distributed selection) ──
   /** Exact distributed quantiles — the ground-truth companion to the
     * q107 approx-quantile gate. Type-1 (no interpolation): the p-th
     * quantile is the VALUE at sorted position ⌈p·n⌉, so the result is
-    * a selection, not arithmetic — engine-exact for any column type,
-    * deterministic under ties (the value at a sorted position is
-    * well-defined whatever order equal values land in). ⌈p·n⌉ is one
-    * double multiply + ceil, the identical IEEE pair both engines.
+    * a SELECTION, not arithmetic — engine-exact for any column type,
+    * deterministic under ties. ⌈p·n⌉ is one double multiply + ceil,
+    * the identical IEEE pair both engines.
     *
-    * Plan: one window sort per group (exact quantiles need the sort —
-    * that IS the cost), then a narrow agg; parallelism = groups, and
-    * the q153 caveat applies: quantiles of ONE giant group serialize
-    * into its partition — at that shape use the mergeable
-    * approx-quantile sketch (q107) instead. */
+    * Plan — two-pass distributed selection, NOT a per-group window
+    * sort (the first cut sorted each group in one partition: with 3
+    * returnflag groups that serialized 6M-row sorts and went 3.4× on
+    * 3× data): rows range-bucket on the value (any deterministic
+    * bucketing works — it never reaches the oracle; rank-in-bucket +
+    * rows-before-bucket = global rank, and ties share a bucket since
+    * the bucket is a function of the value), a map-side-combined
+    * (group, bucket) histogram + a tiny cumulative window locate the
+    * ONE bucket holding each ⌈p·n⌉, and only those buckets' rows
+    * (≈ n/buckets each) are sorted to pick the exact element. At any
+    * group cardinality the heavy stages are linear narrow shuffles;
+    * the residual sort is bucket-sized (value-skewed data wants a
+    * larger `buckets`). */
   def rankQuantilesOver(df: DataFrame, groupCol: Column, valueCol: Column,
       ps: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
-        "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
+        "p75" -> 0.75, "p95" -> 0.95),
+      buckets: Int = 1024): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
       s"quantiles must be in (0, 1]: $ps")
-    val w = Window.partitionBy(col("__grp")).orderBy(col("__val"))
-    val ranked = df.select(groupCol.as("__grp"), valueCol.as("__val"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__grp"))))
-    val qCols = ps.map { case (name, p) =>
-      max(when(col("rn") === ceil(lit(p) * col("n")), col("__val"))).as(name)
-    }
-    ranked.groupBy(col("__grp"))
-      .agg(max(col("n")).as("n"), qCols: _*)
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val base = df.select(groupCol.as("__grp"), valueCol.as("__val"))
+    val stats = base.groupBy(col("__grp")).agg(
+      count(lit(1)).as("n"),
+      min(col("__val")).as("__lo"), max(col("__val")).as("__hi"))
+    // bucket id ∈ [0, buckets): internal only — the constant-span
+    // guard and the clamp keep it total (all-equal groups land in 0)
+    val span = col("__hi").cast("double") - col("__lo").cast("double")
+    val bkt = when(span > 0, least(
+        floor((col("__val").cast("double") - col("__lo").cast("double"))
+          / span * buckets).cast("int"), lit(buckets - 1)))
+      .otherwise(0)
+    val b = base.join(broadcast(stats), "__grp").withColumn("__bkt", bkt)
+    val hist = b.groupBy(col("__grp"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(stats.select(col("__grp"), col("n"))), "__grp")
+    val wcum = Window.partitionBy(col("__grp")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pArr = array(ps.map { case (name, p) =>
+      struct(lit(name).as("q"), lit(p).as("p")) }: _*)
+    // ≤ |groups|·|ps| target rows: the bucket holding each ⌈p·n⌉
+    val targets = hist
+      .withColumn("__before", coalesce(sum(col("__c")).over(wcum), lit(0L)))
+      .select(col("__grp"), col("__bkt"), col("__c"), col("n"),
+        col("__before"), explode(pArr).as("pq"))
+      .withColumn("__k", ceil(col("pq.p") * col("n")).cast("long"))
+      .filter(col("__k") > col("__before") &&
+        col("__k") <= col("__before") + col("__c"))
+      .select(col("__grp"), col("__bkt"), col("pq.q").as("__q"),
+        (col("__k") - col("__before")).as("__rank_in_bkt"))
+    val wSel = Window.partitionBy(col("__grp"), col("__q"))
+      .orderBy(col("__val"))
+    val picked = b.join(broadcast(targets), Seq("__grp", "__bkt"))
+      .withColumn("__rn", row_number().over(wSel))
+      .filter(col("__rn") === col("__rank_in_bkt"))
+    val qCols = ps.map { case (name, _) =>
+      max(when(col("__q") === name, col("__val"))).as(name) }
+    picked.groupBy(col("__grp"))
+      .agg(first(lit(0)).as("__dummy"), qCols: _*)
+      .join(broadcast(stats.select(col("__grp"), col("n"))), "__grp")
+      .select(col("__grp") +: col("n") +: ps.map { case (name, _) => col(name) }: _*)
   }
 
   def priceQuantiles(t: Tables): DataFrame = {

@@ -444,6 +444,24 @@ class GraftApiSpec extends SparkSpec {
     assert(ok.getDouble(2) === 100000.0 && ok.isNullAt(3))
   }
 
+  test("exactQuantiles: distributed selection equals the naive sorted reference, ties and all-equal groups included") {
+    val rnd = new scala.util.Random(7)
+    // dup-heavy values force ties; group "flat" is the span=0 path
+    val rows = (1 to 500).map(i => ("g" + (i % 3), (rnd.nextInt(40) * 5).toLong)) ++
+      (1 to 7).map(_ => ("flat", 42L))
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> (sorted.length.toLong, ps.map { case (_, p) =>
+        sorted(math.ceil(p * sorted.length).toInt - 1) })
+    }
+    // buckets = 4: quantile targets genuinely span multiple buckets
+    val got = Graft.exactQuantiles(rows.toDF("g", "v"), $"g", $"v", ps, buckets = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), ps.indices.map(i => r.getLong(2 + i)).toList)).toMap
+    assert(got === want.view.mapValues { case (n, q) => (n, q.toList) }.toMap)
+  }
+
   test("labelPropagation facade matches the operator on a bridge graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L)).toDF("src", "dst")
     val viaApi = Graft.labelPropagation(edges, $"src", $"dst", iters = 2)
