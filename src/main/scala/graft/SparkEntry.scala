@@ -268,6 +268,7 @@ object SparkEntry {
     "q153_rank_normalize"    -> ((s, d) => Relational.partPriceRanks(Tables(s, d))),
     "q154_gopher_rules"      -> ((s, d) => TextOps.gopherRules(Tables(s, d))),
     "q155_exact_quantiles"   -> ((s, d) => Relational.priceQuantiles(Tables(s, d))),
+    "q156_column_drift"      -> ((s, d) => Relational.eventDrift(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1611,6 +1612,33 @@ object SparkEntry {
         |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q156: drift = two q95-shaped single-scan profiles joined per
+    // column; the relative mean shift clears its zero denominator and
+    // every statistic is exact-derived, so the flags hash-match
+    "q156_column_drift" -> {
+      def prof(pred: String): String =
+        Seq("value", "user_id").map { c =>
+          s"""SELECT '$c' AS column_name, COUNT($c) AS n,
+             | COUNT(DISTINCT $c) AS n_distinct,
+             | CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+             | CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS avg_v
+             |FROM events WHERE $pred""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (${prof("event_type = 'click'")}),
+         |b AS (${prof("event_type = 'purchase'")})
+         |SELECT a.column_name,
+         | a.n AS n_a, a.n_distinct AS nd_a, a.min_v AS min_a, a.max_v AS max_a, a.avg_v AS avg_a,
+         | b.n AS n_b, b.n_distinct AS nd_b, b.min_v AS min_b, b.max_v AS max_b, b.avg_v AS avg_b,
+         | CASE WHEN greatest(abs(a.avg_v), abs(b.avg_v)) > 0
+         |   THEN abs(a.avg_v - b.avg_v) / greatest(abs(a.avg_v), abs(b.avg_v))
+         |   ELSE 0.0 END AS avg_shift,
+         | (a.min_v <> b.min_v OR a.max_v <> b.max_v) AS range_changed,
+         | (CASE WHEN greatest(abs(a.avg_v), abs(b.avg_v)) > 0
+         |   THEN abs(a.avg_v - b.avg_v) / greatest(abs(a.avg_v), abs(b.avg_v))
+         |   ELSE 0.0 END > 0.05
+         |  OR a.min_v <> b.min_v OR a.max_v <> b.max_v) AS drifted
+         |FROM a JOIN b USING (column_name)""".stripMargin
+    },
     // q155: type-1 quantiles — the value at sorted position ⌈p·n⌉, a
     // SELECTION (no interpolation arithmetic), engine-exact; ⌈p·n⌉ is
     // the same double-multiply + ceil both engines

@@ -707,6 +707,13 @@ object Graft {
   def rankNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
     graft.operators.Relational.rankNormalizeOver(df, groupCol, valueCol)
 
+  /** Column drift detector: profile the same columns on two frames
+    * (one scan each) and flag relative-mean shifts / range changes —
+    * the train-vs-serve skew check. */
+  def columnDrift(a: DataFrame, b: DataFrame, cols: Seq[String],
+      relThresh: Double = 0.05): DataFrame =
+    graft.operators.Relational.columnDriftOver(a, b, cols, relThresh)
+
   /** Exact per-group type-1 quantiles (value at ⌈p·n⌉, no
     * interpolation) — the ground truth the approx-quantile sketch is
     * gated against. */

@@ -659,6 +659,49 @@ object Relational {
       .orderBy($"column_name")
   }
 
+  // ── q156: column drift detector ──────────────────────────────────────
+  /** Training/serving skew detection — the ML-ops check a feature
+    * pipeline runs between two snapshots (yesterday vs today, train
+    * vs serve, segment A vs B): profile the same columns on both
+    * sides (each via [[columnProfileOver]]'s ONE-scan multi-stat
+    * pass), join the k-row profiles, and flag columns whose mean
+    * shifted more than `relThresh` relatively or whose [min, max]
+    * range changed. The relative shift clears its zero denominator
+    * (both means 0 ⇒ no shift) — every statistic is an exact-integer
+    * or decimal-derived double, so flags are engine-exact.
+    *
+    * Plan: two single-scan profile aggs (map-side combined) + a
+    * k-row join — nothing scales with anything but the scans. */
+  def columnDriftOver(a: DataFrame, b: DataFrame, cols: Seq[String],
+      relThresh: Double = 0.05): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      columnProfileOver(df, cols).select(col("column_name"),
+        col("n").as(s"n_$s"), col("n_distinct").as(s"nd_$s"),
+        col("min_v").as(s"min_$s"), col("max_v").as(s"max_$s"),
+        col("avg_v").as(s"avg_$s"))
+    val denom = greatest(abs(col("avg_a")), abs(col("avg_b")))
+    side(a, "a").join(side(b, "b"), "column_name")
+      .withColumn("avg_shift",
+        when(denom > 0, abs(col("avg_a") - col("avg_b")) / denom)
+          .otherwise(lit(0.0)))
+      .withColumn("range_changed",
+        col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+      .withColumn("drifted",
+        col("avg_shift") > relThresh || col("range_changed"))
+  }
+
+  /** Fixture instance: click-vs-purchase event profiles — `value`'s
+    * range genuinely differs between the segments, `user_id` is
+    * stationary, so the detector must split them. */
+  def eventDrift(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    columnDriftOver(
+      t.events.filter($"event_type" === "click"),
+      t.events.filter($"event_type" === "purchase"),
+      Seq("value", "user_id"))
+      .orderBy($"column_name")
+  }
+
   // ── q84: fuzzy name matching (edit-distance pairs, blocked) ─────────
   // Entity-resolution primitive: near-identical part names within a
   // brand block at Levenshtein distance ≤ maxDist. Two stacked
