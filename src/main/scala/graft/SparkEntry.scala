@@ -269,6 +269,7 @@ object SparkEntry {
     "q154_gopher_rules"      -> ((s, d) => TextOps.gopherRules(Tables(s, d))),
     "q155_exact_quantiles"   -> ((s, d) => Relational.priceQuantiles(Tables(s, d))),
     "q156_column_drift"      -> ((s, d) => Relational.eventDrift(Tables(s, d))),
+    "q157_golden_record"     -> ((s, d) => Relational.partGoldenRecords(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1612,6 +1613,26 @@ object SparkEntry {
         |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q157: q84's pair set closed transitively (the q103 recursive
+    // walk) + arg_max survivorship on the collision-free len·2³²−id
+    // key — golden_id AND golden_name ride the same key
+    "q157_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT p_partkey AS id, p_partkey AS label FROM part
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t),
+        |cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+        |SELECT cluster_id,
+        | arg_max(n.p_partkey, CAST(strlen(n.p_name) AS BIGINT)*4294967296 - n.p_partkey) AS golden_id,
+        | arg_max(n.p_name, CAST(strlen(n.p_name) AS BIGINT)*4294967296 - n.p_partkey) AS golden_name,
+        | COUNT(*) AS n_members
+        |FROM cc JOIN part n ON cc.id = n.p_partkey
+        |GROUP BY 1""".stripMargin,
     // q156: drift = two q95-shaped single-scan profiles joined per
     // column; the relative mean shift clears its zero denominator and
     // every statistic is exact-derived, so the flags hash-match

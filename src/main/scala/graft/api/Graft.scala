@@ -707,6 +707,13 @@ object Graft {
   def rankNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
     graft.operators.Relational.rankNormalizeOver(df, groupCol, valueCol)
 
+  /** End-to-end entity resolution: blocked fuzzy pairs → connected
+    * components → golden record per cluster (longest name, ties to
+    * smallest id) — one row per entity, singletons included. */
+  def goldenRecords(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDist: Int = 2): DataFrame =
+    graft.operators.Relational.goldenRecordsOver(df, idCol, blockCol, nameCol, maxDist)
+
   /** Column drift detector: profile the same columns on two frames
     * (one scan each) and flag relative-mean shifts / range changes —
     * the train-vs-serve skew check. */

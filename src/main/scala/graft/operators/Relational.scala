@@ -659,6 +659,40 @@ object Relational {
       .orderBy($"column_name")
   }
 
+  // ── q157: entity resolution — golden records ─────────────────────────
+  /** The full entity-resolution pipeline as ONE composition of the
+    * engine's own primitives — blocking + fuzzy matching
+    * ([[fuzzyPairsOver]]'s PassJoin-indexed Levenshtein pairs),
+    * transitive clustering ([[graft.operators.Dedup.connectedComponents]]'
+    * pointer-jumping CC, O(log d) rounds), and survivorship: per
+    * cluster the GOLDEN record is the longest name, ties to the
+    * smallest id — one collision-free `max_by` key
+    * (len·2³² − id, the q145 recipe), no window. Every stage is the
+    * already-scale-proven operator; the composition adds one small
+    * join and one agg. Emits one row per entity (cluster), singletons
+    * included — the golden-record table IS the deduplicated entity
+    * table. */
+  def goldenRecordsOver(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDist: Int): DataFrame = {
+    val pairs = fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist)
+      .select(col("id_a"), col("id_b"))
+    val nodes = df.select(idCol.as("id"))
+    val cc = graft.operators.Dedup.connectedComponents(
+      nodes, pairs, edgesWithinNodes = true)
+    val named = cc.join(df.select(idCol.as("id"), nameCol.as("name")), "id")
+    val key = length(col("name")).cast("long") * lit(4294967296L) - col("id")
+    named.groupBy(col("component").as("cluster_id"))
+      .agg(max_by(col("id"), key).as("golden_id"),
+        max_by(col("name"), key).as("golden_name"),
+        count(lit(1)).as("n_members"))
+  }
+
+  def partGoldenRecords(t: Tables, maxDist: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    goldenRecordsOver(t.part, $"p_partkey", $"p_brand", $"p_name", maxDist)
+      .orderBy($"cluster_id")
+  }
+
   // ── q156: column drift detector ──────────────────────────────────────
   /** Training/serving skew detection — the ML-ops check a feature
     * pipeline runs between two snapshots (yesterday vs today, train

@@ -124,6 +124,8 @@ object PlanAuditSpec {
     // eagerly checkpoints each HITS phase's node-count contribution
     // frame during construction (read twice: L1 total + division)
     "q151_hits",
+    // runs the CC driver loop during construction, like q57/q103
+    "q157_golden_record",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
     "q116_bucketed_join")
