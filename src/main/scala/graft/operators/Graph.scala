@@ -113,11 +113,13 @@ object Graph {
     * proximity to the seed set. */
   def pageRankPersonalizedOver(
       edges: DataFrame, srcCol: Column, dstCol: Column,
-      seedPred: Column => Column, iters: Int, d: Double): DataFrame = {
+      seedPred: Column => Column, iters: Int, d: Double,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .localCheckpoint(false, edgeStorage)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumn("seed", seedPred(col("src")))
     val nsAgg = deg.agg(sum(when(col("seed"), 1L).otherwise(0L)).as("ns"))
@@ -152,8 +154,11 @@ object Graph {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .union(pairs.select($"s".as("src"), $"c".as("dst")))
+    // same single-box scale valve as q85 (see pageRankCustSupp)
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK"))
     pageRankPersonalizedOver(edges, $"src", $"dst",
-      id => id % 40 === 0, iters, d)
+      id => id % 40 === 0, iters, d, storage)
       .orderBy($"id")
   }
 
