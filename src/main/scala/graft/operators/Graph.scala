@@ -473,13 +473,18 @@ object Graph {
     * contribution-regroup shuffle + one one-row total broadcast per
     * phase, nothing driver-side. */
   def hitsOver(edges: DataFrame, srcCol: Column, dstCol: Column,
-      iters: Int): DataFrame = {
+      iters: Int,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // THREE edge checkpoints live here (the derivation + one per join
+    // key) — q85 carries one, so the single-box envelope arrives 3×
+    // sooner; DISK_ONLY via `edgeStorage` is the sf30 valve
     val e0 = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(false, edgeStorage)
     val eBy = Map(
-      "src" -> e0.repartition(col("src")).localCheckpoint(false),
-      "dst" -> e0.repartition(col("dst")).localCheckpoint(false))
+      "src" -> e0.repartition(col("src")).localCheckpoint(false, edgeStorage),
+      "dst" -> e0.repartition(col("dst")).localCheckpoint(false, edgeStorage))
     val nh = e0.agg(countDistinct(col("src")).as("nh"))
     val h0 = eBy("src").select(col("src").as("id")).distinct()
       .crossJoin(broadcast(nh))
@@ -513,7 +518,9 @@ object Graph {
       .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
-    hitsOver(e, $"src", $"dst", iters).orderBy($"kind", $"id")
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK"))
+    hitsOver(e, $"src", $"dst", iters, storage).orderBy($"kind", $"id")
   }
 
   /** q92: top co-purchase partner per customer — the partner sharing
