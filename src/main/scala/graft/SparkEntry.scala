@@ -288,7 +288,10 @@ object SparkEntry {
   // pair lexicographic) top pair, and replays the identical
   // position-local merge CASE (l ≠ r pairs cannot self-overlap, so
   // the simultaneous CASE equals greedy left-to-right). Generated:
-  // one (pair-count, top-1, merge) CTE trio per round.
+  // one (pair-count, top-1, merge) CTE trio per round. Each w{r-1}
+  // is referenced twice (p_r and w_r), so the w/t CTEs are AS
+  // MATERIALIZED — without it DuckDB's inliner re-evaluates the
+  // chain up to 2^k times (the q151 CTE-inlining blowup).
   private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
@@ -297,14 +300,14 @@ object SparkEntry {
          |    CASE WHEN syms[i] <> syms[i+1] THEN struct_pack(l := syms[i], r := syms[i+1]) END),
          |    p -> p IS NOT NULL)) AS u
          |  FROM w${r - 1}) GROUP BY u.l, u.r),
-         |t$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$r AS (SELECT n, list_filter(list_transform(range(1, len(syms)+1), i ->
+         |t$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT n, list_filter(list_transform(range(1, len(syms)+1), i ->
          |    CASE WHEN i < len(syms) AND syms[i] = t.l AND syms[i+1] = t.r THEN syms[i] || syms[i+1]
          |         WHEN i > 1 AND syms[i-1] = t.l AND syms[i] = t.r THEN NULL
          |         ELSE syms[i] END), x -> x IS NOT NULL) AS syms
          | FROM w${r - 1}, t$r t)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (
+    s"""w0 AS MATERIALIZED (
        | SELECT list_filter(string_split(word, ''), c -> c <> '') AS syms,
        |  CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

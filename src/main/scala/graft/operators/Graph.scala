@@ -429,8 +429,11 @@ object Graph {
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max_by(col("lab"),
-          col("cnt") * lit(4294967296L) - col("lab")).as("lab"))
+        // struct ordering key (−cnt asc, lab asc) is collision-free for
+        // ANY long label — the packed cnt·2³²−lab key silently overflowed
+        // for ids ≥ 2³¹ (e.g. xxhash-derived ids through the facade)
+        .agg(min_by(col("lab"),
+          struct((-col("cnt")).as("nc"), col("lab").as("l"))).as("lab"))
         .select(col("dst").as("id"), col("lab"))
     }
   }

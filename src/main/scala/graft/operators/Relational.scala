@@ -666,8 +666,8 @@ object Relational {
     * transitive clustering ([[graft.operators.Dedup.connectedComponents]]'
     * pointer-jumping CC, O(log d) rounds), and survivorship: per
     * cluster the GOLDEN record is the longest name, ties to the
-    * smallest id — one collision-free `max_by` key
-    * (len·2³² − id, the q145 recipe), no window. Every stage is the
+    * smallest id — one collision-free `min_by` struct key
+    * ((−len, id), the q145 recipe), no window. Every stage is the
     * already-scale-proven operator; the composition adds one small
     * join and one agg. Emits one row per entity (cluster), singletons
     * included — the golden-record table IS the deduplicated entity
@@ -680,10 +680,13 @@ object Relational {
     val cc = graft.operators.Dedup.connectedComponents(
       nodes, pairs, edgesWithinNodes = true)
     val named = cc.join(df.select(idCol.as("id"), nameCol.as("name")), "id")
-    val key = length(col("name")).cast("long") * lit(4294967296L) - col("id")
+    // struct ordering key (−len asc, id asc) — collision-free for any
+    // long id, unlike the former len·2³²−id packing (overflow ≥ 2³²)
+    val key = struct((-length(col("name")).cast("long")).as("nl"),
+      col("id").as("i"))
     named.groupBy(col("component").as("cluster_id"))
-      .agg(max_by(col("id"), key).as("golden_id"),
-        max_by(col("name"), key).as("golden_name"),
+      .agg(min_by(col("id"), key).as("golden_id"),
+        min_by(col("name"), key).as("golden_name"),
         count(lit(1)).as("n_members"))
   }
 
@@ -956,7 +959,12 @@ object Relational {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
       s"quantiles must be in (0, 1]: $ps")
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // NULL values are excluded up front (and from n): Spark's
+    // row_number orders NULLS FIRST while DuckDB orders NULLS LAST,
+    // so counting NULLs into n would shift every ⌈p·n⌉ target and
+    // silently diverge the engines on a nullable value column
     val base = df.select(groupCol.as("__grp"), valueCol.as("__val"))
+      .filter(col("__val").isNotNull)
     val stats = base.groupBy(col("__grp")).agg(
       count(lit(1)).as("n"),
       min(col("__val")).as("__lo"), max(col("__val")).as("__hi"))

@@ -79,16 +79,22 @@ object Similarity {
     val q8 = df
       .select(idCol.as("vec_id"), transform(embCol, _.cast("double")).as("v"))
       .withColumn("sc", array_max(transform(col("v"), abs(_))) / lit(127.0))
+      // all-zero vectors take code 0 everywhere (sc = 0 would divide
+      // to NaN codes and a NaN qcos) — the embeddingNearDupsBanded
+      // guard; a zero-norm side then scores qcos 0.0 (orthogonal)
       .select(col("vec_id"),
-        transform(col("v"), x => round(x / col("sc"), 0).cast("long")).as("qv"))
+        transform(col("v"), x =>
+          when(col("sc") === 0.0, lit(0L))
+            .otherwise(round(x / col("sc"), 0).cast("long"))).as("qv"))
       .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
     val probes = q8.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
     q8.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (idot(col("q_qv"), col("qv")).cast("double") /
-          (col("q_qn") * col("qn"))).as("qcos"))
+        when(col("q_qn") * col("qn") === 0.0, lit(0.0))
+          .otherwise(idot(col("q_qv"), col("qv")).cast("double") /
+            (col("q_qn") * col("qn"))).as("qcos"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
   }

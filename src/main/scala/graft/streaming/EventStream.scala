@@ -128,13 +128,28 @@ case class AsOfBuf(clicks: Seq[AsOfEvt], errors: Seq[AsOfEvt])
   * Scale: one shuffle of both sides on user_id into the state
   * operator; per-key state is O(pending errors + 1 carry click +
   * in-horizon clicks) regardless of stream length — the same
-  * watermark-bounds-state property as q117/q118. */
+  * watermark-bounds-state property as q117/q118. KEY-SPACE bound:
+  * a user whose pending errors all drain still holds one carry
+  * click, so without eviction the number of live keys grows with
+  * the all-time user count. `idleEvictUs` bounds it (the
+  * StreamAnomaly quietMs posture): clicks-only state is dropped
+  * once the watermark passes carry-click ts + idleEvictUs, so an
+  * error arriving later than that after the user's last click
+  * matches NULL (−1) instead of the evicted click — a documented
+  * retention horizon, the same class of contract as late-data
+  * drop. Default 30 days; replay harnesses sit far inside it, so
+  * q132's oracle equivalence is unchanged. */
 object StreamAsOf {
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
   import org.apache.spark.sql.{Dataset, Encoders}
   import Sessionize.{toMicros, fromMicros}
 
-  def asOfMatches(events: Dataset[UserEvent]): Dataset[AsOfRow] = {
+  /** Default carry-click retention: 30 days in micros. */
+  val DefaultIdleEvictUs: Long = 30L * 24 * 3600 * 1000000L
+
+  def asOfMatches(events: Dataset[UserEvent],
+      idleEvictUs: Long = DefaultIdleEvictUs): Dataset[AsOfRow] = {
+    require(idleEvictUs > 0, s"idleEvictUs must be > 0: $idleEvictUs")
     implicit val rowEnc = Encoders.product[AsOfRow]
     implicit val longEnc = Encoders.scalaLong
     implicit val bufEnc = Encoders.product[AsOfBuf]
@@ -161,17 +176,27 @@ object StreamAsOf {
       }
       val i = clicks.lastIndexWhere(_.ts < wmUs)
       val keptClicks = if (i < 0) clicks else clicks.drop(i)
-      if (pending.isEmpty && keptClicks.isEmpty) {
+      // clicks-only idle eviction: the carry click is only retained
+      // for errors arriving within idleEvictUs of it; past that the
+      // key is dropped entirely (bounded key-space, see object doc)
+      val evictAtUs =
+        if (keptClicks.isEmpty) Long.MaxValue
+        else if (keptClicks.last.ts > Long.MaxValue - idleEvictUs) Long.MaxValue
+        else keptClicks.last.ts + idleEvictUs
+      val clicksOnlyExpired = pending.isEmpty && wmUs >= evictAtUs
+      if ((pending.isEmpty && keptClicks.isEmpty) || clicksOnlyExpired) {
         if (state.exists) state.remove()
       } else {
         state.update(AsOfBuf(keptClicks, pending))
         // pending.head.ts ≥ wmUs, so ceil-to-millis + 1 is strictly
         // beyond the current watermark (the API's requirement) and
         // fires as soon as the watermark passes the earliest pending
-        // error
-        if (pending.nonEmpty)
+        // error; with no pending errors the timeout is the idle
+        // eviction point instead (also > watermark by the branch above)
+        val fireUs = if (pending.nonEmpty) pending.head.ts else evictAtUs
+        if (fireUs != Long.MaxValue)
           state.setTimeoutTimestamp(
-            math.floorDiv(pending.head.ts + 999L, 1000L) + 1L)
+            math.floorDiv(fireUs + 999L, 1000L) + 1L)
       }
       out.iterator
     }
