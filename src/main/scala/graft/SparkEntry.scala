@@ -270,6 +270,8 @@ object SparkEntry {
     "q155_exact_quantiles"   -> ((s, d) => Relational.priceQuantiles(Tables(s, d))),
     "q156_column_drift"      -> ((s, d) => Relational.eventDrift(Tables(s, d))),
     "q157_golden_record"     -> ((s, d) => Relational.partGoldenRecords(Tables(s, d))),
+    "q158_cdc_merge"         -> ((s, d) => graft.operators.Cdc.cdcMergeSnapshot(Tables(s, d))),
+    "q159_scd2"              -> ((s, d) => graft.operators.Cdc.scd2History(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1616,6 +1618,46 @@ object SparkEntry {
         |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q158: the engine applies early changes as a base snapshot then
+    // merges the delta; by mergeApply's associativity the result must
+    // equal THIS full-log latest-wins snapshot (latest (us, seq) per
+    // key, latest-'D' keys absent) — the oracle never sees the split,
+    // so it checks the merge algebra, not just the window arithmetic
+    "q158_cdc_merge" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY key ORDER BY us DESC, seq DESC) AS rn FROM log)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS updated_ts
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+    // q159: SCD2 replayed with the same two windows — suppression
+    // against the immediate predecessor (exact by induction: a
+    // suppressed upsert's payload equals the live state), then
+    // lead(us) closes each retained version; deletes only close
+    "q159_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |o AS (SELECT *, lag(op) OVER w AS pop, lag(value) OVER w AS pval,
+        |    lag(etype) OVER w AS pet
+        |  FROM log WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        |r AS (SELECT * FROM o WHERE
+        |  CASE WHEN op = 'D' THEN pop = 'U'
+        |       ELSE pop IS NULL OR pop = 'D'
+        |         OR value IS DISTINCT FROM pval OR etype IS DISTINCT FROM pet
+        |  END),
+        |v AS (SELECT *, lead(us) OVER
+        |  (PARTITION BY key ORDER BY us, seq) AS to_us FROM r)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS valid_from,
+        | make_timestamp(to_us) AS valid_to, to_us IS NULL AS is_current
+        |FROM v WHERE op = 'U'""".stripMargin,
     // q157: q84's pair set closed transitively (the q103 recursive
     // walk) + arg_max survivorship on the collision-free len·2³²−id
     // key — golden_id AND golden_name ride the same key

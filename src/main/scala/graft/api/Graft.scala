@@ -736,4 +736,16 @@ object Graft {
     * moments. */
   def dimStats(df: DataFrame, vecCol: Column, scaleBits: Int = 30): DataFrame =
     graft.operators.Similarity.dimStatsOver(df, vecCol, scaleBits)
+
+  /** Latest-wins CDC apply: fold a canonical change log (key, us,
+    * seq, op, payload...) onto an optional base snapshot — associative
+    * across any log split, one map-side-combinable agg + keyed join. */
+  def cdcMerge(base: Option[DataFrame], changes: DataFrame): DataFrame =
+    graft.operators.Cdc.mergeApply(base, changes)
+
+  /** SCD2 history assembly: change log → (key, payload...,
+    * valid_from_us, valid_to_us, is_current) version rows, change
+    * suppression included — two windows over one exchange. */
+  def scd2(changes: DataFrame): DataFrame =
+    graft.operators.Cdc.scd2Over(changes)
 }

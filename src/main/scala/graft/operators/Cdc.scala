@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions.tsMicros
+
+/** Change-data-capture application — the mutation primitive every
+  * other operator family here lacks: a warehouse doesn't only READ
+  * snapshots, it assembles them from upstream change feeds (the
+  * reference's own serving table is a point-in-time snapshot of the
+  * play-by-play feed, `/root/reference/assets/app_nfl.py:42-65`;
+  * this family is how such snapshots are maintained from a log).
+  *
+  * Canonical change-log shape, shared by both operators: one row per
+  * change with columns `key` (entity), `us`/`seq` (total event order:
+  * exact epoch micros, unique sequence tie-break), `op` ('U' upsert /
+  * 'D' delete), plus any payload columns. Both operators are pure
+  * log algebra — no payload arithmetic — so results are hash-exact
+  * against any engine that orders (us, seq) the same way.
+  */
+object Cdc {
+
+  private val MetaCols = Seq("key", "us", "seq", "op")
+
+  /** Latest-wins CDC apply: fold a change log onto an optional base
+    * snapshot, producing the new snapshot. The latest change per key
+    * (max (us, seq)) wins; a latest-'D' key is absent from the
+    * snapshot; keys untouched by the log keep their base row.
+    *
+    * Snapshots carry (key, us, seq, payload...) — the change metadata
+    * of the row that produced them — which makes apply ASSOCIATIVE:
+    * `apply(apply(∅, early), late) = apply(∅, early ∪ late)` for any
+    * split of the log (ties across batches resolve identically
+    * because (us, seq) rides along). q158 verifies exactly that
+    * algebra against a full-log oracle.
+    *
+    * Scale: the per-key latest is ONE map-side-combinable `min_by`
+    * agg over a struct ordering key — no window, no per-key sort, and
+    * a hot key combines within each map task, so a skewed entity
+    * never serializes (contrast a row_number window, which sorts the
+    * hot key's rows in one partition). The base join is a plain
+    * keyed full-outer (broadcastable when the delta's key set is
+    * small — AQE decides from the agg's output stats). */
+  def mergeApply(base: Option[DataFrame], changes: DataFrame): DataFrame = {
+    val payload = changes.columns.filterNot(MetaCols.contains).toSeq
+    require(changes.columns.take(4).sameElements(MetaCols),
+      s"changes must lead with (key, us, seq, op): ${changes.columns.toSeq}")
+    // min_by on (−us, −seq): latest change, collision-free for any
+    // long domain (the q145/q157 struct-key recipe)
+    val ordKey = struct((-col("us")).as("nu"), (-col("seq")).as("ns"))
+    val latest = changes.groupBy(col("key")).agg(
+      min_by(struct(col("us") +: col("seq") +: col("op") +:
+        payload.map(col): _*), ordKey).as("__c"))
+    base match {
+      case None =>
+        latest.filter(col("__c.op") === "U")
+          .select(col("key") +: col("__c.us").as("us") +:
+            col("__c.seq").as("seq") +:
+            payload.map(p => col(s"__c.$p").as(p)): _*)
+      case Some(b) =>
+        require(b.columns.take(3).sameElements(Seq("key", "us", "seq")),
+          s"base must lead with (key, us, seq): ${b.columns.toSeq}")
+        val joined = b.as("b").join(latest.as("d"), Seq("key"), "full_outer")
+        val useDelta = col("__c").isNotNull
+        joined
+          .filter(!useDelta || col("__c.op") === "U")
+          .select(col("key") +:
+            when(useDelta, col("__c.us")).otherwise(col("b.us")).as("us") +:
+            when(useDelta, col("__c.seq")).otherwise(col("b.seq")).as("seq") +:
+            payload.map(p =>
+              when(useDelta, col(s"__c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
+    }
+  }
+
+  /** SCD2 snapshot assembly: turn the change log into slowly-changing
+    * dimension type-2 rows `(key, payload..., valid_from_us,
+    * valid_to_us, is_current)` — one version row per contiguous run
+    * of identical live state, the standard warehouse history table.
+    *
+    * True SCD2 opens a version only when tracked state CHANGES, so a
+    * suppression pass precedes interval assignment: an upsert equal
+    * to the immediately preceding change's payload is a no-op, as is
+    * a delete with no live state (previous change also 'D', or no
+    * previous change). The immediate-predecessor comparison is exact
+    * because a suppressed upsert's payload EQUALS the effective state
+    * by definition — induction carries the equality through any run.
+    * Retained rows then take `valid_to = lead(us)` (the next retained
+    * change closes the version); deletes emit no row of their own,
+    * they only close their predecessor. `is_current` marks open
+    * intervals (valid_to NULL).
+    *
+    * Plan: two window passes over the SAME (key | us, seq) spec —
+    * one exchange + one in-partition sort total, the filter between
+    * them is pipelined; nothing else touches corpus-scale data. */
+  def scd2Over(changes: DataFrame): DataFrame = {
+    val payload = changes.columns.filterNot(MetaCols.contains).toSeq
+    require(changes.columns.take(4).sameElements(MetaCols),
+      s"changes must lead with (key, us, seq, op): ${changes.columns.toSeq}")
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("seq"))
+    val samePayload = payload
+      .map(p => col(p) <=> lag(col(p), 1).over(w))
+      .reduce(_ && _)
+    val pop = lag(col("op"), 1).over(w)
+    val retained = changes
+      .withColumn("__keep",
+        when(col("op") === "D", pop === "U")
+          .otherwise(pop.isNull || pop === "D" || !samePayload))
+      .filter(col("__keep"))
+    retained
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .filter(col("op") === "U")
+      .select(col("key") +: payload.map(col) :+
+        col("us").as("valid_from_us") :+ col("valid_to_us") :+
+        col("valid_to_us").isNull.as("is_current"): _*)
+  }
+
+  /** The fixture change log: `events` as a CDC feed over per-user
+    * profile state — key = user_id, order = (ts micros, event_id),
+    * 'error' events are deletes, everything else upserts carrying
+    * (value, etype). */
+  def eventChangeLog(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.events.select(
+      $"user_id".as("key"), tsMicros($"ts").as("us"), $"event_id".as("seq"),
+      when($"event_type" === "error", "D").otherwise("U").as("op"),
+      $"value", $"event_type".as("etype"))
+  }
+
+  /** q158: CDC merge — build a base snapshot from the log's first two
+    * weeks, merge the remaining delta onto it, and emit the result,
+    * which by [[mergeApply]]'s associativity must equal the full-log
+    * latest-wins snapshot the oracle computes directly. */
+  def cdcMergeSnapshot(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val log = eventChangeLog(t)
+    val cutoffUs = lit(java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000L)
+    val base = mergeApply(None, log.filter($"us" < cutoffUs))
+    mergeApply(Some(base), log.filter($"us" >= cutoffUs))
+      .select($"key".as("user_id"), $"value", $"etype",
+        timestamp_micros($"us").as("updated_ts"))
+      .orderBy($"user_id")
+  }
+
+  /** q159: SCD2 history assembly over the full fixture change log. */
+  def scd2History(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    scd2Over(eventChangeLog(t))
+      .select($"key".as("user_id"), $"value", $"etype",
+        timestamp_micros($"valid_from_us").as("valid_from"),
+        timestamp_micros($"valid_to_us").as("valid_to"), $"is_current")
+      .orderBy($"user_id", $"valid_from")
+  }
+}

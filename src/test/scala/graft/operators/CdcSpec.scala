@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC apply / SCD2 semantics: merge associativity, change
+  * suppression, delete-close, and the snapshot ≡ current-versions
+  * identity that ties q158 and q159 together. */
+class CdcSpec extends SparkSpec {
+
+  // hand-built change log: upserts, a same-payload no-op, a delete,
+  // a re-insert after delete, a leading delete (no-op), and a ts tie
+  // broken by seq
+  private def log: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // key 1: U(a) → U(a) suppressed → U(b) → D → U(c) re-insert
+      (1L, 100L, 1L, "U", 1.0, "a"),
+      (1L, 200L, 2L, "U", 1.0, "a"),
+      (1L, 300L, 3L, "U", 2.0, "b"),
+      (1L, 400L, 4L, "D", 0.0, "x"),
+      (1L, 500L, 5L, "U", 3.0, "c"),
+      // key 2: leading delete is a no-op, then one upsert
+      (2L, 100L, 6L, "D", 0.0, "x"),
+      (2L, 200L, 7L, "U", 9.0, "z"),
+      // key 3: ts tie — seq 9 wins latest
+      (3L, 100L, 8L, "U", 1.0, "p"),
+      (3L, 100L, 9L, "U", 2.0, "q"),
+      // key 4: deleted and never re-inserted
+      (4L, 100L, 10L, "U", 5.0, "m"),
+      (4L, 200L, 11L, "D", 0.0, "x"),
+      // key 5: double delete — second is a no-op
+      (5L, 100L, 12L, "U", 7.0, "n"),
+      (5L, 200L, 13L, "D", 0.0, "x"),
+      (5L, 300L, 14L, "D", 0.0, "x")
+    ).toDF("key", "us", "seq", "op", "value", "etype")
+  }
+
+  test("mergeApply latest-wins snapshot semantics") {
+    val snap = Cdc.mergeApply(None, log).orderBy("key")
+      .select("key", "us", "seq", "value", "etype")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(snap.toSeq === Seq(
+      (1L, 500L, 5L, 3.0, "c"),
+      (2L, 200L, 7L, 9.0, "z"),
+      (3L, 100L, 9L, 2.0, "q")))
+  }
+
+  test("mergeApply is associative across any log split") {
+    val full = Cdc.mergeApply(None, log)
+    for (cut <- Seq(150L, 250L, 450L)) {
+      val base = Cdc.mergeApply(None, log.filter(col("us") < cut))
+      val merged = Cdc.mergeApply(Some(base), log.filter(col("us") >= cut))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        s"split at $cut diverges from full-log apply")
+    }
+  }
+
+  test("scd2Over: suppression, delete-close, re-insert, is_current") {
+    val v = Cdc.scd2Over(log).orderBy("key", "valid_from_us")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    assert(v.toSeq === Seq(
+      // key 1: version a [100,300) — the 200 no-op never splits it —
+      // then b [300,400) closed by the delete, then c [500,∞)
+      (1L, 1.0, "a", 100L, 300L, false),
+      (1L, 2.0, "b", 300L, 400L, false),
+      (1L, 3.0, "c", 500L, -1L, true),
+      // key 2: the leading delete is a no-op
+      (2L, 9.0, "z", 200L, -1L, true),
+      // key 3: ts tie splits on seq
+      (3L, 1.0, "p", 100L, 100L, false),
+      (3L, 2.0, "q", 100L, -1L, true),
+      // key 4: closed by its delete, nothing current
+      (4L, 5.0, "m", 100L, 200L, false),
+      // key 5: the second delete is a no-op (no phantom close)
+      (5L, 7.0, "n", 100L, 200L, false)))
+  }
+
+  test("fixture identity: q158 snapshot equals q159 current versions") {
+    val snap = Cdc.cdcMergeSnapshot(sf001)
+      .select("user_id", "value", "etype")
+    val cur = Cdc.scd2History(sf001).filter(col("is_current"))
+      .select("user_id", "value", "etype")
+    assert(snap.count() > 0)
+    assert(snap.exceptAll(cur).isEmpty && cur.exceptAll(snap).isEmpty)
+  }
+
+  test("scd2 intervals per key are disjoint, ordered, and singly current") {
+    val v = Cdc.scd2Over(Cdc.eventChangeLog(sf001))
+    // at most one open interval per key
+    val multiCurrent = v.filter(col("is_current"))
+      .groupBy("key").count().filter(col("count") > 1).count()
+    assert(multiCurrent === 0)
+    // valid_from < valid_to, and consecutive versions never overlap
+    assert(v.filter(col("valid_to_us").isNotNull &&
+      col("valid_from_us") >= col("valid_to_us")).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("valid_from_us"))
+    val overlaps = v.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("next_from")))
+      .count()
+    assert(overlaps === 0)
+  }
+
+  test("plans: mergeApply has no window sort; scd2 shuffles once") {
+    val mergePlan = Cdc.mergeApply(None, Cdc.eventChangeLog(sf001))
+      .queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Window"),
+      s"latest-wins must be an agg, not a window:\n$mergePlan")
+    val scd2Plan = Cdc.scd2Over(Cdc.eventChangeLog(sf001))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(scd2Plan).length
+    assert(exchanges === 1,
+      s"both windows must share one exchange:\n$scd2Plan")
+  }
+}
