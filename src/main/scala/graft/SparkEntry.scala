@@ -272,6 +272,8 @@ object SparkEntry {
     "q157_golden_record"     -> ((s, d) => Relational.partGoldenRecords(Tables(s, d))),
     "q158_cdc_merge"         -> ((s, d) => graft.operators.Cdc.cdcMergeSnapshot(Tables(s, d))),
     "q159_scd2"              -> ((s, d) => graft.operators.Cdc.scd2History(Tables(s, d))),
+    "q160_rrf_fusion"        -> ((s, d) => PipelineOps.rrfHybrid(Tables(s, d))),
+    "q161_rrf_ann_gate"      -> ((s, d) => PipelineOps.rrfAnnGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1618,6 +1620,57 @@ object SparkEntry {
         |h2 AS MATERIALIZED (SELECT src AS id, CAST(qs AS DOUBLE)/CAST(s AS DOUBLE) AS score FROM qh2 CROSS JOIN sh2)
         |SELECT id, 'auth' AS kind, score FROM a2
         |UNION ALL SELECT id, 'hub' AS kind, score FROM h2""".stripMargin,
+    // q160: both rankings replayed (BM25 = q128's chain, cosine =
+    // q28's fold) then the fusion itself: each RRF term is one
+    // division of exact ints, the two terms add left-to-right —
+    // the identical IEEE shape as the engine's fixed chain
+    "q160_rrf_fusion" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |bm AS (SELECT tf.doc_id, tf.word,
+        |  ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |   * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |   / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |       (CAST(dl.dl AS DOUBLE) / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))) AS bm25
+        | FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN st),
+        |q AS (SELECT doc_id AS q_id,
+        |   unnest(list_distinct(string_split(text, ' ')[1:4])) AS word
+        |  FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT q.q_id, bm.doc_id,
+        |  list_reduce(list_prepend(0.0, list(bm.bm25 ORDER BY bm.word)),
+        |    (a, b) -> a + b) AS score
+        | FROM bm JOIN q USING (word) GROUP BY 1, 2),
+        |bmr AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM sc QUALIFY rank <= 10),
+        |cq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |cp AS (SELECT q_id, vec_id AS doc_id,
+        |  ${dotOf("q_emb", "embedding")} / (sqrt(${dotOf("q_emb", "q_emb")}) * sqrt(${dotOf("embedding", "embedding")})) AS cos
+        | FROM embeddings, cq WHERE vec_id <> q_id),
+        |cr AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
+        |  FROM cp QUALIFY rank <= 10),
+        |u AS (SELECT COALESCE(b.q_id, c.q_id) AS q_id,
+        |  COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  b.rank AS rank_bm25, c.rank AS rank_cos
+        | FROM bmr b FULL JOIN cr c ON b.q_id = c.q_id AND b.doc_id = c.doc_id),
+        |f AS (SELECT q_id, doc_id, rank_bm25, rank_cos,
+        |  (CASE WHEN rank_bm25 IS NOT NULL THEN 1.0/(60 + rank_bm25) ELSE 0.0 END)
+        |  + (CASE WHEN rank_cos IS NOT NULL THEN 1.0/(60 + rank_cos) ELSE 0.0 END) AS rrf
+        | FROM u)
+        |SELECT q_id, doc_id, rank_bm25, rank_cos, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+        |FROM f QUALIFY rank <= 10""".stripMargin,
+    // q161: the ANN-fused list's overlap contract vs the exact fusion
+    // (gate shape of q101/q102/q135 — the engine recomputes both
+    // fusions, the oracle asserts the floor holds)
+    "q161_rrf_ann_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // q158: the engine applies early changes as a base snapshot then
     // merges the delta; by mergeApply's associativity the result must
     // equal THIS full-log latest-wins snapshot (latest (us, seq) per

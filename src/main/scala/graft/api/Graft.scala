@@ -748,4 +748,12 @@ object Graft {
     * suppression included — two windows over one exchange. */
   def scd2(changes: DataFrame): DataFrame =
     graft.operators.Cdc.scd2Over(changes)
+
+  /** Reciprocal-rank fusion of named per-query rankings (each
+    * `(q_id, doc_id, rank)`): score = Σ 1/(c + rank), absent lists
+    * contribute 0 — the calibration-free hybrid-retrieval combiner;
+    * engine-exact integer-rank arithmetic. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int = 10,
+      c: Int = 60): DataFrame =
+    graft.operators.PipelineOps.rrfFuseOver(rankings, k, c)
 }

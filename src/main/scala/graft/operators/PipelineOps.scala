@@ -125,6 +125,92 @@ object PipelineOps {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q160/q161: hybrid retrieval — reciprocal-rank fusion ────────────
+  /** RRF (Cormack, Clarke & Buettcher, SIGIR 2009): fuse N per-query
+    * rankings into one, score(q, d) = Σ_lists 1/(c + rank_list(q, d)),
+    * a doc absent from a list contributing 0 — the standard hybrid-
+    * retrieval combiner (sparse BM25 + dense ANN) because it needs no
+    * score calibration, only ranks. Engine-exact by construction:
+    * ranks are exact integers, each term is ONE correctly-rounded
+    * division of exactly-representable operands, and the terms add in
+    * fixed list order (a left-associated chain, not a SUM agg — agg
+    * order isn't deterministic); final ties break on doc_id.
+    *
+    * Each input ranking is already top-k per query, so fusion only
+    * ever touches O(|Q|·k·lists) candidate rows — the corpus-scale
+    * work lives in the upstream retrieval operators; this composition
+    * adds one narrow agg and a |Q|-partitioned ranking window over a
+    * tiny frame, whatever the corpus size. */
+  def rrfFuseOver(rankings: Seq[(String, DataFrame)], k: Int = 10,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(c >= 1, s"rrf constant must be >= 1: $c")
+    val tagged = rankings.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col("q_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"), lit(i).as("src"))
+    }.reduce(_ unionAll _)
+    val rankCols = rankings.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("src") === i, col("rank"))).as(s"rank_$name") }
+    val g = tagged.groupBy(col("q_id"), col("doc_id"))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val rrf = rankings.map { case (name, _) =>
+      when(col(s"rank_$name").isNotNull,
+        lit(1.0) / (lit(c) + col(s"rank_$name")).cast("double"))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    g.withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** q160: RRF of the two oracle-exact retrieval halves — q128's BM25
+    * top-k over `documents` and the brute-force exact-cosine top-k
+    * over `embeddings` (the shared integer id space is the doc key;
+    * at sf0.1 the embedding side covers only a prefix of the corpus,
+    * which is the realistic partially-embedded-corpus case RRF
+    * handles natively via the absent-list-0 term). Fully
+    * hash-checked: the oracle replays both rankings AND the fusion. */
+  def rrfHybrid(t: Tables, k: Int = 10): DataFrame = {
+    import t.spark.implicits._
+    val bm = bm25TopK(t, k).select($"q_id", $"doc_id", $"rank")
+    val cos = Similarity.knnBruteForce(t)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank")
+    rrfFuseOver(Seq("bm25" -> bm, "cos" -> cos), k)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q161: the production fusion — same BM25 half, but the dense half
+    * is the IVF-PQ ANN shortlist (q135's scale path) instead of the
+    * brute-force scan — gated against the exact fusion: mean
+    * overlap@k of the ANN-fused list vs the exact-fused list must
+    * clear `floor` (the q101/q102/q135 contract shape; the oracle
+    * asserts the gate, the engine recomputes both fusions). */
+  def rrfAnnGate(t: Tables, k: Int = 10, floor: Double = 0.8): DataFrame = {
+    import t.spark.implicits._
+    val bm = bm25TopK(t, k).select($"q_id", $"doc_id", $"rank")
+    val exact = rrfFuseOver(Seq(
+      "bm25" -> bm,
+      "cos" -> Similarity.knnBruteForce(t)
+        .select($"q_id", $"vec_id".as("doc_id"), $"rank")), k)
+      .select($"q_id", $"doc_id")
+    val fused = rrfFuseOver(Seq(
+      "bm25" -> bm,
+      "cos" -> Similarity.annPq(t)
+        .select($"q_id", $"vec_id".as("doc_id"), $"rank")), k)
+      .select($"q_id", $"doc_id")
+    val hits = exact.join(fused, Seq("q_id", "doc_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    val perQ = exact.select($"q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    val gate = perQ
+      .agg((sum($"n_hits").cast("double") /
+        (count(lit(1)) * k.toDouble) >= floor).as("meets_floor"))
+    perQ.select($"q_id").crossJoin(broadcast(gate)).orderBy($"q_id")
+  }
+
   // ── q93: inverted index (posting lists) ─────────────────────────────
   // The retrieval-side dual of TF-IDF/BM25: per term, document
   // frequency, collection frequency, and the doc-id posting list in
