@@ -274,6 +274,8 @@ object SparkEntry {
     "q159_scd2"              -> ((s, d) => graft.operators.Cdc.scd2History(Tables(s, d))),
     "q160_rrf_fusion"        -> ((s, d) => PipelineOps.rrfHybrid(Tables(s, d))),
     "q161_rrf_ann_gate"      -> ((s, d) => PipelineOps.rrfAnnGate(Tables(s, d))),
+    "q162_incr_dedup"        -> ((s, d) => Dedup.incrementalDedupClusters(Tables(s, d))),
+    "q163_sssp"              -> ((s, d) => graft.operators.Graph.ssspCustSupp(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -316,6 +318,37 @@ object SparkEntry {
        |  CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        | WHERE strlen(word) >= 2 GROUP BY word),
+       |$rounds""".stripMargin
+  }
+
+  // q163: k unrolled Bellman–Ford rounds over the weighted
+  // customer↔supplier graph — all-integer relaxation, so the chain is
+  // exact by construction; each d{r-1} is referenced twice per round
+  // (carry + relax), hence AS MATERIALIZED throughout (the q151/q133
+  // CTE-inlining lesson). The engine runs until convergence and
+  // REQUIRES the improving-round count to fit the unroll.
+  private def ssspCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""d$r AS MATERIALIZED (
+         | SELECT p.id,
+         |  CASE WHEN p.dist IS NULL THEN r.nd
+         |       WHEN r.nd IS NULL THEN p.dist
+         |       WHEN r.nd < p.dist THEN r.nd ELSE p.dist END AS dist
+         | FROM d${r - 1} p LEFT JOIN (
+         |  SELECT e.dst AS id, MIN(p2.dist + e.w) AS nd
+         |  FROM d${r - 1} p2 JOIN e ON p2.id = e.src
+         |  WHERE p2.dist IS NOT NULL GROUP BY e.dst) r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       | SELECT o_custkey*2 AS c, l_suppkey*2+1 AS s,
+       |  MIN(CAST(l_quantity AS INT)) AS w
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       | SELECT c AS src, s AS dst, w FROM e0
+       | UNION ALL SELECT s AS src, c AS dst, w FROM e0),
+       |d0 AS MATERIALIZED (
+       | SELECT DISTINCT src AS id,
+       |  CASE WHEN src % 40 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
        |$rounds""".stripMargin
   }
 
@@ -1671,6 +1704,38 @@ object SparkEntry {
     "q161_rrf_ann_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q163: converged Bellman–Ford ≡ any unroll ≥ the improving-round
+    // count (the engine requires that bound); all-integer distances
+    "q163_sssp" ->
+      s"""WITH ${ssspCtes(graft.operators.Graph.SsspOracleRounds)}
+        |SELECT id,
+        | CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        | dist
+        |FROM d${graft.operators.Graph.SsspOracleRounds}""".stripMargin,
+    // q162: the engine splits the corpus 90/10, persists a bucketed
+    // band index over the 90%, and dedups the 10% delta against it —
+    // the oracle is q103's FROM-SCRATCH closure over the whole table,
+    // so the incremental composition must reproduce the one-shot
+    // clustering exactly (banding is a per-doc function; verified
+    // pair sets coincide)
+    "q162_incr_dedup" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh
+        | FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE 1.0 - CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |   / (len(a.sh)+len(b.sh)-CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)) <= 0.4),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.s AS doc_id, w.label FROM walk w JOIN e ON w.doc_id = e.t)
+        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_keeper
+        |FROM walk GROUP BY doc_id""".stripMargin,
     // q158: the engine applies early changes as a base snapshot then
     // merges the delta; by mergeApply's associativity the result must
     // equal THIS full-log latest-wins snapshot (latest (us, seq) per

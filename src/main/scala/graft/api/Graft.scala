@@ -756,4 +756,45 @@ object Graft {
   def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int = 10,
       c: Int = 60): DataFrame =
     graft.operators.PipelineOps.rrfFuseOver(rankings, k, c)
+
+  /** Build and persist a MinHash dedup index (bucketed band + doc
+    * tables, verified pair set) under `prefix` managed tables. */
+  def buildDedupIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      prefix: String, maxDist: Double = 0.4, bands: Int = 16,
+      rowsPerBand: Int = 2, shingleK: Int = 3, buckets: Int = 8): Unit =
+    graft.operators.Dedup.buildDedupIndex(docs, idCol, textCol, prefix,
+      maxDist, bands, rowsPerBand, shingleK, buckets)
+
+  /** Dedup a delta corpus against a persisted index: cluster labels
+    * over (index ∪ delta), equal to from-scratch clustering of the
+    * union; the index is read bucket-locally, never re-banded. */
+  def dedupIncremental(delta: DataFrame, idCol: Column, textCol: Column,
+      prefix: String, maxDist: Double = 0.4, bands: Int = 16,
+      rowsPerBand: Int = 2, shingleK: Int = 3): DataFrame =
+    graft.operators.Dedup.dedupIncrementalOver(delta, idCol, textCol, prefix,
+      maxDist, bands, rowsPerBand, shingleK)
+
+  /** Write the updated index (docs/bands/pairs extended by the delta)
+    * under `outPrefix` — tomorrow's delta dedups against the union. */
+  def updateDedupIndex(delta: DataFrame, idCol: Column, textCol: Column,
+      prefix: String, outPrefix: String, maxDist: Double = 0.4,
+      bands: Int = 16, rowsPerBand: Int = 2, shingleK: Int = 3,
+      buckets: Int = 8): Unit =
+    graft.operators.Dedup.updateDedupIndex(delta, idCol, textCol, prefix,
+      outPrefix, maxDist, bands, rowsPerBand, shingleK, buckets)
+
+  /** Multi-source shortest paths, fixed relax rounds (all-integer
+    * weights/distances; NULL dist = unreached within the rounds). */
+  def sssp(edges: DataFrame, srcCol: Column, dstCol: Column, wCol: Column,
+      sourcePred: Column => Column, iters: Int): DataFrame =
+    graft.operators.Graph.ssspOver(edges, srcCol, dstCol, wCol,
+      sourcePred, iters)
+
+  /** Multi-source shortest paths run until convergence (exact
+    * shortest distances); returns (distances, rounds-run). */
+  def ssspConverged(edges: DataFrame, srcCol: Column, dstCol: Column,
+      wCol: Column, sourcePred: Column => Column,
+      maxIters: Int = 64): (DataFrame, Int) =
+    graft.operators.Graph.ssspConverged(edges, srcCol, dstCol, wCol,
+      sourcePred, maxIters)
 }

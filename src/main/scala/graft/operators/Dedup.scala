@@ -180,6 +180,201 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxDist)
   }
 
+  // ── q162: incremental dedup against a persisted band index ──────────
+  // The production shape of near-dedup is not one batch over the
+  // whole corpus: yesterday's corpus is already banded and verified,
+  // and today's ingest delta should only pay for ITS OWN bands plus
+  // the verify work its candidates touch. The index persists three
+  // tables: `<prefix>_docs` (doc_id, shh — the 8-byte shingle-hash
+  // sets, bucketed by doc_id), `<prefix>_bands` (bk, doc_id — one
+  // flattened 64-bit band key per band, bucketed by bk), and
+  // `<prefix>_pairs` (the index-internal verified pair set —
+  // answer-bound, tiny next to the corpus). Incremental dedup then
+  // joins the delta's bands against the band table BUCKET-LOCALLY
+  // (zero exchanges on the index side — only the delta shuffles into
+  // the index's layout), verifies cross candidates against the doc
+  // table (again bucket-co-located on doc_id), and re-runs connected
+  // components over (persisted pairs ∪ new pairs) — CC is cheap
+  // because the edge set is answer-bound; the corpus-scale work
+  // (shingling, signatures, banding of the index side) is exactly
+  // what never re-runs.
+  //
+  // Equivalence to from-scratch: signatures and band keys are pure
+  // per-doc functions, so a pair co-buckets in the split run iff it
+  // co-buckets in the one-shot run; the flattened xxhash64 band key
+  // can only ADD candidates over the struct key (a 64-bit collision
+  // merges two buckets), and every candidate is exact-verified — the
+  // verified pair set, hence the clustering, is identical. q162's
+  // oracle is therefore q103's from-scratch closure over the union.
+
+  /** Shingled docs with 8-byte shingle-hash sets; `shh` is empty for
+    * docs below the shingle width (they still cluster as singletons). */
+  private[operators] def shingledDocs(df: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      shingleK: Int): DataFrame =
+    df.select(idCol.as("doc_id"), array_sort(shingles(textCol, shingleK)).as("sh"))
+      .withColumn("shh",
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+
+  /** One flattened 64-bit band key per band: xxhash64(band, sigs...).
+    * Collisions across (band, sig) tuples only widen candidate sets
+    * (exact verify filters them), never lose a candidate. */
+  private[operators] def flatBands(docs: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = call_function("minhash_sigs", col("sh"), lit(bands * rowsPerBand))
+    val keys = array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r =>
+        element_at(col("sigs"), b * rowsPerBand + r + 1))
+      xxhash64(lit(b) +: parts: _*)
+    }: _*)
+    docs.filter(size(col("sh")) > 0)
+      .withColumn("sigs", sigs)
+      .select(col("doc_id"), explode(keys).as("bk"))
+  }
+
+  /** Build and persist the dedup index for `docs` under `prefix`.
+    * One corpus pass for shingles/signatures (the localCheckpoint is
+    * a stand-in for the persisted signature table at cluster scale),
+    * two bucketed writes, and the index-internal verified pair set. */
+  def buildDedupIndex(docs: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column, prefix: String,
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2,
+      shingleK: Int = 3, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    Seq(s"${prefix}_docs", s"${prefix}_bands", s"${prefix}_pairs").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    val d = shingledDocs(docs, idCol, textCol, shingleK).localCheckpoint(true)
+    d.select(col("doc_id"), col("shh"))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_docs")
+    flatBands(d, bands, rowsPerBand)
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${prefix}_bands")
+    minhashPairsCore(docs, idCol, textCol, maxDist, bands, rowsPerBand, shingleK)
+      .select(col("id_a"), col("id_b"))
+      .write.saveAsTable(s"${prefix}_pairs")
+  }
+
+  /** Dedup a delta corpus against the persisted index: cluster labels
+    * over (index ∪ delta), identical to from-scratch clustering of
+    * the union (see the equivalence note above). The delta pays for
+    * its own banding, one shuffle INTO the index's band layout, the
+    * candidate verify, and the answer-bound CC — the index is never
+    * re-shingled, re-signed, or re-banded, and its tables are read
+    * in bucket layout with zero exchanges (IncrementalDedupSpec). */
+  def dedupIncrementalOver(delta: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      prefix: String, maxDist: Double = 0.4, bands: Int = 16,
+      rowsPerBand: Int = 2, shingleK: Int = 3): DataFrame = {
+    val spark = delta.sparkSession
+    val idxDocs = spark.table(s"${prefix}_docs")
+    val idxBands = spark.table(s"${prefix}_bands")
+    val idxPairs = spark.table(s"${prefix}_pairs")
+    val dd = shingledDocs(delta, idCol, textCol, shingleK).localCheckpoint(true)
+    // candidate join: merge-hinted (at scale neither side broadcasts)
+    // — the index side reads its buckets sorted, only the delta's
+    // band rows shuffle
+    val cross = flatBands(dd, bands, rowsPerBand)
+      .select(col("doc_id").as("id_d"), col("bk")).hint("merge")
+      .join(idxBands.select(col("doc_id").as("id_i"), col("bk")), Seq("bk"))
+      .select(col("id_d"), col("id_i"))
+      .distinct()
+    // verify: delta shh rides a broadcast (the delta is the small
+    // side by definition), index shh is fetched where it lives
+    val crossPairs = cross
+      .join(broadcast(dd.select(col("doc_id").as("id_d"), col("shh").as("shh_d"))),
+        Seq("id_d"))
+      .join(idxDocs.select(col("doc_id").as("id_i"), col("shh").as("shh_i")),
+        Seq("id_i"))
+      .filter(lit(1.0) - graft.functions.TextFunctions.jaccardSorted(
+        col("shh_d"), col("shh_i")) <= maxDist)
+      .select(col("id_d").as("id_a"), col("id_i").as("id_b"))
+    // delta-internal pairs re-use the one-shot pipeline on the delta
+    val deltaPairs = minhashPairsCore(delta, idCol, textCol, maxDist,
+      bands, rowsPerBand, shingleK).select(col("id_a"), col("id_b"))
+    val allPairs = idxPairs.select(col("id_a"), col("id_b"))
+      .union(crossPairs).union(deltaPairs)
+    val nodes = idxDocs.select(col("doc_id"))
+      .union(delta.select(idCol.as("doc_id")))
+    connectedComponents(nodes, allPairs, edgesWithinNodes = true)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+  }
+
+  /** Emit the UPDATED index under `outPrefix`: the delta's docs/bands
+    * appended to the persisted tables, the pair table extended by the
+    * cross + delta-internal pairs — so tomorrow's delta deduplicates
+    * against today's union without ever rebuilding. */
+  def updateDedupIndex(delta: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      prefix: String, outPrefix: String,
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2,
+      shingleK: Int = 3, buckets: Int = 8): Unit = {
+    require(outPrefix != prefix, "write the updated index under a new prefix")
+    val spark = delta.sparkSession
+    Seq(s"${outPrefix}_docs", s"${outPrefix}_bands", s"${outPrefix}_pairs")
+      .foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        graft.Tables.deleteRec(new java.io.File(wh, n))
+      }
+    val dd = shingledDocs(delta, idCol, textCol, shingleK).localCheckpoint(true)
+    spark.table(s"${prefix}_docs")
+      .unionByName(dd.select(col("doc_id"), col("shh")))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${outPrefix}_docs")
+    // unionByName: the table's column order is a storage detail the
+    // delta frame must not have to match positionally
+    spark.table(s"${prefix}_bands")
+      .unionByName(flatBands(dd, bands, rowsPerBand))
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${outPrefix}_bands")
+    val idxDocs = spark.table(s"${prefix}_docs")
+    val newPairs = flatBands(dd, bands, rowsPerBand)
+      .select(col("doc_id").as("id_d"), col("bk")).hint("merge")
+      .join(spark.table(s"${prefix}_bands")
+        .select(col("doc_id").as("id_i"), col("bk")), Seq("bk"))
+      .select(col("id_d"), col("id_i")).distinct()
+      .join(broadcast(dd.select(col("doc_id").as("id_d"), col("shh").as("shh_d"))),
+        Seq("id_d"))
+      .join(idxDocs.select(col("doc_id").as("id_i"), col("shh").as("shh_i")),
+        Seq("id_i"))
+      .filter(lit(1.0) - graft.functions.TextFunctions.jaccardSorted(
+        col("shh_d"), col("shh_i")) <= maxDist)
+      .select(col("id_d").as("id_a"), col("id_i").as("id_b"))
+      .union(minhashPairsCore(delta, idCol, textCol, maxDist, bands,
+        rowsPerBand, shingleK).select(col("id_a"), col("id_b")))
+    spark.table(s"${prefix}_pairs").union(newPairs)
+      .write.saveAsTable(s"${outPrefix}_pairs")
+  }
+
+  /** q162 fixture instance: the corpus split 90/10 by doc_id — the
+    * 90% "yesterday" side indexed once (memoized per fixture
+    * fingerprint, the q116 recipe), the 10% delta deduped against it.
+    * The emitted clustering covers the UNION and must hash-equal
+    * q103's from-scratch closure over the whole table. */
+  private val dedupIdxBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def incrementalDedupClusters(t: Tables, maxDist: Double = 0.4): DataFrame = {
+    import t.spark.implicits._
+    val isDelta = ($"doc_id" % 10) === 0
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "documents").hashCode)
+    val prefix = dedupIdxBuilt.computeIfAbsent(
+      (t.spark.sparkContext, fp), _ => {
+        val p = s"graft_dedup_idx_$fp"
+        buildDedupIndex(t.documents.filter(!isDelta), $"doc_id", $"text",
+          p, maxDist)
+        p
+      })
+    dedupIncrementalOver(t.documents.filter(isDelta), $"doc_id", $"text",
+      prefix, maxDist)
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs: ALL pairs at cosine ≥ minCos,
     * EXACT, as a block-replicated theta join (the 1-Bucket-Theta /
     * blocked-matmul scheme) instead of a broadcast nested loop.

@@ -144,6 +144,130 @@ object Graph {
     last.select(col("id"), col("seed"), col("pr"))
   }
 
+  // ── q163: multi-source shortest paths (Bellman–Ford relaxation) ─────
+  /** Distributed SSSP by synchronous min-relaxation — the traversal
+    * member the graph family lacked next to its algebraic passes
+    * (PageRank/HITS/LPA/CC): dist(v) = min(dist(v), min over in-edges
+    * (dist(u) + w)). Weights and distances are exact integer longs —
+    * no quantization needed, every round is pure integer min algebra,
+    * so results are trivially engine-exact. Parallel edges collapse
+    * to their minimum weight up front (only the lightest can ever
+    * relax). Negative weights are rejected: Bellman–Ford tolerates
+    * them on DAGs but a negative cycle diverges, and every production
+    * use of this operator (hop distance, cost distance, nearest-seed
+    * assignment) has non-negative costs.
+    *
+    * Plan: the q85 recipe — edge list deduped, repartitioned by src
+    * and lazily checkpointed ONCE; the distance frame leaves every
+    * round partitioned by id (= src, the next round's join key), so a
+    * round costs ONE new shuffle (the relax regroup by dst) plus the
+    * zero-exchange edge join. Rounds needed = the graph's weighted-
+    * path hop diameter from the source set (label-correcting
+    * Bellman–Ford, the standard distributed form — Δ-stepping's
+    * priority buckets only pay off with a real scheduler). */
+  def ssspOver(
+      edges: DataFrame, srcCol: Column, dstCol: Column, wCol: Column,
+      sourcePred: Column => Column, iters: Int,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
+    (1 to iters).foldLeft(ssspInit(e, sourcePred)) { (dist, _) =>
+      ssspRound(e, dist)
+    }
+  }
+
+  private def prepSsspEdges(edges: DataFrame, srcCol: Column, dstCol: Column,
+      wCol: Column,
+      edgeStorage: org.apache.spark.storage.StorageLevel): DataFrame =
+    edges.select(srcCol.as("src"), dstCol.as("dst"), wCol.cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .localCheckpoint(false, edgeStorage)
+
+  /** All nodes, sources at 0, everything else NULL (unreached). */
+  private def ssspInit(e: DataFrame,
+      sourcePred: Column => Column): DataFrame =
+    e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), when(sourcePred(col("id")), lit(0L))
+        .otherwise(lit(null).cast("long")).as("dist"))
+
+  /** One synchronous relax round: regroup contributions by dst, then
+    * an id-co-partitioned left join back onto the distance frame. */
+  private def ssspRound(e: DataFrame, dist: DataFrame): DataFrame = {
+    val relax = e.join(dist.filter(col("dist").isNotNull),
+        e("src") === col("id"))
+      .select(col("dst"), (col("dist") + col("w")).as("nd"))
+      .groupBy(col("dst")).agg(min(col("nd")).as("nd"))
+    dist.join(relax, dist("id") === relax("dst"), "left")
+      .select(dist("id"),
+        when(col("dist").isNull, col("nd"))
+          .when(col("nd").isNull, col("dist"))
+          .otherwise(least(col("dist"), col("nd"))).as("dist"))
+  }
+
+  /** Label-correcting SSSP run UNTIL CONVERGENCE: rounds stop when no
+    * distance improves (one integer count action per round — the
+    * k-means/BPE driver-loop shape; each round's frame is eagerly
+    * checkpointed so the lineage and the CacheManager never see an
+    * unbounded chain). Returns (distances, rounds-run). Converged
+    * means exact: with non-negative integer weights, a fixed point of
+    * the relax operator IS the true shortest-distance labeling. */
+  def ssspConverged(
+      edges: DataFrame, srcCol: Column, dstCol: Column, wCol: Column,
+      sourcePred: Column => Column, maxIters: Int = 64,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val negatives = edges.filter(wCol.cast("long") < 0).limit(1).count()
+    require(negatives == 0, "ssspConverged requires non-negative weights")
+    val e = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
+    var dist = ssspInit(e, sourcePred).localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxIters) {
+      val next = ssspRound(e, dist).localCheckpoint(true)
+      changed = next.as("n").join(dist.as("p"), col("n.id") === col("p.id"))
+        .filter(!(col("n.dist") <=> col("p.dist"))).count()
+      dist = next
+      rounds += 1
+    }
+    (dist, rounds)
+  }
+
+  /** q163: nearest-seed shortest distance over the undirected
+    * customer↔supplier graph — edge weight = the pair's minimum
+    * integer order quantity, seeds the id%40 cohort (q144's seed
+    * recipe). Runs until convergence; the oracle unrolls
+    * [[SsspOracleRounds]] Bellman–Ford rounds, so convergence must
+    * land within that bound (loud require — a deeper fixture graph
+    * would need the unroll bumped, not silently wrong answers). */
+  val SsspOracleRounds = 8
+  def ssspCustSupp(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = t.orders
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"),
+        $"l_quantity".cast("int").cast("long").as("w"))
+      .groupBy($"c", $"s").agg(min($"w").as("w"))
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"), $"w")
+      .union(pairs.select($"s".as("src"), $"c".as("dst"), $"w"))
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK"))
+    val (res, rounds) = ssspConverged(edges, $"src", $"dst", $"w",
+      id => id % 40 === 0, maxIters = 64, storage)
+    // rounds includes the final confirming no-op, so the last
+    // IMPROVING round is rounds−1 — that is what the unroll must cover
+    require(rounds - 1 <= SsspOracleRounds,
+      s"SSSP improved through ${rounds - 1} rounds; oracle unrolls " +
+        s"$SsspOracleRounds — bump it")
+    res.select($"id",
+      when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+      $"dist")
+      .orderBy($"id")
+  }
+
   /** Fixture personalization: seeds are the customer nodes whose
     * custkey is divisible by 20 (a deterministic ~5% cohort). */
   def pprCustSupp(t: Tables, iters: Int = 3, d: Double = 0.85): DataFrame = {
