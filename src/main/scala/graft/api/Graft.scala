@@ -797,4 +797,10 @@ object Graft {
       maxIters: Int = 64): (DataFrame, Int) =
     graft.operators.Graph.ssspConverged(edges, srcCol, dstCol, wCol,
       sourcePred, maxIters)
+
+  /** Perceptual image near-dup pairs over the fixture media corpus:
+    * BMP decode → 64-bit dHash → complete 4×16-bit pigeonhole bands →
+    * exact Hamming verify (≤ maxHamming ≤ 3). */
+  def imageNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
+    graft.sources.Multimodal.imageNearDups(t, maxHamming)
 }

@@ -537,6 +537,100 @@ object Multimodal {
       .orderBy($"kind")
   }
 
+  // ── q164: perceptual image near-dup (difference hash) ───────────────
+  /** 64-bit dHash over a decoded 8bpp grid: nearest-neighbor-resample
+    * to a 9×8 thumbnail (the [[resizeNearest]] integer index map),
+    * then bit r·8+c = [pixel(r,c) < pixel(r,c+1)] — the standard
+    * perceptual fingerprint (gradient signs survive rescaling,
+    * re-encoding, and small pixel edits that a cryptographic hash
+    * would scatter). Pure integer arithmetic end to end, so the hash
+    * is replayable by any engine. */
+  def dhash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val g = resizeNearest(w, h, px, 9, 8)
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if ((g(r * 9 + c) & 0xFF) < (g(r * 9 + c + 1) & 0xFF))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Planted-twin id offset for [[imageNearDups]]. */
+  val PlantOffset = 10000000L
+
+  /** The fixture image corpus plus planted near-identical twins: for
+    * every 10th image, a copy whose byte at source index 4·w/9 + 1 is
+    * incremented. That index sits strictly between the thumbnail's
+    * column sample points (c·w/9 steps ≥ 7 apart at w ≥ 64), so NO
+    * 9×8 grid cell ever samples it — the twin's pixels differ but its
+    * dHash is IDENTICAL, which is exactly the invariance a perceptual
+    * hash promises (a one-byte edit invisible at thumbnail scale).
+    * Geometry reuses the ORIGINAL id's width so the twin is a true
+    * pixel-level near-duplicate. */
+  def imagesWithPlanted(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    val base = mediaFromDocuments(t).filter(_.kind == "image")
+    val planted = t.documents.filter($"doc_id" % 30 === 0)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = imageWidth(id)
+        val i0 = 4 * w / 9 + 1
+        if (i0 < content.length) content(i0) = (content(i0) + 1).toByte
+        MediaRow(id + PlantOffset, "image", BmpCodec.encode(content, w), 0)
+      }
+    base.union(planted)
+  }
+
+  /** q164: perceptual near-dup pairs over (images ∪ planted twins) —
+    * the dedup family's multimodal member: decode → dHash →
+    * Hamming-band candidates → exact verify. Banding is the q71/q72
+    * pigeonhole construction: 4 disjoint 16-bit bands, so any pair
+    * within Hamming ≤ 3 shares at least one full band — candidate
+    * generation is COMPLETE and the emitted pair set is exactly all
+    * pairs within the bound, brute-force-oracle-checkable. Per image
+    * the band join shuffles 4 (band, value, id) rows — never pixels;
+    * hashes are fetched back only for surviving candidates. At
+    * billion-image scale the 16-bit band saturates (occupancy
+    * n/2¹⁶) — production widens the hash (256-bit pHash) and re-bands
+    * per the same pigeonhole rule; the composition is unchanged. */
+  def imageNearDups(t: Tables, maxHamming: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 disjoint 16-bit bands are complete only to Hamming 3: $maxHamming")
+    val hashed = imagesWithPlanted(t)
+      .map { m =>
+        val (w, h, px) = BmpCodec.decode(m.bytes)
+        (m.media_id, dhash64(w, h, px))
+      }
+      .toDF("id", "dh")
+      .localCheckpoint(true)
+    val bands = hashed.select(col("id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }: _*)).as("bk"))
+      .select(col("id"), col("bk.b").as("b"), col("bk.v").as("v"))
+    val cands = bands.select(col("id").as("id_a"), col("b"), col("v"))
+      .join(bands.select(col("id").as("id_b"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("dh").as("dh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("dh").as("dh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("planted", col("id_b") === col("id_a") + PlantOffset)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q34: media ANN — nearest media by cosine over decoded embeddings
     * for 3 probe items (composes the multimodal path with the
     * similarity operators). */
