@@ -523,10 +523,10 @@ object Graph {
     * edge set and `iters`, with no floats anywhere (integer counts,
     * integer labels ⇒ hash-exact across engines).
     *
-    * Plurality-with-tie-break is one `max_by` over the packed key
-    * `cnt·2³² − lab` (labels are node ids < 2³¹, counts < 2³¹, so the
-    * key is collision-free and strictly orders (cnt asc, lab desc) —
-    * maximizing it yields most-frequent-then-smallest) — no window,
+    * Plurality-with-tie-break is one `min_by` over the struct key
+    * (−cnt, lab) — collision-free for ANY long label (the former
+    * packed `cnt·2³² − lab` key silently overflowed past 2³¹) and
+    * strictly ordering most-frequent-then-smallest — no window,
     * no per-node array. Per round: the label frame relocates onto the
     * edge partitioning (zero-exchange when both sides already hash on
     * the node id), then two narrow agg shuffles — (dst, lab) counts
@@ -590,9 +590,11 @@ object Graph {
     *
     * Plan: phases ALTERNATE join keys (hub→auth, auth→hub), so one
     * pinned edge partitioning can't serve both — the edge list is
-    * checkpointed TWICE, hashed by src and by dst, and every phase's
-    * rank join is then zero-exchange (scores come out of the previous
-    * phase partitioned by exactly the key the next join needs). The
+    * checkpointed TWICE, hashed by src and by dst (the dst copy
+    * derived from the src checkpoint — no third unpartitioned copy),
+    * and every phase's rank join is then zero-exchange (scores come
+    * out of the previous phase partitioned by exactly the key the
+    * next join needs). The
     * per-phase contribution frame feeds both the L1 total and the
     * score division, so it is EAGERLY checkpointed (node-count rows,
     * two columns) — without that, the |E|-row contribution agg would
@@ -604,15 +606,20 @@ object Graph {
       edgeStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // THREE edge checkpoints live here (the derivation + one per join
-    // key) — q85 carries one, so the single-box envelope arrives 3×
-    // sooner; DISK_ONLY via `edgeStorage` is the sf30 valve
-    val e0 = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+    // TWO edge checkpoints (one per alternating join key): the dst
+    // copy derives from the already-checkpointed src copy, so the
+    // (often expensive) edge derivation computes once and no third,
+    // unpartitioned copy is retained — round 9 dropped that e0
+    // checkpoint, cutting single-box disk residency at sf30 by a
+    // third; q85 carries one copy, HITS needs two because its phases
+    // alternate keys. DISK_ONLY via `edgeStorage` is the sf30 valve.
+    val eSrc = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
       .localCheckpoint(false, edgeStorage)
     val eBy = Map(
-      "src" -> e0.repartition(col("src")).localCheckpoint(false, edgeStorage),
-      "dst" -> e0.repartition(col("dst")).localCheckpoint(false, edgeStorage))
-    val nh = e0.agg(countDistinct(col("src")).as("nh"))
+      "src" -> eSrc,
+      "dst" -> eSrc.repartition(col("dst")).localCheckpoint(false, edgeStorage))
+    val nh = eSrc.agg(countDistinct(col("src")).as("nh"))
     val h0 = eBy("src").select(col("src").as("id")).distinct()
       .crossJoin(broadcast(nh))
       .select(col("id"), (lit(1.0) / col("nh").cast("double")).as("score"))

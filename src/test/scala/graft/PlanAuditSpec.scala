@@ -32,6 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     // probe-broadcast non-equi scans on BOTH ranking paths (exact
     // q28-style + the quantized codes) — the Q×N scan IS the gate
     "q127_quantized_knn",
+    // the fused dense half is the q29 probe-broadcast brute-force
+    // scan (q160: the oracle-exact truth ranking; q161: the same
+    // exact ranking embedded as the gate's reference fusion)
+    "q160_rrf_fusion", "q161_rrf_ann_gate",
     // one-row (N, Σdl) corpus-stats broadcast inherited from q88's
     // BM25 matrix; the query-term join itself is an equi-join
     "q128_bm25_topk",

@@ -471,6 +471,57 @@ class GraftApiSpec extends SparkSpec {
     assert(viaApi === direct)
   }
 
+  test("cdcMerge and scd2 facades agree on the current snapshot") {
+    val log = Seq(
+      (1L, 10L, 1L, "U", 5.0), (1L, 20L, 2L, "U", 7.0),
+      (2L, 10L, 3L, "U", 1.0), (2L, 20L, 4L, "D", 0.0))
+      .toDF("key", "us", "seq", "op", "value")
+    val snap = Graft.cdcMerge(None, log)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(snap === Map(1L -> 7.0))
+    val cur = Graft.scd2(log).filter($"is_current")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur === snap)
+  }
+
+  test("rrfFuse scores both-list members above single-list members") {
+    val a = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 5L, 2)).toDF("q_id", "doc_id", "rank")
+    val got = Graft.rrfFuse(Seq("a" -> a, "b" -> b))
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(got === List(5L, 6L))
+  }
+
+  test("sssp facade relaxes a two-hop path below the direct edge") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 9L)).toDF("src", "dst", "w")
+    val d = Graft.sssp(e, $"src", $"dst", $"w", _ === 1L, iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val (dc, rounds) = Graft.ssspConverged(e, $"src", $"dst", $"w", _ === 1L)
+    assert(rounds <= 4 && dc.collect().length === 3)
+  }
+
+  test("dedupIncremental facade round-trips a tiny planted corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    Graft.buildDedupIndex(docs.filter($"doc_id" < 3), $"doc_id", $"text",
+      "graft_api_idx")
+    val got = Graft.dedupIncremental(docs.filter($"doc_id" === 3),
+      $"doc_id", $"text", "graft_api_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("imageNearDups facade recovers the planted twins") {
+    val pairs = Graft.imageNearDups(sf001)
+    assert(pairs.filter($"planted").count() ===
+      sf001.documents.filter($"doc_id" % 30 === 0).count())
+  }
+
   test("mixtureAlloc allocates the budget by the α=0.5 power of domain size") {
     val docs = Seq(
       ("big", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
