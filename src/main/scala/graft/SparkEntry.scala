@@ -276,7 +276,8 @@ object SparkEntry {
     "q161_rrf_ann_gate"      -> ((s, d) => PipelineOps.rrfAnnGate(Tables(s, d))),
     "q162_incr_dedup"        -> ((s, d) => Dedup.incrementalDedupClusters(Tables(s, d))),
     "q163_sssp"              -> ((s, d) => graft.operators.Graph.ssspCustSupp(Tables(s, d))),
-    "q164_image_neardup"     -> ((s, d) => graft.sources.Multimodal.imageNearDups(Tables(s, d))),
+    "q164_image_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.imageDupCohorts(Tables(s, d))),
+    "q165_image_neardup"     -> ((s, d) => graft.sources.Multimodal.imageNearDups(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -352,6 +353,44 @@ object SparkEntry {
        |  CASE WHEN src % 40 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
        |$rounds""".stripMargin
   }
+
+  // q164/q165: shared dHash chain — base images, +1-perturbed twins,
+  // and the synthetic Hamming-gadget quads (512-byte 32..95 ramp at
+  // w=64 ⇒ h=8; variant j zeroes (r<j, x=28), the byte cell (r,4)
+  // samples, flipping exactly bit (r,3))
+  private val imageHashCtes: String =
+    """imgs AS MATERIALIZED (
+      | SELECT doc_id AS media_id, text, strlen(text) AS len,
+      |  64 + (doc_id % 16) * 16 AS w, FALSE AS pert
+      | FROM documents WHERE doc_id % 3 = 0
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, strlen(text),
+      |  64 + (doc_id % 16) * 16, TRUE
+      | FROM documents WHERE doc_id % 30 = 0),
+      |g AS MATERIALIZED (SELECT media_id, text, len, w, pert,
+      |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / w) AS BIGINT)) AS h
+      | FROM imgs),
+      |px AS MATERIALIZED (
+      | SELECT media_id, r, c,
+      |  CASE WHEN idx < len THEN unicode(text[CAST(idx + 1 AS INTEGER)])
+      |    + CASE WHEN pert AND idx = 4 * w // 9 + 1 THEN 1 ELSE 0 END
+      |   ELSE 0 END AS v
+      | FROM (SELECT *, (r * h // 8) * w + (c * w // 9) AS idx
+      |   FROM g, range(0, 8) t1(r), range(0, 9) t2(c))
+      | UNION ALL
+      | SELECT 20000000 + 4 * doc_id + j AS media_id, r, c,
+      |  CASE WHEN c = 4 AND r < j THEN 0 ELSE 32 + (c * 64 // 9) END AS v
+      | FROM documents, range(0, 4) tj(j), range(0, 8) t1(r), range(0, 9) t2(c)
+      | WHERE doc_id % 60 = 0),
+      |hsh AS MATERIALIZED (
+      | SELECT l.media_id, CAST(SUM(CASE WHEN l.v < r2.v THEN
+      |    CASE WHEN l.r * 8 + l.c = 63 THEN (-9223372036854775808)::BIGINT
+      |         ELSE 1::BIGINT << CAST(l.r * 8 + l.c AS INTEGER) END
+      |   ELSE 0 END) AS BIGINT) AS dh
+      | FROM px l JOIN px r2 ON l.media_id = r2.media_id
+      |   AND l.r = r2.r AND r2.c = l.c + 1
+      | WHERE l.c < 8
+      | GROUP BY 1)""".stripMargin
 
   // q137: replay the JL projection with the SAME md5-derived ±1 sign
   // matrix inlined as list literals; each component folds its
@@ -1705,45 +1744,33 @@ object SparkEntry {
     "q161_rrf_ann_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
-    // q164: the dHash replayed over the source text bytes (q130's
-    // index arithmetic: thumbnail cell (r,c) samples
-    // (r·h/8)·w + (c·w/9), zero past len, the planted twin's +1 at
-    // 4·w/9+1), then the brute-force pair join the engine's complete
-    // pigeonhole banding must reproduce exactly; bit 63 enters the
-    // hash as the signed literal (DuckDB rejects 1<<63)
-    "q164_image_neardup" ->
-      """WITH imgs AS MATERIALIZED (
-        | SELECT doc_id AS media_id, text, strlen(text) AS len,
-        |  64 + (doc_id % 16) * 16 AS w, FALSE AS pert
-        | FROM documents WHERE doc_id % 3 = 0
-        | UNION ALL
-        | SELECT doc_id + 10000000, text, strlen(text),
-        |  64 + (doc_id % 16) * 16, TRUE
-        | FROM documents WHERE doc_id % 30 = 0),
-        |g AS MATERIALIZED (SELECT media_id, text, len, w, pert,
-        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / w) AS BIGINT)) AS h
-        | FROM imgs),
-        |px AS MATERIALIZED (
-        | SELECT media_id, r, c,
-        |  CASE WHEN idx < len THEN unicode(text[CAST(idx + 1 AS INTEGER)])
-        |    + CASE WHEN pert AND idx = 4 * w // 9 + 1 THEN 1 ELSE 0 END
-        |   ELSE 0 END AS v
-        | FROM (SELECT *, (r * h // 8) * w + (c * w // 9) AS idx
-        |   FROM g, range(0, 8) t1(r), range(0, 9) t2(c))),
-        |hsh AS MATERIALIZED (
-        | SELECT l.media_id, CAST(SUM(CASE WHEN l.v < r2.v THEN
-        |    CASE WHEN l.r * 8 + l.c = 63 THEN (-9223372036854775808)::BIGINT
-        |         ELSE 1::BIGINT << CAST(l.r * 8 + l.c AS INTEGER) END
-        |   ELSE 0 END) AS BIGINT) AS dh
-        | FROM px l JOIN px r2 ON l.media_id = r2.media_id
-        |   AND l.r = r2.r AND r2.c = l.c + 1
-        | WHERE l.c < 8
-        | GROUP BY 1)
-        |SELECT a.media_id AS id_a, b.media_id AS id_b,
-        | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming,
-        | b.media_id = a.media_id + 10000000 AS planted
-        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+    // q164/q165: the dHash replayed over the source text bytes (q130's
+    // index arithmetic: thumbnail cell (r,c) samples (r·h/8)·w +
+    // (c·w/9), zero past len, the planted twin's +1 at the unsampled
+    // 4·w/9+1, the synthetic gadget's closed-form ramp), then the
+    // cohort agg / distinct-hash pair join the engine must reproduce;
+    // bit 63 enters the hash as the signed literal (DuckDB rejects
+    // 1<<63)
+    "q164_image_dup_cohorts" ->
+      s"""WITH $imageHashCtes
+        |SELECT rep_id, n_members, n_planted FROM (
+        | SELECT dh, MIN(media_id) AS rep_id, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN media_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted
+        | FROM hsh GROUP BY dh)
+        |WHERE n_members >= 2""".stripMargin,
+    "q165_image_neardup" ->
+      s"""WITH $imageHashCtes,
+        |d AS MATERIALIZED (
+        | SELECT dh, MIN(media_id) AS rep, COUNT(*) AS n FROM hsh GROUP BY dh)
+        |SELECT
+        | CASE WHEN a.rep < b.rep THEN a.rep ELSE b.rep END AS id_lo,
+        | CASE WHEN a.rep < b.rep THEN b.rep ELSE a.rep END AS id_hi,
+        | CASE WHEN a.rep < b.rep THEN a.n ELSE b.n END AS n_lo,
+        | CASE WHEN a.rep < b.rep THEN b.n ELSE a.n END AS n_hi,
+        | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.dh < b.dh
+        |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
     // q163: converged Bellman–Ford ≡ any unroll ≥ the improving-round
     // count (the engine requires that bound); all-integer distances
     "q163_sssp" ->

@@ -798,9 +798,16 @@ object Graft {
     graft.operators.Graph.ssspConverged(edges, srcCol, dstCol, wCol,
       sourcePred, maxIters)
 
-  /** Perceptual image near-dup pairs over the fixture media corpus:
+  /** Exact-duplicate image cohorts: one row per dHash-equal group
+    * (≥ 2 members) — the linear, answer-bound form of hamming-0 pair
+    * emission. */
+  def imageDupCohorts(t: graft.Tables): DataFrame =
+    graft.sources.Multimodal.imageDupCohorts(t)
+
+  /** Perceptual image near-dup pairs at DISTINCT-hash granularity:
     * BMP decode → 64-bit dHash → complete 4×16-bit pigeonhole bands →
-    * exact Hamming verify (≤ maxHamming ≤ 3). */
+    * exact Hamming verify (1 ≤ hamming ≤ maxHamming ≤ 3), cohort
+    * sizes carried as multiplicities. */
   def imageNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
     graft.sources.Multimodal.imageNearDups(t, maxHamming)
 }

@@ -561,22 +561,40 @@ object Multimodal {
     hash
   }
 
-  /** Planted-twin id offset for [[imageNearDups]]. */
+  /** Planted-twin id offset for [[imageDupCohorts]]/[[imageNearDups]];
+    * synthetic Hamming-gadget ids start at 2×. */
   val PlantOffset = 10000000L
 
-  /** The fixture image corpus plus planted near-identical twins: for
-    * every 10th image, a copy whose byte at source index 4·w/9 + 1 is
-    * incremented. That index sits strictly between the thumbnail's
-    * column sample points (c·w/9 steps ≥ 7 apart at w ≥ 64), so NO
-    * 9×8 grid cell ever samples it — the twin's pixels differ but its
-    * dHash is IDENTICAL, which is exactly the invariance a perceptual
-    * hash promises (a one-byte edit invisible at thumbnail scale).
-    * Geometry reuses the ORIGINAL id's width so the twin is a true
-    * pixel-level near-duplicate. */
+  /** Synthetic Hamming gadget: a 64×8 image whose rows are the ramp
+    * 32..95 (no wraparound, ASCII-safe). Variant j ∈ 1..3 zeroes the
+    * byte at (row r < j, x = 28) — exactly the source byte thumbnail
+    * cell (r, 4) samples — flipping exactly comparison bit (r, 3)
+    * and nothing else, so hamming(A, B_j) = j BY CONSTRUCTION. */
+  private[sources] def syntheticImage(variant: Int): Array[Byte] = {
+    val content = Array.tabulate(512) { i =>
+      val r = i / 64
+      val x = i % 64
+      if (x == 28 && r < variant) 0.toByte else (32 + x).toByte
+    }
+    BmpCodec.encode(content, 64)
+  }
+
+  /** The fixture image corpus plus two planted families:
+    *
+    *  - IDENTICAL-hash twins (ids + [[PlantOffset]]): for every 10th
+    *    image, a copy whose byte at source index 4·w/9 + 1 is
+    *    incremented. That index sits strictly between the thumbnail's
+    *    column sample points (c·w/9 steps ≥ 7 apart at w ≥ 64), so NO
+    *    grid cell samples it — pixels differ, dHash is identical:
+    *    the invariance a perceptual hash promises.
+    *  - HAMMING-j quads (ids 2·PlantOffset + 4k + j): per every 60th
+    *    doc id k, the [[syntheticImage]] gadget at variants 0..3 —
+    *    deterministic distinct-hash pairs at Hamming exactly 1, 2, 3
+    *    that exercise the banding+verify path end to end. */
   def imagesWithPlanted(t: Tables): Dataset[MediaRow] = {
     import t.spark.implicits._
     val base = mediaFromDocuments(t).filter(_.kind == "image")
-    val planted = t.documents.filter($"doc_id" % 30 === 0)
+    val twins = t.documents.filter($"doc_id" % 30 === 0)
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
         val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -585,50 +603,93 @@ object Multimodal {
         if (i0 < content.length) content(i0) = (content(i0) + 1).toByte
         MediaRow(id + PlantOffset, "image", BmpCodec.encode(content, w), 0)
       }
-    base.union(planted)
+    val gadgets = t.documents.filter($"doc_id" % 60 === 0)
+      .select($"doc_id").as[Long]
+      .flatMap { k =>
+        (0 to 3).map(j =>
+          MediaRow(2 * PlantOffset + 4 * k + j, "image", syntheticImage(j), 0))
+      }
+    base.union(twins).union(gadgets)
   }
 
-  /** q164: perceptual near-dup pairs over (images ∪ planted twins) —
-    * the dedup family's multimodal member: decode → dHash →
-    * Hamming-band candidates → exact verify. Banding is the q71/q72
-    * pigeonhole construction: 4 disjoint 16-bit bands, so any pair
-    * within Hamming ≤ 3 shares at least one full band — candidate
-    * generation is COMPLETE and the emitted pair set is exactly all
-    * pairs within the bound, brute-force-oracle-checkable. Per image
-    * the band join shuffles 4 (band, value, id) rows — never pixels;
-    * hashes are fetched back only for surviving candidates. At
-    * billion-image scale the 16-bit band saturates (occupancy
-    * n/2¹⁶) — production widens the hash (256-bit pHash) and re-bands
-    * per the same pigeonhole rule; the composition is unchanged. */
-  def imageNearDups(t: Tables, maxHamming: Int = 3): DataFrame = {
+  /** Decode + dHash the planted corpus once (shared by q164/q165). */
+  private def hashedImages(t: Tables): DataFrame = {
     import t.spark.implicits._
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4 disjoint 16-bit bands are complete only to Hamming 3: $maxHamming")
-    val hashed = imagesWithPlanted(t)
+    imagesWithPlanted(t)
       .map { m =>
         val (w, h, px) = BmpCodec.decode(m.bytes)
         (m.media_id, dhash64(w, h, px))
       }
       .toDF("id", "dh")
+  }
+
+  /** q164: exact-duplicate image cohorts — hash-equal groups with ≥ 2
+    * members, one ROW per cohort: (rep_id = min member, n_members,
+    * n_planted). This is the scalable form of "emit all hamming-0
+    * pairs": low-entropy images collide organically (the grouped
+    * fixture holds 2094-member cohorts at sf10 — 11.6M intra-cohort
+    * pairs), so pair emission is answer-bound QUADRATIC while the
+    * cohort table is one map-side-combinable agg, linear at any
+    * corpus size — the q136 collapse-by-hash lesson applied to
+    * images. Every planted identical twin lands in its original's
+    * cohort (n_planted counts them). */
+  def imageDupCohorts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    hashedImages(t)
+      .groupBy($"dh")
+      .agg(min($"id").as("rep_id"), count(lit(1)).as("n_members"),
+        sum(when($"id" >= PlantOffset, 1L).otherwise(0L)).as("n_planted"))
+      .filter($"n_members" >= 2)
+      .select($"rep_id", $"n_members", $"n_planted")
+      .orderBy($"rep_id")
+  }
+
+  /** q165: perceptual NEAR-dup pairs at DISTINCT-hash granularity —
+    * the dedup family's multimodal member: decode → dHash → collapse
+    * to the distinct-hash table (structure space SATURATES: 6.1k
+    * values at sf1 → 12.9k at sf10 on 10× the images) → Hamming-band
+    * candidates → exact verify, 1 ≤ hamming ≤ maxHamming. Banding is
+    * the q71/q72 pigeonhole construction: 4 disjoint 16-bit bands, so
+    * any pair within Hamming ≤ 3 shares a full band — candidate
+    * generation is COMPLETE and the emitted set is exactly all
+    * distinct-hash pairs within the bound (brute-force-oracle-
+    * checked). Emitting (rep_a, rep_b, n_a, n_b, hamming) carries the
+    * doc-pair mass as multiplicities n_a·n_b instead of materializing
+    * it — the same answer-bound discipline as q164's cohorts. The
+    * synthetic gadget quads guarantee deterministic rows at hamming
+    * exactly 1, 2, 3 at every SF. */
+  def imageNearDups(t: Tables, maxHamming: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"4 disjoint 16-bit bands are complete only to Hamming 3: $maxHamming")
+    val distinctHashes = hashedImages(t)
+      .groupBy($"dh")
+      .agg(min($"id").as("rep"), count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val bands = hashed.select(col("id"), explode(array((0 until 4).map { b =>
-      struct(lit(b).as("b"),
-        shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
-    }: _*)).as("bk"))
-      .select(col("id"), col("bk.b").as("b"), col("bk.v").as("v"))
-    val cands = bands.select(col("id").as("id_a"), col("b"), col("v"))
-      .join(bands.select(col("id").as("id_b"), col("b"), col("v")), Seq("b", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val bands = distinctHashes.select(col("dh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }: _*)).as("bk"))
+      .select(col("dh"), col("bk.b").as("b"), col("bk.v").as("v"))
+    val cands = bands.select(col("dh").as("dh_a"), col("b"), col("v"))
+      .join(bands.select(col("dh").as("dh_b"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("dh_a") < col("dh_b"))
+      .select(col("dh_a"), col("dh_b"))
       .distinct()
     cands
-      .join(hashed.select(col("id").as("id_a"), col("dh").as("dh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("dh").as("dh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .withColumn("planted", col("id_b") === col("id_a") + PlantOffset)
-      .orderBy(col("id_a"), col("id_b"))
+      .join(distinctHashes.select(col("dh").as("dh_a"), col("rep").as("rep_a"),
+        col("n").as("n_a")), Seq("dh_a"))
+      .join(distinctHashes.select(col("dh").as("dh_b"), col("rep").as("rep_b"),
+        col("n").as("n_b")), Seq("dh_b"))
+      .select(least(col("rep_a"), col("rep_b")).as("id_lo"),
+        greatest(col("rep_a"), col("rep_b")).as("id_hi"),
+        when(col("rep_a") < col("rep_b"), col("n_a")).otherwise(col("n_b")).as("n_lo"),
+        when(col("rep_a") < col("rep_b"), col("n_b")).otherwise(col("n_a")).as("n_hi"),
+        col("hamming"))
+      .orderBy(col("id_lo"), col("id_hi"))
   }
 
   /** q34: media ANN — nearest media by cosine over decoded embeddings

@@ -516,10 +516,17 @@ class GraftApiSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
-  test("imageNearDups facade recovers the planted twins") {
-    val pairs = Graft.imageNearDups(sf001)
-    assert(pairs.filter($"planted").count() ===
-      sf001.documents.filter($"doc_id" % 30 === 0).count())
+  test("imageDupCohorts facade recovers every planted identical twin") {
+    val cohorts = Graft.imageDupCohorts(sf001)
+    val plantedTwins = sf001.documents.filter($"doc_id" % 30 === 0).count()
+    val recovered = cohorts.agg(org.apache.spark.sql.functions.sum($"n_planted"))
+      .head().getLong(0)
+    // ≥: the synthetic gadget ids also count as planted members
+    assert(recovered >= plantedTwins)
+    // and the gadget quads give deterministic hamming-1..3 near pairs
+    val h = Graft.imageNearDups(sf001).select($"hamming")
+      .collect().map(_.getInt(0)).toSet
+    assert(Set(1, 2, 3).subsetOf(h), s"gadget hammings missing: $h")
   }
 
   test("mixtureAlloc allocates the budget by the α=0.5 power of domain size") {
