@@ -278,6 +278,12 @@ object SparkEntry {
     "q163_sssp"              -> ((s, d) => graft.operators.Graph.ssspCustSupp(Tables(s, d))),
     "q164_image_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.imageDupCohorts(Tables(s, d))),
     "q165_image_neardup"     -> ((s, d) => graft.sources.Multimodal.imageNearDups(Tables(s, d))),
+    "q166_snapshot_diff"     -> ((s, d) => graft.operators.Cdc.snapshotDiff(Tables(s, d))),
+    "q167_ivm_rollup"        -> ((s, d) => graft.operators.Ivm.incrementalOrderRollup(Tables(s, d))),
+    "q168_target_encode"     -> ((s, d) => PipelineOps.orderTargetEncoding(Tables(s, d))),
+    "q169_interp_resample"   -> ((s, d) => graft.operators.EventOps.interpolateResample(Tables(s, d))),
+    "q170_kcore"             -> ((s, d) => graft.operators.Graph.kCoreCustSupp(Tables(s, d))),
+    "q171_damerau_match"     -> ((s, d) => Relational.damerauPartNames(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -352,6 +358,29 @@ object SparkEntry {
        | SELECT DISTINCT src AS id,
        |  CASE WHEN src % 40 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
        |$rounds""".stripMargin
+  }
+
+  // q170: k unrolled peel rounds over the unweighted customer↔supplier
+  // graph, threshold = the data-derived floor-mean customer degree
+  // (exact integer division both engines). Peeling is monotone, so
+  // any unroll ≥ the improving-round count is the fixpoint — the
+  // engine requires that bound. AS MATERIALIZED throughout: each
+  // e{r-1} is referenced three times per round (degree + two
+  // semi-join legs), the q151/q133 inlining lesson.
+  private def kCoreCtes(rounds: Int): String = {
+    val r = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT src, COUNT(*) AS n FROM e${i - 1} GROUP BY src),
+         |s$i AS MATERIALIZED (SELECT src AS id FROM d$i, kv WHERE n >= kv.k),
+         |e$i AS MATERIALIZED (SELECT t.src, t.dst FROM e${i - 1} t
+         |  JOIN s$i a ON t.src = a.id JOIN s$i b ON t.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""e00 AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS MATERIALIZED (
+       | SELECT c AS src, s AS dst FROM e00 UNION ALL SELECT s, c FROM e00),
+       |kv AS MATERIALIZED (SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS k FROM
+       |  (SELECT src, COUNT(*) AS n FROM e0 WHERE src % 2 = 0 GROUP BY src)),
+       |$r""".stripMargin
   }
 
   // q164/q165: shared dHash chain — base images, +1-perturbed twins,
@@ -1771,6 +1800,33 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q171: variants replanted identically (chars 4,5 swapped on every
+    // 40th part), both distances replayed with DuckDB's built-ins —
+    // its damerau_levenshtein is the UNRESTRICTED variant, the same
+    // one graft.expr.DamerauLevenshtein implements, so hash parity
+    // pins the algorithm end-to-end
+    "q171_damerau_match" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT p_partkey AS id, p_brand AS block, p_name AS nm FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000, p_brand,
+        |    substr(p_name, 1, 3) || substr(p_name, 5, 1)
+        |      || substr(p_name, 4, 1) || substr(p_name, 6)
+        |  FROM part WHERE p_partkey % 40 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b, a.block AS p_brand,
+        | CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS lev,
+        | CAST(damerau_levenshtein(a.nm, b.nm) AS INTEGER) AS dl
+        |FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+        |WHERE damerau_levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+    // q170: converged peel ≡ any unroll ≥ the improving-round count
+    // (the engine requires that bound); in-core degrees from the
+    // fixpoint edge set
+    "q170_kcore" ->
+      s"""WITH ${kCoreCtes(graft.operators.Graph.KCoreOracleRounds)}
+        |SELECT src AS id,
+        | CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        | CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM e${graft.operators.Graph.KCoreOracleRounds} GROUP BY src""".stripMargin,
     // q163: converged Bellman–Ford ≡ any unroll ≥ the improving-round
     // count (the engine requires that bound); all-integer distances
     "q163_sssp" ->
@@ -1819,6 +1875,107 @@ object SparkEntry {
         |  (PARTITION BY key ORDER BY us DESC, seq DESC) AS rn FROM log)
         |SELECT key AS user_id, value, etype, make_timestamp(us) AS updated_ts
         |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+    // q169: the same union+window bracket computation (obs rows tag 0
+    // sort before grid rows tag 1 at equal µs), then the identical
+    // fixed-order IEEE interpolation chain — one division, one
+    // multiply, one add over integer-µs differences; NULL outside the
+    // observed span, the t0 = us leg catches a grid point sitting ON
+    // the last observation
+    "q169_interp_resample" ->
+      """WITH ev AS (SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  value, event_id FROM events),
+        |o AS (SELECT key, us, 0 AS tag, arg_min(value, event_id) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT epoch_us(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP)))) AS mn,
+        |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+        |grid AS (SELECT key, unnest(generate_series(mn, mx, 21600000000)) AS us,
+        |  1 AS tag, CAST(NULL AS DOUBLE) AS v
+        | FROM (SELECT DISTINCT user_id AS key FROM events), span),
+        |u AS (SELECT key, us, tag, v FROM o
+        | UNION ALL SELECT key, us, tag, v FROM grid),
+        |b AS (SELECT *,
+        |  last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wp AS t0,
+        |  last_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS) OVER wp AS v0,
+        |  first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wf AS t1,
+        |  first_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS) OVER wf AS v1
+        | FROM u WINDOW
+        |  wp AS (PARTITION BY key ORDER BY us, tag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY key ORDER BY us, tag
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key AS user_id, make_timestamp(us) AS grid_ts,
+        | CASE WHEN t0 = us THEN v0
+        |      WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+        |        v0 + (v1 - v0) * (CAST(us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+        | END AS v_interp
+        |FROM b WHERE tag = 1""".stripMargin,
+    // q167: the oracle aggregates ALL orders from scratch — the
+    // engine's incrementally-maintained view (pre-1997 partials
+    // persisted bucketed, 1997+ delta folded in monoid-wise) must
+    // reproduce it exactly; cents-quantized sums keep every measure
+    // integer until the final display division
+    "q167_ivm_rollup" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total_price,
+        | CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS min_price,
+        | CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS max_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    // q168: leave-fold-out target encoding replayed on exact integer
+    // cents — two nested GROUP BYs and ONE division per output row
+    // (left-to-right: diff-cast, divide, divide by the unit), the
+    // identical IEEE shape as the engine's chain; single-fold
+    // categories encode NULL
+    "q168_target_encode" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority || '|' || o_orderstatus AS category,
+        |    o_orderkey % 5 AS fold,
+        |    CAST(COUNT(*) AS BIGINT) AS n_fold,
+        |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_fold
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT category, SUM(n_fold) AS n_cat, SUM(sum_fold) AS sum_cat
+        |  FROM f GROUP BY 1)
+        |SELECT f.category, f.fold, f.n_fold,
+        |  CASE WHEN c.n_cat > f.n_fold THEN
+        |    CAST(c.sum_cat - f.sum_fold AS DOUBLE)
+        |      / CAST(c.n_cat - f.n_fold AS DOUBLE) / 100.0
+        |  END AS enc
+        |FROM f JOIN c USING (category)""".stripMargin,
+    // q166: the two latest-wins snapshots assembled directly (the
+    // q158 window shape), full-outer joined, classified I/D/U on
+    // null-safe payload comparison — payload-identical keys emit
+    // nothing (metadata is not compared), so the oracle checks the
+    // MINIMALITY of the diff, not just its coverage
+    "q166_snapshot_diff" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |snap_old AS (
+        |  SELECT key, value, etype FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY key ORDER BY us DESC, seq DESC) AS rn
+        |    FROM log WHERE us < epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+        |  WHERE rn = 1 AND op = 'U'),
+        |snap_new AS (
+        |  SELECT key, value, etype FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY key ORDER BY us DESC, seq DESC) AS rn FROM log)
+        |  WHERE rn = 1 AND op = 'U')
+        |SELECT COALESCE(o.key, n.key) AS user_id,
+        |  CASE WHEN o.key IS NULL THEN 'I'
+        |       WHEN n.key IS NULL THEN 'D'
+        |       ELSE 'U' END AS change,
+        |  o.value AS value_old, o.etype AS etype_old,
+        |  n.value AS value_new, n.etype AS etype_new
+        |FROM snap_old o FULL JOIN snap_new n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL
+        |  OR o.value IS DISTINCT FROM n.value
+        |  OR o.etype IS DISTINCT FROM n.etype""".stripMargin,
     // q159: SCD2 replayed with the same two windows — suppression
     // against the immediate predecessor (exact by induction: a
     // suppressed upsert's payload equals the live state), then

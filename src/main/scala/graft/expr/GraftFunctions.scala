@@ -49,6 +49,8 @@ object GraftFunctions {
         BandKeys(es.head, planes,
           es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("qdot8",
       es => QDot8(es(0), es(1)), "scala_udf")
     // pq_codes(emb, codebookFlat, ks, dsub): same literal-folding

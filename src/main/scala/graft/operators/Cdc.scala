@@ -116,6 +116,75 @@ object Cdc {
         col("valid_to_us").isNull.as("is_current"): _*)
   }
 
+  /** Snapshot diff / change-feed generation — the INVERSE of
+    * [[mergeApply]]: given two snapshots of the same table, emit the
+    * minimal change set ('I' insert / 'D' delete / 'U' update) that
+    * turns the old one into the new one. The production pairing is
+    * obvious: a source that republishes full snapshots (the
+    * reference's play-by-play CSVs are exactly that,
+    * `assets/app_nfl.py:42-65`) is converted to an incremental feed
+    * once, then every downstream consumer applies the small diff
+    * instead of re-reading the world.
+    *
+    * Semantics: keys only in `newSnap` → I; keys only in `oldSnap` →
+    * D; keys in both with any payload column different (null-safe) →
+    * U; payload-identical keys emit NOTHING — change metadata (us,
+    * seq) is not compared, so a re-delivered upsert with an unchanged
+    * payload produces an empty diff, which is what makes the feed
+    * minimal. [[diffToLog]] re-shapes the diff as a [[mergeApply]]
+    * change log, closing the algebra: `mergeApply(old, diffToLog(
+    * tableDiff(old, new)))` reproduces `new` exactly on (key,
+    * payload) for ANY two snapshots — exactly BECAUSE the diff is
+    * minimal, a payload-identical key keeps its OLD change metadata
+    * through the round trip (CdcSpec property-tests this).
+    *
+    * Scale: one keyed full-outer join (AQE broadcasts whichever side
+    * is small; at 100 TB both snapshots would live bucketed by key
+    * and the join plans shuffle-free) + a per-row classification map.
+    * No window, no agg — snapshots are already one-row-per-key. */
+  def tableDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshot schemas differ: ${oldSnap.columns.toSeq} vs ${newSnap.columns.toSeq}")
+    require(oldSnap.columns.take(3).sameElements(Seq("key", "us", "seq")),
+      s"snapshots must lead with (key, us, seq): ${oldSnap.columns.toSeq}")
+    val payload = oldSnap.columns.drop(3).toSeq
+    val o = oldSnap.select(col("key") +: (Seq("us", "seq") ++ payload)
+      .map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select(col("key") +: (Seq("us", "seq") ++ payload)
+      .map(c => col(c).as(s"__n_$c")): _*)
+    val inOld = col("__o_us").isNotNull
+    val inNew = col("__n_us").isNotNull
+    val changed = payload
+      .map(p => !(col(s"__o_$p") <=> col(s"__n_$p")))
+      .foldLeft(lit(false))(_ || _)
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(!inOld, "I").when(!inNew, "D")
+          .when(changed, "U"))
+      .filter(col("change").isNotNull)
+      .select(col("key") +: col("change") +:
+        // change metadata rides from the surviving side (new for I/U,
+        // old for D) so the diff is itself a valid change log
+        when(col("change") === "D", col("__o_us")).otherwise(col("__n_us")).as("us") +:
+        when(col("change") === "D", col("__o_seq")).otherwise(col("__n_seq")).as("seq") +:
+        (payload.map(p => col(s"__o_$p").as(s"${p}_old")) ++
+          payload.map(p => col(s"__n_$p").as(s"${p}_new"))): _*)
+  }
+
+  /** Re-shape a [[tableDiff]] result as a [[mergeApply]] change log:
+    * I/U rows become upserts carrying the new payload, D rows become
+    * deletes. `mergeApply(Some(old), diffToLog(tableDiff(old, new)))`
+    * equals `new` exactly (a delta row always supersedes the base
+    * row, so the carried (us, seq) only matters for ordering INSIDE
+    * the log — and a diff has one row per key by construction). */
+  def diffToLog(diff: DataFrame): DataFrame = {
+    val payload = diff.columns.filter(_.endsWith("_new"))
+      .map(_.stripSuffix("_new")).toSeq
+    diff.select(col("key") +: col("us") +: col("seq") +:
+      when(col("change") === "D", "D").otherwise("U").as("op") +:
+      payload.map(p => col(s"${p}_new").as(p)): _*)
+  }
+
   /** The fixture change log: `events` as a CDC feed over per-user
     * profile state — key = user_id, order = (ts micros, event_id),
     * 'error' events are deletes, everything else upserts carrying
@@ -141,6 +210,22 @@ object Cdc {
     mergeApply(Some(base), log.filter($"us" >= cutoffUs))
       .select($"key".as("user_id"), $"value", $"etype",
         timestamp_micros($"us").as("updated_ts"))
+      .orderBy($"user_id")
+  }
+
+  /** q166: snapshot diff — the mid-January snapshot diffed against
+    * the full-log snapshot; what a consumer of republished full
+    * snapshots applies instead of the second full read. */
+  def snapshotDiff(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val log = eventChangeLog(t)
+    val cutoffUs = lit(java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000L)
+    val oldSnap = mergeApply(None, log.filter($"us" < cutoffUs))
+    val newSnap = mergeApply(None, log)
+    tableDiff(oldSnap, newSnap)
+      .select($"key".as("user_id"), $"change",
+        $"value_old", $"etype_old", $"value_new", $"etype_new")
       .orderBy($"user_id")
   }
 

@@ -202,6 +202,83 @@ object EventOps {
       .orderBy($"user_id", $"grid_ts")
   }
 
+  /** Linear-interpolation resampling — the other half of q96's grid
+    * regularization: where LOCF carries the last value flat,
+    * telemetry/feature pipelines usually want the value INTERPOLATED
+    * between the bracketing observations,
+    *
+    *   v(t) = v0 + (v1 − v0) · (t − t0)/(t1 − t0)
+    *
+    * with v at an exact observation equal to that observation, and
+    * NULL outside the observed span (strict interpolation, no
+    * extrapolation — silently extending the series is how bad
+    * features get made).
+    *
+    * Plan: observations are first canonicalized to one value per
+    * (user, µs) (min-event-id wins — a deterministic tie-break, not
+    * an average, so the bracket values are real observations), then
+    * grid and observation rows UNION into one frame and a single
+    * (user | us, tag) window pass computes both brackets: prev =
+    * last non-null observation in the unbounded-preceding frame,
+    * next = first in the unbounded-following frame. One exchange +
+    * one in-partition sort total for both directions — the same
+    * union+window recipe as the as-of join, never a range join. The
+    * interpolation itself is integer µs differences and a fixed
+    * left-to-right IEEE chain (one division, one multiply, one add),
+    * so any engine replaying the same brackets hashes identically.
+    *
+    * A grid point coinciding with an observation takes the frac = 0
+    * leg when a later observation exists and the explicit t0 = t leg
+    * when it is the LAST observation (the following frame is empty
+    * there — the coincident observation sorts BEFORE its grid row). */
+  def interpolateResampleOver(obs: DataFrame, keyCol: Column, usCol: Column,
+      valCol: Column, tieCol: Column, grid: DataFrame): DataFrame = {
+    val o = obs
+      .groupBy(keyCol.as("key"), usCol.as("us"))
+      .agg(min_by(valCol, tieCol).as("v"))
+      .select(col("key"), col("us"), lit(0).as("tag"), col("v"))
+    val g = grid.select(col("key"), col("us"), lit(1).as("tag"),
+      lit(null).cast(o.schema("v").dataType).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("us"), col("tag"))
+    val obsUs = when(col("tag") === 0, col("us"))
+    val obsV = when(col("tag") === 0, col("v"))
+    val prevF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o.unionByName(g)
+      .withColumn("t0", last(obsUs, ignoreNulls = true).over(prevF))
+      .withColumn("v0", last(obsV, ignoreNulls = true).over(prevF))
+      .withColumn("t1", first(obsUs, ignoreNulls = true).over(nextF))
+      .withColumn("v1", first(obsV, ignoreNulls = true).over(nextF))
+      .filter(col("tag") === 1)
+      .select(col("key"), col("us"),
+        when(col("t0") === col("us"), col("v0"))
+          .when(col("t0").isNotNull && col("t1").isNotNull,
+            col("v0") + (col("v1") - col("v0")) *
+              ((col("us") - col("t0")).cast("double") /
+                (col("t1") - col("t0")).cast("double")))
+          .as("v_interp"))
+  }
+
+  /** q169 fixture instance: event values interpolated onto the q96
+    * grid (global hour-truncated span, 6-hour step, per user). */
+  def interpolateResample(t: Tables, stepMinutes: Int = 360): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events.select($"user_id", tsMicros($"ts").as("us"),
+      $"value", $"event_id")
+    val span = t.events.agg(
+      tsMicros(date_trunc("hour", min($"ts"))).as("mn"), tsMicros(max($"ts")).as("mx"))
+    val stepUs = stepMinutes.toLong * 60L * 1000000L
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select($"user_id".as("key"),
+        explode(sequence($"mn", $"mx", lit(stepUs))).as("us"))
+    interpolateResampleOver(ev, $"user_id", $"us", $"value", $"event_id", grid)
+      .select($"key".as("user_id"), timestamp_micros($"us").as("grid_ts"),
+        $"v_interp")
+      .orderBy($"user_id", $"grid_ts")
+  }
+
   /** q97: event-type transition matrix — the per-user first-order
     * Markov estimate: P(next | prev) = c(prev, next) / c(prev, ·)
     * over each user's time-ordered stream. One lag window per user

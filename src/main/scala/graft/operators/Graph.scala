@@ -678,4 +678,85 @@ object Graph {
       .select($"cust", $"partner", $"n_shared")
       .orderBy($"cust")
   }
+
+  // ── q170: k-core decomposition (iterative peel) ─────────────────────
+  // The graph family's density primitive: the k-core is the maximal
+  // subgraph where every node keeps degree ≥ k — the standard
+  // spam/bot-ring and community-nucleus filter (Seidman 1983). Unlike
+  // the family's fixed-round algebraic passes (PageRank/HITS/LPA),
+  // peeling is a MONOTONE fixpoint: drop under-degree nodes, degrees
+  // only fall, repeat until stable — so the converged set is exact
+  // regardless of round count, and the convergence driver is the
+  // ssspConverged shape (one count action per round, eager
+  // checkpoints bounding lineage).
+  //
+  // Scale per round: edges stay partitioned by src, so the degree agg
+  // and the src-side survivor semi-join are zero-exchange; only the
+  // dst-side semi-join shuffles (survivor ids — node-scale, not
+  // edge-scale). Rounds are bounded by the peel depth (the fixture's
+  // bipartite graph converges in 2; adversarial chains go deeper —
+  // KCoreSpec pins a planted 10-round cascade against sequential peel).
+
+  /** Peel `edges` (already expanded to both directions) to the k-core.
+    * Returns (surviving nodes with their in-core degree, rounds run —
+    * including the final confirming no-op round). */
+  def kCoreOver(edges: DataFrame, srcCol: Column, dstCol: Column, k: Long,
+      maxIters: Int = 64): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    var e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      val survivors = deg.filter(col("n") >= k).select(col("src").as("id"))
+        .localCheckpoint(true)
+      val next = e
+        .join(survivors, e("src") === survivors("id"), "left_semi")
+        .join(survivors, e("dst") === survivors("id"), "left_semi")
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      // monotone: the edge set only shrinks, so equal counts = fixpoint
+      converged = next.count() == e.count()
+      e = next
+      rounds += 1
+    }
+    val core = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    (core, rounds)
+  }
+
+  /** q170: k-core of the undirected customer↔supplier graph with the
+    * DATA-DERIVED threshold k = ⌊mean customer degree⌋ (a fixed k
+    * cannot be non-trivial at every SF — degrees grow with the data;
+    * the floor-division mean is exact integer arithmetic in any
+    * engine). The oracle unrolls [[KCoreOracleRounds]] peel rounds;
+    * convergence must land within that bound (loud require, the q163
+    * contract). */
+  val KCoreOracleRounds = 4
+  def kCoreCustSupp(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = t.orders
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .union(pairs.select($"s".as("src"), $"c".as("dst")))
+      .localCheckpoint(true)
+    // k = floor-mean customer degree: one two-long aggregate action —
+    // the standard driver-scalar pattern (k-means pulls k·d per round)
+    val Array(sumDeg, nCust) = edges.filter($"src" % 2 === 0)
+      .groupBy($"src").agg(count(lit(1)).as("n"))
+      .agg(sum($"n"), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val k = sumDeg / nCust
+    val (core, rounds) = kCoreOver(edges, $"src", $"dst", k)
+    require(rounds - 1 <= KCoreOracleRounds,
+      s"k-core peeled through ${rounds - 1} improving rounds; oracle " +
+        s"unrolls $KCoreOracleRounds — bump it")
+    core.select($"id",
+      when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+      $"deg")
+      .orderBy($"id")
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for aggregates — the batch-side dual
+  * of streaming state: a 100 TB warehouse does not recompute its
+  * per-customer / per-day rollups from the raw facts on every load,
+  * it keeps the AGGREGATE TABLE itself and folds each delta in. The
+  * reference's serving layer reads exactly such precomputed rollups
+  * (`assets/app_nfl.py:42-65` loads snapshot CSVs rather than
+  * re-deriving them); this operator is how those stay fresh.
+  *
+  * Algebra: the maintained measures are the classic commutative
+  * monoids — count, sum (exact integer quantities), min, max — whose
+  * partials merge associatively: agg(base ∪ delta) = merge(agg(base),
+  * agg(delta)). That identity is the whole correctness story, and
+  * q167's oracle checks it from the OUTSIDE: the engine maintains
+  * incrementally, the oracle aggregates the union from scratch, the
+  * hashes must coincide. Min/max make the view INSERT-ONLY (they are
+  * not retractable); deletions would drop min/max or demand a
+  * re-aggregation of affected groups — stated loudly rather than
+  * silently mis-merged.
+  *
+  * Scale: the aggregate table is persisted BUCKETED BY the group key
+  * (the q116 layout machinery), so the merge join reads it with zero
+  * exchanges — only the delta's partials (one map-side-combined agg,
+  * |groups-touched| rows, not |delta| rows) shuffle into the bucket
+  * layout. Cost per refresh is O(delta + groups-touched), independent
+  * of the view's (or the fact history's) total size — the property
+  * that makes daily loads O(day) instead of O(history).
+  */
+object Ivm {
+
+  private val Meta = Seq("key", "n", "s", "mn", "mx")
+
+  /** Per-group partial aggregates of one integer-quantized measure:
+    * (key, n, s, mn, mx). `measureQ` must be an exact integer column
+    * (quantize floats to their domain unit first) so `s` is
+    * order-independent. */
+  def partials(facts: DataFrame, keyCol: Column, measureQ: Column): DataFrame =
+    facts.groupBy(keyCol.as("key")).agg(
+      count(lit(1)).as("n"), sum(measureQ).as("s"),
+      min(measureQ).as("mn"), max(measureQ).as("mx"))
+
+  /** Persist `facts`' partial aggregates as a bucketed managed table —
+    * the one-time (or per-load, rolled forward) view materialization. */
+  def buildAggIndex(facts: DataFrame, keyCol: Column, measureQ: Column,
+      table: String, buckets: Int = 8): Unit = {
+    val spark = facts.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.Tables.deleteRec(new java.io.File(wh, table))
+    partials(facts, keyCol, measureQ)
+      .write.bucketBy(buckets, "key").sortBy("key")
+      .saveAsTable(table)
+  }
+
+  /** Merge a delta fact slice into the persisted view: aggregate the
+    * delta to partials (map-side combined — the only pass over delta
+    * rows), full-outer join the bucketed view on its own layout
+    * (merge-hinted; the view side plans with NO exchange,
+    * IvmSpec-asserted), and combine monoid-wise. Returns the UPDATED
+    * view; writing it back under a new table name is the roll-forward
+    * (same recipe as the dedup index's updateDedupIndex). */
+  def mergeDelta(delta: DataFrame, keyCol: Column, measureQ: Column,
+      table: String): DataFrame = {
+    val spark = delta.sparkSession
+    val idx = spark.table(table)
+    require(idx.columns.sameElements(Meta),
+      s"$table is not an Ivm aggregate table: ${idx.columns.toSeq}")
+    val d = partials(delta, keyCol, measureQ)
+    idx.as("i").hint("merge")
+      .join(d.as("d"), Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("i.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("i.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"),
+        least(col("i.mn"), col("d.mn")).as("mn"),   // least/greatest skip NULLs
+        greatest(col("i.mx"), col("d.mx")).as("mx"))
+  }
+
+  /** q167 fixture instance: the per-customer order rollup (count,
+    * exact cents total, min/max) maintained incrementally — the view
+    * is built from pre-1997 orders once (memoized per fixture
+    * fingerprint), the 1997+ delta folded in at query time. Must
+    * hash-equal the oracle's from-scratch GROUP BY over ALL orders. */
+  private val viewBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def incrementalOrderRollup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    val table = viewBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_ivm_orders_$fp"
+      buildAggIndex(t.orders.filter($"o_orderdate" < cut), $"o_custkey",
+        cents, name)
+      name
+    })
+    mergeDelta(t.orders.filter($"o_orderdate" >= cut), $"o_custkey",
+      cents, table)
+      .select($"key".as("o_custkey"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"),
+        ($"mn".cast("double") / 100.0).as("min_price"),
+        ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"o_custkey")
+  }
+}

@@ -800,4 +800,64 @@ object PipelineOps {
     splitLeakageOver(t.documents, $"doc_id", $"text", trainPct, validPct)
       .orderBy($"scheme", $"split_a", $"split_b")
   }
+
+  // ── q168: leakage-free K-fold target encoding ──────────────────────
+  // The standard high-cardinality-categorical feature for tabular
+  // models (the reference's GBT pipeline indexes its categoricals
+  // verbatim, `assets/NFL_Predictions_Spark.json` StringIndexer
+  // stages; target encoding is what replaces that when cardinality
+  // explodes): encode each category by the target's mean — but
+  // computed LEAVE-FOLD-OUT, so the encoding applied to a row never
+  // saw that row's own fold and the feature carries no label leakage.
+  //
+  //   enc(cat, fold) = (Σ_target(cat) − Σ_target(cat, fold))
+  //                  / (n(cat) − n(cat, fold))
+  //
+  // Exactness: the target rides as integer quantities (cents), so
+  // both sums are order-independent exact integers and the one final
+  // division is a single deterministic IEEE op — hash-identical to
+  // any engine. A category entirely inside one fold has no
+  // out-of-fold rows and encodes NULL (the caller backs off to the
+  // global mean; emitting a value here would silently leak).
+  //
+  // Scale: ONE map-side-combinable agg over (category, fold) — k·|cats|
+  // output rows no matter the fact-table size — then a groupBy of that
+  // tiny frame for the per-category totals and a broadcast-sized join.
+  // Applying the encoding to training rows is a broadcast hash join on
+  // (category, fold); no shuffle of the fact table beyond the agg.
+
+  /** Generic leave-fold-out target encoding over integer-quantized
+    * targets. `targetQ` MUST be an exact integer quantity (quantize
+    * floats before calling — cents, micros, whatever the domain's
+    * unit is) so fold sums are order-independent. */
+  def targetEncodeOver(df: DataFrame, catCol: Column, foldCol: Column,
+      targetQ: Column, unitsPerTarget: Long): DataFrame = {
+    require(unitsPerTarget > 0, s"unitsPerTarget must be positive: $unitsPerTarget")
+    val perFold = df
+      .groupBy(catCol.as("category"), foldCol.as("fold"))
+      .agg(count(lit(1)).as("n_fold"), sum(targetQ).as("sum_fold"))
+    val perCat = perFold
+      .groupBy(col("category"))
+      .agg(sum(col("n_fold")).as("n_cat"), sum(col("sum_fold")).as("sum_cat"))
+    perFold.join(perCat, Seq("category"))
+      .select(col("category"), col("fold"), col("n_fold"),
+        when(col("n_cat") > col("n_fold"),
+          (col("sum_cat") - col("sum_fold")).cast("double") /
+            (col("n_cat") - col("n_fold")).cast("double") /
+            lit(unitsPerTarget.toDouble))
+          .as("enc"))
+  }
+
+  /** q168 fixture instance: orders encoded by (priority, status) with
+    * o_totalprice (cents-quantized) as the target, 5 folds keyed on
+    * the order key. */
+  def orderTargetEncoding(t: Tables, folds: Int = 5): DataFrame = {
+    import t.spark.implicits._
+    targetEncodeOver(t.orders,
+      concat($"o_orderpriority", lit("|"), $"o_orderstatus"),
+      pmod($"o_orderkey", lit(folds.toLong)),
+      floor($"o_totalprice" * 100 + 0.5).cast("long"),
+      unitsPerTarget = 100L)
+      .orderBy($"category", $"fold")
+  }
 }

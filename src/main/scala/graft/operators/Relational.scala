@@ -859,6 +859,61 @@ object Relational {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ── q171: transposition-aware fuzzy matching (Damerau refine) ──────
+  // Plain Levenshtein scores the most common human typo — two adjacent
+  // characters swapped — as TWO edits, so a lev-1 matcher misses it
+  // and a lev-2 matcher admits far looser noise along with it. The
+  // Damerau variant prices the swap at 1. Candidates come from the
+  // EXISTING PassJoin generator, losslessly: DL ≤ Levenshtein ≤ 2·DL,
+  // so the lev-(2d) candidate set covers every DL ≤ d pair, and the
+  // codegen'd unrestricted-DL expression (graft.expr.
+  // DamerauLevenshtein — DuckDB-variant-exact) refines it. Cost =
+  // q84's candidate volume + one O(|a|·|b|) verify per candidate.
+  //
+  // The fixture corpus has no natural transposition pairs (checked:
+  // 1510 DL≤1 pairs at sf0.01, all lev≤1), so the query PLANTS
+  // deterministic witnesses — the q164/q165 synthetic-gadget recipe:
+  // every 40th part gains a variant with name chars 4,5 swapped
+  // (id + 10⁷, same brand), a DL-1/lev-2 pair the plain-lev matcher
+  // provably mis-prices. The oracle replants identically and replays
+  // both distances with DuckDB's built-ins.
+
+  /** Generic Damerau-refined pairing: PassJoin lev-2d candidates →
+    * native unrestricted-DL verify at ≤ d. */
+  def damerauPairsOver(
+      df: DataFrame, idCol: org.apache.spark.sql.Column,
+      blockCol: org.apache.spark.sql.Column,
+      nameCol: org.apache.spark.sql.Column, maxDl: Int): DataFrame = {
+    require(maxDl >= 1 && maxDl <= 2, s"maxDl out of range [1,2]: $maxDl")
+    val base = df.select(idCol.as("__id"), blockCol.as("block"),
+      nameCol.as("__nm"))
+    fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist = 2 * maxDl)
+      .join(base.select(col("__id").as("id_a"), col("block"),
+        col("__nm").as("nm_a")), Seq("id_a", "block"))
+      .join(base.select(col("__id").as("id_b"), col("block"),
+        col("__nm").as("nm_b")), Seq("id_b", "block"))
+      .withColumn("dl",
+        call_function("damerau_levenshtein", col("nm_a"), col("nm_b")))
+      .filter(col("dl") <= maxDl)
+      .select(col("id_a"), col("id_b"), col("block"), col("lev"), col("dl"))
+  }
+
+  /** q171 fixture instance: part names + planted adjacent-swap
+    * variants, paired at DL ≤ 1 within brand. */
+  def damerauPartNames(t: Tables, maxDl: Int = 1): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.part.filter($"p_partkey" % 40 === 0)
+      .select(($"p_partkey" + 10000000L).as("id"), $"p_brand".as("block"),
+        concat(substring($"p_name", 1, 3), substring($"p_name", 5, 1),
+          substring($"p_name", 4, 1), substring($"p_name", 6, 1 << 24)).as("nm"))
+    val aug = t.part
+      .select($"p_partkey".as("id"), $"p_brand".as("block"), $"p_name".as("nm"))
+      .union(planted)
+    damerauPairsOver(aug, $"id", $"block", $"nm", maxDl)
+      .withColumnRenamed("block", "p_brand")
+      .orderBy($"id_a", $"id_b")
+  }
+
   // ── q143: per-group skyline (Pareto frontier) ───────────────────────
   /** The classic multi-criteria operator relational engines lack as a
     * builtin (Börzsönyi et al., ICDE 2001): rows not DOMINATED by any

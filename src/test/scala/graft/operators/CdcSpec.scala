@@ -107,6 +107,46 @@ class CdcSpec extends SparkSpec {
     assert(overlaps === 0)
   }
 
+  test("tableDiff classification on hand-built snapshots") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, 100L, 1L, 1.0, "a"),  // unchanged → absent from diff
+      (2L, 100L, 2L, 2.0, "b"),  // payload changes → U
+      (3L, 100L, 3L, 3.0, "c"),  // disappears → D
+      (5L, 100L, 5L, 5.0, "e")   // only metadata changes → absent
+    ).toDF("key", "us", "seq", "value", "etype")
+    val newSnap = Seq(
+      (1L, 100L, 1L, 1.0, "a"),
+      (2L, 200L, 6L, 2.5, "b"),
+      (4L, 200L, 7L, 4.0, "d"),  // appears → I
+      (5L, 900L, 9L, 5.0, "e")
+    ).toDF("key", "us", "seq", "value", "etype")
+    val d = Cdc.tableDiff(oldSnap, newSnap).orderBy("key")
+      .select("key", "change").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.toSeq === Seq((2L, "U"), (3L, "D"), (4L, "I")))
+    // self-diff is empty (minimality)
+    assert(Cdc.tableDiff(newSnap, newSnap).isEmpty)
+  }
+
+  test("round trip: mergeApply(old, diffToLog(tableDiff(old, new))) == new") {
+    for (cutDay <- Seq("2024-01-08", "2024-01-15", "2024-01-22")) {
+      val log = Cdc.eventChangeLog(sf001)
+      val cutUs = java.time.Instant.parse(s"${cutDay}T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val oldSnap = Cdc.mergeApply(None, log.filter(col("us") < cutUs))
+      val newSnap = Cdc.mergeApply(None, log)
+      val applied = Cdc.mergeApply(Some(oldSnap),
+        Cdc.diffToLog(Cdc.tableDiff(oldSnap, newSnap)))
+      // the diff is MINIMAL: payload-identical keys are suppressed, so
+      // the round trip reproduces new exactly on (key, payload) while
+      // change metadata (us, seq) may keep its old value there
+      val a = applied.select("key", "value", "etype")
+      val n = newSnap.select("key", "value", "etype")
+      assert(a.exceptAll(n).isEmpty && n.exceptAll(a).isEmpty,
+        s"diff round trip diverges at cut $cutDay")
+    }
+  }
+
   test("plans: mergeApply has no window sort; scd2 shuffles once") {
     val mergePlan = Cdc.mergeApply(None, Cdc.eventChangeLog(sf001))
       .queryExecution.executedPlan.toString

@@ -359,4 +359,38 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(vocab === Seq(("an", 3L), ("ana", 3L), ("b", 3L), ("d", 1L)))
   }
+
+  test("targetEncode: hand computation, leakage-freedom, single-fold NULL") {
+    import spark.implicits._
+    // cat x: fold 0 targets {10, 20}, fold 1 targets {40}
+    //   enc(x,0) = 40/1 = 40; enc(x,1) = 30/2 = 15
+    // cat y: only fold 0 → no out-of-fold rows → NULL
+    val df = Seq(("x", 0L, 10L), ("x", 0L, 20L), ("x", 1L, 40L),
+      ("y", 0L, 7L)).toDF("cat", "fold", "t")
+    val got = PipelineOps
+      .targetEncodeOver(df, $"cat", $"fold", $"t", unitsPerTarget = 1L)
+      .orderBy($"category", $"fold")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(got(0) === (("x", 0L, 2L, 40.0)))
+    assert(got(1) === (("x", 1L, 1L, 15.0)))
+    assert(got(2)._4.isNaN, "single-fold category must encode NULL, not leak")
+    // leakage-freedom on the fixture: enc(cat, fold) must equal the
+    // mean computed over all OTHER folds' rows, for every row
+    val enc = PipelineOps.orderTargetEncoding(sf001)
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    val byHand = sf001.orders
+      .select(concat($"o_orderpriority", lit("|"), $"o_orderstatus").as("category"),
+        pmod($"o_orderkey", lit(5L)).as("f"), cents.as("c"))
+    val cross = byHand.select($"category", $"f".as("fold"))
+      .distinct()
+      .join(byHand, Seq("category"))
+      .filter($"f" =!= $"fold")
+      .groupBy($"category", $"fold")
+      .agg((sum($"c").cast("double") / count(lit(1)).cast("double") / 100.0)
+        .as("enc_ref"))
+    val joined = enc.join(cross, Seq("category", "fold"), "left")
+    assert(joined.filter(abs($"enc" - $"enc_ref") > 1e-9).count() === 0,
+      "encoding diverges from the out-of-fold mean")
+  }
 }
