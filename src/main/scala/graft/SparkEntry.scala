@@ -284,6 +284,7 @@ object SparkEntry {
     "q169_interp_resample"   -> ((s, d) => graft.operators.EventOps.interpolateResample(Tables(s, d))),
     "q170_kcore"             -> ((s, d) => graft.operators.Graph.kCoreCustSupp(Tables(s, d))),
     "q171_damerau_match"     -> ((s, d) => Relational.damerauPartNames(Tables(s, d))),
+    "q172_stream_cdc"        -> ((s, d) => graft.streaming.StreamCdc.cdcUpsert(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1800,6 +1801,23 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q172: the streamed foreachBatch upsert folds micro-batches with
+    // mergeApply, whose associativity (CdcSpec) makes any chunking
+    // equal the one-shot fold — so the oracle is the plain full-slice
+    // latest-wins window (the q158 shape, week-bounded), blind to the
+    // micro-batch structure
+    "q172_stream_cdc" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY key ORDER BY us DESC, seq DESC) AS rn FROM log)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS updated_ts
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
     // q171: variants replanted identically (chars 4,5 swapped on every
     // 40th part), both distances replayed with DuckDB's built-ins —
     // its damerau_levenshtein is the UNRESTRICTED variant, the same

@@ -810,4 +810,59 @@ object Graft {
     * sizes carried as multiplicities. */
   def imageNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
     graft.sources.Multimodal.imageNearDups(t, maxHamming)
+
+  /** Minimal snapshot diff: keys only in `newSnap` → I, only in
+    * `oldSnap` → D, payload-changed → U; payload-identical keys emit
+    * nothing. One keyed full-outer join, no window. */
+  def tableDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    graft.operators.Cdc.tableDiff(oldSnap, newSnap)
+
+  /** Re-shape a [[tableDiff]] result as a [[cdcMerge]] change log —
+    * `cdcMerge(Some(old), diffToLog(tableDiff(old, new)))` reproduces
+    * `new` on every payload column. */
+  def diffToLog(diff: DataFrame): DataFrame =
+    graft.operators.Cdc.diffToLog(diff)
+
+  /** Persist a per-group aggregate view (count/sum/min/max of an
+    * integer-quantized measure) bucketed by group key. */
+  def buildAggIndex(facts: DataFrame, keyCol: Column, measureQ: Column,
+      table: String, buckets: Int = 8): Unit =
+    graft.operators.Ivm.buildAggIndex(facts, keyCol, measureQ, table, buckets)
+
+  /** Fold an insert-only delta into a persisted aggregate view —
+    * O(delta + touched groups), the view side reads bucket-local. */
+  def ivmMerge(delta: DataFrame, keyCol: Column, measureQ: Column,
+      table: String): DataFrame =
+    graft.operators.Ivm.mergeDelta(delta, keyCol, measureQ, table)
+
+  /** Leave-fold-out target encoding over an integer-quantized target:
+    * (category, fold) → out-of-fold mean; single-fold categories
+    * encode NULL instead of leaking. */
+  def targetEncode(df: DataFrame, catCol: Column, foldCol: Column,
+      targetQ: Column, unitsPerTarget: Long): DataFrame =
+    graft.operators.PipelineOps.targetEncodeOver(df, catCol, foldCol,
+      targetQ, unitsPerTarget)
+
+  /** Linear-interpolation resampling of per-key observations onto a
+    * grid frame (key, us): strict interpolation, NULL outside the
+    * observed span — one union + one window pass for both brackets. */
+  def interpolateResample(obs: DataFrame, keyCol: Column, usCol: Column,
+      valCol: Column, tieCol: Column, grid: DataFrame): DataFrame =
+    graft.operators.EventOps.interpolateResampleOver(obs, keyCol, usCol,
+      valCol, tieCol, grid)
+
+  /** k-core peel to fixpoint over a both-directions edge list;
+    * returns (core members with in-core degree, rounds run). */
+  def kCore(edges: DataFrame, srcCol: Column, dstCol: Column, k: Long,
+      maxIters: Int = 64): (DataFrame, Int) =
+    graft.operators.Graph.kCoreOver(edges, srcCol, dstCol, k, maxIters)
+
+  /** Blocked transposition-aware fuzzy pairs: PassJoin lev-(2d)
+    * candidates refined by the codegen'd unrestricted
+    * Damerau–Levenshtein at ≤ d (DL ≤ Lev ≤ 2·DL makes the reuse
+    * lossless). */
+  def damerauPairs(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDl: Int): DataFrame =
+    graft.operators.Relational.damerauPairsOver(df, idCol, blockCol,
+      nameCol, maxDl)
 }

@@ -45,7 +45,7 @@ case class ReplayDoc(ts: java.sql.Timestamp, doc_id: Long, text: String)
 object StreamReplay {
 
   /** Slice bound for the event-table replays: the first week. */
-  private val EventCutoff = "2024-01-08 00:00:00"
+  private[streaming] val EventCutoff = "2024-01-08 00:00:00"
 
   /** Data micro-batches per event replay. Three ~2.3-day chunks over
     * the 7-day slice: every day window except the first still spans a
@@ -54,7 +54,7 @@ object StreamReplay {
     * ran 8 chunks; each extra micro-batch costs per-partition state
     * store load/commit + offset-log latency, and the replay lane's
     * batch turnaround, not data volume, set that bench's makespan.) */
-  private val EventChunks = 3
+  private[streaming] val EventChunks = 3
 
   /** Planted-copy id offset for the dedup replays — far above any
     * fixture doc_id, so `id < CopyIdOff` marks an original. */
@@ -121,7 +121,7 @@ object StreamReplay {
   }
 
   /** Split an ordered slice into `n` equal ts-contiguous chunks. */
-  private def chunked[T](rows: Seq[T], n: Int): Seq[Seq[T]] =
+  private[streaming] def chunked[T](rows: Seq[T], n: Int): Seq[Seq[T]] =
     if (rows.isEmpty) Seq(Seq.empty)
     else rows.grouped(math.max(1, (rows.length + n - 1) / n)).toSeq
 
@@ -147,7 +147,7 @@ object StreamReplay {
   private val sliceMemo = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[(Seq[ReplayEvent], ReplayEvent)]]()
 
-  private def eventSlice(spark: SparkSession, dir: String): (Seq[ReplayEvent], ReplayEvent) =
+  private[streaming] def eventSlice(spark: SparkSession, dir: String): (Seq[ReplayEvent], ReplayEvent) =
     sliceMemo.synchronized {
       Option(sliceMemo.get(dir)).flatMap(r => Option(r.get())).getOrElse {
         import spark.implicits._

@@ -540,4 +540,61 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(got(0)._2 - 0.8) < 1e-12 && math.abs(got(1)._2 - 0.2) < 1e-12,
       s"got $got")
   }
+
+  test("tableDiff + diffToLog close the loop through cdcMerge") {
+    val oldSnap = Seq((1L, 10L, 1L, 5.0), (2L, 10L, 2L, 6.0))
+      .toDF("key", "us", "seq", "value")
+    val newSnap = Seq((1L, 20L, 3L, 9.0), (3L, 20L, 4L, 7.0))
+      .toDF("key", "us", "seq", "value")
+    val diff = Graft.tableDiff(oldSnap, newSnap)
+    val changes = diff.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes === Map(1L -> "U", 2L -> "D", 3L -> "I"))
+    val applied = Graft.cdcMerge(Some(oldSnap), Graft.diffToLog(diff))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(applied === Map(1L -> 9.0, 3L -> 7.0))
+  }
+
+  test("ivmMerge folds a delta into a persisted view exactly") {
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "m")
+    val delta = Seq(("a", 30L), ("c", 1L)).toDF("k", "m")
+    Graft.buildAggIndex(base, $"k", $"m", "graft_api_ivm", buckets = 2)
+    val got = Graft.ivmMerge(delta, $"k", $"m", "graft_api_ivm")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(got === List(("a", 3L, 60L, 10L, 30L), ("b", 1L, 5L, 5L, 5L),
+      ("c", 1L, 1L, 1L, 1L)))
+  }
+
+  test("targetEncode excludes the row's own fold from its encoding") {
+    val df = Seq(("x", 0L, 10L), ("x", 1L, 30L)).toDF("cat", "fold", "t")
+    val got = Graft.targetEncode(df, $"cat", $"fold", $"t", 1L)
+      .orderBy("fold").collect().map(_.getDouble(3)).toList
+    assert(got === List(30.0, 10.0))
+  }
+
+  test("interpolateResample hits the midpoint") {
+    val obs = Seq((1L, 0L, 0.0, 1L), (1L, 10L, 10.0, 2L))
+      .toDF("uid", "us", "v", "eid")
+    val grid = Seq((1L, 4L)).toDF("key", "us")
+    val got = Graft.interpolateResample(obs, $"uid", $"us", $"v", $"eid", grid)
+      .head().getDouble(2)
+    assert(got === 4.0)
+  }
+
+  test("kCore facade peels a pendant off a triangle") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val e = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val (core, _) = Graft.kCore(e, $"src", $"dst", k = 2)
+    assert(core.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("damerauPairs prices an adjacent swap at 1 where lev says 2") {
+    val df = Seq((1L, "blk", "golden"), (2L, "blk", "goldne"))
+      .toDF("id", "b", "nm")
+    val got = Graft.damerauPairs(df, $"id", $"b", $"nm", maxDl = 1)
+      .head()
+    assert(got.getAs[Int]("lev") === 2 && got.getAs[Int]("dl") === 1)
+  }
 }
