@@ -246,10 +246,14 @@ object EventOps {
     val prevF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nextF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     o.unionByName(g)
-      .withColumn("t0", last(obsUs, ignoreNulls = true).over(prevF))
-      .withColumn("v0", last(obsV, ignoreNulls = true).over(prevF))
-      .withColumn("t1", first(obsUs, ignoreNulls = true).over(nextF))
-      .withColumn("v1", first(obsV, ignoreNulls = true).over(nextF))
+      // one select so CollapseWindow folds same-frame brackets into
+      // TWO Window passes over the single exchange+sort (4 chained
+      // withColumns planned as 4 passes)
+      .select(col("key"), col("us"), col("tag"),
+        last(obsUs, ignoreNulls = true).over(prevF).as("t0"),
+        last(obsV, ignoreNulls = true).over(prevF).as("v0"),
+        first(obsUs, ignoreNulls = true).over(nextF).as("t1"),
+        first(obsV, ignoreNulls = true).over(nextF).as("v1"))
       .filter(col("tag") === 1)
       .select(col("key"), col("us"),
         when(col("t0") === col("us"), col("v0"))

@@ -122,6 +122,10 @@ object PlanAuditSpec {
     "q115_stream_embed_gate", "q117_stream_interval_join",
     "q118_stream_sessions", "q119_stream_ewma", "q120_stream_outer_join",
     "q124_stream_cms_gate", "q132_stream_asof_join", "q150_stream_anomaly",
+    // construction runs the foreachBatch upsert replay end-to-end
+    // (StreamCdc); plan per batch is mergeApply's agg+join, asserted
+    // by CdcSpec on the batch operator
+    "q172_stream_cdc",
     // run the k merge rounds (one bounded top-1 collect per round)
     // during construction, like the CC driver loop
     "q133_bpe_merges", "q134_bpe_vocab",
