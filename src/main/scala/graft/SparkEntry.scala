@@ -285,6 +285,10 @@ object SparkEntry {
     "q170_kcore"             -> ((s, d) => graft.operators.Graph.kCoreCustSupp(Tables(s, d))),
     "q171_damerau_match"     -> ((s, d) => Relational.damerauPartNames(Tables(s, d))),
     "q172_stream_cdc"        -> ((s, d) => graft.streaming.StreamCdc.cdcUpsert(s, d)),
+    "q173_fk_audit"          -> ((s, d) => Relational.fkAudit(Tables(s, d))),
+    "q174_asof_staleness"    -> ((s, d) => AsOfJoin.errorsAfterFreshClicks(Tables(s, d))),
+    "q175_robust_outliers"   -> ((s, d) => Relational.eventRobustOutliers(Tables(s, d))),
+    "q176_twap"              -> ((s, d) => graft.operators.EventOps.userTwap(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1801,6 +1805,99 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q175: both medians replayed as the q155 selection (value at
+    // sorted position ⌈n/2⌉ — well-defined under ties), the outlier
+    // test in multiplication form (one IEEE multiply per side, no
+    // division) exactly as the engine computes it
+    "q175_robust_outliers" ->
+      """WITH w AS (SELECT event_type AS g, value AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+        |    THEN v END) AS med
+        |  FROM w GROUP BY g),
+        |d AS (SELECT w.g, ABS(w.v - m.med) AS dev, m.med
+        |  FROM w JOIN m USING (g)),
+        |d2 AS (SELECT g, dev,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS nn FROM d),
+        |md AS (SELECT g, MAX(CASE WHEN rn = CAST(ceil(0.5*nn) AS BIGINT)
+        |    THEN dev END) AS mad
+        |  FROM d2 GROUP BY g)
+        |SELECT d.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | MAX(d.med) AS med, MAX(md.mad) AS mad,
+        | CAST(SUM(CASE WHEN d.dev * 0.6745 > 3.5 * md.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (g) GROUP BY d.g""".stripMargin,
+    // q176: the same lead-window segments; both sums are exact
+    // integers (HUGEINT ↔ DECIMAL(38,0)) so the one final division
+    // sees identical operands; zero-weight tie segments included
+    "q176_twap" ->
+      """WITH o AS (SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, event_id AS tie
+        | FROM events),
+        |s AS (SELECT k, vc,
+        |  lead(us) OVER (PARTITION BY k ORDER BY us, tie) - us AS dt FROM o)
+        |SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        | CAST(SUM(dt) AS BIGINT) AS held_us,
+        | CASE WHEN SUM(dt) > 0 THEN
+        |   CAST(SUM(vc * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0
+        | END AS twap
+        |FROM s WHERE dt IS NOT NULL GROUP BY k""".stripMargin,
+    // q173: each FK edge re-audited as a LEFT JOIN + filtered counts
+    // (pk uniqueness keeps the join multiplicity 1); the planted edge
+    // re-points every 1000th order key past the domain so the
+    // detector provably fires; all-integer outputs
+    "q173_fk_audit" -> {
+      def edge(rel: String, child: String, fk: String, parent: String,
+          pk: String, fkExpr: String = ""): String = {
+        val f = if (fkExpr.isEmpty) fk else fkExpr
+        s"""SELECT '$rel' AS relation,
+           | CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COUNT(*) FILTER (p.$pk IS NULL) AS BIGINT) AS n_orphan_rows,
+           | CAST(COUNT(DISTINCT c.__fk) FILTER (p.$pk IS NULL) AS BIGINT)
+           |   AS n_orphan_keys
+           |FROM (SELECT $f AS __fk FROM $child) c
+           |LEFT JOIN $parent p ON c.__fk = p.$pk
+           |WHERE c.__fk IS NOT NULL""".stripMargin
+      }
+      Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        edge("planted.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey",
+          "CASE WHEN l_orderkey % 1000 = 0 THEN l_orderkey + 2147483648 " +
+            "ELSE l_orderkey END")
+      ).mkString("\nUNION ALL\n")
+    },
+    // q174: DuckDB's native ASOF (the q40 oracle) + the staleness
+    // guard as one integer-µs CASE — matches older than 6 h fall back
+    // to the unmatched sentinels
+    "q174_asof_staleness" ->
+      """SELECT e.user_id, e.event_id AS error_id,
+        | COALESCE(CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+        |     - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 21600000000
+        |   THEN c.event_id END, -1) AS click_id,
+        | COALESCE(CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+        |     - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 21600000000
+        |   THEN CAST(c.ts AS TIMESTAMP) END,
+        |  TIMESTAMP '1970-01-01') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     // q172: the streamed foreachBatch upsert folds micro-batches with
     // mergeApply, whose associativity (CdcSpec) makes any chunking
     // equal the one-shot fold — so the oracle is the plain full-slice

@@ -865,4 +865,36 @@ object Graft {
       nameCol: Column, maxDl: Int): DataFrame =
     graft.operators.Relational.damerauPairsOver(df, idCol, blockCol,
       nameCol, maxDl)
+
+  /** Referential-integrity audit of one FK edge: (relation, n_rows,
+    * n_orphan_rows, n_orphan_keys) — NULL FKs are not violations. */
+  def fkAudit(relation: String, child: DataFrame, fkCol: Column,
+      parent: DataFrame, pkCol: Column): DataFrame =
+    graft.operators.Relational.fkAuditEdge(relation, child, fkCol,
+      parent, pkCol)
+
+  /** Staleness-bounded as-of join: latest prior match per key, but a
+    * match older than `maxAgeUs` is discarded (feature-freshness
+    * contract) — same one-shuffle union+window plan as the plain
+    * as-of. */
+  def asOfJoinWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftValue: String,
+      rightValue: String, maxAgeUs: Long): DataFrame =
+    graft.operators.AsOfJoin.joinPriorWithin(left, right, key, leftTs,
+      rightTs, leftValue, rightValue, maxAgeUs)
+
+  /** Robust per-group outlier stats (Iglewicz–Hoaglin modified z over
+    * exact type-1 median/MAD selections): (group, n, med, mad,
+    * n_outliers at |0.6745·dev| > 3.5·MAD). */
+  def robustOutliers(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame =
+    graft.operators.Relational.robustOutliersOver(df, groupCol, valueCol)
+
+  /** Time-weighted average per key over LOCF segments; values must be
+    * integer-quantized (e.g. cents) — sums accumulate exactly in
+    * DECIMAL(38,0), one final double division. */
+  def twap(obs: DataFrame, keyCol: Column, usCol: Column,
+      valueCentsCol: Column, tieCol: Column): DataFrame =
+    graft.operators.EventOps.twapOver(obs, keyCol, usCol,
+      valueCentsCol, tieCol)
 }

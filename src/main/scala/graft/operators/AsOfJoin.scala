@@ -59,6 +59,47 @@ object AsOfJoin {
         col("asof.v").as("asof_val"), col("asof.t").as("asof_ts"))
   }
 
+  /** Staleness-bounded as-of join — the feature-store variant of
+    * [[joinPrior]]: a match older than `maxAgeUs` is DISCARDED (both
+    * value and timestamp null), because a point-in-time feature
+    * lookup must not serve arbitrarily stale state — the standard
+    * "max staleness" contract of online feature serving. Same
+    * union+window cost as joinPrior (one shuffle of |L|+|R| on the
+    * key); the tolerance is one per-row integer-µs comparison after
+    * the carry, so the bound adds NO plan weight. Matches DuckDB
+    * `ASOF JOIN` + a CASE age guard (q174's oracle). */
+  def joinPriorWithin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      leftValue: String, rightValue: String, maxAgeUs: Long): DataFrame = {
+    require(maxAgeUs >= 0, s"maxAgeUs must be >= 0: $maxAgeUs")
+    import graft.functions.TimeFunctions.tsMicros
+    val fresh = tsMicros(col(leftTs)) - tsMicros(col("asof_ts")) <= maxAgeUs
+    joinPrior(left, right, key, leftTs, rightTs, leftValue, rightValue)
+      .select(col(key), col(leftTs), col(leftValue),
+        when(fresh, col("asof_val")).as("asof_val"),
+        when(fresh, col("asof_ts")).as("asof_ts"))
+  }
+
+  /** q174: each error matched to the latest prior click by the same
+    * user ONLY if that click is at most 6 hours old — errors whose
+    * last click is staler surface unmatched (sentinel convention of
+    * q40). */
+  def errorsAfterFreshClicks(t: Tables, maxAgeHours: Int = 6): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    joinPriorWithin(errors, clicks, "user_id", "ts", "ts",
+        "event_id", "event_id", maxAgeHours.toLong * 3600L * 1000000L)
+      .select($"user_id", $"event_id".as("error_id"),
+        coalesce($"asof_val", lit(-1L)).as("click_id"),
+        coalesce($"asof_ts", lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+      .orderBy($"user_id", $"error_id")
+  }
+
   /** q40: for each error event, the most recent prior-or-simultaneous
     * click by the same user (classic diagnostics query). */
   def errorsAfterClicks(t: Tables): DataFrame = {

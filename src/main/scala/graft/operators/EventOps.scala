@@ -283,6 +283,56 @@ object EventOps {
       .orderBy($"user_id", $"grid_ts")
   }
 
+  /** Time-weighted average (TWAP) — the telemetry/finance mean that
+    * weights each observation by HOW LONG it held (a sensor emitting
+    * one reading per quiet hour and sixty during a spike must not
+    * average as if every reading counted equally):
+    *
+    *   twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)
+    *
+    * over each key's time-ordered observations (LOCF segments; the
+    * last observation holds nothing and contributes no segment).
+    *
+    * Exactness at scale: values ride integer-quantized (cents) and
+    * durations as integer µs, so each product is an exact ≤ 2⁶³ long
+    * and the two sums accumulate in DECIMAL(38,0) — order-independent
+    * exact integers no matter the partitioning (Spark decimal ↔
+    * DuckDB HUGEINT; the one final double division sees identical
+    * operands). A double-product sum would be partition-order
+    * dependent and hash-diverge. Plan: one lag/lead window (single
+    * exchange on the key) + one map-side-combinable agg. Zero-length
+    * segments (timestamp ties, ordered by the tie column) carry zero
+    * weight — harmless and deterministic. */
+  def twapOver(obs: DataFrame, keyCol: Column, usCol: Column,
+      valueCentsCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__us"), col("__tie"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    obs
+      .select(keyCol.as("__k"), usCol.as("__us"), valueCentsCol.as("__vc"),
+        tieCol.as("__tie"))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__dt").cast(dec)).as("__sdt"),
+        sum((col("__vc") * col("__dt")).cast(dec)).as("__svdt"))
+      .select(col("__k"), col("n_segments"),
+        col("__sdt").cast("long").as("held_us"),
+        when(col("__sdt") > 0,
+          col("__svdt").cast("double") / col("__sdt").cast("double") / 100.0)
+          .as("twap"))
+  }
+
+  /** q176: per-user TWAP of event values (cents-quantized) over the
+    * full fixture span. */
+  def userTwap(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    twapOver(t.events, $"user_id", tsMicros($"ts"),
+        floor($"value" * 100 + 0.5).cast("long"), $"event_id")
+      .select($"__k".as("user_id"), $"n_segments", $"held_us", $"twap")
+      .orderBy($"user_id")
+  }
+
   /** q97: event-type transition matrix — the per-user first-order
     * Markov estimate: P(next | prev) = c(prev, next) / c(prev, ·)
     * over each user's time-ordered stream. One lag window per user

@@ -699,32 +699,80 @@ object Graph {
 
   /** Peel `edges` (already expanded to both directions) to the k-core.
     * Returns (surviving nodes with their in-core degree, rounds run —
-    * including the final confirming no-op round). */
+    * including the final confirming no-op round).
+    *
+    * NODE-STATE formulation (the SSSP shape), not edge rewriting: the
+    * edge list is checkpointed ONCE, partitioned by dst, and never
+    * rewritten — per round only the alive NODE set moves. deg(u) =
+    * edges from u whose dst is alive; the src-side filter is
+    * provably redundant inside the loop (alive only shrinks, so
+    * degrees only fall — a node dropped for deg < k in an earlier
+    * round can never re-reach ≥ k; monotonicity is the fixpoint
+    * argument AND the plan savings). Per round the shuffle volume is
+    * node-scale twice — alive re-keyed by dst for the semi-join, and
+    * the degree agg's map-side-combined (src, partial-count) rows —
+    * while the edge checkpoint is only SCANNED. The first cut
+    * rewrote + re-checkpointed the full edge frame every round: 56 s
+    * at sf1 for the whole q170 vs 13.6 s for this formulation (the
+    * residue is the graph build + k derivation, shared by q163), and
+    * at 100 TB the difference is rewriting the graph per round vs
+    * streaming over it. */
   def kCoreOver(edges: DataFrame, srcCol: Column, dstCol: Column, k: Long,
-      maxIters: Int = 64): (DataFrame, Int) = {
+      maxIters: Int = 64,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
+    val (core, rounds, _) =
+      kCoreOverDerived(edges, srcCol, dstCol, _ => k, maxIters, edgeStorage)
+    (core, rounds)
+  }
+
+  /** [[kCoreOver]] with the threshold DERIVED from the graph's own
+    * full-degree frame — `kOf` sees (id, deg) for every node, so a
+    * data-dependent k costs NOTHING extra: the same single edge scan
+    * produces the degree frame, the initial alive set, AND round 1's
+    * peel (with everyone alive, round 1's filtered degrees ARE the
+    * full degrees). The first cut spent three additional edge-scale
+    * passes on exactly these (a second checkpointed copy of the
+    * 120M-row sf10 frame for k — which took the 32 g JVM down — an
+    * edge-scale DISTINCT for alive-init, and a redundant round-1
+    * semi-join scan); under the DISK_ONLY valve each avoided pass is
+    * a full read of the on-disk graph. Returns (core, rounds, k). */
+  def kCoreOverDerived(edges: DataFrame, srcCol: Column, dstCol: Column,
+      kOf: DataFrame => Long, maxIters: Int = 64,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): (DataFrame, Int, Long) = {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
-    var e = edges.select(srcCol.as("src"), dstCol.as("dst"))
-      .repartition(col("src"))
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .repartition(col("dst"))
+      .localCheckpoint(false, edgeStorage)
+    // one scan: full degrees (src covers every node — e carries both
+    // directions), map-side combined to node scale
+    val deg0 = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var rounds = 0
-    var converged = false
+    val n0 = deg0.count()
+    val k = kOf(deg0)
+    require(k >= 1, s"k must be >= 1: $k")
+    // round 1 IS the full-degree filter
+    var core = deg0.filter(col("deg") >= k).localCheckpoint(true)
+    var n = core.count()
+    var rounds = 1
+    var converged = n == n0
     while (!converged && rounds < maxIters) {
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
-      val survivors = deg.filter(col("n") >= k).select(col("src").as("id"))
-        .localCheckpoint(true)
-      val next = e
-        .join(survivors, e("src") === survivors("id"), "left_semi")
-        .join(survivors, e("dst") === survivors("id"), "left_semi")
-        .repartition(col("src"))
-        .localCheckpoint(true)
-      // monotone: the edge set only shrinks, so equal counts = fixpoint
-      converged = next.count() == e.count()
-      e = next
+      val alive = core.select(col("id"))
+      val deg = e.join(alive, e("dst") === alive("id"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k).localCheckpoint(true)
+      val m = next.count()
+      // alive only shrinks and next ⊆ alive, so equal counts = equal
+      // sets = fixpoint; next's degrees were computed against an
+      // alive set equal to the final one — they ARE the core degrees
+      converged = m == n
+      core = next
+      n = m
       rounds += 1
     }
-    val core = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    (core, rounds)
+    (core, rounds, k)
   }
 
   /** q170: k-core of the undirected customer↔supplier graph with the
@@ -743,14 +791,24 @@ object Graph {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .union(pairs.select($"s".as("src"), $"c".as("dst")))
-      .localCheckpoint(true)
-    // k = floor-mean customer degree: one two-long aggregate action —
-    // the standard driver-scalar pattern (k-means pulls k·d per round)
-    val Array(sumDeg, nCust) = edges.filter($"src" % 2 === 0)
-      .groupBy($"src").agg(count(lit(1)).as("n"))
-      .agg(sum($"n"), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val k = sumDeg / nCust
-    val (core, rounds) = kCoreOver(edges, $"src", $"dst", k)
+    // same single-box scale valve as q85/q163; the default is the
+    // SERIALIZED level — a two-long-column frame packs ~25 B/row
+    // serialized vs ~100 B+ deserialized, and the serialized unroll
+    // is incremental, so the 32-task block-put spike that OOM'd the
+    // 32 g sf10 run under plain MEMORY_AND_DISK never forms
+    // (43 s/no-OOM vs OOM at sf10; DISK_ONLY remains the sf30 valve)
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK_SER"))
+    // k = floor-mean customer degree, read off the loop's own
+    // full-degree frame (one two-long aggregate action over a
+    // node-scale frame — the k-means driver-scalar pattern; zero
+    // extra passes over the graph)
+    val (core, rounds, _) = kCoreOverDerived(edges, $"src", $"dst",
+      deg0 => {
+        val r = deg0.filter(col("id") % 2 === 0)
+          .agg(sum(col("deg")), count(lit(1))).head()
+        r.getLong(0) / r.getLong(1)
+      }, maxIters = 64, storage)
     require(rounds - 1 <= KCoreOracleRounds,
       s"k-core peeled through ${rounds - 1} improving rounds; oracle " +
         s"unrolls $KCoreOracleRounds — bump it")

@@ -859,6 +859,64 @@ object Relational {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ── q173: referential-integrity audit ──────────────────────────────
+  // The first data-quality gate any warehouse load runs: for every
+  // declared FK edge, how many child rows point at a missing parent?
+  // (The reference serves joined snapshots whose integrity it simply
+  // assumes; a load pipeline has to CHECK it.) Per edge the cost is
+  // one left-anti join of the child's non-null FK column against the
+  // parent's key — dimension parents broadcast, fact-fact edges plan
+  // as SMJ on the key — plus one map-side-combinable count/distinct
+  // aggregate; the audit output is one row per edge regardless of
+  // data size. Exact integers end to end.
+
+  /** Audit one FK edge: (relation, n_rows with non-null FK,
+    * n_orphan_rows, n_orphan_keys). */
+  def fkAuditEdge(relation: String, child: DataFrame,
+      fkCol: org.apache.spark.sql.Column, parent: DataFrame,
+      pkCol: org.apache.spark.sql.Column): DataFrame = {
+    val fk = child.select(fkCol.as("__fk")).filter(col("__fk").isNotNull)
+    val orphans = fk.join(parent.select(pkCol.as("__fk")), Seq("__fk"),
+      "left_anti")
+    val tot = fk.agg(count(lit(1)).as("n_rows"))
+    orphans
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("__fk")).as("n_orphan_keys"))
+      .crossJoin(tot) // both one-row frames
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  /** q173: the fixture star schema's seven FK edges audited in one
+    * frame. The driver fixtures are referentially CLEAN by
+    * construction, so the query additionally audits a planted-orphan
+    * edge — lineitem rows whose l_orderkey divides by 1000 are
+    * re-pointed past the key domain (+2³¹) — proving the detector
+    * actually fires; the oracle replants identically. */
+  def fkAudit(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.lineitem.select(
+      when($"l_orderkey" % 1000 === 0, $"l_orderkey" + 2147483648L)
+        .otherwise($"l_orderkey").as("fk"))
+    fkAuditEdge("lineitem.l_orderkey->orders", t.lineitem, $"l_orderkey",
+        t.orders, $"o_orderkey")
+      .unionByName(fkAuditEdge("lineitem.l_partkey->part", t.lineitem,
+        $"l_partkey", t.part, $"p_partkey"))
+      .unionByName(fkAuditEdge("lineitem.l_suppkey->supplier", t.lineitem,
+        $"l_suppkey", t.supplier, $"s_suppkey"))
+      .unionByName(fkAuditEdge("orders.o_custkey->customer", t.orders,
+        $"o_custkey", t.customer, $"c_custkey"))
+      .unionByName(fkAuditEdge("customer.c_nationkey->nation", t.customer,
+        $"c_nationkey", t.nation, $"n_nationkey"))
+      .unionByName(fkAuditEdge("supplier.s_nationkey->nation", t.supplier,
+        $"s_nationkey", t.nation, $"n_nationkey"))
+      .unionByName(fkAuditEdge("nation.n_regionkey->region", t.nation,
+        $"n_regionkey", t.region, $"r_regionkey"))
+      .unionByName(fkAuditEdge("planted.l_orderkey->orders",
+        planted, $"fk", t.orders, $"o_orderkey"))
+      .orderBy($"relation")
+  }
+
   // ── q171: transposition-aware fuzzy matching (Damerau refine) ──────
   // Plain Levenshtein scores the most common human typo — two adjacent
   // characters swapped — as TWO edits, so a lev-1 matcher misses it
@@ -1059,6 +1117,50 @@ object Relational {
       .agg(first(lit(0)).as("__dummy"), qCols: _*)
       .join(broadcast(stats.select(col("__grp"), col("n"))), "__grp")
       .select(col("__grp") +: col("n") +: ps.map { case (name, _) => col(name) }: _*)
+  }
+
+  // ── q175: robust outlier detection (median/MAD modified z) ─────────
+  // Mean/stddev anomaly rules break exactly when needed most — the
+  // outliers they hunt inflate both moments. The robust version
+  // (Iglewicz–Hoaglin modified z-score) uses the median and the
+  // median absolute deviation: |0.6745·(x − med)/MAD| > 3.5. Both
+  // medians are EXACT type-1 selections via the q155 two-pass
+  // distributed machinery (no per-group window sort), so the whole
+  // chain is selection + one abs-subtract per row + a
+  // multiplication-form comparison (`|x−med|·0.6745 > 3.5·MAD` — no
+  // division, both sides one IEEE multiply, engine-exact). MAD = 0
+  // (over half the group at one value) flags any deviation — the
+  // standard degenerate-MAD caveat, here surfaced by mad riding in
+  // the output row.
+
+  /** Per-group robust stats + outlier count:
+    * (group, n, med, mad, n_outliers). */
+  def robustOutliersOver(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val med = rankQuantilesOver(df, groupCol, valueCol,
+        ps = Seq("med" -> 0.5))
+      .select(col("__grp"), col("n"), col("med"))
+    val dev = df.select(groupCol.as("__grp"), valueCol.as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(med), "__grp")
+      .withColumn("__dev", abs(col("__v").cast("double") - col("med")))
+    val mad = rankQuantilesOver(dev, col("__grp"), col("__dev"),
+        ps = Seq("mad" -> 0.5))
+      .select(col("__grp"), col("mad"))
+    dev.join(broadcast(mad), "__grp")
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") * 0.6745 > lit(3.5) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** q175: robust outliers of event values per event type. */
+  def eventRobustOutliers(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    robustOutliersOver(t.events, $"event_type", $"value")
+      .withColumnRenamed("__grp", "event_type")
+      .orderBy($"event_type")
   }
 
   def priceQuantiles(t: Tables): DataFrame = {

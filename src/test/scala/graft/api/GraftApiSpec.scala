@@ -597,4 +597,36 @@ class GraftApiSpec extends SparkSpec {
       .head()
     assert(got.getAs[Int]("lev") === 2 && got.getAs[Int]("dl") === 1)
   }
+
+  test("fkAudit facade flags the orphan, ignores the null FK") {
+    val child = Seq(Some(1L), Some(7L), None).toDF("fk")
+    val parent = Seq(1L).toDF("pk")
+    val r = Graft.fkAudit("e", child, $"fk", parent, $"pk").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 1L)))
+  }
+
+  test("twap facade weights by holding time") {
+    val obs = Seq((1L, 0L, 100L, 1L), (1L, 1L, 0L, 2L), (1L, 3L, 9L, 3L))
+      .toDF("k", "us", "vc", "tie")
+    // 100 cents held 1 µs, 0 held 2 µs → (100·1 + 0·2)/3/100
+    val r = Graft.twap(obs, $"k", $"us", $"vc", $"tie").head()
+    assert(r.getDouble(3) === 100.0 / 3.0 / 100.0)
+  }
+
+  test("robustOutliers facade returns med/mad for a clean group") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("grp", "v")
+    val r = Graft.robustOutliers(df, $"grp", $"v").head()
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 1.0 &&
+      r.getLong(4) === 0L)
+  }
+
+  test("asOfJoinWithin facade demotes a stale match") {
+    val l = Seq((1L, 10000000L, 1L)).toDF("k", "ts", "lv")
+      .select($"k", timestamp_micros($"ts").as("ts"), $"lv")
+    val r = Seq((1L, 0L, 9L)).toDF("k", "ts", "rv")
+      .select($"k", timestamp_micros($"ts").as("ts"), $"rv")
+    val got = Graft.asOfJoinWithin(l, r, "k", "ts", "ts", "lv", "rv",
+      maxAgeUs = 1000L).head()
+    assert(got.isNullAt(3))
+  }
 }

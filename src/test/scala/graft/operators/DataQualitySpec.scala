@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q173 (FK-integrity audit) and q174 (staleness-bounded as-of). */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fkAuditEdge counts orphan rows and distinct orphan keys") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Relational.fkAuditEdge("t", child, $"fk", parent, $"pk").head()
+    // null FK is not a violation (SQL FK semantics) and not counted
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((5L, 2L, 1L)))
+  }
+
+  test("q173: fixture edges are clean, the planted edge fires exactly") {
+    val r = Relational.fkAudit(sf001).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    val clean = r.filterNot(_._1.startsWith("planted"))
+    assert(clean.values.forall { case (_, orphanRows, orphanKeys) =>
+      orphanRows == 0 && orphanKeys == 0 },
+      s"driver fixtures should be referentially clean: $clean")
+    val (nRows, orphanRows, orphanKeys) = r("planted.l_orderkey->orders")
+    // every lineitem row whose order key divides by 1000 was re-pointed
+    val expected = sf001.lineitem
+      .filter($"l_orderkey" % 1000 === 0).count()
+    val expectedKeys = sf001.lineitem
+      .filter($"l_orderkey" % 1000 === 0)
+      .select($"l_orderkey").distinct().count()
+    assert(orphanRows === expected && orphanKeys === expectedKeys)
+    assert(nRows === sf001.lineitem.count())
+  }
+
+  test("joinPriorWithin nulls matches older than the bound, keeps fresh ones") {
+    val left = Seq((1L, 1000000L, 10L), (1L, 5000000L, 11L))
+      .toDF("k", "ts", "lv")
+      .select($"k", timestamp_micros($"ts").as("ts"), $"lv")
+    val right = Seq((1L, 900000L, 77L))
+      .toDF("k", "ts", "rv")
+      .select($"k", timestamp_micros($"ts").as("ts"), $"rv")
+    // bound 1 s: the 0.1 s-old match survives for ts=1e6, the 4.1 s-old
+    // one is discarded for ts=5e6
+    val got = AsOfJoin.joinPriorWithin(left, right, "k", "ts", "ts",
+        "lv", "rv", maxAgeUs = 1000000L)
+      .orderBy($"lv").collect()
+    assert(got(0).getLong(3) === 77L)
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4),
+      "stale match must clear both value and timestamp")
+  }
+
+  test("q174 is q40 with stale matches demoted to the sentinel") {
+    val strict = AsOfJoin.errorsAfterFreshClicks(sf001)
+    val loose = AsOfJoin.errorsAfterClicks(sf001)
+    // same error universe; every fresh match agrees with q40, every
+    // demotion corresponds to a q40 match older than the bound
+    assert(strict.count() === loose.count())
+    val j = strict.as("s").join(loose.as("l"),
+      $"s.user_id" === $"l.user_id" && $"s.error_id" === $"l.error_id")
+    val disagree = j.filter($"s.click_id" =!= $"l.click_id" &&
+      $"s.click_id" =!= -1L).count()
+    assert(disagree === 0, "a fresh match must equal the unbounded as-of")
+    // demotions exist at fixture scale and each one is genuinely stale:
+    // the q40 match it suppressed is > 6 h older than the error itself
+    import graft.functions.TimeFunctions.tsMicros
+    val demoted = j.filter($"s.click_id" === -1L && $"l.click_id" =!= -1L)
+      .join(sf001.events.select($"event_id".as("__eid"),
+        $"ts".as("error_ts")), $"s.error_id" === $"__eid")
+    assert(demoted.count() > 0, "fixture should produce some stale matches")
+    val wrongDemotion = demoted.filter(
+      tsMicros($"error_ts") - tsMicros($"l.click_ts") <= 21600000000L).count()
+    assert(wrongDemotion === 0, "a demoted match must actually be stale")
+  }
+
+  test("robustOutliers: hand-computed median/MAD, outliers counted, mean-blindness") {
+    // group g: values 1..9 plus a wild 1000 — med = 5.5? no: type-1
+    // median of 10 values = value at ceil(0.5*10)=5 → 5; devs
+    // {4,3,2,1,0,1,2,3,4,995}, mad = value at ceil(0.5*10)=5 of
+    // sorted devs {0,1,1,2,2,3,3,4,4,995} → 2
+    // outlier: dev*0.6745 > 3.5*2=7 → dev > 10.38 → only 995
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("grp", "v")
+    val r = Relational.robustOutliersOver(df, $"grp", $"v").head()
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.0, "type-1 median")
+    assert(r.getDouble(3) === 2.0, "MAD")
+    assert(r.getLong(4) === 1L, "exactly the wild point is an outlier")
+    // a classical z-score with the same 3.5 bar misses it: the wild
+    // point inflates stddev (~313) so |z| ≈ 3.02 < 3.5
+    val (mean, std) = {
+      val vs = ((1 to 9).map(_.toDouble) :+ 1000.0)
+      val m = vs.sum / vs.length
+      (m, math.sqrt(vs.map(x => (x - m) * (x - m)).sum / vs.length))
+    }
+    assert((1000.0 - mean) / std < 3.5, "sanity: the naive rule is blind here")
+  }
+
+  test("twap: hand computation, tie segments, single-obs exclusion") {
+    // key 1: v=100 cents held 10 µs, v=300 held 30 µs →
+    //   twap = (100·10 + 300·30)/40/100 = (1000+9000)/40/100 = 2.5
+    // key 2: single observation → no segments → absent
+    val obs = Seq(
+      (1L, 0L, 1.00, 1L), (1L, 10L, 3.00, 2L), (1L, 40L, 9.99, 3L),
+      (2L, 0L, 5.0, 4L)).toDF("k", "us", "v", "tie")
+    val got = EventOps.twapOver(obs, $"k", $"us",
+        floor($"v" * 100 + 0.5).cast("long"), $"tie")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L &&
+      r.getLong(2) === 40L && r.getDouble(3) === 2.5)
+  }
+}
