@@ -289,6 +289,8 @@ object SparkEntry {
     "q174_asof_staleness"    -> ((s, d) => AsOfJoin.errorsAfterFreshClicks(Tables(s, d))),
     "q175_robust_outliers"   -> ((s, d) => Relational.eventRobustOutliers(Tables(s, d))),
     "q176_twap"              -> ((s, d) => graft.operators.EventOps.userTwap(Tables(s, d))),
+    "q177_stream_ivm"        -> ((s, d) => graft.streaming.StreamIvm.orderRollup(s, d)),
+    "q178_benford"           -> ((s, d) => Relational.orderBenford(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1805,6 +1807,44 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q177: the streamed foreachBatch view fold must equal the
+    // from-scratch aggregate (monoid associativity, the q167
+    // contract) — q167's oracle over the bounded replay slice
+    // (o_orderkey < 2^20, the harness's fixed driver-memory bound —
+    // inactive at every driver SF), blind to the chunking
+    "q177_stream_ivm" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total_price,
+        | CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS min_price,
+        | CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS max_price
+        |FROM orders WHERE o_orderkey < 1048576 GROUP BY o_custkey""".stripMargin,
+    // q178: digit from the integer's canonical string form, one
+    // division of exact longs. The Benford expectations are NOT
+    // inlined literals — DuckDB's decimal-literal → double path
+    // rounds a 17-digit literal differently than IEEE strtod, losing
+    // the last ULP — they are RECOMPUTED with DuckDB's own ln, which
+    // is bit-identical to graft's GlibcLog (the q79/q108 contract),
+    // from exact small-integer ratios
+    "q178_benford" -> {
+      val expCase = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN " +
+          s"ln(1.0 + 1.0 / CAST($d AS DOUBLE)) / ln(10.0)")
+        .mkString("CASE ", " ", " END")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM c)
+         |SELECT digit, n_rows,
+         | CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS freq,
+         | $expCase AS expected,
+         | ABS(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) - ($expCase)) AS abs_dev
+         |FROM c CROSS JOIN t""".stripMargin
+    },
     // q175: both medians replayed as the q155 selection (value at
     // sorted position ⌈n/2⌉ — well-defined under ties), the outlier
     // test in multiplication form (one IEEE multiply per side, no

@@ -897,4 +897,16 @@ object Graft {
       valueCentsCol: Column, tieCol: Column): DataFrame =
     graft.operators.EventOps.twapOver(obs, keyCol, usCol,
       valueCentsCol, tieCol)
+
+  /** Benford leading-digit audit of a positive integer-quantized
+    * measure: (digit, n_rows, freq, expected, abs_dev) — 9 rows, one
+    * narrow count shuffle. */
+  def benfordAudit(df: DataFrame, measureQ: Column): DataFrame =
+    graft.operators.Relational.benfordAuditOver(df, measureQ)
+
+  /** Monoid merge of two (key, n, s, mn, mx) partial-aggregate frames
+    * — the associative core of batch (ivmMerge) and streaming (q177)
+    * view maintenance. */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    graft.operators.Ivm.mergePartials(a, b)
 }

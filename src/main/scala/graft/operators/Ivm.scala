@@ -57,6 +57,18 @@ object Ivm {
       .saveAsTable(table)
   }
 
+  /** Monoid-wise combine of two partial-aggregate frames (both shaped
+    * (key, n, s, mn, mx)) — the associative core both the batch
+    * roll-forward (q167) and the streaming fold (q177) reduce to. */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("i").hint("merge")
+      .join(b.as("d"), Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("i.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("i.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"),
+        least(col("i.mn"), col("d.mn")).as("mn"),   // least/greatest skip NULLs
+        greatest(col("i.mx"), col("d.mx")).as("mx"))
+
   /** Merge a delta fact slice into the persisted view: aggregate the
     * delta to partials (map-side combined — the only pass over delta
     * rows), full-outer join the bucketed view on its own layout
@@ -70,14 +82,7 @@ object Ivm {
     val idx = spark.table(table)
     require(idx.columns.sameElements(Meta),
       s"$table is not an Ivm aggregate table: ${idx.columns.toSeq}")
-    val d = partials(delta, keyCol, measureQ)
-    idx.as("i").hint("merge")
-      .join(d.as("d"), Seq("key"), "full_outer")
-      .select(col("key"),
-        (coalesce(col("i.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
-        (coalesce(col("i.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"),
-        least(col("i.mn"), col("d.mn")).as("mn"),   // least/greatest skip NULLs
-        greatest(col("i.mx"), col("d.mx")).as("mx"))
+    mergePartials(idx, partials(delta, keyCol, measureQ))
   }
 
   /** q167 fixture instance: the per-customer order rollup (count,

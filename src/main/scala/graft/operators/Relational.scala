@@ -917,6 +917,56 @@ object Relational {
       .orderBy($"relation")
   }
 
+  // ── q178: Benford leading-digit audit ──────────────────────────────
+  // The classic fabricated-data / broken-feed detector: naturally
+  // occurring multi-scale amounts follow Benford's law, P(d) =
+  // log10(1 + 1/d) — a feed that suddenly doesn't (flat digits,
+  // spikes at 5/9) was truncated, defaulted, or made up. The audit is
+  // ONE map-side-combinable count per leading digit (9 output rows
+  // regardless of data size). Portability: the digit comes from the
+  // integer-quantized value's STRING form (canonical for integers in
+  // every engine — a log10-based digit extraction would mis-bin exact
+  // powers of ten on rounding), the frequency is one division of
+  // exact longs, and the Benford expectations are Scala-computed
+  // double literals inlined verbatim into the oracle SQL
+  // (Double.toString round-trips, the JL-oracle recipe).
+
+  /** Per leading digit (1–9) of a positive integer measure:
+    * (digit, n_rows, freq, expected, abs_dev). */
+  def benfordAuditOver(df: DataFrame, measureQ: Column): DataFrame = {
+    val digits = df.select(measureQ.as("__q")).filter(col("__q") > 0)
+      .select(substring(col("__q").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
+    val total = digits.agg(sum(col("n_rows")).as("__t"))
+    val expected = Relational.benfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(total)) // one-row total
+      .select(col("digit"), col("n_rows"),
+        (col("n_rows").cast("double") / col("__t").cast("double")).as("freq"),
+        expected.as("expected"))
+      .withColumn("abs_dev", abs(col("freq") - col("expected")))
+  }
+
+  /** P(d) = log10(1 + 1/d) = ln(1 + 1/d)/ln(10), d ∈ 1..9 — computed
+    * through the glibc-exact [[graft.expr.GlibcLog]] so the oracle
+    * can RECOMPUTE the same doubles with DuckDB's own ln instead of
+    * parsing inlined literals: Java's math.log10 sits 1 ULP off
+    * glibc's for d = 3, and DuckDB's decimal literal → double path
+    * rounds that 17-digit literal BACK to the glibc value — literal
+    * round-tripping is not engine-portable at the last ULP, shared
+    * arithmetic is. */
+  private[graft] val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d ->
+      graft.expr.GlibcLog.log(1.0 + 1.0 / d) / graft.expr.GlibcLog.log(10.0))
+
+  /** q178: Benford audit of order totals (cents-quantized). */
+  def orderBenford(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    benfordAuditOver(t.orders, floor($"o_totalprice" * 100 + 0.5).cast("long"))
+      .orderBy($"digit")
+  }
+
   // ── q171: transposition-aware fuzzy matching (Damerau refine) ──────
   // Plain Levenshtein scores the most common human typo — two adjacent
   // characters swapped — as TWO edits, so a lev-1 matcher misses it

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Ivm
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** One order-stream row under replay (top-level: encoder codegen). */
+case class ReplayOrder(o_orderdate: java.sql.Timestamp, o_orderkey: Long,
+    o_custkey: Long, o_totalprice: Double)
+
+/** Streaming aggregate-view maintenance — q167's batch IVM fed by a
+  * stream: `foreachBatch` folds each micro-batch's map-side-combined
+  * partials into the maintained per-group view with the same monoid
+  * merge ([[Ivm.mergePartials]]). Associativity + commutativity of
+  * (count, integer sum, min, max) make ANY chunking fold to the
+  * from-scratch aggregate, so q177's oracle is q167's: one plain
+  * GROUP BY over ALL the facts, blind to the micro-batch structure.
+  * This is the standard "streaming rollup into a serving table"
+  * deployment (foreachBatch + MERGE target); per batch the cost is
+  * O(batch + touched groups) — the view never rescans history.
+  */
+object StreamIvm {
+
+  private val Chunks = 3
+
+  /** Replayed-slice bound (the q114 recipe): FIXED, so the harness's
+    * driver-side collect is constant in SF — covers the full
+    * sf0.001/0.01/0.1 corpora (order keys < 2²⁰ there, bound
+    * inactive) and caps generated-SF replays at the original chunk.
+    * Must match the `o_orderkey < 1048576` predicate in the q177
+    * oracle SQL. MemoryStream is a driver-side test source; the
+    * foreachBatch fold itself consumes any streaming Dataset. */
+  private[streaming] val MaxStreamOrderKey = 1L << 20
+
+  /** q177 — replay the bounded order slice date-ordered in [[Chunks]]
+    * micro-batches through the foreachBatch view fold; return the
+    * final view shaped exactly like q167's output. */
+  def orderRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slice = Tables(spark, dir).orders
+      .filter($"o_orderkey" < MaxStreamOrderKey)
+      .select($"o_orderdate", $"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .as[ReplayOrder].collect().toSeq
+    val chunks =
+      if (slice.isEmpty) Seq(Seq.empty[ReplayOrder])
+      else slice.grouped(math.max(1, (slice.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayOrder]
+    var view: Option[DataFrame] = None
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_ivm_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayOrder], _: Long) =>
+        val p = Ivm.partials(batch.toDF(), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        view = Some(view.fold(p)(v => Ivm.mergePartials(v, p))
+          .localCheckpoint(true))
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val v = view.getOrElse(sys.error("stream produced no batches"))
+    val rows = java.util.Arrays.asList(v.collect(): _*)
+    spark.createDataFrame(rows, v.schema)
+      .select($"key".as("o_custkey"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"),
+        ($"mn".cast("double") / 100.0).as("min_price"),
+        ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"o_custkey")
+  }
+}

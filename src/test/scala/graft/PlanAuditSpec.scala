@@ -29,6 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     "q123_cms_freq_gate",
     // one-row global-span broadcast for the resample grid
     "q96_locf_resample",
+    // same one-row global-span broadcast, interpolation variant
+    "q169_interp_resample",
+    // one-row per-edge totals crossJoined onto one-row orphan counts
+    // (eight single-row frames — the audit output is 8 rows total)
+    "q173_fk_audit",
+    // one-row digit-total broadcast for the frequency division
+    "q178_benford",
     // probe-broadcast non-equi scans on BOTH ranking paths (exact
     // q28-style + the quantized codes) — the Q×N scan IS the gate
     "q127_quantized_knn",
@@ -126,6 +133,9 @@ object PlanAuditSpec {
     // (StreamCdc); plan per batch is mergeApply's agg+join, asserted
     // by CdcSpec on the batch operator
     "q172_stream_cdc",
+    // same: foreachBatch view-fold replay (StreamIvm); per-batch plan
+    // is Ivm.mergePartials' agg+join, asserted by IvmSpec
+    "q177_stream_ivm",
     // run the k merge rounds (one bounded top-1 collect per round)
     // during construction, like the CC driver loop
     "q133_bpe_merges", "q134_bpe_vocab",

@@ -98,6 +98,28 @@ class DataQualitySpec extends SparkSpec {
     assert((1000.0 - mean) / std < 3.5, "sanity: the naive rule is blind here")
   }
 
+  test("benford: digits partition the rows, frequencies sum to 1, Benford data fits") {
+    import spark.implicits._
+    // synthetic Benford-distributed sample: k uniform in log-space →
+    // floor(10^u) leading digits follow the law closely
+    val vals = (0 until 9000).map { i =>
+      math.floor(math.pow(10.0, 2 + (i + 0.5) / 9000.0 * 3)).toLong
+    }
+    val r = Relational.benfordAuditOver(vals.toDF("v"), $"v")
+      .orderBy($"digit").collect()
+    assert(r.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(r.map(_.getLong(1)).sum === 9000L)
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // log-uniform data obeys Benford almost exactly
+    assert(r.forall(_.getDouble(4) < 0.01),
+      s"log-uniform sample should fit Benford: ${r.map(_.getDouble(4)).toSeq}")
+    // non-positive values are excluded, digit histogram of {5}
+    val one = Relational.benfordAuditOver(
+      Seq(-3L, 0L, 55L).toDF("v"), $"v").collect()
+    assert(one.length === 1 && one.head.getInt(0) === 5 &&
+      one.head.getDouble(2) === 1.0)
+  }
+
   test("twap: hand computation, tie segments, single-obs exclusion") {
     // key 1: v=100 cents held 10 µs, v=300 held 30 µs →
     //   twap = (100·10 + 300·30)/40/100 = (1000+9000)/40/100 = 2.5
