@@ -103,14 +103,19 @@ object Bench {
     // sf0.1 runs; unlisted queries follow alphabetically — ordering
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
-      "q57_dedup_clusters", "q90_dedup_survivors", "q103_clusters_fast",
-      "q105_semantic_dedup", "q135_ann_pq_gate",
-      "q85_pagerank", "q52_ann_ivf", "q39_approx_distinct",
-      "q41_tfidf", "q31_minhash_pairs", "q64_hash_split",
-      "q61_tfidf_exact", "q51_minhash_fast", "q65_repetition",
-      "q63_chunking", "q17_string_funcs", "q06_nation_revenue",
-      "q26_jaccard_pairs", "q62_pack_windows", "q43_ann_lsh",
-      "q48_range_window", "q03_top_orders", "q66_sessionize")
+      // refreshed from the round-9 full-suite solo map (bench_full
+      // "solo"): descending solo cost, so no multi-second query
+      // starts into a draining pool
+      "q161_rrf_ann_gate", "q135_ann_pq_gate", "q163_sssp",
+      "q157_golden_record", "q144_ppr", "q175_robust_outliers",
+      "q85_pagerank", "q171_damerau_match", "q151_hits",
+      "q169_interp_resample", "q57_dedup_clusters", "q105_semantic_dedup",
+      "q103_clusters_fast", "q170_kcore", "q162_incr_dedup",
+      "q160_rrf_fusion", "q84_fuzzy_match", "q173_fk_audit",
+      "q177_stream_ivm", "q86_triangles", "q43_ann_lsh",
+      "q52_ann_ivf", "q90_dedup_survivors", "q61_tfidf_exact",
+      "q88_bm25", "q94_sql_tpch5", "q39_approx_distinct",
+      "q73_cross_dedup", "q95_column_profile", "q79_unigram_nll")
     val all = heavyFirst.filter(SparkEntry.queries.contains) ++
       (SparkEntry.queries.keys.toSeq.sorted diff heavyFirst)
     // optional subset (comma-separated names): cross-SF sweeps bench
@@ -132,7 +137,11 @@ object Bench {
       "q41_tfidf", "q31_minhash_pairs", "q85_pagerank",
       // 17 concurrent quantizer fits = many small sequential jobs,
       // the exact latency-bound shape the heavy pool exists for
-      "q135_ann_pq_gate")
+      "q135_ann_pq_gate",
+      // the round-8/9 iterative drivers: per-round count actions +
+      // eager checkpoints = the same many-small-sequential-jobs shape
+      "q163_sssp", "q144_ppr", "q151_hits", "q157_golden_record",
+      "q161_rrf_ann_gate", "q170_kcore", "q162_incr_dedup")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:
