@@ -291,6 +291,7 @@ object SparkEntry {
     "q176_twap"              -> ((s, d) => graft.operators.EventOps.userTwap(Tables(s, d))),
     "q177_stream_ivm"        -> ((s, d) => graft.streaming.StreamIvm.orderRollup(s, d)),
     "q178_benford"           -> ((s, d) => Relational.orderBenford(Tables(s, d))),
+    "q179_key_skew"          -> ((s, d) => graft.operators.Skew.joinKeySkewProfile(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1807,6 +1808,38 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q179: per-key counts, then the same quantized-entropy fold —
+    // p·ln(p) in 2⁻⁴⁰ quanta (exact division, glibc-identical ln,
+    // identical floor pair) summed as exact integers; top-share and
+    // balance are single divisions of identical operands
+    "q179_key_skew" -> {
+      def prof(name: String, tbl: String, key: String): String =
+        s"""SELECT '$name' AS column_name, MAX(n) AS n_rows,
+           | CAST(COUNT(*) AS BIGINT) AS n_keys,
+           | MAX(c) AS top1_cnt,
+           | CAST(MAX(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS top1_share,
+           | -(CAST(SUM(CAST(floor(
+           |     (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |     * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE))
+           |   / 1099511627776.0 AS entropy,
+           | CASE WHEN COUNT(*) > 1 THEN
+           |   (-(CAST(SUM(CAST(floor(
+           |       (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |       * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE))
+           |     / 1099511627776.0)
+           |   / ln(CAST(COUNT(*) AS DOUBLE))
+           | END AS balance
+           |FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM $tbl GROUP BY 1),
+           |     (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $tbl)""".stripMargin
+      Seq(
+        prof("lineitem.l_partkey", "lineitem", "l_partkey"),
+        prof("orders.o_custkey", "orders", "o_custkey"),
+        prof("lineitem.l_returnflag", "lineitem", "l_returnflag")
+      ).mkString("\nUNION ALL\n")
+    },
     // q177: the streamed foreachBatch view fold must equal the
     // from-scratch aggregate (monoid associativity, the q167
     // contract) — q167's oracle over the bounded replay slice

@@ -909,4 +909,10 @@ object Graft {
     * view maintenance. */
   def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
     graft.operators.Ivm.mergePartials(a, b)
+
+  /** Join-key skew profile: (column_name, n_rows, n_keys, top1_cnt,
+    * top1_share, entropy, balance) — the pre-shuffle diagnostic that
+    * decides between a plain shuffle, salting, and AQE skew-split. */
+  def keySkewProfile(df: DataFrame, name: String, keyCol: Column): DataFrame =
+    graft.operators.Skew.keySkewProfileOver(df, name, keyCol)
 }

@@ -103,4 +103,62 @@ object Skew {
       buckets = 32, sumName = "revenue", cntName = "n_rows")
       .orderBy($"l_returnflag")
   }
+
+  // ── q179: join-key skew profile ─────────────────────────────────────
+  // The diagnostic that DECIDES between this file's mitigations (salt
+  // q42-style, AQE-split q125-style) and a plain shuffle: before you
+  // pay for a 100 TB repartition, profile the key. One
+  // map-side-combined count per key, then a node-scale aggregate
+  // folding it to FOUR numbers per column: distinct keys, the top
+  // key's share (worst single-reducer fraction), and the normalized
+  // Shannon entropy ("balance": 1 = uniform, → 0 = one key owns the
+  // table — entropy is the right summary because it bounds how well
+  // ANY hash partitioning can spread the rows).
+  //
+  // Engine-exact entropy despite a float sum: each key's term
+  // p·ln(p) is quantized to an integer number of 2⁻⁴⁰ quanta (the q85
+  // PageRank recipe — p is one exact division, ln is the bit-exact
+  // glibc/DuckDB ln, floor(x·2⁴⁰ + 0.5) the same IEEE pair), so the
+  // cross-key reduction is an exact integer sum: order-independent
+  // under any partitioning, identical in any engine. |terms| ≤
+  // n·ln(n)/e quanta bounds the int64 far from overflow at any SF.
+
+  /** Skew profile of one key column:
+    * (column_name, n_rows, n_keys, top1_cnt, top1_share, entropy,
+    * balance). NULL keys count as a key (they hash to one reducer
+    * like any other value). */
+  def keySkewProfileOver(df: DataFrame, name: String,
+      keyCol: Column): DataFrame = {
+    val counts = df.groupBy(keyCol.as("__k")).agg(count(lit(1)).as("c"))
+    val qTerm = floor(
+      (col("c").cast("double") / col("n").cast("double")) *
+        call_function("math_ln",
+          col("c").cast("double") / col("n").cast("double")) *
+        lit(1099511627776.0) + lit(0.5)).cast("long")
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("n")))) // one row
+      .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("top1_cnt"), sum(qTerm).as("__qe"))
+      .select(lit(name).as("column_name"), col("n_rows"), col("n_keys"),
+        col("top1_cnt"),
+        (col("top1_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        (-(col("__qe").cast("double")) / lit(1099511627776.0)).as("entropy"),
+        when(col("n_keys") > 1,
+          (-(col("__qe").cast("double")) / lit(1099511627776.0)) /
+            call_function("math_ln", col("n_keys").cast("double")))
+          .as("balance"))
+  }
+
+  /** q179: the three join keys a fixture warehouse shuffles on most —
+    * near-uniform fact keys (l_partkey, o_custkey) against the
+    * 3-value l_returnflag whose salting q42 demonstrates. */
+  def joinKeySkewProfile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    keySkewProfileOver(t.lineitem, "lineitem.l_partkey", $"l_partkey")
+      .unionByName(keySkewProfileOver(t.orders, "orders.o_custkey", $"o_custkey"))
+      .unionByName(keySkewProfileOver(t.lineitem, "lineitem.l_returnflag",
+        $"l_returnflag"))
+      .orderBy($"column_name")
+  }
 }

@@ -120,6 +120,36 @@ class DataQualitySpec extends SparkSpec {
       one.head.getDouble(2) === 1.0)
   }
 
+  test("keySkewProfile: uniform keys balance ~1, constant key balances 0") {
+    import spark.implicits._
+    // 4 keys x 25 rows: perfectly uniform
+    val uni = (0 until 100).map(i => i % 4).toDF("k")
+    val u = Skew.keySkewProfileOver(uni, "u", $"k").head()
+    assert(u.getLong(1) === 100L && u.getLong(2) === 4L &&
+      u.getLong(3) === 25L && u.getDouble(4) === 0.25)
+    assert(math.abs(u.getDouble(5) - math.log(4.0)) < 1e-9, "entropy = ln 4")
+    assert(math.abs(u.getDouble(6) - 1.0) < 1e-9, "uniform balance = 1")
+    // one key owns the table: entropy 0, balance NULL (single key)
+    val one = Skew.keySkewProfileOver(Seq.fill(50)("x").toDF("k"), "o", $"k").head()
+    assert(one.getDouble(4) === 1.0 && one.getDouble(5) === 0.0 && one.isNullAt(6))
+    // 90/10 split ranks LESS balanced than 50/50
+    val even = Skew.keySkewProfileOver(
+      ((1 to 50).map(_ => "a") ++ (1 to 50).map(_ => "b")).toDF("k"), "e", $"k")
+      .head().getDouble(6)
+    val skewed = Skew.keySkewProfileOver(
+      ((1 to 90).map(_ => "a") ++ (1 to 10).map(_ => "b")).toDF("k"), "s", $"k")
+      .head().getDouble(6)
+    assert(even > skewed && math.abs(even - 1.0) < 1e-9)
+    // fixture sanity: l_returnflag (3 heavy values) is far less
+    // balanced per-key-count than the near-uniform part key
+    val prof = Skew.joinKeySkewProfile(sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(prof("lineitem.l_partkey") > prof("lineitem.l_returnflag") ||
+      prof("lineitem.l_returnflag") > 0.9, // 3 near-equal flags are balanced too
+      s"unexpected profile: $prof")
+    assert(prof.values.forall(b => b >= 0.0 && b <= 1.0 + 1e-12))
+  }
+
   test("twap: hand computation, tie segments, single-obs exclusion") {
     // key 1: v=100 cents held 10 µs, v=300 held 30 µs →
     //   twap = (100·10 + 300·30)/40/100 = (1000+9000)/40/100 = 2.5
