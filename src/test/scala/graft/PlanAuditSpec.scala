@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q173_fk_audit",
     // one-row digit-total broadcast for the frequency division
     "q178_benford",
+    // one-row per-column row-total broadcast for the p = c/n terms
+    "q179_key_skew",
     // probe-broadcast non-equi scans on BOTH ranking paths (exact
     // q28-style + the quantized codes) — the Q×N scan IS the gate
     "q127_quantized_knn",
