@@ -1870,12 +1870,16 @@ object SparkEntry {
          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
          |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
          |  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0),
-         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY digit),
+         |c0 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY digit),
+         |c AS (SELECT CAST(g.digit AS INTEGER) AS digit,
+         |  COALESCE(c0.n_rows, 0) AS n_rows
+         | FROM range(1, 10) g(digit) LEFT JOIN c0 ON g.digit = c0.digit),
          |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM c)
          |SELECT digit, n_rows,
-         | CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS freq,
+         | CASE WHEN tot > 0 THEN CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) END AS freq,
          | $expCase AS expected,
-         | ABS(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) - ($expCase)) AS abs_dev
+         | ABS(CASE WHEN tot > 0 THEN CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) END
+         |   - ($expCase)) AS abs_dev
          |FROM c CROSS JOIN t""".stripMargin
     },
     // q175: both medians replayed as the q155 selection (value at

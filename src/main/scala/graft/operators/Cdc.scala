@@ -148,12 +148,15 @@ object Cdc {
     require(oldSnap.columns.take(3).sameElements(Seq("key", "us", "seq")),
       s"snapshots must lead with (key, us, seq): ${oldSnap.columns.toSeq}")
     val payload = oldSnap.columns.drop(3).toSeq
-    val o = oldSnap.select(col("key") +: (Seq("us", "seq") ++ payload)
-      .map(c => col(c).as(s"__o_$c")): _*)
-    val n = newSnap.select(col("key") +: (Seq("us", "seq") ++ payload)
-      .map(c => col(c).as(s"__n_$c")): _*)
-    val inOld = col("__o_us").isNotNull
-    val inNew = col("__n_us").isNotNull
+    // explicit presence markers — inferring presence from metadata
+    // nullability would misclassify a row whose `us` is NULL (a key in
+    // both snapshots with NULL old us must not emit a spurious 'I')
+    val o = oldSnap.select(col("key") +: lit(true).as("__o_present") +:
+      (Seq("us", "seq") ++ payload).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select(col("key") +: lit(true).as("__n_present") +:
+      (Seq("us", "seq") ++ payload).map(c => col(c).as(s"__n_$c")): _*)
+    val inOld = col("__o_present") <=> lit(true)
+    val inNew = col("__n_present") <=> lit(true)
     val changed = payload
       .map(p => !(col(s"__o_$p") <=> col(s"__n_$p")))
       .foldLeft(lit(false))(_ || _)

@@ -233,7 +233,11 @@ object EventOps {
     * there — the coincident observation sorts BEFORE its grid row). */
   def interpolateResampleOver(obs: DataFrame, keyCol: Column, usCol: Column,
       valCol: Column, tieCol: Column, grid: DataFrame): DataFrame = {
-    val o = obs
+    // NULL-valued observations are dropped up front (the robustOutliers
+    // convention): keeping them would desynchronize the brackets — t0
+    // from last(obsUs) would include the row that last(obsV,
+    // ignoreNulls) skips, so t0/v0 would come from DIFFERENT rows
+    val o = obs.filter(valCol.isNotNull)
       .groupBy(keyCol.as("key"), usCol.as("us"))
       .agg(min_by(valCol, tieCol).as("v"))
       .select(col("key"), col("us"), lit(0).as("tag"), col("v"))
@@ -315,7 +319,10 @@ object EventOps {
       .groupBy(col("__k"))
       .agg(count(lit(1)).as("n_segments"),
         sum(col("__dt").cast(dec)).as("__sdt"),
-        sum((col("__vc") * col("__dt")).cast(dec)).as("__svdt"))
+        // one operand cast to DECIMAL before the product: the long×long
+        // form was exact only while cents×µs < 2⁶³ (~10¹⁸); the decimal
+        // product removes that ceiling for free (same values below it)
+        sum(col("__vc").cast(dec) * col("__dt")).as("__svdt"))
       .select(col("__k"), col("n_segments"),
         col("__sdt").cast("long").as("held_us"),
         when(col("__sdt") > 0,

@@ -932,18 +932,28 @@ object Relational {
   // (Double.toString round-trips, the JL-oracle recipe).
 
   /** Per leading digit (1–9) of a positive integer measure:
-    * (digit, n_rows, freq, expected, abs_dev). */
+    * (digit, n_rows, freq, expected, abs_dev) — ALWAYS nine rows: a
+    * digit with zero occurrences enters at n_rows = 0 / freq = 0, so
+    * the strongest fabrication signal (a completely absent leading
+    * digit, abs_dev = expected) surfaces instead of vanishing. With
+    * no positive rows at all, freq/abs_dev are NULL (no distribution
+    * to compare). */
   def benfordAuditOver(df: DataFrame, measureQ: Column): DataFrame = {
-    val digits = df.select(measureQ.as("__q")).filter(col("__q") > 0)
+    val counted = df.select(measureQ.as("__q")).filter(col("__q") > 0)
       .select(substring(col("__q").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counted, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
     val total = digits.agg(sum(col("n_rows")).as("__t"))
     val expected = Relational.benfordExpected.foldLeft(lit(null).cast("double")) {
       case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
     }
     digits.crossJoin(broadcast(total)) // one-row total
       .select(col("digit"), col("n_rows"),
-        (col("n_rows").cast("double") / col("__t").cast("double")).as("freq"),
+        when(col("__t") > 0,
+          col("n_rows").cast("double") / col("__t").cast("double")).as("freq"),
         expected.as("expected"))
       .withColumn("abs_dev", abs(col("freq") - col("expected")))
   }

@@ -43,8 +43,12 @@ object StreamCdc {
     implicit val sqlCtx: SQLContext = ss.sqlContext
     val input = MemoryStream[ReplayEvent]
     // the maintained snapshot — swapped per micro-batch, eagerly
-    // checkpointed so lineage/CacheManager never see a growing chain
-    var snapshot: Option[DataFrame] = None
+    // checkpointed so lineage/CacheManager never see a growing chain.
+    // @volatile: written on the stream-execution thread inside
+    // foreachBatch, read by the caller thread after stop() — make the
+    // cross-thread publication explicit rather than riding on
+    // StreamExecution's internal locking
+    @volatile var snapshot: Option[DataFrame] = None
     val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val ckDir = new java.io.File(ckRoot,

@@ -53,7 +53,9 @@ object StreamIvm {
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     implicit val sqlCtx: SQLContext = ss.sqlContext
     val input = MemoryStream[ReplayOrder]
-    var view: Option[DataFrame] = None
+    // @volatile: written on the stream-execution thread, read by the
+    // caller thread after stop() — explicit cross-thread publication
+    @volatile var view: Option[DataFrame] = None
     val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val ckDir = new java.io.File(ckRoot,

@@ -113,11 +113,16 @@ class DataQualitySpec extends SparkSpec {
     // log-uniform data obeys Benford almost exactly
     assert(r.forall(_.getDouble(4) < 0.01),
       s"log-uniform sample should fit Benford: ${r.map(_.getDouble(4)).toSeq}")
-    // non-positive values are excluded, digit histogram of {5}
+    // non-positive values are excluded; ALL NINE digit rows emit even
+    // when only {5} occurs — an absent digit surfaces at freq 0 with
+    // abs_dev = expected (the strongest fabrication signal)
     val one = Relational.benfordAuditOver(
-      Seq(-3L, 0L, 55L).toDF("v"), $"v").collect()
-    assert(one.length === 1 && one.head.getInt(0) === 5 &&
-      one.head.getDouble(2) === 1.0)
+      Seq(-3L, 0L, 55L).toDF("v"), $"v").orderBy($"digit").collect()
+    assert(one.length === 9 && one.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(one(4).getLong(1) === 1L && one(4).getDouble(2) === 1.0)
+    assert(one.filter(_.getInt(0) != 5).forall(r =>
+      r.getLong(1) === 0L && r.getDouble(2) === 0.0 &&
+        r.getDouble(4) === r.getDouble(3)))
   }
 
   test("keySkewProfile: uniform keys balance ~1, constant key balances 0") {
