@@ -292,6 +292,7 @@ object SparkEntry {
     "q177_stream_ivm"        -> ((s, d) => graft.streaming.StreamIvm.orderRollup(s, d)),
     "q178_benford"           -> ((s, d) => Relational.orderBenford(Tables(s, d))),
     "q179_key_skew"          -> ((s, d) => graft.operators.Skew.joinKeySkewProfile(Tables(s, d))),
+    "q180_ivm_retract"       -> ((s, d) => graft.operators.Ivm.retractableOrderRollup(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2115,6 +2116,25 @@ object SparkEntry {
         | CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |   / 100.0 AS max_price
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // q180: the oracle aggregates the SURVIVING facts from scratch —
+    // the delta (D / reprice-U / move-U / I per o_orderkey % 97)
+    // replayed in identical integer arithmetic, so the maintained view
+    // (count/sum retracted, min/max re-aggregated on touched groups)
+    // must hash-equal a world that never had the deleted rows
+    "q180_ivm_retract" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q FROM orders),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55 FROM f WHERE fkey % 97 = 3)
+        |SELECT key AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(q) AS DOUBLE) / 100.0 AS total_price,
+        | CAST(MIN(q) AS DOUBLE) / 100.0 AS min_price,
+        | CAST(MAX(q) AS DOUBLE) / 100.0 AS max_price
+        |FROM surv GROUP BY key""".stripMargin,
     // q168: leave-fold-out target encoding replayed on exact integer
     // cents — two nested GROUP BYs and ONE division per output row
     // (left-to-right: diff-cast, divide, divide by the unit), the

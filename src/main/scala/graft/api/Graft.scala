@@ -910,6 +910,21 @@ object Graft {
   def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
     graft.operators.Ivm.mergePartials(a, b)
 
+  /** Persist a keyed fact frame (fkey, key, q) bucketed by the group
+    * key — the layout [[ivmMergeRetract]] re-aggregates touched groups
+    * from with zero exchanges. */
+  def buildFactIndex(facts: DataFrame, table: String, buckets: Int = 8): Unit =
+    graft.operators.Ivm.buildFactIndex(facts, table, buckets)
+
+  /** Retraction-aware view maintenance: fold a fact-level change set
+    * (fkey, change 'I'|'D'|'U', key_old, q_old, key_new, q_new — the
+    * tableDiff shape) into the persisted (key, n, s, mn, mx) view.
+    * Count/sum retract arithmetically; min/max re-aggregate from the
+    * surviving facts of ONLY the groups that lost a value. */
+  def ivmMergeRetract(delta: DataFrame, viewTable: String,
+      factsTable: String): DataFrame =
+    graft.operators.Ivm.mergeDeltaRetract(delta, viewTable, factsTable)
+
   /** Join-key skew profile: (column_name, n_rows, n_keys, top1_cnt,
     * top1_share, entropy, balance) — the pre-shuffle diagnostic that
     * decides between a plain shuffle, salting, and AQE skew-split. */

@@ -85,6 +85,115 @@ object Ivm {
     mergePartials(idx, partials(delta, keyCol, measureQ))
   }
 
+  // ── Retraction-aware maintenance (q180) ────────────────────────────
+  // [[mergeDelta]] is insert-only BECAUSE min/max are not retractable
+  // monoids; this half closes the mutation family: a CDC delta
+  // carrying deletes and updates (the exact shape [[Cdc.tableDiff]]
+  // emits) maintains the same view. The algebra splits by measure:
+  //
+  //  - count/sum ARE retractable (they form groups, not just
+  //    monoids): n' = n + |inserts| − |deletes|, s' = s + Σnew − Σold,
+  //    one map-side-combined signed agg over the delta — O(delta).
+  //  - min/max are re-aggregated for ONLY the groups that LOST a
+  //    value (a 'D', or a 'U' retracting its old row): surviving base
+  //    facts of those groups stream off the facts table's BUCKETED
+  //    layout (zero-exchange agg; the removed fact ids anti-join as a
+  //    broadcast), and the delta rows landing there merge in
+  //    monoid-wise. Groups touched only by inserts extend min/max
+  //    monoid-wise exactly as before — no fact scan at all.
+  //
+  // Refresh cost: O(delta + facts-of-touched-groups), still
+  // independent of history size — the standard production IVM
+  // treatment of deletes (retract what retracts, recompute the
+  // non-retractable residue on the touched slice).
+
+  /** Persist a keyed fact slice `(fkey, key, q)` bucketed by the GROUP
+    * key — the layout [[mergeDeltaRetract]]'s touched-group
+    * re-aggregation reads with zero exchanges. `fkey` must identify
+    * the fact row (delta deletes/updates reference it). */
+  def buildFactIndex(facts: DataFrame, table: String, buckets: Int = 8): Unit = {
+    require(facts.columns.sameElements(Seq("fkey", "key", "q")),
+      s"fact index must be (fkey, key, q): ${facts.columns.toSeq}")
+    val spark = facts.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.Tables.deleteRec(new java.io.File(wh, table))
+    facts.write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
+  }
+
+  /** Fold a fact-level change set into the persisted view. `delta` is
+    * [[Cdc.tableDiff]]-shaped over the fact table: one row per changed
+    * fact, `(fkey, change 'I'|'D'|'U', key_old, q_old, key_new,
+    * q_new)` — old side NULL for I, new side NULL for D; an update may
+    * move the fact between groups (key_old ≠ key_new). Returns the
+    * updated `(key, n, s, mn, mx)` view over the SURVIVING facts;
+    * groups whose last fact was deleted drop out, a delete of a
+    * nonexistent fact fails loudly (negative count). The facts table
+    * must hold the PRE-delta fact rows ([[buildFactIndex]] layout). */
+  def mergeDeltaRetract(delta: DataFrame, viewTable: String,
+      factsTable: String): DataFrame = {
+    val spark = delta.sparkSession
+    val view = spark.table(viewTable)
+    require(view.columns.sameElements(Meta),
+      s"$viewTable is not an Ivm aggregate table: ${view.columns.toSeq}")
+    val facts = spark.table(factsTable)
+    require(facts.columns.sameElements(Seq("fkey", "key", "q")),
+      s"$factsTable is not an Ivm fact index: ${facts.columns.toSeq}")
+    require(delta.columns.sameElements(
+      Seq("fkey", "change", "key_old", "q_old", "key_new", "q_new")),
+      s"delta must be (fkey, change, key_old, q_old, key_new, q_new): " +
+        s"${delta.columns.toSeq}")
+    val retracts = delta.filter(col("change").isin("D", "U"))
+    val adds = delta.filter(col("change").isin("I", "U"))
+    // signed count/sum contributions — one map-side-combined agg
+    val dns = retracts
+      .select(col("key_old").as("key"), lit(-1L).as("dn"), (-col("q_old")).as("dq"))
+      .unionByName(adds
+        .select(col("key_new").as("key"), lit(1L).as("dn"), col("q_new").as("dq")))
+      .groupBy(col("key")).agg(sum(col("dn")).as("dn"), sum(col("dq")).as("ds"))
+    // groups that lost a value: min/max must be re-derived from the
+    // surviving facts (broadcast-bounded by the delta)
+    val touched = retracts.select(col("key_old").as("key")).distinct()
+    val removed = retracts.select(col("fkey")).distinct()
+    // surviving BASE facts of touched groups, aggregated on the
+    // bucketed layout (both joins broadcast, so no exchange precedes
+    // the agg); delta rows landing in touched groups aggregate apart
+    // (delta-scale) and merge in monoid-wise — exact, since neither
+    // part retracts internally
+    val survBase = facts
+      .join(broadcast(touched), Seq("key"), "left_semi")
+      .join(broadcast(removed), Seq("fkey"), "left_anti")
+      .groupBy(col("key")).agg(min(col("q")).as("bmn"), max(col("q")).as("bmx"))
+    val survNew = adds
+      .join(broadcast(touched), adds("key_new") === touched("key"), "left_semi")
+      .groupBy(col("key_new").as("key"))
+      .agg(min(col("q_new")).as("nmn"), max(col("q_new")).as("nmx"))
+    val reagg = survBase.as("b").hint("merge")
+      .join(survNew.as("nw"), Seq("key"), "full_outer")
+      .select(col("key"), lit(true).as("retracted"),
+        least(col("bmn"), col("nmn")).as("rmn"),
+        greatest(col("bmx"), col("nmx")).as("rmx"))
+    // monoid min/max extension for groups touched only by inserts
+    val insExt = adds.groupBy(col("key_new").as("key"))
+      .agg(min(col("q_new")).as("imn"), max(col("q_new")).as("imx"))
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    view.as("v").hint("merge")
+      .join(dns.as("d"), Seq("key"), "full_outer")
+      .join(insExt.as("i"), Seq("key"), "left")
+      .join(reagg.as("r"), Seq("key"), "left")
+      .select(col("key"),
+        when(n2 >= 0, n2).otherwise(raise_error(concat(
+          lit("Ivm.mergeDeltaRetract: negative count — delta retracts a "
+            + "fact the view never held, key="), col("key").cast("string")))
+          .cast("long")).as("n"),
+        (coalesce(col("v.s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"),
+        when(col("retracted") <=> lit(true), col("rmn"))
+          .otherwise(least(col("v.mn"), col("imn"))).as("mn"),
+        when(col("retracted") <=> lit(true), col("rmx"))
+          .otherwise(greatest(col("v.mx"), col("imx"))).as("mx"))
+      .filter(col("n") > 0)
+  }
+
   /** q167 fixture instance: the per-customer order rollup (count,
     * exact cents total, min/max) maintained incrementally — the view
     * is built from pre-1997 orders once (memoized per fixture
@@ -106,6 +215,71 @@ object Ivm {
     })
     mergeDelta(t.orders.filter($"o_orderdate" >= cut), $"o_custkey",
       cents, table)
+      .select($"key".as("o_custkey"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"),
+        ($"mn".cast("double") / 100.0).as("min_price"),
+        ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Orders as an Ivm fact frame: fkey = o_orderkey, key = o_custkey,
+    * q = cents. */
+  private def orderFacts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders.select($"o_orderkey".as("fkey"), $"o_custkey".as("key"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("q"))
+  }
+
+  /** q180's deterministic fact-level change set, synthesized from the
+    * orders table itself (the q173 replant recipe — the oracle replays
+    * the identical arithmetic): per o_orderkey residue mod 97,
+    *  0 → 'D' delete; 1 → 'U' reprice (+12345 cents, same group);
+    *  2 → 'U' MOVE to o_custkey+1 (retraction in one group, insertion
+    *  in another — the case insert-only IVM cannot express);
+    *  3 → 'I' new fact at fkey+2³¹, same group, q+55. */
+  def orderFactDelta(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val f = orderFacts(t)
+    val nl = lit(null).cast("long")
+    f.filter($"fkey" % 97 === 0)
+      .select($"fkey", lit("D").as("change"), $"key".as("key_old"),
+        $"q".as("q_old"), nl.as("key_new"), nl.as("q_new"))
+      .unionByName(f.filter($"fkey" % 97 === 1)
+        .select($"fkey", lit("U").as("change"), $"key".as("key_old"),
+          $"q".as("q_old"), $"key".as("key_new"), ($"q" + 12345L).as("q_new")))
+      .unionByName(f.filter($"fkey" % 97 === 2)
+        .select($"fkey", lit("U").as("change"), $"key".as("key_old"),
+          $"q".as("q_old"), ($"key" + 1L).as("key_new"), $"q".as("q_new")))
+      .unionByName(f.filter($"fkey" % 97 === 3)
+        .select(($"fkey" + 2147483648L).as("fkey"), lit("I").as("change"),
+          nl.as("key_old"), nl.as("q_old"), $"key".as("key_new"),
+          ($"q" + 55L).as("q_new")))
+  }
+
+  /** q180: retraction-aware view maintenance — the per-customer order
+    * rollup under a delta carrying deletes, updates (including a
+    * group MOVE), and inserts. The base view and the bucketed fact
+    * index are built over ALL orders once (memoized per fixture
+    * fingerprint); the change set folds in at query time. Must
+    * hash-equal the oracle's from-scratch GROUP BY over the SURVIVING
+    * facts — the two halves of the round-9 mutation family (q158's
+    * deletes, q167's view) finally composing. */
+  private val retractBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), (String, String)]()
+  def retractableOrderRollup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    val (viewTable, factsTable) =
+      retractBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+        val vt = s"graft_ivmr_view_$fp"
+        val ft = s"graft_ivmr_facts_$fp"
+        buildAggIndex(t.orders, $"o_custkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long"), vt)
+        buildFactIndex(orderFacts(t), ft)
+        (vt, ft)
+      })
+    mergeDeltaRetract(orderFactDelta(t), viewTable, factsTable)
       .select($"key".as("o_custkey"), $"n".as("n_orders"),
         ($"s".cast("double") / 100.0).as("total_price"),
         ($"mn".cast("double") / 100.0).as("min_price"),

@@ -75,4 +75,103 @@ class IvmSpec extends SparkSpec {
     assert(r.filter(col("min_price") > col("max_price")).count() === 0)
     assert(r.filter(col("n_orders") <= 0).count() === 0)
   }
+
+  // ── retraction-aware maintenance (q180) ────────────────────────────
+
+  private def factFrame = sf001.orders.select(
+    col("o_orderkey").as("fkey"), col("o_custkey").as("key"), cents.as("q"))
+
+  private def buildRetractTables(suffix: String): (String, String) = {
+    import spark.implicits._
+    val vt = s"graft_test_ivmr_view_$suffix"
+    val ft = s"graft_test_ivmr_facts_$suffix"
+    Ivm.buildAggIndex(sf001.orders, $"o_custkey", cents, vt)
+    Ivm.buildFactIndex(factFrame, ft)
+    (vt, ft)
+  }
+
+  test("retract merge equals from-scratch aggregation over surviving facts") {
+    val (vt, ft) = buildRetractTables("scratch")
+    val merged = Ivm.mergeDeltaRetract(Ivm.orderFactDelta(sf001), vt, ft)
+    // the world that never had the deleted/old rows
+    val f = factFrame
+    val surv = f.filter(col("fkey") % 97 =!= 0)
+      .select(when(col("fkey") % 97 === 2, col("key") + 1).otherwise(col("key")).as("key"),
+        (col("q") + when(col("fkey") % 97 === 1, 12345L).otherwise(0L)).as("q"))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select(col("key"), (col("q") + 55L).as("q")))
+    val scratchSurv = surv.groupBy("key").agg(
+      count(lit(1)).as("n"), sum(col("q")).as("s"),
+      min(col("q")).as("mn"), max(col("q")).as("mx"))
+    assert(merged.exceptAll(scratchSurv).isEmpty &&
+      scratchSurv.exceptAll(merged).isEmpty,
+      "retraction merge diverges from the surviving-facts aggregate")
+  }
+
+  test("empty delta leaves the view unchanged; delete-all drops its group") {
+    import spark.implicits._
+    val (vt, ft) = buildRetractTables("edge")
+    val cols = Seq("fkey", "change", "key_old", "q_old", "key_new", "q_new")
+    val empty = Seq.empty[(Long, String, Option[Long], Option[Long],
+      Option[Long], Option[Long])].toDF(cols: _*)
+    val unchanged = Ivm.mergeDeltaRetract(empty, vt, ft)
+    assert(unchanged.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(unchanged).isEmpty, "empty delta must be identity")
+    // delete EVERY fact of one customer: its row must vanish
+    val victim = factFrame.orderBy("key").select("key").head().getLong(0)
+    val delAll = factFrame.filter(col("key") === victim)
+      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
+        col("q").as("q_old"), lit(null).cast("long").as("key_new"),
+        lit(null).cast("long").as("q_new"))
+    val after = Ivm.mergeDeltaRetract(delAll, vt, ft)
+    assert(after.filter(col("key") === victim).isEmpty,
+      "a group whose last fact is deleted must drop out of the view")
+    assert(after.count() === scratch.count() - 1)
+  }
+
+  test("retracting a fact the view never held fails loudly") {
+    import spark.implicits._
+    val (vt, ft) = buildRetractTables("neg")
+    val ghost = Seq((-1L, "D", 999999999L, 100L, Option.empty[Long],
+      Option.empty[Long]))
+      .toDF("fkey", "change", "key_old", "q_old", "key_new", "q_new")
+    val ex = intercept[Exception] {
+      Ivm.mergeDeltaRetract(ghost, vt, ft).collect()
+    }
+    assert(ex.getMessage != null && ex.toString.contains("negative count")
+      || ex.getCause != null && ex.getCause.toString.contains("negative count"),
+      s"expected the negative-count raise_error, got: $ex")
+  }
+
+  test("retract merge never shuffles the persisted view or fact rows") {
+    import spark.implicits._
+    val (vt, ft) = buildRetractTables("plan")
+    // a genuinely delta-sized change set (two real fact rows collected
+    // up front, not a frame derived from the facts scan) so every
+    // exchange in the executed plan is provably delta-bounded
+    val picked = factFrame.orderBy("fkey").limit(2).collect()
+    val (f0, f1) = (picked(0), picked(1))
+    val delta = Seq(
+      (f0.getLong(0), "D", Some(f0.getLong(1)), Some(f0.getLong(2)),
+        Option.empty[Long], Option.empty[Long]),
+      (f1.getLong(0), "U", Some(f1.getLong(1)), Some(f1.getLong(2)),
+        Some(f1.getLong(1) + 1), Some(f1.getLong(2))),
+      (900000L, "I", Option.empty[Long], Option.empty[Long],
+        Some(f0.getLong(1)), Some(777L)))
+      .toDF("fkey", "change", "key_old", "q_old", "key_new", "q_new")
+    val merged = Ivm.mergeDeltaRetract(delta, vt, ft)
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan
+    // neither persisted table's rows may cross an exchange: every
+    // shuffle subtree reads only the in-memory delta
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    val offenders = shuffles.filter(s => s.toString.contains("graft_test_ivmr"))
+    assert(offenders.isEmpty,
+      s"persisted view/fact rows crossed an exchange:\n${offenders.mkString("\n")}")
+    assert(plan.toString.contains("SelectedBucketsCount") ||
+      plan.toString.contains("Bucketed: true"),
+      s"expected bucketed scans:\n$plan")
+  }
 }
