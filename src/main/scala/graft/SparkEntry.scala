@@ -293,6 +293,7 @@ object SparkEntry {
     "q178_benford"           -> ((s, d) => Relational.orderBenford(Tables(s, d))),
     "q179_key_skew"          -> ((s, d) => graft.operators.Skew.joinKeySkewProfile(Tables(s, d))),
     "q180_ivm_retract"       -> ((s, d) => graft.operators.Ivm.retractableOrderRollup(Tables(s, d))),
+    "q181_scc"               -> ((s, d) => graft.operators.Graph.sccSupplierTrade(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2135,6 +2136,31 @@ object SparkEntry {
         | CAST(MIN(q) AS DOUBLE) / 100.0 AS min_price,
         | CAST(MAX(q) AS DOUBLE) / 100.0 AS max_price
         |FROM surv GROUP BY key""".stripMargin,
+    // q181: SCC checked against the DEFINITION, not a replay of the
+    // engine's rounds — a recursive-CTE transitive closure (seeded
+    // with the reflexive pairs) and scc(v) = min{u : u→*v ∧ v→*u};
+    // edge construction replayed identically (direction by order
+    // parity over same-order supplier pairs)
+    "q181_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        | SELECT DISTINCT
+        |  CASE WHEN a.l_orderkey % 2 = 0 THEN a.l_suppkey ELSE b.l_suppkey END AS src,
+        |  CASE WHEN a.l_orderkey % 2 = 0 THEN b.l_suppkey ELSE a.l_suppkey END AS dst
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |rr(a, b) AS (
+        | SELECT id, id FROM n
+        | UNION
+        | SELECT rr.a, e.dst FROM rr JOIN e ON rr.b = e.src),
+        |lab AS MATERIALIZED (
+        | SELECT r1.b AS id, MIN(r1.a) AS scc
+        | FROM rr r1 JOIN rr r2 ON r2.a = r1.b AND r2.b = r1.a
+        | GROUP BY r1.b),
+        |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+        |       FROM lab GROUP BY scc)
+        |SELECT lab.id AS s_suppkey, lab.scc, sz.scc_size
+        |FROM lab JOIN sz USING (scc)""".stripMargin,
     // q168: leave-fold-out target encoding replayed on exact integer
     // cents — two nested GROUP BYs and ONE division per output row
     // (left-to-right: diff-cast, divide, divide by the unit), the

@@ -916,6 +916,13 @@ object Graft {
   def buildFactIndex(facts: DataFrame, table: String, buckets: Int = 8): Unit =
     graft.operators.Ivm.buildFactIndex(facts, table, buckets)
 
+  /** Strongly connected components of a directed edge list — labels
+    * every edge endpoint with its SCC's min member id; runs
+    * forward-backward coloring phases until every node is resolved.
+    * Returns (id, scc). */
+  def scc(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame =
+    graft.operators.Graph.sccConverged(edges, srcCol, dstCol)._1
+
   /** Retraction-aware view maintenance: fold a fact-level change set
     * (fkey, change 'I'|'D'|'U', key_old, q_old, key_new, q_new — the
     * tableDiff shape) into the persisted (key, n, s, mn, mx) view.

@@ -817,4 +817,147 @@ object Graph {
       $"deg")
       .orderBy($"id")
   }
+
+  // ── q181: strongly connected components ────────────────────────────
+  // The DIRECTED-reachability member the family lacked: CC, k-core,
+  // SSSP, PageRank/PPR/HITS/LPA/triangles are all undirected or
+  // algebraic — none can answer "which nodes lie on directed cycles"
+  // (dependency loops, circular trades, link farms). Distributed SCC
+  // here is forward-backward COLORING (Orzan 2004; the Pregel-style
+  // FB-Trim family — single-machine Tarjan is inherently sequential):
+  //
+  //   per phase, on the remaining subgraph:
+  //   1. FORWARD: color(v) = min id that reaches v (min-label
+  //      propagation to fixpoint — the LPA/SSSP round shape).
+  //      Every color class c contains its root (color(c) = c).
+  //   2. BACKWARD: from each root, spread a mark along REVERSE edges
+  //      but only between SAME-COLOR nodes. Marked ⟺ v reaches its
+  //      root within the class; color(v) = c already means c reaches
+  //      v — so marked ⟺ v ∈ SCC(c). (Any v→root path inside an SCC
+  //      stays inside it, hence inside the color class — the standard
+  //      FB correctness argument.)
+  //   3. Marked nodes leave with scc = color; the mark always covers
+  //      COMPLETE SCCs, so deleting them cannot split a remaining one.
+  //
+  // Each phase resolves at least every class root (isolated/acyclic
+  // nodes become singleton SCCs the phase they become roots), so the
+  // loop terminates; dense fixtures finish in 2–3 phases. Plan per
+  // round: the SSSP recipe — the phase's edge frame checkpointed once
+  // by src (forward) with the dst copy DERIVED from it (the q151
+  // two-checkpoint lesson), node-scale state re-keyed once per round,
+  // edge frames only scanned. Phase-to-phase the edge frame shrinks
+  // by survivor semi-joins (node-scale shuffles, the k-core lesson).
+
+  /** SCC labels for every EDGE ENDPOINT of a directed graph (isolated
+    * nodes never enter; self-loops are dropped — they do not affect
+    * strong connectivity). Returns ((id, scc = min member id),
+    * phases-run). Exact at convergence: forward fixpoint + in-class
+    * backward fixpoint identify exactly SCC(root) per class. */
+  def sccConverged(edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxPhases: Int = 16, maxRounds: Int = 64,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): (DataFrame, Int) = {
+    require(maxPhases >= 1 && maxRounds >= 1, s"bad bounds: $maxPhases/$maxRounds")
+    var eRem = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var remaining = eRem.select(col("src").as("id"))
+      .union(eRem.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var assigned: Option[DataFrame] = None
+    var phases = 0
+    var remN = remaining.count()
+    while (remN > 0 && phases < maxPhases) {
+      val eSrc = eRem.repartition(col("src")).localCheckpoint(false, edgeStorage)
+      val eDst = eSrc.repartition(col("dst")).localCheckpoint(false, edgeStorage)
+      // 1. forward min-color fixpoint
+      var st = remaining.select(col("id"), col("id").as("color"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var r = 0
+      while (changed > 0 && r < maxRounds) {
+        val contrib = eSrc.join(st, eSrc("src") === st("id"))
+          .select(col("dst"), col("color"))
+          .groupBy(col("dst")).agg(min(col("color")).as("nc"))
+        val next = st.join(contrib, st("id") === contrib("dst"), "left")
+          .select(st("id"), least(col("color"), col("nc")).as("color"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(st.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.color") =!= col("p.color")).count()
+        st = next
+        r += 1
+      }
+      require(changed == 0,
+        s"SCC forward coloring did not converge within $maxRounds rounds")
+      // 2. backward in-class marking fixpoint (roots start marked)
+      var stm = st.select(col("id"), col("color"),
+        (col("id") === col("color")).as("mark")).localCheckpoint(true)
+      var marked = stm.filter(col("mark")).count()
+      var grew = true
+      r = 0
+      while (grew && r < maxRounds) {
+        val cand = eDst.join(stm.filter(col("mark")), eDst("dst") === stm("id"))
+          .select(col("src").as("cid"), col("color").as("c2")).distinct()
+        val next = stm.join(cand,
+            stm("id") === cand("cid") && stm("color") === cand("c2"), "left")
+          .select(stm("id"), stm("color"),
+            (stm("mark") || cand("cid").isNotNull).as("mark"))
+          .localCheckpoint(true)
+        val m2 = next.filter(col("mark")).count()
+        grew = m2 > marked
+        marked = m2
+        stm = next
+        r += 1
+      }
+      require(!grew,
+        s"SCC backward marking did not converge within $maxRounds rounds")
+      // 3. harvest complete SCCs, shrink the subgraph
+      val found = stm.filter(col("mark")).select(col("id"), col("color").as("scc"))
+      assigned = Some(assigned.fold(found)(_.unionByName(found))
+        .localCheckpoint(true))
+      remaining = stm.filter(!col("mark")).select(col("id"))
+        .localCheckpoint(true)
+      remN = remaining.count()
+      if (remN > 0) {
+        val keepS = remaining.select(col("id").as("__ks"))
+        val keepD = remaining.select(col("id").as("__kd"))
+        eRem = eRem
+          .join(keepS, eRem("src") === col("__ks"), "left_semi")
+          .join(keepD, col("dst") === col("__kd"), "left_semi")
+      }
+      phases += 1
+    }
+    require(remN == 0, s"SCC did not converge within $maxPhases phases")
+    // empty edge set → zero phases, empty (id, scc) frame
+    (assigned.getOrElse(remaining.select(col("id"), col("id").as("scc"))),
+      phases)
+  }
+
+  /** q181: SCC of the directed supplier TRADE-FLOW graph — suppliers
+    * co-supplying an order trade in the direction set by the order's
+    * parity (even o_orderkey: low id → high id; odd: high → low), so
+    * pairs active in both regimes form 2-cycles and chains of them
+    * weld into large components — the circular-dependency structure
+    * SCC exists to find. Output is one row per edge endpoint:
+    * (s_suppkey, scc = min member id, scc_size). The oracle computes
+    * ground truth from FIRST PRINCIPLES — a recursive-CTE transitive
+    * closure and the mutual-reachability definition scc(v) = min{u :
+    * u→*v ∧ v→*u} — not a replay of the engine's rounds, so the
+    * coloring algorithm is checked against the definition itself. */
+  def sccSupplierTrade(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val li = t.lineitem.select($"l_orderkey".as("ok"), $"l_suppkey".as("s"))
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.s") < col("b.s"))
+      .select(when($"ok" % 2 === 0, col("a.s")).otherwise(col("b.s")).as("src"),
+        when($"ok" % 2 === 0, col("b.s")).otherwise(col("a.s")).as("dst"))
+      .distinct()
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK_SER"))
+    val (scc, _) = sccConverged(edges, $"src", $"dst",
+      maxPhases = 16, maxRounds = 64, storage)
+    val sizes = scc.groupBy($"scc").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc"))
+      .select($"id".as("s_suppkey"), $"scc", $"scc_size")
+      .orderBy($"s_suppkey")
+  }
 }

@@ -382,13 +382,38 @@ object Similarity {
       m: Int = 16, ks: Int = 32, nList: Int = 16,
       nProbe: Int = 6, nAssign: Int = 3, rerank: Int = 200,
       trainCap: Long = 131072L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import src.sparkSession.implicits._
-    require(nAssign >= 1 && nAssign <= nList, s"nAssign must be in [1, $nList]")
-    require(nProbe >= 1 && nProbe <= nList, s"nProbe must be in [1, $nList]")
     require(rerank >= 10, s"rerank must cover the top-10, got $rerank")
     val base = src.select(idCol.as("vec_id"), embCol.as("embedding"))
+    val model = fitPq(base, m, ks, nList, trainCap)
+    val indexed = encodePq(base, model, nAssign)
+    val probes = base.filter(probePred($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    probePq(indexed, model, probes, base, nProbe, rerank)
+  }
+
+  /** A fitted IVF-PQ model — everything the encode and probe sides
+    * need, small enough to persist as one metadata row (nList·dim +
+    * m·ks·dsub doubles ≈ 9 KB at the defaults). */
+  case class PqModel(m: Int, ks: Int, dsub: Int, nList: Int,
+      coarse: IndexedSeq[IndexedSeq[Double]], cbFlat: IndexedSeq[Double]) {
+    /** Subspace i's codebook (ks × dsub), sliced off the flat store. */
+    def cb(i: Int): IndexedSeq[IndexedSeq[Double]] =
+      cbFlat.slice(i * ks * dsub, (i + 1) * ks * dsub).grouped(dsub).toIndexedSeq
+  }
+
+  /** Fit the coarse quantizer + m per-subspace codebooks on (a seeded
+    * sample of) `base` — see [[annPq]] for the design contract. The
+    * m+1 fits are independent (disjoint outputs, fixed seeds, shared
+    * checkpointed input) and run concurrently: each fit is a chain of
+    * small DRIVER-latency-bound jobs, so sequential fits would idle
+    * the executors for m+1 × job-turnaround. Concurrency cannot touch
+    * the result (seeded init + deterministic input). */
+  private[graft] def fitPq(base: DataFrame, m: Int, ks: Int, nList: Int,
+      trainCap: Long): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import base.sparkSession.implicits._
     val dim = base.select(size($"embedding")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -406,12 +431,6 @@ object Similarity {
       new KMeans().setK(k).setSeed(seed).setMaxIter(3).setInitMode("random")
         .setFeaturesCol(featCol).setPredictionCol("pq_pred")
         .fit(df).clusterCenters.map(_.toArray)
-    // the m+1 fits are independent (disjoint outputs, fixed seeds,
-    // shared checkpointed input) — run them concurrently: each fit is
-    // a chain of small DRIVER-latency-bound jobs, so m+1 sequential
-    // fits cost m+1 × job-turnaround wall while the executors idle.
-    // Concurrency does not touch the result (seeded init + a
-    // deterministic input), it only overlaps the scheduling gaps.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -426,44 +445,70 @@ object Similarity {
             _.cast("double"))).as("sub")), "sub", ks, 42L + i + 1))
       }
     val coarse = Await.result(coarseF, Duration.Inf)
-    val cNorm = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
-    def listScores(emb: org.apache.spark.sql.Column) =
-      array((0 until nList).map { i =>
-        struct((dotNative(array(coarse(i).map(lit).toIndexedSeq: _*), emb) / cNorm(i))
-          .as("s"), lit(i).as("ivf_list"))
-      }: _*)
-    def topLists(emb: org.apache.spark.sql.Column, k: Int) =
-      transform(slice(reverse(array_sort(listScores(emb))), 1, k),
-        x => x.getField("ivf_list"))
     val cb: IndexedSeq[Array[Array[Double]]] =
       cbF.map(Await.result(_, Duration.Inf))
-    // encode: argmin_j ||sub - c_j||^2 per subspace, all m codes in
-    // ONE native expression (graft.expr.PqCodes) — the per-centroid-
-    // literal column formulation at m=16, ks=32 puts 512 dot nodes in
-    // one projection and blows Janino's 64 KB method limit (measured:
-    // codegen falls back to interpreted on the index-build scan);
-    // the flat-codebook constant keeps the scan whole-stage-codegen'd
-    val cbFlat: IndexedSeq[Double] =
-      (0 until m).flatMap(i => cb(i).flatMap(_.toIndexedSeq))
-    def codesOf(emb: org.apache.spark.sql.Column) =
-      call_function("pq_codes", emb, typedlit(cbFlat), lit(ks), lit(dsub))
+    PqModel(m, ks, dsub, nList,
+      coarse.map(_.toIndexedSeq).toIndexedSeq,
+      (0 until m).flatMap(i => cb(i).flatMap(_.toIndexedSeq)))
+  }
+
+  /** Coarse-list ranking as a literal-array projection (no centroid
+    * table, no transform pass): the vector's own norm is constant
+    * across lists, so dot/|centroid| preserves the cosine order. */
+  private def topListsOf(model: PqModel)(
+      emb: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val cNorm = model.coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    val scores = array((0 until model.nList).map { i =>
+      struct((dotNative(array(model.coarse(i).map(lit): _*), emb) / cNorm(i))
+        .as("s"), lit(i).as("ivf_list"))
+    }: _*)
+    transform(slice(reverse(array_sort(scores)), 1, k),
+      x => x.getField("ivf_list"))
+  }
+
+  /** Encode a corpus against FROZEN quantizers: (vec_id, ivf_list ×
+    * nAssign, m codes) — the raw embedding column is DROPPED from
+    * everything the probe scan reads. All m codes come from ONE
+    * native expression (graft.expr.PqCodes) — the per-centroid-
+    * literal column formulation at m=16, ks=32 puts 512 dot nodes in
+    * one projection and blows Janino's 64 KB method limit (measured:
+    * codegen falls back to interpreted on the index-build scan); the
+    * flat-codebook constant keeps the scan whole-stage-codegen'd. */
+  private[graft] def encodePq(base: DataFrame, model: PqModel,
+      nAssign: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    require(nAssign >= 1 && nAssign <= model.nList,
+      s"nAssign must be in [1, ${model.nList}]")
+    base.select($"vec_id",
+      explode(topListsOf(model)($"embedding", nAssign)).as("ivf_list"),
+      call_function("pq_codes", $"embedding", typedlit(model.cbFlat),
+        lit(model.ks), lit(model.dsub)).as("codes"))
+  }
+
+  /** Probe an encoded index: ADC shortlist by reconstruction cosine
+    * (codebook-literal lookups — no decode shuffle, no codebook
+    * join), exact-cosine re-rank of the shortlist against the raw
+    * store (a broadcast point-read, never a scan). `probes` is
+    * (q_id, q_emb); `raw` is the (vec_id, embedding) store the refine
+    * step reads. */
+  private[graft] def probePq(indexed: DataFrame, model: PqModel,
+      probes: DataFrame, raw: DataFrame, nProbe: Int,
+      rerank: Int): DataFrame = {
+    import indexed.sparkSession.implicits._
+    require(nProbe >= 1 && nProbe <= model.nList,
+      s"nProbe must be in [1, ${model.nList}]")
+    require(rerank >= 10, s"rerank must cover the top-10, got $rerank")
     // reconstruction: concatenate the coded centroids — literal
     // lookups, evaluated where the codes live
     val cbLit: IndexedSeq[org.apache.spark.sql.Column] =
-      (0 until m).map(i => typedlit(cb(i).map(_.toIndexedSeq).toIndexedSeq))
+      (0 until model.m).map(i => typedlit(model.cb(i)))
     def reconOf(codes: org.apache.spark.sql.Column) =
-      flatten(array((0 until m).map(i =>
+      flatten(array((0 until model.m).map(i =>
         element_at(cbLit(i), element_at(codes, i + 1) + 1)): _*))
-    // the compressed index: (vec_id, ivf_list, m codes) — the raw
-    // embedding column is DROPPED from everything the probe scan reads
-    val indexed = base.select($"vec_id",
-      explode(topLists($"embedding", nAssign)).as("ivf_list"),
-      codesOf($"embedding").as("codes"))
-    val probes = base.filter(probePred($"vec_id"))
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(topLists($"embedding", nProbe)).as("ivf_list"))
+    val probeLists = probes.select($"q_id", $"q_emb",
+      explode(topListsOf(model)($"q_emb", nProbe)).as("ivf_list"))
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
-    val shortlist = indexed.join(broadcast(probes), Seq("ivf_list"))
+    val shortlist = indexed.join(broadcast(probeLists), Seq("ivf_list"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         cosine($"q_emb", reconOf($"codes")).as("adc"))
@@ -472,12 +517,12 @@ object Similarity {
       .filter($"adc_rank" <= rerank)
       .select($"q_id", $"vec_id")
     // refine: exact cosine over the shortlist only
-    val raw = base
-      .select($"vec_id", $"embedding", l2NormNative($"embedding").as("nrm"))
-    val qRaw = raw.filter(probePred($"vec_id"))
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val rawN = raw.select($"vec_id", $"embedding",
+      l2NormNative($"embedding").as("nrm"))
+    val qRaw = probes.select($"q_id", $"q_emb")
+      .withColumn("q_nrm", l2NormNative($"q_emb"))
     val wEx = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
-    raw.join(broadcast(shortlist), Seq("vec_id"))
+    rawN.join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(qRaw), Seq("q_id"))
       .select($"q_id", $"vec_id",
         factoredCosine(dotNative($"q_emb", $"embedding"), $"q_nrm", $"nrm")
