@@ -294,6 +294,7 @@ object SparkEntry {
     "q179_key_skew"          -> ((s, d) => graft.operators.Skew.joinKeySkewProfile(Tables(s, d))),
     "q180_ivm_retract"       -> ((s, d) => graft.operators.Ivm.retractableOrderRollup(Tables(s, d))),
     "q181_scc"               -> ((s, d) => graft.operators.Graph.sccSupplierTrade(Tables(s, d))),
+    "q182_ann_index_gate"    -> ((s, d) => Similarity.annIndexGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1561,6 +1562,13 @@ object SparkEntry {
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q135_ann_pq_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q182: same gate contract, tighter floor (0.9) — the probe runs
+    // against the PERSISTED index extended by a frozen-quantizer delta
+    // append, so a regression in the persist/load/append lifecycle
+    // (not just the quantizers) flips every row's meets_floor
+    "q182_ann_index_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // q136: same 16-token chunking as q63's recipe; global keep-first

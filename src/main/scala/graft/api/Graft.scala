@@ -916,6 +916,28 @@ object Graft {
   def buildFactIndex(facts: DataFrame, table: String, buckets: Int = 8): Unit =
     graft.operators.Ivm.buildFactIndex(facts, table, buckets)
 
+  /** Build + persist an IVF-PQ ANN index over (idCol, embCol) rows:
+    * encoded corpus partitioned by coarse list (probes prune to the
+    * probed lists' files), fitted quantizers in a `_meta` sidecar.
+    * `trainOn` freezes training on a base corpus. */
+  def buildAnnIndex(src: DataFrame, idCol: Column, embCol: Column,
+      table: String, trainOn: Option[DataFrame] = None): Unit =
+    graft.operators.Similarity.buildAnnIndex(src, idCol, embCol, table, trainOn)
+
+  /** Append a delta corpus to a persisted ANN index against its FROZEN
+    * quantizers — O(delta), no refit, two-step ≡ rebuild. */
+  def updateAnnIndex(delta: DataFrame, idCol: Column, embCol: Column,
+      table: String): Unit =
+    graft.operators.Similarity.updateAnnIndex(delta, idCol, embCol, table)
+
+  /** Top-10 neighbors per probe (q_id, q_emb) from a persisted ANN
+    * index — model loaded from the sidecar (no fit at probe time),
+    * ADC shortlist over the probed partitions only, exact re-rank
+    * against `raw`. */
+  def annIndexProbe(spark: org.apache.spark.sql.SparkSession, table: String,
+      probes: DataFrame, raw: DataFrame): DataFrame =
+    graft.operators.Similarity.annIndexProbe(spark, table, probes, raw)
+
   /** Strongly connected components of a directed edge list — labels
     * every edge endpoint with its SCC's min member id; runs
     * forward-backward coloring phases until every node is resolved.

@@ -540,6 +540,115 @@ object Similarity {
     recallGateOver(t, annPq(t).select($"q_id", $"vec_id"), floor)
   }
 
+  // ── q182: persisted ANN index + delta maintenance ───────────────────
+  // q135 retrains its 17 quantizer fits and re-encodes the corpus on
+  // every run — no production vector store rebuilds per query. This is
+  // q162's treatment applied to IVF-PQ: the index PERSISTS, probes
+  // read it, and a delta load extends it against FROZEN quantizers
+  // (the FAISS add() semantics — training is an offline event, adds
+  // are cheap and associative). Layout: the encoded corpus is written
+  // PARTITIONED BY ivf_list, so a probe's broadcast join triggers
+  // DYNAMIC PARTITION PRUNING and the scan reads only the probed
+  // lists' files — nProbe/nList of the index, the on-disk analogue of
+  // an inverted list seek (spec-asserted live in AnnIndexSpec). The
+  // fitted model (nList·dim + m·ks·dsub doubles ≈ 9 KB) rides a
+  // one-row `${table}_meta` sidecar; parquet doubles round-trip
+  // bit-exactly, so a probe against the loaded model is IDENTICAL to
+  // one against the in-memory fit.
+
+  /** Build + persist an IVF-PQ index over `src`. Quantizers train on
+    * `trainOn` (default: `src` itself) — passing yesterday's corpus
+    * keeps today's rebuild deterministic under frozen training, which
+    * is what makes [[updateAnnIndex]]'s two-step ≡ rebuild exact. */
+  def buildAnnIndex(src: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, table: String,
+      trainOn: Option[DataFrame] = None, m: Int = 16, ks: Int = 32,
+      nList: Int = 16, nAssign: Int = 3, trainCap: Long = 131072L): Unit = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val base = src.select(idCol.as("vec_id"), embCol.as("embedding"))
+    val tr = trainOn.map(_.select(idCol.as("vec_id"), embCol.as("embedding")))
+      .getOrElse(base)
+    val model = fitPq(tr, m, ks, nList, trainCap)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(table, s"${table}_meta").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    encodePq(base, model, nAssign)
+      .write.partitionBy("ivf_list").saveAsTable(table)
+    Seq((model.m, model.ks, model.dsub, model.nList,
+        model.coarse.map(_.toSeq).toSeq, model.cbFlat.toSeq))
+      .toDF("m", "ks", "dsub", "nlist", "coarse", "cbflat")
+      .write.saveAsTable(s"${table}_meta")
+  }
+
+  /** Reload the fitted quantizers from the index's metadata sidecar. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): PqModel = {
+    val r = spark.table(s"${table}_meta").head()
+    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getSeq[scala.collection.Seq[Double]](4)
+        .map(_.toIndexedSeq).toIndexedSeq,
+      r.getSeq[Double](5).toIndexedSeq)
+  }
+
+  /** Extend a persisted index with a delta corpus: encode against the
+    * FROZEN persisted quantizers and append into the same partition
+    * layout — no refit, no re-encode of the existing rows, cost
+    * O(delta). Associative by construction: encode is per-row against
+    * constants, so build(base) ∘ update(delta) produces exactly the
+    * rows of a rebuild that trains on base and encodes base ∪ delta
+    * (AnnIndexSpec proves set equality). */
+  def updateAnnIndex(delta: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, table: String,
+      nAssign: Int = 3): Unit = {
+    val model = loadPqModel(delta.sparkSession, table)
+    encodePq(delta.select(idCol.as("vec_id"), embCol.as("embedding")),
+        model, nAssign)
+      .write.mode("append").format("parquet").partitionBy("ivf_list")
+      .saveAsTable(table)
+  }
+
+  /** Probe a persisted index: load the model sidecar (one tiny head —
+    * NO quantizer fit at probe time), ADC-shortlist over only the
+    * probed partitions (dynamic partition pruning), exact re-rank
+    * against `raw`. `probes` is (q_id, q_emb). */
+  def annIndexProbe(spark: org.apache.spark.sql.SparkSession, table: String,
+      probes: DataFrame, raw: DataFrame, nProbe: Int = 6,
+      rerank: Int = 200): DataFrame =
+    probePq(spark.table(table), loadPqModel(spark, table), probes, raw,
+      nProbe, rerank)
+
+  /** q182: the persisted-index lifecycle gated driver-visibly — the
+    * index is built from the embeddings EXCLUDING the vec_id%10==7
+    * cohort (training frozen on that base), the cohort appended via
+    * [[updateAnnIndex]], and the q135 probes answered from the
+    * persisted (index ∪ delta) against the full raw store. Gate: mean
+    * recall@10 ≥ `floor` vs the exact brute-force top-10 over the
+    * WHOLE corpus — the recall contract of a store that took a delta
+    * load, not a rebuilt one. */
+  private val annIdxBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def annIndexGate(t: Tables, floor: Double = 0.9): DataFrame = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "embeddings").hashCode)
+    val table = annIdxBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_ann_idx_$fp"
+      buildAnnIndex(t.embeddings.filter($"vec_id" % 10 =!= 7),
+        $"vec_id", $"embedding", name)
+      updateAnnIndex(t.embeddings.filter($"vec_id" % 10 === 7),
+        $"vec_id", $"embedding", name)
+      name
+    })
+    val probes = t.embeddings.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val ann = annIndexProbe(t.spark, table, probes,
+      t.embeddings.select($"vec_id", $"embedding"))
+    recallGateOver(t, ann.select($"q_id", $"vec_id"), floor)
+  }
+
   /** Production centroid computation over an ARBITRARY corpus: per-
     * (label, position) mean via order-independent fixed-point
     * accumulation — each value is quantized at 2⁻⁴⁰ (exactly-

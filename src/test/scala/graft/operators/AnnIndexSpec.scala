@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q182: the persisted IVF-PQ index lifecycle — probe-from-disk ≡
+  * probe-from-memory, frozen-quantizer delta append ≡ rebuild, probes
+  * prune to the probed partitions, and the recall gate holds. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def emb = sf001.embeddings.select(col("vec_id"), col("embedding"))
+
+  test("probe from the persisted index equals the in-memory IVF-PQ path") {
+    import spark.implicits._
+    Similarity.buildAnnIndex(sf001.embeddings, $"vec_id", $"embedding",
+      "graft_test_ann_same")
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val fromDisk = Similarity.annIndexProbe(spark, "graft_test_ann_same",
+      probes, emb).collect()
+    val inMem = Similarity.annPq(sf001).collect()
+    // parquet doubles round-trip bit-exactly, the fits are seeded on
+    // identical input → ranks AND cosines must match row for row
+    assert(fromDisk.length === inMem.length)
+    fromDisk.zip(inMem).foreach { case (a, b) =>
+      assert(a === b, s"disk probe diverged: $a vs $b")
+    }
+  }
+
+  test("frozen-quantizer delta append equals a rebuild encoding the union") {
+    import spark.implicits._
+    val base = sf001.embeddings.filter($"vec_id" % 10 =!= 7)
+    val delta = sf001.embeddings.filter($"vec_id" % 10 === 7)
+    Similarity.buildAnnIndex(base, $"vec_id", $"embedding",
+      "graft_test_ann_two")
+    Similarity.updateAnnIndex(delta, $"vec_id", $"embedding",
+      "graft_test_ann_two")
+    Similarity.buildAnnIndex(sf001.embeddings, $"vec_id", $"embedding",
+      "graft_test_ann_rebuild", trainOn = Some(base))
+    val a = spark.table("graft_test_ann_two")
+      .select($"vec_id", $"ivf_list", $"codes")
+    val b = spark.table("graft_test_ann_rebuild")
+      .select($"vec_id", $"ivf_list", $"codes")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "two-step index diverges from the frozen-training rebuild")
+    // the models themselves must be identical (training never saw the
+    // delta in either path)
+    assert(Similarity.loadPqModel(spark, "graft_test_ann_two") ===
+      Similarity.loadPqModel(spark, "graft_test_ann_rebuild"))
+  }
+
+  test("probe scan prunes to the probed ivf_list partitions") {
+    import spark.implicits._
+    Similarity.buildAnnIndex(sf001.embeddings, $"vec_id", $"embedding",
+      "graft_test_ann_prune")
+    val probes = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val probe = Similarity.annIndexProbe(spark, "graft_test_ann_prune",
+      probes, emb)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    // the index scan must carry a runtime partition filter on the
+    // probed lists (dynamic partition pruning off the broadcast side)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n$plan")
+  }
+
+  test("q182 gate: recall >= 0.9 from the appended index at sf0.001") {
+    val r = Similarity.annIndexGate(sf001).collect()
+    assert(r.length === 5 && r.forall(_.getBoolean(1)),
+      s"recall gate failed: ${r.mkString(", ")}")
+  }
+}
