@@ -295,6 +295,8 @@ object SparkEntry {
     "q180_ivm_retract"       -> ((s, d) => graft.operators.Ivm.retractableOrderRollup(Tables(s, d))),
     "q181_scc"               -> ((s, d) => graft.operators.Graph.sccSupplierTrade(Tables(s, d))),
     "q182_ann_index_gate"    -> ((s, d) => Similarity.annIndexGate(Tables(s, d))),
+    "q183_audio_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.audioDupCohorts(Tables(s, d))),
+    "q184_audio_neardup"     -> ((s, d) => graft.sources.Multimodal.audioNearDups(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -430,6 +432,46 @@ object SparkEntry {
       | FROM px l JOIN px r2 ON l.media_id = r2.media_id
       |   AND l.r = r2.r AND r2.c = l.c + 1
       | WHERE l.c < 8
+      | GROUP BY 1)""".stripMargin
+
+  // q183/q184: shared audio-fingerprint chain — base clips (length
+  // within the [65, 4096] contract), the +1/−1 same-slice twins
+  // (pert fires only at len ≥ 66, matching the engine's guard), and
+  // the synthetic envelope-gadget quads (520 samples, slice p//8 at
+  // 32+k, variant j lowering odd slices 1..2j−1); slice of position
+  // p is p·65//len (identical integer map both engines), bit 63 as
+  // the signed literal (the q164 lesson)
+  private val audioFpCtes: String =
+    """auds AS MATERIALIZED (
+      | SELECT doc_id AS media_id, text, strlen(text) AS len, FALSE AS pert
+      | FROM documents
+      | WHERE doc_id % 3 = 1 AND strlen(text) BETWEEN 65 AND 4096
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, strlen(text), strlen(text) >= 66
+      | FROM documents
+      | WHERE doc_id % 30 = 1 AND strlen(text) BETWEEN 65 AND 4096),
+      |apos AS MATERIALIZED (
+      | SELECT media_id, CAST(p * 65 // len AS INTEGER) AS i,
+      |  unicode(text[CAST(p + 1 AS INTEGER)])
+      |   + CASE WHEN pert AND p = 0 THEN 1
+      |          WHEN pert AND p = 1 THEN -1 ELSE 0 END AS v
+      | FROM auds, range(0, 4096) t(p) WHERE p < len
+      | UNION ALL
+      | SELECT 20000000 + 4 * doc_id + j, CAST(p // 8 AS INTEGER),
+      |  32 + p // 8 - CASE WHEN (p // 8) % 2 = 1 AND p // 8 <= 2 * j - 1
+      |    THEN 1 ELSE 0 END
+      | FROM documents, range(0, 4) tj(j), range(0, 520) tp(p)
+      | WHERE doc_id % 60 = 1),
+      |sl AS MATERIALIZED (
+      | SELECT media_id, i, CAST(SUM(v) AS BIGINT) AS sv
+      | FROM apos GROUP BY 1, 2),
+      |afp AS MATERIALIZED (
+      | SELECT a.media_id, CAST(SUM(CASE WHEN a.sv < b.sv THEN
+      |    CASE WHEN a.i = 63 THEN (-9223372036854775808)::BIGINT
+      |         ELSE 1::BIGINT << CAST(a.i AS INTEGER) END
+      |   ELSE 0 END) AS BIGINT) AS fp
+      | FROM sl a JOIN sl b ON a.media_id = b.media_id AND b.i = a.i + 1
+      | WHERE a.i < 64
       | GROUP BY 1)""".stripMargin
 
   // q137: replay the JL projection with the SAME md5-derived ±1 sign
@@ -1818,6 +1860,29 @@ object SparkEntry {
         | CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.dh < b.dh
         |WHERE bit_count(xor(a.dh, b.dh)) BETWEEN 1 AND 3""".stripMargin,
+    // q183/q184: the audio fingerprint replayed over the source text
+    // bytes, then the same cohort agg / distinct-fingerprint pair
+    // join as q164/q165
+    "q183_audio_dup_cohorts" ->
+      s"""WITH $audioFpCtes
+        |SELECT rep_id, n_members, n_planted FROM (
+        | SELECT fp, MIN(media_id) AS rep_id, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN media_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted
+        | FROM afp GROUP BY fp)
+        |WHERE n_members >= 2""".stripMargin,
+    "q184_audio_neardup" ->
+      s"""WITH $audioFpCtes,
+        |d AS MATERIALIZED (
+        | SELECT fp, MIN(media_id) AS rep, COUNT(*) AS n FROM afp GROUP BY fp)
+        |SELECT
+        | CASE WHEN a.rep < b.rep THEN a.rep ELSE b.rep END AS id_lo,
+        | CASE WHEN a.rep < b.rep THEN b.rep ELSE a.rep END AS id_hi,
+        | CASE WHEN a.rep < b.rep THEN a.n ELSE b.n END AS n_lo,
+        | CASE WHEN a.rep < b.rep THEN b.n ELSE a.n END AS n_hi,
+        | CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.fp < b.fp
+        |WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 3""".stripMargin,
     // q179: per-key counts, then the same quantized-entropy fold —
     // p·ln(p) in 2⁻⁴⁰ quanta (exact division, glibc-identical ln,
     // identical floor pair) summed as exact integers; top-share and

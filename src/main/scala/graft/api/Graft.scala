@@ -811,6 +811,23 @@ object Graft {
   def imageNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
     graft.sources.Multimodal.imageNearDups(t, maxHamming)
 
+  /** Exact-duplicate AUDIO cohorts over the 64-bit frame-sum
+    * fingerprint (WAV decode → 65 time-slice sums → gradient-sign
+    * bits) — the audio member of the perceptual-dedup family. */
+  def audioDupCohorts(t: graft.Tables): DataFrame =
+    graft.sources.Multimodal.audioDupCohorts(t)
+
+  /** Perceptual audio near-dup pairs at distinct-fingerprint
+    * granularity: banding + exact Hamming verify (1 ≤ hamming ≤
+    * maxHamming ≤ 3), cohort sizes as multiplicities. */
+  def audioNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
+    graft.sources.Multimodal.audioNearDups(t, maxHamming)
+
+  /** The raw 64-bit perceptual audio fingerprint over decoded PCM
+    * samples — exact integer arithmetic, engine-replayable. */
+  def audioFingerprint(samples: Array[Byte]): Long =
+    graft.sources.Multimodal.audioFingerprint(samples)
+
   /** Minimal snapshot diff: keys only in `newSnap` → I, only in
     * `oldSnap` → D, payload-changed → U; payload-identical keys emit
     * nothing. One keyed full-outer join, no window. */

@@ -623,6 +623,61 @@ object Multimodal {
       .toDF("id", "dh")
   }
 
+  /** Hash-equal cohorts with ≥ 2 members over any 64-bit perceptual
+    * fingerprint frame `(id, h)` — one row per cohort (rep_id = min
+    * member, n_members, n_planted counting ids ≥ [[PlantOffset]]).
+    * One map-side-combinable agg, linear at any corpus size — the
+    * scalable form of hamming-0 pair emission (the q136
+    * collapse-by-hash lesson). Shared by the image (q164) and audio
+    * (q183) dedup paths. */
+  private def dupCohortsOver(hashed: DataFrame): DataFrame =
+    hashed
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_members"),
+        sum(when(col("id") >= PlantOffset, 1L).otherwise(0L)).as("n_planted"))
+      .filter(col("n_members") >= 2)
+      .select(col("rep_id"), col("n_members"), col("n_planted"))
+      .orderBy(col("rep_id"))
+
+  /** Near-dup pairs at DISTINCT-hash granularity over a 64-bit
+    * fingerprint frame `(id, h)`: collapse to distinct hashes, 4
+    * disjoint 16-bit pigeonhole bands (COMPLETE to Hamming 3 — any
+    * ≤3-bit pair shares a full band, the q71/q72 recipe), exact
+    * bit_count(xor) verify, multiplicities instead of materialized
+    * doc pairs. Shared by q165 (images) and q184 (audio). */
+  private def nearDupsOver(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"4 disjoint 16-bit bands are complete only to Hamming 3: $maxHamming")
+    val distinctHashes = hashed
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bands = distinctHashes.select(col("h"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }: _*)).as("bk"))
+      .select(col("h"), col("bk.b").as("b"), col("bk.v").as("v"))
+    val cands = bands.select(col("h").as("h_a"), col("b"), col("v"))
+      .join(bands.select(col("h").as("h_b"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("h_a") < col("h_b"))
+      .select(col("h_a"), col("h_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .join(distinctHashes.select(col("h").as("h_a"), col("rep").as("rep_a"),
+        col("n").as("n_a")), Seq("h_a"))
+      .join(distinctHashes.select(col("h").as("h_b"), col("rep").as("rep_b"),
+        col("n").as("n_b")), Seq("h_b"))
+      .select(least(col("rep_a"), col("rep_b")).as("id_lo"),
+        greatest(col("rep_a"), col("rep_b")).as("id_hi"),
+        when(col("rep_a") < col("rep_b"), col("n_a")).otherwise(col("n_b")).as("n_lo"),
+        when(col("rep_a") < col("rep_b"), col("n_b")).otherwise(col("n_a")).as("n_hi"),
+        col("hamming"))
+      .orderBy(col("id_lo"), col("id_hi"))
+  }
+
   /** q164: exact-duplicate image cohorts — hash-equal groups with ≥ 2
     * members, one ROW per cohort: (rep_id = min member, n_members,
     * n_planted). This is the scalable form of "emit all hamming-0
@@ -633,16 +688,8 @@ object Multimodal {
     * corpus size — the q136 collapse-by-hash lesson applied to
     * images. Every planted identical twin lands in its original's
     * cohort (n_planted counts them). */
-  def imageDupCohorts(t: Tables): DataFrame = {
-    import t.spark.implicits._
-    hashedImages(t)
-      .groupBy($"dh")
-      .agg(min($"id").as("rep_id"), count(lit(1)).as("n_members"),
-        sum(when($"id" >= PlantOffset, 1L).otherwise(0L)).as("n_planted"))
-      .filter($"n_members" >= 2)
-      .select($"rep_id", $"n_members", $"n_planted")
-      .orderBy($"rep_id")
-  }
+  def imageDupCohorts(t: Tables): DataFrame =
+    dupCohortsOver(hashedImages(t).select(col("id"), col("dh").as("h")))
 
   /** q165: perceptual NEAR-dup pairs at DISTINCT-hash granularity —
     * the dedup family's multimodal member: decode → dHash → collapse
@@ -658,39 +705,141 @@ object Multimodal {
     * it — the same answer-bound discipline as q164's cohorts. The
     * synthetic gadget quads guarantee deterministic rows at hamming
     * exactly 1, 2, 3 at every SF. */
-  def imageNearDups(t: Tables, maxHamming: Int = 3): DataFrame = {
-    import t.spark.implicits._
-    require(maxHamming >= 1 && maxHamming <= 3,
-      s"4 disjoint 16-bit bands are complete only to Hamming 3: $maxHamming")
-    val distinctHashes = hashedImages(t)
-      .groupBy($"dh")
-      .agg(min($"id").as("rep"), count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val bands = distinctHashes.select(col("dh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("b"),
-          shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
-      }: _*)).as("bk"))
-      .select(col("dh"), col("bk.b").as("b"), col("bk.v").as("v"))
-    val cands = bands.select(col("dh").as("dh_a"), col("b"), col("v"))
-      .join(bands.select(col("dh").as("dh_b"), col("b"), col("v")), Seq("b", "v"))
-      .filter(col("dh_a") < col("dh_b"))
-      .select(col("dh_a"), col("dh_b"))
-      .distinct()
-    cands
-      .withColumn("hamming", bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .join(distinctHashes.select(col("dh").as("dh_a"), col("rep").as("rep_a"),
-        col("n").as("n_a")), Seq("dh_a"))
-      .join(distinctHashes.select(col("dh").as("dh_b"), col("rep").as("rep_b"),
-        col("n").as("n_b")), Seq("dh_b"))
-      .select(least(col("rep_a"), col("rep_b")).as("id_lo"),
-        greatest(col("rep_a"), col("rep_b")).as("id_hi"),
-        when(col("rep_a") < col("rep_b"), col("n_a")).otherwise(col("n_b")).as("n_lo"),
-        when(col("rep_a") < col("rep_b"), col("n_b")).otherwise(col("n_a")).as("n_hi"),
-        col("hamming"))
-      .orderBy(col("id_lo"), col("id_hi"))
+  def imageNearDups(t: Tables, maxHamming: Int = 3): DataFrame =
+    nearDupsOver(hashedImages(t).select(col("id"), col("dh").as("h")),
+      maxHamming)
+
+  // ── q183/q184: perceptual AUDIO near-dup (frame-sum fingerprint) ─────
+  // The audio member of the perceptual-dedup family: WAV features
+  // exist (q131) but nothing caught re-encoded / slightly-edited
+  // clips. The fingerprint is the dHash recipe on the time axis:
+  // decode the PCM, bucket samples into [[AudioFpSlices]] equal time
+  // slices (position p → slice p·65/n, pure integer index arithmetic
+  // — the q130 map), sum each slice (the loudness envelope for
+  // unsigned PCM), and take the 64 envelope-gradient signs as bits:
+  // bit i = [sum(i) < sum(i+1)]. Gradient signs survive level shifts
+  // and small local edits that scatter a cryptographic hash — the
+  // invariance a perceptual fingerprint promises, proven by planted
+  // twins whose +1/−1 SAME-SLICE perturbation provably preserves
+  // every slice sum. Exact integer arithmetic end to end, replayable
+  // by any engine over the source text bytes.
+
+  /** Time slices of the audio fingerprint (64 comparison bits). */
+  val AudioFpSlices = 65
+
+  /** Oracle-contract bounds for [[audioFingerprint]]: below 65
+    * samples the 65-slice grid has empty slices (no stable gradient
+    * structure — excluded from the corpus on BOTH sides); above 4096
+    * the oracle's position-range unroll would truncate (loud, the
+    * SsspOracleRounds contract style). */
+  val AudioFpMinLen = 65
+  val AudioFpMaxLen = 4096
+
+  /** 64-bit perceptual fingerprint over decoded PCM samples. */
+  def audioFingerprint(samples: Array[Byte]): Long = {
+    val n = samples.length
+    require(n >= AudioFpMinLen && n <= AudioFpMaxLen,
+      s"clip length $n outside the fingerprint contract " +
+        s"[$AudioFpMinLen, $AudioFpMaxLen]")
+    val sums = new Array[Long](AudioFpSlices)
+    var p = 0
+    while (p < n) {
+      sums((p.toLong * AudioFpSlices / n).toInt) += (samples(p) & 0xFF)
+      p += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) < sums(i + 1)) fp |= 1L << i
+      i += 1
+    }
+    fp
   }
+
+  /** Synthetic Hamming gadget clip: 520 samples, slice k (= 8
+    * consecutive samples) at value 32+k — a strictly rising envelope,
+    * all 64 bits set. Variant j ∈ 1..3 lowers the ODD slices 1, 3, …,
+    * 2j−1 by one unit: bit 2r (r < j) compares 8·(32+2r) <
+    * 8·(31+2r+1) = equal → flips to 0, while bits 2r±1 compare
+    * across unchanged gaps — so hamming(base, variant j) = j BY
+    * CONSTRUCTION (non-adjacent bits, independent flips). */
+  private[sources] def syntheticClip(variant: Int): Array[Byte] = {
+    val content = Array.tabulate(520) { p =>
+      val k = p / 8
+      val lowered = k % 2 == 1 && k <= 2 * variant - 1
+      (32 + k - (if (lowered) 1 else 0)).toByte
+    }
+    WavCodec.encode(content, AudioRate)
+  }
+
+  /** The fixture audio corpus (clips within the fingerprint length
+    * contract) plus two planted families, mirroring
+    * [[imagesWithPlanted]]:
+    *
+    *  - IDENTICAL-fingerprint twins (ids + [[PlantOffset]]): for every
+    *    10th audio doc, a copy with byte 0 incremented and byte 1
+    *    decremented — both positions land in slice 0 (n ≥ 66 ⇒
+    *    65/n < 1), so every slice SUM is unchanged and the
+    *    fingerprint is provably identical while the samples differ.
+    *  - HAMMING-j quads (ids 2·[[PlantOffset]] + 4k + j): per every
+    *    60th doc id k ≡ 1 (mod 60), the [[syntheticClip]] gadget at
+    *    variants 0..3 — deterministic distinct-fingerprint pairs at
+    *    Hamming exactly 1, 2, 3. */
+  def audiosWithPlanted(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    val base = t.documents
+      .filter($"doc_id" % 3 === 1 &&
+        length($"text").between(AudioFpMinLen, AudioFpMaxLen))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, "audio", WavCodec.encode(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8), AudioRate), 0)
+      }
+    val twins = t.documents
+      .filter($"doc_id" % 30 === 1 &&
+        length($"text").between(AudioFpMinLen, AudioFpMaxLen))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (content.length >= 66) {
+          content(0) = (content(0) + 1).toByte
+          content(1) = (content(1) - 1).toByte
+        }
+        MediaRow(id + PlantOffset, "audio", WavCodec.encode(content, AudioRate), 0)
+      }
+    val gadgets = t.documents.filter($"doc_id" % 60 === 1)
+      .select($"doc_id").as[Long]
+      .flatMap { k =>
+        (0 to 3).map(j =>
+          MediaRow(2 * PlantOffset + 4 * k + j, "audio", syntheticClip(j), 0))
+      }
+    base.union(twins).union(gadgets)
+  }
+
+  /** Decode + fingerprint the planted audio corpus (shared by
+    * q183/q184) — partition-local decode, no shuffle until the agg. */
+  private def fingerprintedAudios(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    audiosWithPlanted(t)
+      .map { m =>
+        val (_, samples) = WavCodec.decode(m.bytes)
+        (m.media_id, audioFingerprint(samples))
+      }
+      .toDF("id", "h")
+  }
+
+  /** q183: exact-duplicate audio cohorts — [[imageDupCohorts]]'s
+    * contract over the audio fingerprint; every planted
+    * slice-sum-preserving twin lands in its original's cohort. */
+  def audioDupCohorts(t: Tables): DataFrame =
+    dupCohortsOver(fingerprintedAudios(t))
+
+  /** q184: perceptual audio NEAR-dup pairs at distinct-fingerprint
+    * granularity — banding + exact Hamming verify, 1 ≤ h ≤ 3, with
+    * cohort sizes as multiplicities; the gadget quads guarantee
+    * deterministic rows at Hamming exactly 1, 2, 3 at every SF. */
+  def audioNearDups(t: Tables, maxHamming: Int = 3): DataFrame =
+    nearDupsOver(fingerprintedAudios(t), maxHamming)
 
   /** q34: media ANN — nearest media by cosine over decoded embeddings
     * for 3 probe items (composes the multimodal path with the
