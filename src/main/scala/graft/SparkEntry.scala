@@ -297,6 +297,7 @@ object SparkEntry {
     "q182_ann_index_gate"    -> ((s, d) => Similarity.annIndexGate(Tables(s, d))),
     "q183_audio_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.audioDupCohorts(Tables(s, d))),
     "q184_audio_neardup"     -> ((s, d) => graft.sources.Multimodal.audioNearDups(Tables(s, d))),
+    "q185_adaptive_skew"     -> ((s, d) => graft.operators.Skew.adaptiveSkewSuite(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1914,6 +1915,50 @@ object SparkEntry {
         prof("orders.o_custkey", "orders", "o_custkey"),
         prof("lineitem.l_returnflag", "lineitem", "l_returnflag")
       ).mkString("\nUNION ALL\n")
+    },
+    // q185: decisions AND results replayed — the strategy CASE is the
+    // identical integer rule (n_keys ≤ 64 → salted; 10·top1 ≥ 3·n →
+    // aqe_split; else plain) over each regime's exact key profile,
+    // and every regime's aggregate is exact-integer/DECIMAL before
+    // one double cast, so salting/splitting must change NOTHING
+    "q185_adaptive_skew" -> {
+      def strat(keyed: String): String =
+        s"""(SELECT CASE WHEN COUNT(*) <= 64 THEN 'salted'
+           |  WHEN 10 * MAX(c) >= 3 * SUM(c) THEN 'aqe_split'
+           |  ELSE 'plain' END
+           | FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM ($keyed) GROUP BY k))""".stripMargin
+      val uniK = "SELECT event_id AS k FROM events"
+      val hubK = """SELECT CASE WHEN event_id % 10 <> 0 THEN CAST(0 AS BIGINT)
+                   | ELSE event_id END AS k FROM events""".stripMargin
+      val lcK = "SELECT l_returnflag AS k FROM lineitem"
+      val uaK = "SELECT o_custkey AS k FROM orders"
+      s"""SELECT 'uniform_join' AS regime, ${strat(uniK)} AS strategy,
+         | CAST(l.k % 7 AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(l.lu) AS DOUBLE) AS s1, CAST(SUM(r.ru) AS DOUBLE) AS s2
+         |FROM (SELECT event_id AS k, user_id AS lu FROM events) l
+         |JOIN (SELECT event_id AS k, user_id AS ru FROM events) r USING (k)
+         |GROUP BY l.k % 7
+         |UNION ALL
+         |SELECT 'hub_join', ${strat(hubK)},
+         | CAST(l.k % 7 AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+         | CAST(SUM(l.lu) AS DOUBLE), CAST(SUM(r.ru) AS DOUBLE)
+         |FROM (SELECT CASE WHEN event_id % 10 <> 0 THEN CAST(0 AS BIGINT)
+         |       ELSE event_id END AS k, user_id AS lu FROM events) l
+         |JOIN (SELECT event_id AS k, user_id AS ru FROM events) r USING (k)
+         |GROUP BY l.k % 7
+         |UNION ALL
+         |SELECT 'lowcard_agg', ${strat(lcK)}, l_returnflag,
+         | CAST(COUNT(*) AS BIGINT),
+         | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+         | NULL
+         |FROM lineitem GROUP BY l_returnflag
+         |UNION ALL
+         |SELECT 'uniform_agg', ${strat(uaK)}, CAST(o_custkey AS VARCHAR),
+         | CAST(COUNT(*) AS BIGINT),
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+         | NULL
+         |FROM orders GROUP BY o_custkey""".stripMargin
     },
     // q177: the streamed foreachBatch view fold must equal the
     // from-scratch aggregate (monoid associativity, the q167

@@ -976,4 +976,22 @@ object Graft {
     * decides between a plain shuffle, salting, and AQE skew-split. */
   def keySkewProfile(df: DataFrame, name: String, keyCol: Column): DataFrame =
     graft.operators.Skew.keySkewProfileOver(df, name, keyCol)
+
+  /** Skew-ADAPTIVE keyed sum/count: profiles the key and picks q42's
+    * salted two-phase plan (≤ 64 distinct keys) or the plain groupBy;
+    * both accumulate in DECIMAL so the results are identical. Returns
+    * (result, strategy-taken). */
+  def adaptiveSumCount(df: DataFrame, key: String,
+      valueExpr: Column): (DataFrame, String) =
+    graft.operators.Skew.adaptiveSumCount(df, key, valueExpr)
+
+  /** Skew-ADAPTIVE fact-fact join + rollup: profiles the probe side's
+    * key and picks a plain shuffle join or q125's AQE skew-split
+    * (child session with the runtime knobs). `sides` builds
+    * (left(k, lu), right(k, ru)) in the chosen session. Returns
+    * (rollup, strategy-taken). */
+  def adaptiveJoinAgg(spark: org.apache.spark.sql.SparkSession,
+      sides: org.apache.spark.sql.SparkSession => (DataFrame, DataFrame)):
+      (DataFrame, String) =
+    graft.operators.Skew.adaptiveJoinAgg(spark, sides)
 }

@@ -161,4 +161,139 @@ object Skew {
         $"l_returnflag"))
       .orderBy($"column_name")
   }
+
+  // ── q185: skew-ADAPTIVE execution (closing q179's loop) ────────────
+  // q179 produced the diagnostic; these operators CONSUME it: profile
+  // the key (one map-side-combined count + a one-row driver read, the
+  // k-means scalar pattern), then pick the plan this file's other
+  // members demonstrate — q42's salted two-phase for low-cardinality
+  // aggregation keys (every strategy bottlenecks on ≤ n_keys reducers,
+  // so the fix is salting the partial agg), q125's AQE skew-split for
+  // a hub-dominated join key, a plain shuffle when neither regime
+  // holds (the common case — paying salting/splitting overhead on
+  // uniform keys is pure loss). The decision rule is EXACT INTEGER
+  // arithmetic over the profile's (n_keys, top1_cnt, n_rows) — no
+  // doubles, no threshold-literal parsing — so the DuckDB oracle
+  // replays the decision bit-for-bit alongside the results.
+
+  /** The integer-exact strategy rule: ≤ `saltKeyCeiling` distinct keys
+    * → "salted"; top key holding ≥ 30% of the rows (10·top1 ≥ 3·n) →
+    * "aqe_split"; otherwise "plain". */
+  def skewStrategy(nKeys: Long, top1Cnt: Long, nRows: Long,
+      saltKeyCeiling: Long = 64): String =
+    if (nKeys <= saltKeyCeiling) "salted"
+    else if (10L * top1Cnt >= 3L * nRows) "aqe_split"
+    else "plain"
+
+  private def profileOf(df: DataFrame, keyCol: Column): (Long, Long, Long) = {
+    val r = keySkewProfileOver(df, "k", keyCol)
+      .select(col("n_keys"), col("top1_cnt"), col("n_rows")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Adaptive keyed sum/count aggregation: the profile decides between
+    * [[saltedSumCount]] (q42's two-phase plan) and the plain groupBy.
+    * Both branches accumulate in DECIMAL, so results are identical —
+    * only the plan differs. Returns (result (key, n_rows, s1),
+    * strategy-taken). */
+  def adaptiveSumCount(df: DataFrame, key: String, valueExpr: Column,
+      buckets: Int = 32, saltKeyCeiling: Long = 64): (DataFrame, String) = {
+    val (nKeys, top1, nRows) = profileOf(df, col(key))
+    val strategy = skewStrategy(nKeys, top1, nRows, saltKeyCeiling)
+    val out =
+      if (strategy == "salted")
+        saltedSumCount(df, key, valueExpr, buckets, "s1", "n_rows")
+      else
+        df.groupBy(col(key)).agg(
+          sum(valueExpr.cast(DecimalType(18, 4))).cast("double").as("s1"),
+          count(lit(1)).as("n_rows"))
+    (out.select(col(key), col("n_rows"), col("s1")), strategy)
+  }
+
+  /** Adaptive fact-fact join + rollup (the q125 shape — `sides` builds
+    * (left(k, lu), right(k, ru)) in a given session): the PROBE side's
+    * profile decides between a plain shuffle join and q125's AQE
+    * skew-split (child session with the scaled runtime knobs, bare
+    * shuffle-stage join inputs, rollup re-keyed off the join key so
+    * the split stays legal). Returns ((kb = k%7, n_rows, sum_lu,
+    * sum_ru), strategy-taken). */
+  def adaptiveJoinAgg(spark: org.apache.spark.sql.SparkSession,
+      sides: org.apache.spark.sql.SparkSession => (DataFrame, DataFrame),
+      saltKeyCeiling: Long = 64): (DataFrame, String) = {
+    val (l0, _) = sides(spark)
+    val (nKeys, top1, nRows) = profileOf(l0, col("k"))
+    val strategy = skewStrategy(nKeys, top1, nRows, saltKeyCeiling)
+    val (l, r) = strategy match {
+      case "aqe_split" =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        sides(s)
+      case _ => sides(spark)
+    }
+    val agg = l.join(r, "k")
+      .groupBy((col("k") % 7).as("kb"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("lu")).as("sum_lu"),
+        sum(col("ru")).as("sum_ru"))
+    (agg, strategy)
+  }
+
+  /** The q125 hub-skew side builder (90% of probe rows on key 0) and
+    * the uniform builder (unique event keys), shared by q185 and the
+    * spec. */
+  private[graft] def hubSides(dir: String)(
+      s: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame) = {
+    val ev = Tables(s, dir).events
+    (ev.select(when(col("event_id") % 10 =!= 0, lit(0L))
+        .otherwise(col("event_id")).as("k"), col("user_id").as("lu")),
+      ev.select(col("event_id").as("k"), col("user_id").as("ru")))
+  }
+  private[graft] def uniformSides(dir: String)(
+      s: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame) = {
+    val ev = Tables(s, dir).events
+    (ev.select(col("event_id").as("k"), col("user_id").as("lu")),
+      ev.select(col("event_id").as("k"), col("user_id").as("ru")))
+  }
+
+  /** q185: the adaptive operators across all three regimes in one
+    * driver-visible frame — a uniform-key join (→ plain), the
+    * hub-skewed join (→ aqe_split, executed under the child-session
+    * runtime knobs and re-homed by collect: the 7-row rollup), the
+    * 3-value returnflag revenue (→ salted), and a high-cardinality
+    * customer rollup (→ plain). Every branch's aggregates are exact
+    * (DECIMAL / int64 < 2⁵³ before the double cast), and the strategy
+    * column is integer-derived — the oracle replays decisions AND
+    * results. */
+  def adaptiveSkewSuite(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (uj, ujStrat) = adaptiveJoinAgg(t.spark, uniformSides(t.dir))
+    val (hj, hjStrat) = adaptiveJoinAgg(t.spark, hubSides(t.dir))
+    val (lc, lcStrat) = adaptiveSumCount(t.lineitem, "l_returnflag",
+      $"l_extendedprice" * (lit(1) - $"l_discount"))
+    val (ua, uaStrat) = adaptiveSumCount(t.orders, "o_custkey", $"o_totalprice")
+    // the hub rollup runs in its child session (its AQE knobs live
+    // there) and re-homes as 7 literal rows — the q172 recipe
+    val hjHome = t.spark.createDataFrame(
+      java.util.Arrays.asList(hj.collect(): _*), hj.schema)
+    def joinShape(df: DataFrame, regime: String, strat: String) =
+      df.select(lit(regime).as("regime"), lit(strat).as("strategy"),
+        col("kb").cast("string").as("k"), col("n_rows"),
+        col("sum_lu").cast("double").as("s1"),
+        col("sum_ru").cast("double").as("s2"))
+    def aggShape(df: DataFrame, key: String, regime: String, strat: String) =
+      df.select(lit(regime).as("regime"), lit(strat).as("strategy"),
+        col(key).cast("string").as("k"), col("n_rows"),
+        col("s1"), lit(null).cast("double").as("s2"))
+    joinShape(uj, "uniform_join", ujStrat)
+      .unionByName(joinShape(hjHome, "hub_join", hjStrat))
+      .unionByName(aggShape(lc, "l_returnflag", "lowcard_agg", lcStrat))
+      .unionByName(aggShape(ua, "o_custkey", "uniform_agg", uaStrat))
+      .orderBy($"regime", $"k")
+  }
 }
