@@ -105,7 +105,12 @@ object Bench {
     val heavyFirst = Seq(
       // refreshed from the round-9 full-suite solo map (bench_full
       // "solo"): descending solo cost, so no multi-second query
-      // starts into a draining pool
+      // starts into a draining pool. Round-10 additions seeded by
+      // construction (q181 multi-phase SCC, q182's one-time 17-fit
+      // index build + partitioned write, q185's four profiled
+      // regimes incl. a child-session AQE join) — re-ranked from the
+      // measured solo map below.
+      "q182_ann_index_gate", "q181_scc", "q185_adaptive_skew",
       "q161_rrf_ann_gate", "q135_ann_pq_gate", "q163_sssp",
       "q157_golden_record", "q144_ppr", "q175_robust_outliers",
       "q85_pagerank", "q171_damerau_match", "q151_hits",
@@ -141,7 +146,10 @@ object Bench {
       // the round-8/9 iterative drivers: per-round count actions +
       // eager checkpoints = the same many-small-sequential-jobs shape
       "q163_sssp", "q144_ppr", "q151_hits", "q157_golden_record",
-      "q161_rrf_ann_gate", "q170_kcore", "q162_incr_dedup")
+      "q161_rrf_ann_gate", "q170_kcore", "q162_incr_dedup",
+      // round 10: SCC's coloring phases and the ANN index build's
+      // m+1 fits are the same many-small-sequential-jobs shape
+      "q181_scc", "q182_ann_index_gate")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:

@@ -148,5 +148,15 @@ object PlanAuditSpec {
     "q157_golden_record",
     // writes the bucketed tables on first construction; its plan
     // property (zero-exchange SMJ) is BucketedJoinQuerySpec's job
-    "q116_bucketed_join")
+    "q116_bucketed_join",
+    // round 10: q180 writes the view + fact indexes on first
+    // construction (IvmSpec asserts the no-persisted-rows-shuffle
+    // plan); q181 runs the SCC phase loop during construction (like
+    // q157's CC driver); q182 builds/extends the partitioned ANN
+    // index + runs the m+1 fits (AnnIndexSpec asserts the DPP probe
+    // plan); q185 reads the key profiles + collects the
+    // child-session hub rollup during construction (SkewAdaptiveSpec
+    // plan-asserts every branch)
+    "q180_ivm_retract", "q181_scc", "q182_ann_index_gate",
+    "q185_adaptive_skew")
 }
