@@ -869,6 +869,10 @@ object Graph {
     while (remN > 0 && phases < maxPhases) {
       val eSrc = eRem.repartition(col("src")).localCheckpoint(false, edgeStorage)
       val eDst = eSrc.repartition(col("dst")).localCheckpoint(false, edgeStorage)
+      // later phases restrict off the CHECKPOINTED copy — chaining on
+      // the original frame would recompute the caller's edge
+      // derivation (a fact-fact self-join in q181) once per phase
+      eRem = eSrc
       // 1. forward min-color fixpoint
       var st = remaining.select(col("id"), col("id").as("color"))
         .localCheckpoint(true)
