@@ -103,24 +103,21 @@ object Bench {
     // sf0.1 runs; unlisted queries follow alphabetically — ordering
     // only affects scheduling, never a query's own measured duration.
     val heavyFirst = Seq(
-      // refreshed from the round-9 full-suite solo map (bench_full
-      // "solo"): descending solo cost, so no multi-second query
-      // starts into a draining pool. Round-10 additions seeded by
-      // construction (q181 multi-phase SCC, q182's one-time 17-fit
-      // index build + partitioned write, q185's four profiled
-      // regimes incl. a child-session AQE join) — re-ranked from the
-      // measured solo map below.
-      "q182_ann_index_gate", "q181_scc", "q185_adaptive_skew",
-      "q161_rrf_ann_gate", "q135_ann_pq_gate", "q163_sssp",
-      "q157_golden_record", "q144_ppr", "q175_robust_outliers",
-      "q85_pagerank", "q171_damerau_match", "q151_hits",
-      "q169_interp_resample", "q57_dedup_clusters", "q105_semantic_dedup",
-      "q103_clusters_fast", "q170_kcore", "q162_incr_dedup",
-      "q160_rrf_fusion", "q84_fuzzy_match", "q173_fk_audit",
-      "q177_stream_ivm", "q86_triangles", "q43_ann_lsh",
-      "q52_ann_ivf", "q90_dedup_survivors", "q61_tfidf_exact",
-      "q88_bm25", "q94_sql_tpch5", "q39_approx_distinct",
-      "q73_cross_dedup", "q95_column_profile", "q79_unigram_nll")
+      // refreshed from the round-10 full-suite solo map (bench_full
+      // "solo", 185 queries): descending solo cost, so no
+      // multi-second query starts into a draining pool
+      "q161_rrf_ann_gate", "q181_scc", "q157_golden_record",
+      "q135_ann_pq_gate", "q163_sssp", "q85_pagerank", "q144_ppr",
+      "q171_damerau_match", "q175_robust_outliers", "q151_hits",
+      "q185_adaptive_skew", "q145_label_prop", "q105_semantic_dedup",
+      "q170_kcore", "q101_ann_lsh_gate", "q57_dedup_clusters",
+      "q169_interp_resample", "q160_rrf_fusion", "q84_fuzzy_match",
+      "q139_kmeans", "q182_ann_index_gate", "q180_ivm_retract",
+      "q103_clusters_fast", "q162_incr_dedup", "q173_fk_audit",
+      "q86_triangles", "q43_ann_lsh", "q52_ann_ivf",
+      "q90_dedup_survivors", "q61_tfidf_exact", "q88_bm25",
+      "q94_sql_tpch5", "q39_approx_distinct", "q73_cross_dedup",
+      "q95_column_profile", "q79_unigram_nll")
     val all = heavyFirst.filter(SparkEntry.queries.contains) ++
       (SparkEntry.queries.keys.toSeq.sorted diff heavyFirst)
     // optional subset (comma-separated names): cross-SF sweeps bench
