@@ -298,6 +298,8 @@ object SparkEntry {
     "q183_audio_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.audioDupCohorts(Tables(s, d))),
     "q184_audio_neardup"     -> ((s, d) => graft.sources.Multimodal.audioNearDups(Tables(s, d))),
     "q185_adaptive_skew"     -> ((s, d) => graft.operators.Skew.adaptiveSkewSuite(Tables(s, d))),
+    "q186_scd2_pit"          -> ((s, d) => graft.operators.Cdc.purchaseProfileAsOf(Tables(s, d))),
+    "q187_stream_ivm_retract"-> ((s, d) => graft.streaming.StreamIvm.orderRollupRetract(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2254,6 +2256,26 @@ object SparkEntry {
         | CAST(MIN(q) AS DOUBLE) / 100.0 AS min_price,
         | CAST(MAX(q) AS DOUBLE) / 100.0 AS max_price
         |FROM surv GROUP BY key""".stripMargin,
+    // q187: the streaming retractable fold's oracle is q180's scratch
+    // aggregate restricted to the replayed fact slice — surviving
+    // facts only, blind to the micro-batch structure (the fold's
+    // composability IS the claim; the chunk-count is pinned by
+    // StreamIvmSpec's stream ≡ one-shot-batch equality)
+    "q187_stream_ivm_retract" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q FROM orders
+        |  WHERE o_orderkey < 1048576),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55 FROM f WHERE fkey % 97 = 3)
+        |SELECT key AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(q) AS DOUBLE) / 100.0 AS total_price,
+        | CAST(MIN(q) AS DOUBLE) / 100.0 AS min_price,
+        | CAST(MAX(q) AS DOUBLE) / 100.0 AS max_price
+        |FROM surv GROUP BY key""".stripMargin,
     // q181: SCC checked against the DEFINITION, not a replay of the
     // engine's rounds — a recursive-CTE transitive closure (seeded
     // with the reflexive pairs) and scc(v) = min{u : u→*v ∧ v→*u};
@@ -2356,6 +2378,40 @@ object SparkEntry {
         |SELECT key AS user_id, value, etype, make_timestamp(us) AS valid_from,
         | make_timestamp(to_us) AS valid_to, to_us IS NULL AS is_current
         |FROM v WHERE op = 'U'""".stripMargin,
+    // q186: the SCD2 dimension replayed exactly as q159, then the
+    // point-in-time lookup checked against the interval DEFINITION —
+    // a literal range join (valid_from < us ≤ valid_to) the engine's
+    // union+window carry must reproduce row-for-row, including the
+    // strict-prior exclusion of a purchase's own version and NULLs in
+    // delete gaps
+    "q186_scd2_pit" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |o AS (SELECT *, lag(op) OVER w AS pop, lag(value) OVER w AS pval,
+        |    lag(etype) OVER w AS pet
+        |  FROM log WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        |r AS (SELECT * FROM o WHERE
+        |  CASE WHEN op = 'D' THEN pop = 'U'
+        |       ELSE pop IS NULL OR pop = 'D'
+        |         OR value IS DISTINCT FROM pval OR etype IS DISTINCT FROM pet
+        |  END),
+        |v AS (SELECT *, lead(us) OVER
+        |  (PARTITION BY key ORDER BY us, seq) AS to_us FROM r),
+        |d AS (SELECT key, value, etype, us AS from_us, to_us
+        |  FROM v WHERE op = 'U'),
+        |p AS (SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.key AS user_id, p.purchase_id,
+        |  make_timestamp(p.us) AS purchase_ts,
+        |  d.value AS prior_value, d.etype AS prior_etype,
+        |  make_timestamp(d.from_us) AS valid_from
+        |FROM p LEFT JOIN d ON d.key = p.key AND d.from_us < p.us
+        |  AND (d.to_us IS NULL OR p.us <= d.to_us)""".stripMargin,
     // q157: q84's pair set closed transitively (the q103 recursive
     // walk) + arg_max survivorship on the collision-free len·2³²−id
     // key — golden_id AND golden_name ride the same key

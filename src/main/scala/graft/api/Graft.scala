@@ -749,6 +749,23 @@ object Graft {
   def scd2(changes: DataFrame): DataFrame =
     graft.operators.Cdc.scd2Over(changes)
 
+  /** Point-in-time dimension lookup (q186): each fact row (key, us,
+    * payload...) joined to the SCD2 version live STRICTLY BEFORE its
+    * instant — the leakage-safe feature-store read. Union+window
+    * carry, one shuffle of |facts|+|versions| on the key — never a
+    * range join. Dim-side columns NULL in delete gaps. */
+  def pointInTimeLookup(facts: DataFrame, dim: DataFrame): DataFrame =
+    graft.operators.Cdc.pointInTimeLookup(facts, dim)
+
+  /** Frame-level retractable view merge (q187's streaming core): fold
+    * a (fkey, change, key_old, q_old, key_new, q_new) change set into
+    * any (key, n, s, mn, mx) view frame given the PRE-delta (fkey,
+    * key, q) fact frame — count/sum retract signed, min/max
+    * re-aggregate from the touched groups' surviving facts. */
+  def ivmMergeRetractFrames(delta: DataFrame, view: DataFrame,
+      facts: DataFrame): DataFrame =
+    graft.operators.Ivm.mergeDeltaRetractFrames(delta, view, facts)
+
   /** Reciprocal-rank fusion of named per-query rankings (each
     * `(q_id, doc_id, rank)`): score = Σ 1/(c + rank), absent lists
     * contribute 0 — the calibration-free hybrid-retrieval combiner;

@@ -188,6 +188,94 @@ object Cdc {
       payload.map(p => col(s"${p}_new").as(p)): _*)
   }
 
+  /** Point-in-time dimension lookup — the feature-store read the SCD2
+    * history exists FOR: each fact row is joined to the dimension
+    * version that was live STRICTLY BEFORE the fact's instant (state
+    * at t−1µs), the leakage-safe semantics of training-data assembly —
+    * a label event must never see state its own upsert created
+    * (Kakade et al.'s "point-in-time correctness"; every production
+    * feature store documents exactly this contract).
+    *
+    * `facts` must lead with (key, us); remaining columns are fact
+    * payload. `dim` must be [[scd2Over]]-shaped: (key, payload...,
+    * valid_from_us, valid_to_us, is_current). Output: the fact columns
+    * + dim payload + valid_from_us/valid_to_us, all dim-side columns
+    * NULL when no version was live at t−1 (no history yet, or the key
+    * was deleted — SCD2 gaps are real states and surface as misses,
+    * not as stale reads).
+    *
+    * Semantics on integer micros: the version live at t−1 is the one
+    * with valid_from_us < t ≤ coalesce(valid_to_us, +∞) — intervals
+    * are disjoint half-open [from, to), so at most one matches.
+    *
+    * Scale: NOT a range join (O(|F|·|V|) pair explosion a 100 TB fact
+    * table cannot pay). The [[AsOfJoin]] union+window technique: tag
+    * both sides, ONE shuffle of |F|+|V| rows on the key, one
+    * partition-local sort by (us, tag) with probes (tag 0) sorting
+    * BEFORE versions (tag 1) at equal us — so the ignoreNulls carry
+    * sees only versions with valid_from strictly below the probe — and
+    * the gap check `us <= valid_to` is a per-row comparison after the
+    * carry. Sort-merge-join cost, AQE-skew-safe, no pair blowup. */
+  def pointInTimeLookup(facts: DataFrame, dim: DataFrame): DataFrame = {
+    require(facts.columns.take(2).sameElements(Seq("key", "us")),
+      s"facts must lead with (key, us): ${facts.columns.toSeq}")
+    val dimMeta = Seq("valid_from_us", "valid_to_us", "is_current")
+    require(dim.columns.head == "key" &&
+      dim.columns.takeRight(3).sameElements(dimMeta),
+      s"dim must be scd2Over-shaped: ${dim.columns.toSeq}")
+    val payload = dim.columns.filterNot(c => c == "key" || dimMeta.contains(c)).toSeq
+    val factPayload = facts.columns.drop(2).toSeq
+    // drop EMPTY versions ([from, from) — opened and closed at the same
+    // instant by a same-us successor): they can never be live at any
+    // t−1, and they are the only way two versions of a key share a
+    // valid_from — removing them makes the (us, tag) sort key unique
+    // per key on the version side, so the carry is deterministic
+    val dimLive = dim.filter(
+      col("valid_to_us").isNull || col("valid_to_us") > col("valid_from_us"))
+    val vStruct = struct(
+      (payload.map(col) :+ col("valid_from_us") :+ col("valid_to_us")): _*)
+    val vStructType = org.apache.spark.sql.types.StructType(
+      (payload :+ "valid_from_us" :+ "valid_to_us")
+        .map(c => org.apache.spark.sql.types.StructField(
+          c, dim.schema(c).dataType)))
+    val probes = facts.select(col("key") +: col("us") +: lit(0).as("__tag") +:
+      lit(null).cast(vStructType).as("__v") +: factPayload.map(col): _*)
+    val versions = dimLive.select(col("key") +: col("valid_from_us").as("us") +:
+      lit(1).as("__tag") +: vStruct.as("__v") +:
+      factPayload.map(c => lit(null).cast(facts.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = col("__c").isNotNull &&
+      (col("__c.valid_to_us").isNull || col("us") <= col("__c.valid_to_us"))
+    probes.unionByName(versions)
+      .withColumn("__c", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(col("key") +: col("us") +: factPayload.map(col) ++:
+        payload.map(p => when(live, col(s"__c.$p")).as(p)) ++:
+        Seq(when(live, col("__c.valid_from_us")).as("valid_from_us"),
+          when(live, col("__c.valid_to_us")).as("valid_to_us")): _*)
+  }
+
+  /** q186: point-in-time profile lookup — every purchase event joined
+    * to the SCD2 profile version live strictly before it. Purchases
+    * are themselves upserts in the change log, so the strict-prior
+    * semantics is load-bearing: a purchase that OPENED a version must
+    * surface the predecessor state, not its own — the oracle's range
+    * join replays the interval predicate literally. */
+  def purchaseProfileAsOf(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val dim = scd2Over(eventChangeLog(t))
+    val facts = t.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), tsMicros($"ts").as("us"),
+        $"event_id".as("purchase_id"))
+    pointInTimeLookup(facts, dim)
+      .select($"key".as("user_id"), $"purchase_id",
+        timestamp_micros($"us").as("purchase_ts"),
+        $"value".as("prior_value"), $"etype".as("prior_etype"),
+        timestamp_micros($"valid_from_us").as("valid_from"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** The fixture change log: `events` as a CDC feed over per-user
     * profile state — key = user_id, order = (ts micros, event_id),
     * 'error' events are deletes, everything else upserts carrying

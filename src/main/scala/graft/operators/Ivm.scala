@@ -139,6 +139,17 @@ object Ivm {
     val facts = spark.table(factsTable)
     require(facts.columns.sameElements(Seq("fkey", "key", "q")),
       s"$factsTable is not an Ivm fact index: ${facts.columns.toSeq}")
+    mergeDeltaRetractFrames(delta, view, facts)
+  }
+
+  /** Frame-level core of [[mergeDeltaRetract]]: `view` is any
+    * (key, n, s, mn, mx) frame, `facts` any (fkey, key, q) frame
+    * holding the PRE-delta facts. The table entry point reads both off
+    * their persisted bucketed layouts (zero-exchange, plan-asserted);
+    * the streaming fold (q187) passes its rolled-forward in-memory
+    * frames through the SAME algebra — one code path, two deployments. */
+  def mergeDeltaRetractFrames(delta: DataFrame, view: DataFrame,
+      facts: DataFrame): DataFrame = {
     require(delta.columns.sameElements(
       Seq("fkey", "change", "key_old", "q_old", "key_new", "q_new")),
       s"delta must be (fkey, change, key_old, q_old, key_new, q_new): " +
@@ -224,7 +235,7 @@ object Ivm {
 
   /** Orders as an Ivm fact frame: fkey = o_orderkey, key = o_custkey,
     * q = cents. */
-  private def orderFacts(t: Tables): DataFrame = {
+  private[graft] def orderFacts(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.orders.select($"o_orderkey".as("fkey"), $"o_custkey".as("key"),
       floor($"o_totalprice" * 100 + 0.5).cast("long").as("q"))
@@ -237,23 +248,28 @@ object Ivm {
     *  2 → 'U' MOVE to o_custkey+1 (retraction in one group, insertion
     *  in another — the case insert-only IVM cannot express);
     *  3 → 'I' new fact at fkey+2³¹, same group, q+55. */
-  def orderFactDelta(t: Tables): DataFrame = {
-    import t.spark.implicits._
-    val f = orderFacts(t)
+  def orderFactDelta(t: Tables): DataFrame = orderFactDeltaOf(orderFacts(t))
+
+  /** Same change set over an arbitrary (fkey, key, q) fact frame — the
+    * streaming replay (q187) derives its delta from the BOUNDED fact
+    * slice so the stream and its oracle agree at any SF. */
+  private[graft] def orderFactDeltaOf(f: DataFrame): DataFrame = {
     val nl = lit(null).cast("long")
-    f.filter($"fkey" % 97 === 0)
-      .select($"fkey", lit("D").as("change"), $"key".as("key_old"),
-        $"q".as("q_old"), nl.as("key_new"), nl.as("q_new"))
-      .unionByName(f.filter($"fkey" % 97 === 1)
-        .select($"fkey", lit("U").as("change"), $"key".as("key_old"),
-          $"q".as("q_old"), $"key".as("key_new"), ($"q" + 12345L).as("q_new")))
-      .unionByName(f.filter($"fkey" % 97 === 2)
-        .select($"fkey", lit("U").as("change"), $"key".as("key_old"),
-          $"q".as("q_old"), ($"key" + 1L).as("key_new"), $"q".as("q_new")))
-      .unionByName(f.filter($"fkey" % 97 === 3)
-        .select(($"fkey" + 2147483648L).as("fkey"), lit("I").as("change"),
-          nl.as("key_old"), nl.as("q_old"), $"key".as("key_new"),
-          ($"q" + 55L).as("q_new")))
+    f.filter(col("fkey") % 97 === 0)
+      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
+        col("q").as("q_old"), nl.as("key_new"), nl.as("q_new"))
+      .unionByName(f.filter(col("fkey") % 97 === 1)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          col("q").as("q_old"), col("key").as("key_new"),
+          (col("q") + 12345L).as("q_new")))
+      .unionByName(f.filter(col("fkey") % 97 === 2)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          col("q").as("q_old"), (col("key") + 1L).as("key_new"),
+          col("q").as("q_new")))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select((col("fkey") + 2147483648L).as("fkey"), lit("I").as("change"),
+          nl.as("key_old"), nl.as("q_old"), col("key").as("key_new"),
+          (col("q") + 55L).as("q_new")))
   }
 
   /** q180: retraction-aware view maintenance — the per-customer order

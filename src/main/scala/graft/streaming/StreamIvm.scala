@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 case class ReplayOrder(o_orderdate: java.sql.Timestamp, o_orderkey: Long,
     o_custkey: Long, o_totalprice: Double)
 
+/** One fact-level change row under replay ([[graft.operators.Ivm]]
+  * delta shape; Option encodes the I/D-side NULLs). */
+case class ReplayFactChange(fkey: Long, change: String,
+    key_old: Option[Long], q_old: Option[Long],
+    key_new: Option[Long], q_new: Option[Long])
+
 /** Streaming aggregate-view maintenance — q167's batch IVM fed by a
   * stream: `foreachBatch` folds each micro-batch's map-side-combined
   * partials into the maintained per-group view with the same monoid
@@ -79,6 +85,82 @@ object StreamIvm {
     val v = view.getOrElse(sys.error("stream produced no batches"))
     val rows = java.util.Arrays.asList(v.collect(): _*)
     spark.createDataFrame(rows, v.schema)
+      .select($"key".as("o_custkey"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"),
+        ($"mn".cast("double") / 100.0).as("min_price"),
+        ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** q187 — streaming RETRACTABLE view maintenance: the missing
+    * streaming half of q180, exactly as q177 was the streaming half of
+    * q167. A CDC change stream carrying deletes, repricing updates,
+    * group MOVES, and inserts (q180's delta, derived from the bounded
+    * fact slice) arrives in micro-batches; `foreachBatch` folds each
+    * through [[Ivm.mergeDeltaRetractFrames]] — count/sum retract
+    * signed, min/max re-aggregate from the surviving facts of the
+    * touched groups — and ROLLS THE FACT FRAME FORWARD (anti-join out
+    * the retracted fkeys, append the added facts), so batch N+1's
+    * re-aggregation sees the post-batch-N world. That roll-forward is
+    * what makes the fold composable: stream(b1…bk) ≡ one-shot
+    * batch(b1 ∪ … ∪ bk) ≡ scratch aggregate over surviving facts —
+    * q187's oracle is the LAST equality, blind to the chunking, and
+    * StreamIvmSpec pins the first.
+    *
+    * Production shape: foreachBatch MERGEs into a bucketed fact table
+    * and the aggregate view (both persisted; here in-memory localCheckpoint
+    * frames — the test harness's stand-in for the table sink). Per
+    * batch the cost is O(batch + facts-of-touched-groups): the view
+    * and fact frames are never rescanned wholesale. */
+  def orderRollupRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deltaRows = Ivm.orderFactDeltaOf(
+        Ivm.orderFacts(Tables(spark, dir))
+          .filter(col("fkey") < MaxStreamOrderKey))
+      .as[ReplayFactChange].collect().toSeq.sortBy(_.fkey)
+    val chunks =
+      if (deltaRows.isEmpty) Seq(Seq.empty[ReplayFactChange])
+      else deltaRows.grouped(
+        math.max(1, (deltaRows.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayFactChange]
+    @volatile var facts: DataFrame = Ivm.orderFacts(Tables(ss, dir))
+      .filter(col("fkey") < MaxStreamOrderKey).localCheckpoint(true)
+    @volatile var view: DataFrame =
+      Ivm.partials(facts, col("key"), col("q")).localCheckpoint(true)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_ivmr_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayFactChange], _: Long) =>
+        val d = batch.toDF()
+        // view first (its re-agg reads the PRE-batch facts), then the
+        // fact roll-forward batch N+1 will aggregate against
+        view = Ivm.mergeDeltaRetractFrames(d, view, facts)
+          .localCheckpoint(true)
+        val retracted = d.filter(col("change").isin("D", "U")).select(col("fkey"))
+        val adds = d.filter(col("change").isin("I", "U"))
+          .select(col("fkey"), col("key_new").as("key"), col("q_new").as("q"))
+        facts = facts
+          .join(broadcast(retracted), Seq("fkey"), "left_anti")
+          .unionByName(adds).localCheckpoint(true)
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    spark.createDataFrame(rows, view.schema)
       .select($"key".as("o_custkey"), $"n".as("n_orders"),
         ($"s".cast("double") / 100.0).as("total_price"),
         ($"mn".cast("double") / 100.0).as("min_price"),

@@ -158,5 +158,9 @@ object PlanAuditSpec {
     // child-session hub rollup during construction (SkewAdaptiveSpec
     // plan-asserts every branch)
     "q180_ivm_retract", "q181_scc", "q182_ann_index_gate",
-    "q185_adaptive_skew")
+    "q185_adaptive_skew",
+    // streaming retractable fold: construction runs the foreachBatch
+    // replay (q177's class); per-batch plan is mergeDeltaRetractFrames,
+    // asserted by IvmSpec / StreamIvmSpec
+    "q187_stream_ivm_retract")
 }

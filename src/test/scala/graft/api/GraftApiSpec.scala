@@ -629,4 +629,27 @@ class GraftApiSpec extends SparkSpec {
       maxAgeUs = 1000L).head()
     assert(got.isNullAt(3))
   }
+
+  test("pointInTimeLookup facade reads strictly-prior state") {
+    val log = Seq((1L, 100L, 1L, "U", 7.0), (1L, 200L, 2L, "U", 9.0))
+      .toDF("key", "us", "seq", "op", "value")
+    val dim = Graft.scd2(log)
+    val facts = Seq((1L, 200L, 50L)).toDF("key", "us", "fact_id")
+    val got = Graft.pointInTimeLookup(facts, dim).head()
+    // the fact at us=200 sees the 7.0 version, not the one opening at 200
+    assert(got.getDouble(got.fieldIndex("value")) === 7.0)
+  }
+
+  test("ivmMergeRetractFrames retracts a delete and re-derives min") {
+    val facts = Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("fkey", "key", "q")
+    val view = facts.groupBy($"key").agg(count(lit(1)).as("n"),
+      sum($"q").as("s"), min($"q").as("mn"), max($"q").as("mx"))
+    val nl: Option[Long] = None
+    val ns: Option[String] = None
+    val delta = Seq((1L, "D", Some("a"), Some(10L), ns, nl))
+      .toDF("fkey", "change", "key_old", "q_old", "key_new", "q_new")
+    val got = Graft.ivmMergeRetractFrames(delta, view, facts).head()
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ("a", 1L, 20L, 20L, 20L))
+  }
 }

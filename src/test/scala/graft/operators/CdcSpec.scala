@@ -147,6 +147,79 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  // ── point-in-time lookup (q186) ────────────────────────────────────
+
+  test("pointInTimeLookup: strict-prior, gap, and tie semantics") {
+    import spark.implicits._
+    val dim = Cdc.scd2Over(log)
+    def probe(key: Long, us: Long): DataFrame =
+      Seq((key, us, 99L)).toDF("key", "us", "probe_id")
+    def lookupAt(key: Long, us: Long): (Option[Double], Option[String]) = {
+      val r = Cdc.pointInTimeLookup(probe(key, us), dim).collect()
+      assert(r.length === 1)
+      val row = r.head
+      (if (row.isNullAt(row.fieldIndex("value"))) None
+       else Some(row.getDouble(row.fieldIndex("value"))),
+       if (row.isNullAt(row.fieldIndex("etype"))) None
+       else Some(row.getString(row.fieldIndex("etype"))))
+    }
+    // key 1 versions: a [100,300), b [300,400) closed by D, c [500,∞)
+    assert(lookupAt(1L, 100L) === (None, None))          // nothing strictly prior
+    assert(lookupAt(1L, 101L) === (Some(1.0), Some("a")))
+    assert(lookupAt(1L, 300L) === (Some(1.0), Some("a"))) // b opens AT 300 — excluded
+    assert(lookupAt(1L, 301L) === (Some(2.0), Some("b")))
+    assert(lookupAt(1L, 400L) === (Some(2.0), Some("b"))) // state at 399 is still b
+    assert(lookupAt(1L, 450L) === (None, None))          // delete gap
+    assert(lookupAt(1L, 500L) === (None, None))          // c opens AT 500 — still the gap
+    assert(lookupAt(1L, 501L) === (Some(3.0), Some("c")))
+    // key 3: p's interval is EMPTY ([100,100), same-us successor q) —
+    // never live, and the lookup stays deterministic despite the tie
+    assert(lookupAt(3L, 100L) === (None, None))
+    assert(lookupAt(3L, 101L) === (Some(2.0), Some("q")))
+    // key 4: deleted and never re-inserted
+    assert(lookupAt(4L, 150L) === (Some(5.0), Some("m")))
+    assert(lookupAt(4L, 250L) === (None, None))
+    // unknown key: no history at all
+    assert(lookupAt(42L, 100L) === (None, None))
+  }
+
+  test("pointInTimeLookup equals the literal interval range join") {
+    import spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    val dim = Cdc.scd2Over(Cdc.eventChangeLog(sf001))
+    val facts = sf001.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), tsMicros($"ts").as("us"),
+        $"event_id".as("purchase_id"))
+    val got = Cdc.pointInTimeLookup(facts, dim)
+      .select("key", "us", "purchase_id", "value", "etype", "valid_from_us")
+    val expected = facts.as("f").join(dim.as("d"),
+        col("f.key") === col("d.key") &&
+          col("d.valid_from_us") < col("f.us") &&
+          (col("d.valid_to_us").isNull || col("f.us") <= col("d.valid_to_us")),
+        "left")
+      .select(col("f.key"), col("f.us"), col("purchase_id"),
+        col("d.value"), col("d.etype"), col("d.valid_from_us"))
+    assert(got.count() === facts.count(), "lookup must keep every fact row")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "union+window carry diverges from the interval definition")
+  }
+
+  test("pointInTimeLookup plans one exchange over pre-shaped inputs") {
+    import spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    val dim = Cdc.scd2Over(Cdc.eventChangeLog(sf001)).localCheckpoint(true)
+    val facts = sf001.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), tsMicros($"ts").as("us"),
+        $"event_id".as("purchase_id")).localCheckpoint(true)
+    val plan = Cdc.pointInTimeLookup(facts, dim)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"the lookup itself is one union+window shuffle, not a range join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"no pair explosion:\n$plan")
+  }
+
   test("plans: mergeApply has no window sort; scd2 shuffles once") {
     val mergePlan = Cdc.mergeApply(None, Cdc.eventChangeLog(sf001))
       .queryExecution.executedPlan.toString

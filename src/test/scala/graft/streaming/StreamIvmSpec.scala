@@ -23,4 +23,46 @@ class StreamIvmSpec extends SparkSpec {
     assert(streamed.exceptAll(truth).isEmpty && truth.exceptAll(streamed).isEmpty,
       "streamed view fold diverges from one-shot aggregation")
   }
+
+  // ── retractable streaming fold (q187) ──────────────────────────────
+
+  test("streamed retractable fold equals one-shot batch retraction") {
+    import graft.operators.Ivm
+    val facts = Ivm.orderFacts(sf001)
+      .filter(col("fkey") < StreamIvm.MaxStreamOrderKey)
+    val delta = Ivm.orderFactDeltaOf(facts)
+    val oneShot = Ivm.mergeDeltaRetractFrames(delta,
+        Ivm.partials(facts, col("key"), col("q")), facts)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        (col("s").cast("double") / 100.0).as("total_price"),
+        (col("mn").cast("double") / 100.0).as("min_price"),
+        (col("mx").cast("double") / 100.0).as("max_price"))
+    val streamed = StreamIvm.orderRollupRetract(spark, sf001.dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+      "micro-batched retractable fold diverges from the one-shot batch fold")
+  }
+
+  test("streamed retractable fold equals the scratch aggregate over survivors") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val facts = Ivm.orderFacts(sf001)
+      .filter(col("fkey") < StreamIvm.MaxStreamOrderKey)
+    // replay the delta arithmetic: D drops, reprice-U +12345, move-U
+    // key+1, I appends q+55 — the oracle's surviving-facts world
+    val surv = facts.filter($"fkey" % 97 =!= 0)
+      .select(
+        when($"fkey" % 97 === 2, $"key" + 1).otherwise($"key").as("key"),
+        when($"fkey" % 97 === 1, $"q" + 12345L).otherwise($"q").as("q"))
+      .unionByName(facts.filter($"fkey" % 97 === 3)
+        .select($"key", ($"q" + 55L).as("q")))
+    val truth = surv.groupBy($"key".as("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum($"q").cast("double") / 100.0).as("total_price"),
+        (min($"q").cast("double") / 100.0).as("min_price"),
+        (max($"q").cast("double") / 100.0).as("max_price"))
+    val streamed = StreamIvm.orderRollupRetract(spark, sf001.dir)
+    assert(streamed.exceptAll(truth).isEmpty && truth.exceptAll(streamed).isEmpty,
+      "streamed retractable fold diverges from the surviving-facts aggregate")
+  }
 }
