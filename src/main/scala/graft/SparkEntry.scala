@@ -300,6 +300,8 @@ object SparkEntry {
     "q185_adaptive_skew"     -> ((s, d) => graft.operators.Skew.adaptiveSkewSuite(Tables(s, d))),
     "q186_scd2_pit"          -> ((s, d) => graft.operators.Cdc.purchaseProfileAsOf(Tables(s, d))),
     "q187_stream_ivm_retract"-> ((s, d) => graft.streaming.StreamIvm.orderRollupRetract(s, d)),
+    "q188_ann_filtered_gate" -> ((s, d) => Similarity.annFilteredGate(Tables(s, d))),
+    "q189_ann_delete_gate"   -> ((s, d) => Similarity.annDeleteGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1615,6 +1617,19 @@ object SparkEntry {
     // (not just the quantizers) flips every row's meets_floor
     "q182_ann_index_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q188/q189: the same contract with the eligible corpus narrowed —
+    // filtered search must hit 0.9 recall against the exact top-10
+    // over the PREDICATE-ELIGIBLE vectors and return only eligible
+    // ids; the delete gate the same against the SURVIVORS and must
+    // never surface a tombstoned id
+    "q188_ann_filtered_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor,
+        | TRUE AS all_eligible
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q189_ann_delete_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor,
+        | TRUE AS no_deleted
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // q136: same 16-token chunking as q63's recipe; global keep-first
     // via row_number over (doc_id, chunk_idx); the cleaned doc is the

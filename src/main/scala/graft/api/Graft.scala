@@ -972,6 +972,28 @@ object Graft {
       probes: DataFrame, raw: DataFrame): DataFrame =
     graft.operators.Similarity.annIndexProbe(spark, table, probes, raw)
 
+  /** Filtered vector search (q188): probe a persisted ANN index under
+    * a metadata predicate applied to the index SCAN (pre-filtering) —
+    * the shortlist is all-eligible, so recall behaves like an
+    * unfiltered probe over the eligible sub-corpus. */
+  def annIndexProbeWhere(spark: org.apache.spark.sql.SparkSession,
+      table: String, probes: DataFrame, raw: DataFrame, pred: Column,
+      nProbe: Int = 6, rerank: Int = 200): DataFrame =
+    graft.operators.Similarity.annIndexProbeWhere(spark, table, probes,
+      raw, pred, nProbe, rerank)
+
+  /** Tombstone-delete vector ids from a persisted ANN index — an
+    * O(|ids|) sidecar append; probes exclude tombstones before the
+    * ADC rank. Rewrite-free, idempotent. */
+  def deleteFromAnnIndex(ids: DataFrame, table: String): Unit =
+    graft.operators.Similarity.deleteFromAnnIndex(ids, table)
+
+  /** Compact a tombstoned ANN index: rewrite surviving rows, clear
+    * the sidecar — probe results identical before and after. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    graft.operators.Similarity.compactAnnIndex(spark, table)
+
   /** Strongly connected components of a directed edge list — labels
     * every edge endpoint with its SCC's min member id; runs
     * forward-backward coloring phases until every node is resolved.

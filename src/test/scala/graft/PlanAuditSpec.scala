@@ -162,5 +162,9 @@ object PlanAuditSpec {
     // streaming retractable fold: construction runs the foreachBatch
     // replay (q177's class); per-batch plan is mergeDeltaRetractFrames,
     // asserted by IvmSpec / StreamIvmSpec
-    "q187_stream_ivm_retract")
+    "q187_stream_ivm_retract",
+    // filtered/delete ANN gates: construction ensures the shared q182
+    // index (17 fits on first touch) + the q189 copy/tombstone write;
+    // probe plans (DPP scan + broadcast anti-join) are AnnIndexSpec's
+    "q188_ann_filtered_gate", "q189_ann_delete_gate")
 }

@@ -70,4 +70,85 @@ class AnnIndexSpec extends SparkSpec {
     assert(r.length === 5 && r.forall(_.getBoolean(1)),
       s"recall gate failed: ${r.mkString(", ")}")
   }
+
+  // ── filtered search (q188) ──────────────────────────────────────────
+
+  test("filtered probe returns only eligible ids and pre-filters the scan") {
+    import spark.implicits._
+    Similarity.buildAnnIndex(sf001.embeddings, $"vec_id", $"embedding",
+      "graft_test_ann_filt")
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val pred = col("vec_id") % 3 === 0
+    val got = Similarity.annIndexProbeWhere(spark, "graft_test_ann_filt",
+      probes, emb.filter(pred), pred, nProbe = 8, rerank = 400)
+    assert(got.filter(col("vec_id") % 3 =!= 0).count() === 0,
+      "filtered probe surfaced an ineligible id")
+    // pre-filter semantics: identical to probing an index that only
+    // ever CONTAINED the eligible rows (same frozen training, so the
+    // same codes) — the strongest form of "the filter reaches the
+    // scan, it doesn't post-trim a mixed shortlist"
+    Similarity.buildAnnIndex(sf001.embeddings.filter(pred),
+      $"vec_id", $"embedding", "graft_test_ann_filtref",
+      trainOn = Some(sf001.embeddings))
+    val refProbe = Similarity.annIndexProbe(spark,
+      "graft_test_ann_filtref", probes, emb.filter(pred),
+      nProbe = 8, rerank = 400)
+    assert(got.exceptAll(refProbe).isEmpty && refProbe.exceptAll(got).isEmpty,
+      "filtered probe diverges from the eligible-only index probe")
+    assert(got.count() > 0)
+  }
+
+  test("q188 gate: filtered recall >= 0.9 at sf0.001") {
+    val r = Similarity.annFilteredGate(sf001).collect()
+    assert(r.length === 5 && r.forall(x => x.getBoolean(1) && x.getBoolean(2)),
+      s"filtered gate failed: ${r.mkString(", ")}")
+  }
+
+  // ── tombstone deletes + compaction (q189) ──────────────────────────
+
+  test("tombstoned ids vanish from probes; compaction changes nothing") {
+    import spark.implicits._
+    Similarity.buildAnnIndex(sf001.embeddings, $"vec_id", $"embedding",
+      "graft_test_ann_del")
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val survivors = emb.filter($"vec_id" % 10 =!= 3)
+    val before = Similarity.annIndexProbe(spark, "graft_test_ann_del",
+      probes, emb)
+    assert(before.filter($"vec_id" % 10 === 3).count() > 0,
+      "fixture must surface the to-be-deleted cohort pre-delete")
+    Similarity.deleteFromAnnIndex(
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"),
+      "graft_test_ann_del")
+    val tombed = Similarity.annIndexProbe(spark, "graft_test_ann_del",
+      probes, survivors)
+    assert(tombed.filter($"vec_id" % 10 === 3).count() === 0,
+      "tombstoned id surfaced in a probe")
+    val tombedRows = tombed.collect()
+    // delete is idempotent: deleting the same cohort again is a no-op
+    Similarity.deleteFromAnnIndex(
+      emb.filter($"vec_id" % 10 === 3 && $"vec_id" < 100).select($"vec_id"),
+      "graft_test_ann_del")
+    val again = Similarity.annIndexProbe(spark, "graft_test_ann_del",
+      probes, survivors).collect()
+    assert(tombedRows.toSeq === again.toSeq, "re-delete changed the probe")
+    // compaction: physical rewrite, identical answers, tombstones gone
+    Similarity.compactAnnIndex(spark, "graft_test_ann_del")
+    assert(!spark.catalog.tableExists("graft_test_ann_del_tombs"),
+      "compaction must clear the tombstone sidecar")
+    assert(spark.table("graft_test_ann_del")
+      .filter($"vec_id" % 10 === 3).count() === 0,
+      "compaction left deleted rows in the index")
+    val compacted = Similarity.annIndexProbe(spark, "graft_test_ann_del",
+      probes, survivors).collect()
+    assert(tombedRows.toSeq === compacted.toSeq,
+      "compaction changed probe results")
+  }
+
+  test("q189 gate: post-delete recall >= 0.9 at sf0.001") {
+    val r = Similarity.annDeleteGate(sf001).collect()
+    assert(r.length === 5 && r.forall(x => x.getBoolean(1) && x.getBoolean(2)),
+      s"delete gate failed: ${r.mkString(", ")}")
+  }
 }
