@@ -302,6 +302,8 @@ object SparkEntry {
     "q187_stream_ivm_retract"-> ((s, d) => graft.streaming.StreamIvm.orderRollupRetract(s, d)),
     "q188_ann_filtered_gate" -> ((s, d) => Similarity.annFilteredGate(Tables(s, d))),
     "q189_ann_delete_gate"   -> ((s, d) => Similarity.annDeleteGate(Tables(s, d))),
+    "q190_video_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.videoDupCohorts(Tables(s, d))),
+    "q191_video_neardup"     -> ((s, d) => graft.sources.Multimodal.videoNearDups(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -478,6 +480,60 @@ object SparkEntry {
       | FROM sl a JOIN sl b ON a.media_id = b.media_id AND b.i = a.i + 1
       | WHERE a.i < 64
       | GROUP BY 1)""".stripMargin
+
+  // q190/q191: shared video-fingerprint chain — base clips encoded at
+  // the manifest geometry (w = 32+(id%8)·16, h = 16+(id%4)·16, fps =
+  // 1+(id%5); frames = text bytes in w·h chunks, zero-padded), frames
+  // sampled at 1 fps (every fps-th index), per-frame dHash cells at
+  // global idx = f·w·h + (r·h//8)·w + (c·w//9), then the strict-
+  // majority pool per bit (2·cnt > nk); the twin's +1 at global
+  // position 1 (never sampled: column steps are multiples of w//9 ≥ 3,
+  // later frames start ≥ w·h) is expressed but provably dead; the
+  // gadget is the image ramp as a single 64×8 frame; bit 63 as the
+  // signed literal (the q164 lesson)
+  private val videoFpCtes: String =
+    """vds AS MATERIALIZED (
+      | SELECT doc_id AS media_id, text, strlen(text) AS len,
+      |  32 + (doc_id % 8) * 16 AS w, 16 + (doc_id % 4) * 16 AS h,
+      |  1 + (doc_id % 5) AS fps, FALSE AS pert
+      | FROM documents
+      | WHERE doc_id % 3 = 2 AND strlen(text) BETWEEN 65 AND 4096
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, strlen(text),
+      |  32 + (doc_id % 8) * 16, 16 + (doc_id % 4) * 16,
+      |  1 + (doc_id % 5), TRUE
+      | FROM documents
+      | WHERE doc_id % 30 = 2 AND strlen(text) BETWEEN 65 AND 4096),
+      |vg AS MATERIALIZED (SELECT *,
+      |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) / (w * h)) AS BIGINT)) AS nf
+      | FROM vds),
+      |vpx AS MATERIALIZED (
+      | SELECT media_id, k, r, c,
+      |  CASE WHEN idx < len THEN unicode(text[CAST(idx + 1 AS INTEGER)])
+      |    + CASE WHEN pert AND idx = 1 THEN 1 ELSE 0 END
+      |   ELSE 0 END AS v
+      | FROM (SELECT *, (k * fps) * (w * h) + (r * h // 8) * w + (c * w // 9) AS idx
+      |   FROM vg, range(0, 8) tk(k), range(0, 8) t1(r), range(0, 9) t2(c)
+      |   WHERE k * fps < nf)
+      | UNION ALL
+      | SELECT 20000000 + 4 * doc_id + j, 0, r, c,
+      |  CASE WHEN c = 4 AND r < j THEN 0 ELSE 32 + (c * 64 // 9) END
+      | FROM documents, range(0, 4) tj(j), range(0, 8) t1(r), range(0, 9) t2(c)
+      | WHERE doc_id % 60 = 2),
+      |vbits AS MATERIALIZED (
+      | SELECT l.media_id, l.r * 8 + l.c AS bit,
+      |  SUM(CASE WHEN l.v < r2.v THEN 1 ELSE 0 END) AS cnt,
+      |  COUNT(*) AS nk
+      | FROM vpx l JOIN vpx r2 ON l.media_id = r2.media_id AND l.k = r2.k
+      |   AND l.r = r2.r AND r2.c = l.c + 1
+      | WHERE l.c < 8
+      | GROUP BY 1, 2),
+      |vfp AS MATERIALIZED (
+      | SELECT media_id, CAST(SUM(CASE WHEN 2 * cnt > nk THEN
+      |    CASE WHEN bit = 63 THEN (-9223372036854775808)::BIGINT
+      |         ELSE 1::BIGINT << CAST(bit AS INTEGER) END
+      |   ELSE 0 END) AS BIGINT) AS fp
+      | FROM vbits GROUP BY 1)""".stripMargin
 
   // q137: replay the JL projection with the SAME md5-derived ±1 sign
   // matrix inlined as list literals; each component folds its
@@ -1893,6 +1949,29 @@ object SparkEntry {
       s"""WITH $audioFpCtes,
         |d AS MATERIALIZED (
         | SELECT fp, MIN(media_id) AS rep, COUNT(*) AS n FROM afp GROUP BY fp)
+        |SELECT
+        | CASE WHEN a.rep < b.rep THEN a.rep ELSE b.rep END AS id_lo,
+        | CASE WHEN a.rep < b.rep THEN b.rep ELSE a.rep END AS id_hi,
+        | CASE WHEN a.rep < b.rep THEN a.n ELSE b.n END AS n_lo,
+        | CASE WHEN a.rep < b.rep THEN b.n ELSE a.n END AS n_hi,
+        | CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.fp < b.fp
+        |WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 3""".stripMargin,
+    // q190/q191: the video fingerprint replayed over the source text
+    // bytes, then the same cohort agg / distinct-fingerprint pair
+    // join as q164/q165 and q183/q184
+    "q190_video_dup_cohorts" ->
+      s"""WITH $videoFpCtes
+        |SELECT rep_id, n_members, n_planted FROM (
+        | SELECT fp, MIN(media_id) AS rep_id, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN media_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted
+        | FROM vfp GROUP BY fp)
+        |WHERE n_members >= 2""".stripMargin,
+    "q191_video_neardup" ->
+      s"""WITH $videoFpCtes,
+        |d AS MATERIALIZED (
+        | SELECT fp, MIN(media_id) AS rep, COUNT(*) AS n FROM vfp GROUP BY fp)
         |SELECT
         | CASE WHEN a.rep < b.rep THEN a.rep ELSE b.rep END AS id_lo,
         | CASE WHEN a.rep < b.rep THEN b.rep ELSE a.rep END AS id_hi,

@@ -840,6 +840,23 @@ object Graft {
   def audioNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
     graft.sources.Multimodal.audioNearDups(t, maxHamming)
 
+  /** Exact-duplicate VIDEO cohorts over the temporal-majority dHash
+    * (Y4M decode → 1-fps frame sample → per-frame dHash → strict-
+    * majority bit pool) — the video member of the perceptual family. */
+  def videoDupCohorts(t: graft.Tables): DataFrame =
+    graft.sources.Multimodal.videoDupCohorts(t)
+
+  /** Perceptual video near-dup pairs at distinct-fingerprint
+    * granularity: banding + exact Hamming verify (1 ≤ hamming ≤
+    * maxHamming ≤ 3), cohort sizes as multiplicities. */
+  def videoNearDups(t: graft.Tables, maxHamming: Int = 3): DataFrame =
+    graft.sources.Multimodal.videoNearDups(t, maxHamming)
+
+  /** The raw 64-bit temporal-majority video fingerprint over a Y4M
+    * container — exact integer arithmetic, engine-replayable. */
+  def videoFingerprint(bytes: Array[Byte]): Long =
+    graft.sources.Multimodal.videoFingerprint(bytes)
+
   /** The raw 64-bit perceptual audio fingerprint over decoded PCM
     * samples — exact integer arithmetic, engine-replayable. */
   def audioFingerprint(samples: Array[Byte]): Long =

@@ -570,14 +570,8 @@ object Multimodal {
     * byte at (row r < j, x = 28) — exactly the source byte thumbnail
     * cell (r, 4) samples — flipping exactly comparison bit (r, 3)
     * and nothing else, so hamming(A, B_j) = j BY CONSTRUCTION. */
-  private[sources] def syntheticImage(variant: Int): Array[Byte] = {
-    val content = Array.tabulate(512) { i =>
-      val r = i / 64
-      val x = i % 64
-      if (x == 28 && r < variant) 0.toByte else (32 + x).toByte
-    }
-    BmpCodec.encode(content, 64)
-  }
+  private[sources] def syntheticImage(variant: Int): Array[Byte] =
+    BmpCodec.encode(gadgetRamp(variant), 64)
 
   /** The fixture image corpus plus two planted families:
     *
@@ -840,6 +834,136 @@ object Multimodal {
     * deterministic rows at Hamming exactly 1, 2, 3 at every SF. */
   def audioNearDups(t: Tables, maxHamming: Int = 3): DataFrame =
     nearDupsOver(fingerprintedAudios(t), maxHamming)
+
+  // ── q190/q191: perceptual VIDEO near-dup (temporal-majority dHash) ──
+  // The video member completes the perceptual family (images q164/
+  // q165, audio q183/q184): per SAMPLED frame (the q121 1-fps map,
+  // reading the real parsed payloads) the q164 dHash, then TEMPORAL
+  // MAJORITY POOLING — fingerprint bit i is set iff a strict majority
+  // of sampled frames set it. Pooling is what makes the hash a VIDEO
+  // hash: a single edited/corrupted frame cannot flip a bit the rest
+  // of the clip agrees on (the spec proves it), while a re-encoded or
+  // lightly-edited copy keeps the majority everywhere. Exact integer
+  // arithmetic end to end (integer resample map, integer majority
+  // threshold), replayable by any engine over the source text bytes.
+
+  /** Oracle-contract bounds: the replay unrolls ≤ 8 frame indices
+    * (len ≤ 4096 over the ≥ 512-pixel minimum frame keeps every
+    * fixture clip inside); [[videoFingerprint]] is loud past it. */
+  val VideoFpMinLen = 65
+  val VideoFpMaxLen = 4096
+  private val VideoFpMaxFrames = 8
+
+  /** 64-bit perceptual fingerprint over a Y4M container: per-sampled-
+    * frame dHash, bitwise strict-majority pool (ties → 0). */
+  def videoFingerprint(bytes: Array[Byte]): Long = {
+    val v = Y4mCodec.decode(bytes)
+    val frames = Y4mCodec.sampleOneFps(v)
+    require(v.frames.length <= VideoFpMaxFrames,
+      s"clip has ${v.frames.length} frames, outside the fingerprint " +
+        s"contract (oracle unrolls $VideoFpMaxFrames)")
+    val counts = new Array[Int](64)
+    frames.foreach { f =>
+      val h = dhash64(v.width, v.height, f)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (2 * counts(i) > frames.length) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** The 512-byte Hamming-gadget payload shared with the image path:
+    * rows of the 32..95 column ramp; variant j zeroes (r < j, x = 28),
+    * the one byte thumbnail cell (r, 4) samples — flipping exactly
+    * comparison bit (r, 3). */
+  private[sources] def gadgetRamp(variant: Int): Array[Byte] =
+    Array.tabulate(512) { i =>
+      val r = i / 64
+      val x = i % 64
+      if (x == 28 && r < variant) 0.toByte else (32 + x).toByte
+    }
+
+  /** Synthetic video gadget: ONE 64×8 frame of [[gadgetRamp]] — the
+    * majority pool of a single frame IS its dHash, so the quad plants
+    * video-fingerprint pairs at Hamming exactly 1, 2, 3. */
+  private[sources] def syntheticVideoClip(variant: Int): Array[Byte] =
+    Y4mCodec.encode(gadgetRamp(variant), 64, 8, 1)
+
+  /** The fixture video corpus (clips within the fingerprint length
+    * contract) plus the two planted families, mirroring
+    * [[imagesWithPlanted]]/[[audiosWithPlanted]]:
+    *
+    *  - IDENTICAL-fingerprint twins (ids + [[PlantOffset]]): for every
+    *    10th video doc, a copy with byte 1 incremented. Global
+    *    position 1 is sampled by NO thumbnail cell of ANY frame
+    *    (in-frame sample columns are multiples of w/9 ≥ 3; later
+    *    frames start at ≥ w·h > 1), so every sampled pixel — hence
+    *    every frame hash, hence the majority pool — is provably
+    *    unchanged while the payload differs.
+    *  - HAMMING-j quads (ids 2·[[PlantOffset]] + 4k + j): per every
+    *    60th doc id k ≡ 2 (mod 60), [[syntheticVideoClip]] variants
+    *    0..3 — deterministic distinct-fingerprint pairs at Hamming
+    *    exactly 1, 2, 3. */
+  def videosWithPlanted(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    val base = t.documents
+      .filter($"doc_id" % 3 === 2 &&
+        length($"text").between(VideoFpMinLen, VideoFpMaxLen))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, "video", Y4mCodec.encode(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          videoWidth(id), videoHeight(id), videoFps(id)), 0)
+      }
+    val twins = t.documents
+      .filter($"doc_id" % 30 === 2 &&
+        length($"text").between(VideoFpMinLen, VideoFpMaxLen))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        content(1) = (content(1) + 1).toByte
+        MediaRow(id + PlantOffset, "video", Y4mCodec.encode(content,
+          videoWidth(id), videoHeight(id), videoFps(id)), 0)
+      }
+    val gadgets = t.documents.filter($"doc_id" % 60 === 2)
+      .select($"doc_id").as[Long]
+      .flatMap { k =>
+        (0 to 3).map(j =>
+          MediaRow(2 * PlantOffset + 4 * k + j, "video",
+            syntheticVideoClip(j), 0))
+      }
+    base.union(twins).union(gadgets)
+  }
+
+  /** Decode + fingerprint the planted video corpus (shared by
+    * q190/q191) — partition-local decode, no shuffle until the agg. */
+  private def fingerprintedVideos(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    videosWithPlanted(t)
+      .map(m => (m.media_id, videoFingerprint(m.bytes)))
+      .toDF("id", "h")
+  }
+
+  /** q190: exact-duplicate video cohorts — [[imageDupCohorts]]'s
+    * contract over the temporal-majority fingerprint; every planted
+    * unsampled-byte twin lands in its original's cohort. */
+  def videoDupCohorts(t: Tables): DataFrame =
+    dupCohortsOver(fingerprintedVideos(t))
+
+  /** q191: perceptual video NEAR-dup pairs at distinct-fingerprint
+    * granularity — banding + exact Hamming verify, 1 ≤ h ≤ 3; the
+    * gadget quads guarantee deterministic rows at Hamming exactly
+    * 1, 2, 3 at every SF. */
+  def videoNearDups(t: Tables, maxHamming: Int = 3): DataFrame =
+    nearDupsOver(fingerprintedVideos(t), maxHamming)
 
   /** q34: media ANN — nearest media by cosine over decoded embeddings
     * for 3 probe items (composes the multimodal path with the
