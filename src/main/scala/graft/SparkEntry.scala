@@ -304,6 +304,7 @@ object SparkEntry {
     "q189_ann_delete_gate"   -> ((s, d) => Similarity.annDeleteGate(Tables(s, d))),
     "q190_video_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.videoDupCohorts(Tables(s, d))),
     "q191_video_neardup"     -> ((s, d) => graft.sources.Multimodal.videoNearDups(Tables(s, d))),
+    "q192_grouped_ols"       -> ((s, d) => Relational.nationSpendTrend(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -997,6 +998,37 @@ object SparkEntry {
         |   / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr_qty_price,
         | CAST(n AS BIGINT) AS n_rows
         |FROM m ORDER BY 1""".stripMargin,
+    // q192: grouped OLS from the same exact-moment machinery — five
+    // DECIMAL(38,0) sums of floor-recovered integers (days are exact
+    // integer-µs divisions of midnight timestamps), then slope /
+    // intercept / R² as the identical fixed double chains, NULL (not
+    // Inf/NaN) on zero-variance groups
+    "q192_grouped_ols" ->
+      """WITH b AS (
+        |  SELECT n_name,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |m AS (
+        |  SELECT n_name,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT *, (sxy - sx * sy / n) AS dxy, (sxx - sx * sx / n) AS dxx,
+        |    (syy - sy * sy / n) AS dyy FROM m),
+        |s AS (SELECT *, CASE WHEN dxx > 0 THEN dxy / dxx END AS slope_f FROM d)
+        |SELECT n_name, CAST(n AS BIGINT) AS n_rows,
+        | slope_f / 100.0 AS slope,
+        | (CASE WHEN slope_f IS NOT NULL THEN (sy - slope_f * sx) / n END)
+        |   / 100.0 AS intercept,
+        | CASE WHEN dxx > 0 AND dyy > 0 THEN (dxy * dxy) / (dxx * dyy) END AS r2
+        |FROM s""".stripMargin,
     // q109: gate contract like q107 — the HLL estimate is
     // engine-specific, its error bound is not
     "q109_approx_distinct_gate" ->

@@ -749,6 +749,16 @@ object Graft {
   def scd2(changes: DataFrame): DataFrame =
     graft.operators.Cdc.scd2Over(changes)
 
+  /** Grouped simple linear regression (q192): per-key (slope,
+    * intercept, R²) from five exact DECIMAL(38,0) moments of
+    * floor-recovered fixed-point values + one fixed double chain per
+    * statistic — order-independent, engine-exact, NULL (never
+    * Inf/NaN) on zero-variance groups. One map-side-combined agg. */
+  def groupedOls(df: DataFrame, keyCol: Column, xCol: Column, yCol: Column,
+      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame =
+    graft.operators.Relational.groupedOlsOver(df, keyCol, xCol, yCol,
+      xDecimals, yDecimals)
+
   /** Point-in-time dimension lookup (q186): each fact row (key, us,
     * payload...) joined to the SCD2 version live STRICTLY BEFORE its
     * instant — the leakage-safe feature-store read. Union+window

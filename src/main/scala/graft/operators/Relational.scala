@@ -545,6 +545,78 @@ object Relational {
         n.cast("long").as("n_rows"))
   }
 
+  // ── q192: grouped ordinary-least-squares regression, exactly ────────
+  /** Per-group simple linear regression (slope, intercept, R²) — the
+    * q110 recipe one derivation further: native `regr_slope`/
+    * `regr_intercept` are Welford-style streaming folds
+    * (order-dependent float — not oracle-able, not partition-
+    * deterministic), so instead the five moments accumulate EXACTLY
+    * (floor-recovered fixed-point integers summed as DECIMAL(38,0) —
+    * map-side combinable, any partitioning) and each statistic is ONE
+    * fixed double expression over the correctly-rounded moment casts:
+    *
+    *   slope_f = (Σxy − Σx·Σy/n) / (Σx² − (Σx)²/n)
+    *   intercept_f = (Σy − slope_f·Σx) / n
+    *   R² = (Σxy − Σx·Σy/n)² / ((Σx² − (Σx)²/n)·(Σy² − (Σy)²/n))
+    *
+    * Zero-variance groups (x constant, or y constant for R²) yield
+    * NULL via an explicit guard — never Inf/NaN, which don't hash
+    * portably. The fixed-point rescale (10^(yDecimals−xDecimals) for
+    * slope, 10^yDecimals for intercept) is a single division each;
+    * R² is scale-free. This is the workhorse of per-segment trend
+    * analysis ("is spend rising per nation?") — at 100 TB it's one
+    * map-side-combined agg, |groups| result rows, no window, no
+    * second pass. */
+  def groupedOlsOver(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
+    val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
+      .cast(DecimalType(38, 0))
+    val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
+      .cast(DecimalType(38, 0))
+    val n = count(lit(1)).cast("double")
+    def isum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast("double")
+    val x = col("x")
+    val y = col("y")
+    df.select(keyCol.as("key"), xi.as("x"), yi.as("y"))
+      .groupBy(col("key"))
+      .agg(n.as("n"), isum(x).as("sx"), isum(y).as("sy"),
+        isum(x * x).as("sxx"), isum(y * y).as("syy"), isum(x * y).as("sxy"))
+      .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("slope_f", when(col("dxx") > 0, col("dxy") / col("dxx")))
+      .select(col("key"), col("n").cast("long").as("n_rows"),
+        (col("slope_f") / lit(math.pow(10.0, yDecimals - xDecimals)))
+          .as("slope"),
+        (when(col("slope_f").isNotNull,
+          (col("sy") - col("slope_f") * col("sx")) / col("n"))
+          / lit(math.pow(10.0, yDecimals))).as("intercept"),
+        when(col("dxx") > 0 && col("dyy") > 0,
+          (col("dxy") * col("dxy")) / (col("dxx") * col("dyy"))).as("r2"))
+  }
+
+  /** q192 fixture: per-nation trend of order value over time — cents
+    * regressed on whole days since the epoch (midnight timestamps make
+    * the integer-µs division exact). The question every revenue
+    * dashboard asks, answered bit-identically on both engines. */
+  def nationSpendTrend(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    val facts = t.orders
+      .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation.select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+    groupedOlsOver(facts, $"n_name",
+      (tsMicros($"o_orderdate") / 86400000000L).cast("long"),
+      $"o_totalprice", xDecimals = 0, yDecimals = 2)
+      .select($"key".as("n_name"), $"n_rows", $"slope", $"intercept", $"r2")
+      .orderBy($"n_name")
+  }
+
   def quantityPriceCorrelation(t: Tables): DataFrame = {
     import t.spark.implicits._
     exactCorrelationOver(

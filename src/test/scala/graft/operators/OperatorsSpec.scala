@@ -566,6 +566,53 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     }
   }
 
+  test("groupedOlsOver: hand math, perfect line, zero-variance guards") {
+    import spark.implicits._
+    // key a: exact line y = 3x + 5 → slope 3, intercept 5, r2 = 1
+    // key b: constant x → slope/intercept/r2 all NULL (guarded)
+    // key c: constant y → slope 0, intercept = y̅, r2 NULL (dyy = 0)
+    val df = Seq(
+      ("a", 1.0, 8.0), ("a", 2.0, 11.0), ("a", 3.0, 14.0),
+      ("b", 4.0, 1.0), ("b", 4.0, 9.0),
+      ("c", 1.0, 7.0), ("c", 5.0, 7.0)
+    ).toDF("k", "x", "y")
+    val got = Relational.groupedOlsOver(df, $"k", $"x", $"y")
+      .orderBy("key").collect()
+    val a = got(0)
+    assert(a.getDouble(2) === 3.0 && a.getDouble(3) === 5.0 &&
+      a.getDouble(4) === 1.0, s"line fit: $a")
+    val b = got(1)
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4),
+      s"zero x-variance must yield NULLs: $b")
+    val c = got(2)
+    assert(c.getDouble(2) === 0.0 && c.getDouble(3) === 7.0 && c.isNullAt(4),
+      s"constant y: $c")
+  }
+
+  test("q192 slope agrees with native regr_slope within float tolerance") {
+    import spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    // the operator is the deterministic decimal-moment form; Spark's
+    // native Welford fold is the sanity cross-check, not the contract
+    val got = Relational.nationSpendTrend(sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val native = sf001.orders
+      .join(sf001.customer, col("o_custkey") === col("c_custkey"))
+      .join(sf001.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        regr_slope(col("o_totalprice"),
+          (tsMicros(col("o_orderdate")) / 86400000000L).cast("long")
+            .cast("double")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === native.keySet)
+    for ((k, (n, s)) <- native) {
+      assert(got(k)._1 === n)
+      assert(math.abs(got(k)._2 - s) <= 1e-6 * (math.abs(s) + 1.0),
+        s"$k: ${got(k)._2} vs native $s")
+    }
+  }
+
   test("exactCorrelationOver stays exact past the Long product range") {
     import spark.implicits._
     // 5e9-unit magnitudes: x*x ≈ 2.5e19 > Long.MaxValue — a Long
