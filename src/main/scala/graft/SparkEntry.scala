@@ -305,6 +305,8 @@ object SparkEntry {
     "q190_video_dup_cohorts" -> ((s, d) => graft.sources.Multimodal.videoDupCohorts(Tables(s, d))),
     "q191_video_neardup"     -> ((s, d) => graft.sources.Multimodal.videoNearDups(Tables(s, d))),
     "q192_grouped_ols"       -> ((s, d) => Relational.nationSpendTrend(Tables(s, d))),
+    "q193_scd2_increment"    -> ((s, d) => graft.operators.Cdc.scd2HistoryIncremental(Tables(s, d))),
+    "q194_stream_scd2"       -> ((s, d) => graft.streaming.StreamCdc.scd2Stream(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2538,6 +2540,53 @@ object SparkEntry {
         |  make_timestamp(d.from_us) AS valid_from
         |FROM p LEFT JOIN d ON d.key = p.key AND d.from_us < p.us
         |  AND (d.to_us IS NULL OR p.us <= d.to_us)""".stripMargin,
+    // q193: the increment identity — scd2Increment(scd2(log<t), log≥t)
+    // ≡ scd2(log) — makes the full-log q159 oracle the truth verbatim;
+    // the engine side actually runs the two-step merge
+    "q193_scd2_increment" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |o AS (SELECT *, lag(op) OVER w AS pop, lag(value) OVER w AS pval,
+        |    lag(etype) OVER w AS pet
+        |  FROM log WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        |r AS (SELECT * FROM o WHERE
+        |  CASE WHEN op = 'D' THEN pop = 'U'
+        |       ELSE pop IS NULL OR pop = 'D'
+        |         OR value IS DISTINCT FROM pval OR etype IS DISTINCT FROM pet
+        |  END),
+        |v AS (SELECT *, lead(us) OVER
+        |  (PARTITION BY key ORDER BY us, seq) AS to_us FROM r)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS valid_from,
+        | make_timestamp(to_us) AS valid_to, to_us IS NULL AS is_current
+        |FROM v WHERE op = 'U'""".stripMargin,
+    // q194: the streaming fold of q193 over the replayed first-week
+    // slice — same oracle as q159 restricted to the slice, blind to
+    // the micro-batch chunking
+    "q194_stream_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'),
+        |o AS (SELECT *, lag(op) OVER w AS pop, lag(value) OVER w AS pval,
+        |    lag(etype) OVER w AS pet
+        |  FROM log WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        |r AS (SELECT * FROM o WHERE
+        |  CASE WHEN op = 'D' THEN pop = 'U'
+        |       ELSE pop IS NULL OR pop = 'D'
+        |         OR value IS DISTINCT FROM pval OR etype IS DISTINCT FROM pet
+        |  END),
+        |v AS (SELECT *, lead(us) OVER
+        |  (PARTITION BY key ORDER BY us, seq) AS to_us FROM r)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS valid_from,
+        | make_timestamp(to_us) AS valid_to, to_us IS NULL AS is_current
+        |FROM v WHERE op = 'U'""".stripMargin,
     // q157: q84's pair set closed transitively (the q103 recursive
     // walk) + arg_max survivorship on the collision-free len·2³²−id
     // key — golden_id AND golden_name ride the same key

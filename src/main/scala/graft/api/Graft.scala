@@ -776,6 +776,15 @@ object Graft {
       facts: DataFrame): DataFrame =
     graft.operators.Ivm.mergeDeltaRetractFrames(delta, view, facts)
 
+  /** Incremental SCD2 maintenance (q193): merge a later change slice
+    * into an existing scd2 dimension — closed versions immutable,
+    * each touched key's open version re-enters as a synthetic leading
+    * upsert so the suppression induction carries across the boundary;
+    * scd2Increment(scd2(log<t), log≥t) ≡ scd2(log) for any
+    * (us, seq)-ordered cut. O(dim-of-touched + |late|). */
+  def scd2Increment(dim: DataFrame, late: DataFrame): DataFrame =
+    graft.operators.Cdc.scd2Increment(dim, late)
+
   /** Reciprocal-rank fusion of named per-query rankings (each
     * `(q_id, doc_id, rank)`): score = Σ 1/(c + rank), absent lists
     * contribute 0 — the calibration-free hybrid-retrieval combiner;

@@ -116,6 +116,56 @@ object Cdc {
         col("valid_to_us").isNull.as("is_current"): _*)
   }
 
+  /** Incremental SCD2 maintenance (q193) — the dimension MERGE a
+    * warehouse actually runs: the history table is not rebuilt from
+    * the full log on every load, it absorbs the day's change slice.
+    * `dim` is the [[scd2Over]] output for some log prefix; `late` is
+    * a change slice wholly AFTER the prefix in (us, seq) order per key
+    * — the shape any (us, seq)-ordered log split satisfies (a time cut
+    * being the common case); stated loudly here rather than scanned
+    * for.
+    *
+    * Algebra: versions of keys the slice never touches pass through
+    * untouched, as do CLOSED versions of touched keys (history is
+    * immutable — that's the point of SCD2). Only each touched key's
+    * OPEN version participates: it re-enters [[scd2Over]] as a
+    * synthetic leading upsert (its payload IS the key's live state,
+    * so the suppression induction carries across the boundary — a
+    * late upsert equal to it is a no-op, exactly as in the full-log
+    * run), alongside the late changes. The synthetic seq is
+    * Long.MinValue — ordering below any real change at the same us,
+    * unreachable anyway under the cut precondition. Result:
+    * `scd2Increment(scd2Over(log<t), log≥t) ≡ scd2Over(log)` for ANY
+    * cut t — CdcSpec property-tests three cuts, q193's oracle IS
+    * q159's full-log oracle.
+    *
+    * Scale: O(dim-of-touched-keys + |late|) — two semi/anti joins
+    * against the delta's key set (AQE broadcasts the small side) and
+    * one scd2 window over touched keys only; the untouched history
+    * (the overwhelming mass at 100 TB) is never read past the
+    * anti-join. */
+  def scd2Increment(dim: DataFrame, late: DataFrame): DataFrame = {
+    val payload = late.columns.filterNot(MetaCols.contains).toSeq
+    require(late.columns.take(4).sameElements(MetaCols),
+      s"late changes must lead with (key, us, seq, op): ${late.columns.toSeq}")
+    require(dim.columns.sameElements(
+      "key" +: payload :+ "valid_from_us" :+ "valid_to_us" :+ "is_current"),
+      s"dim must be scd2Over-shaped over the same payload: " +
+        s"${dim.columns.toSeq} vs payload $payload")
+    val touched = late.select(col("key")).distinct()
+    val untouched = dim.join(touched, Seq("key"), "left_anti")
+    val touchedDim = dim.join(touched, Seq("key"), "left_semi")
+    val closed = touchedDim.filter(!col("is_current"))
+    val pseudo = touchedDim.filter(col("is_current"))
+      .select(col("key") +: col("valid_from_us").as("us") +:
+        lit(Long.MinValue).as("seq") +: lit("U").as("op") +:
+        payload.map(col): _*)
+    val re = scd2Over(pseudo.unionByName(
+      late.select(col("key") +: col("us") +: col("seq") +: col("op") +:
+        payload.map(col): _*)))
+    untouched.unionByName(closed).unionByName(re)
+  }
+
   /** Snapshot diff / change-feed generation — the INVERSE of
     * [[mergeApply]]: given two snapshots of the same table, emit the
     * minimal change set ('I' insert / 'D' delete / 'U' update) that
@@ -318,6 +368,23 @@ object Cdc {
       .select($"key".as("user_id"), $"change",
         $"value_old", $"etype_old", $"value_new", $"etype_new")
       .orderBy($"user_id")
+  }
+
+  /** q193: incremental SCD2 — the dimension built from the log's first
+    * two weeks, then MERGED with the remainder via [[scd2Increment]];
+    * by the increment identity the result must hash-equal q159's
+    * full-log assembly, so the oracle is q159's verbatim. */
+  def scd2HistoryIncremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val log = eventChangeLog(t)
+    val cutoffUs = lit(java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000L)
+    val dim = scd2Over(log.filter($"us" < cutoffUs))
+    scd2Increment(dim, log.filter($"us" >= cutoffUs))
+      .select($"key".as("user_id"), $"value", $"etype",
+        timestamp_micros($"valid_from_us").as("valid_from"),
+        timestamp_micros($"valid_to_us").as("valid_to"), $"is_current")
+      .orderBy($"user_id", $"valid_from")
   }
 
   /** q159: SCD2 history assembly over the full fixture change log. */

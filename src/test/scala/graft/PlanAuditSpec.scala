@@ -166,5 +166,9 @@ object PlanAuditSpec {
     // filtered/delete ANN gates: construction ensures the shared q182
     // index (17 fits on first touch) + the q189 copy/tombstone write;
     // probe plans (DPP scan + broadcast anti-join) are AnnIndexSpec's
-    "q188_ann_filtered_gate", "q189_ann_delete_gate")
+    "q188_ann_filtered_gate", "q189_ann_delete_gate",
+    // streaming SCD2 fold: construction runs the foreachBatch replay
+    // (q172's class); per-batch plan is scd2Over/scd2Increment,
+    // asserted by CdcSpec
+    "q194_stream_scd2")
 }

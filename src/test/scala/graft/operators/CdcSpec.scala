@@ -147,6 +147,49 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  // ── incremental SCD2 maintenance (q193) ────────────────────────────
+
+  test("scd2Increment(scd2(log<t), log>=t) equals scd2(log) at any cut") {
+    val full = Cdc.scd2Over(log)
+    for (cut <- Seq(150L, 250L, 350L, 450L)) {
+      val dim = Cdc.scd2Over(log.filter(col("us") < cut))
+      val merged = Cdc.scd2Increment(dim, log.filter(col("us") >= cut))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        s"increment at cut $cut diverges from the full-log assembly")
+    }
+  }
+
+  test("scd2Increment touches nothing for keys absent from the slice") {
+    import spark.implicits._
+    val dim = Cdc.scd2Over(log)
+    // a slice touching only key 1: key 2-5 rows must pass through
+    // IDENTICALLY (history is immutable for untouched keys)
+    val late = Seq((1L, 900L, 90L, "U", 9.0, "z"))
+      .toDF("key", "us", "seq", "op", "value", "etype")
+    val merged = Cdc.scd2Increment(dim, late)
+    val others = dim.filter(col("key") =!= 1L)
+    val mergedOthers = merged.filter(col("key") =!= 1L)
+    assert(mergedOthers.exceptAll(others).isEmpty &&
+      others.exceptAll(mergedOthers).isEmpty)
+    // key 1's open version c ([500,∞)) is now closed at 900; z is open
+    val k1 = merged.filter(col("key") === 1L)
+      .orderBy("valid_from_us").collect()
+      .map(r => (r.getString(2), r.isNullAt(4), r.getBoolean(5)))
+    assert(k1.toSeq === Seq(("a", false, false), ("b", false, false),
+      ("c", false, false), ("z", true, true)))
+  }
+
+  test("scd2Increment suppresses a late upsert equal to the live state") {
+    import spark.implicits._
+    val dim = Cdc.scd2Over(log)
+    // key 2 is live at (9.0, "z") — a late identical upsert is a no-op
+    val late = Seq((2L, 900L, 91L, "U", 9.0, "z"))
+      .toDF("key", "us", "seq", "op", "value", "etype")
+    val merged = Cdc.scd2Increment(dim, late)
+    assert(merged.exceptAll(dim).isEmpty && dim.exceptAll(merged).isEmpty,
+      "a live-state-equal late upsert must change nothing")
+  }
+
   // ── point-in-time lookup (q186) ────────────────────────────────────
 
   test("pointInTimeLookup: strict-prior, gap, and tie semantics") {

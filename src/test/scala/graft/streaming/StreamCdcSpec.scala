@@ -26,4 +26,22 @@ class StreamCdcSpec extends SparkSpec {
     assert(streamed.exceptAll(truth).isEmpty && truth.exceptAll(streamed).isEmpty,
       "foreachBatch fold diverges from the one-shot batch snapshot")
   }
+
+  test("streamed SCD2 history equals the one-shot batch assembly") {
+    import spark.implicits._
+    val streamed = StreamCdc.scd2Stream(spark, sf001.dir)
+    val cutoff = to_timestamp(lit("2024-01-08 00:00:00"))
+    val log = graft.operators.Cdc.eventChangeLog(sf001)
+    val slice = log.join(
+        sf001.events.filter($"ts" < cutoff).select($"event_id".as("seq")),
+        Seq("seq"), "left_semi")
+      .select("key", "us", "seq", "op", "value", "etype")
+    val truth = graft.operators.Cdc.scd2Over(slice)
+      .select($"key".as("user_id"), $"value", $"etype",
+        timestamp_micros($"valid_from_us").as("valid_from"),
+        timestamp_micros($"valid_to_us").as("valid_to"), $"is_current")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(truth).isEmpty && truth.exceptAll(streamed).isEmpty,
+      "streamed SCD2 merge diverges from the one-shot assembly")
+  }
 }
