@@ -1000,11 +1000,13 @@ object SparkEntry {
         |   / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr_qty_price,
         | CAST(n AS BIGINT) AS n_rows
         |FROM m ORDER BY 1""".stripMargin,
-    // q192: grouped OLS from the same exact-moment machinery — five
-    // DECIMAL(38,0) sums of floor-recovered integers (days are exact
-    // integer-µs divisions of midnight timestamps), then slope /
-    // intercept / R² as the identical fixed double chains, NULL (not
-    // Inf/NaN) on zero-variance groups
+    // q192: grouped OLS from the same exact-moment machinery — second
+    // moments SPLIT at 2^30 before the DECIMAL(38,0) sums (a sum past
+    // 2^63 takes DuckDB's two-part hugeint->double cast, 1 ULP off —
+    // the dimStats split keeps every cast on the exact int64 path of
+    // BOTH engines, recombined hi*2^30 + lo in the same double ops),
+    // then slope / intercept / R² as the identical fixed double
+    // chains, NULL (not Inf/NaN) on zero-variance groups
     "q192_grouped_ols" ->
       """WITH b AS (
         |  SELECT n_name,
@@ -1013,15 +1015,25 @@ object SparkEntry {
         |  FROM orders
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey),
+        |p AS (
+        |  SELECT n_name, x, y, x*x AS pxx, y*y AS pyy, x*y AS pxy FROM b),
+        |sp AS (
+        |  SELECT *, ((pxx % 1073741824) + 1073741824) % 1073741824 AS pxx_lo,
+        |    ((pyy % 1073741824) + 1073741824) % 1073741824 AS pyy_lo,
+        |    ((pxy % 1073741824) + 1073741824) % 1073741824 AS pxy_lo
+        |  FROM p),
         |m AS (
         |  SELECT n_name,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
-        |  FROM b GROUP BY 1),
+        |    CAST(SUM(CAST((pxx - pxx_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pxx_lo AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST((pyy - pyy_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pyy_lo AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST((pxy - pxy_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pxy_lo AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM sp GROUP BY 1),
         |d AS (SELECT *, (sxy - sx * sy / n) AS dxy, (sxx - sx * sx / n) AS dxx,
         |    (syy - sy * sy / n) AS dyy FROM m),
         |s AS (SELECT *, CASE WHEN dxx > 0 THEN dxy / dxx END AS slope_f FROM d)

@@ -571,19 +571,43 @@ object Relational {
       df: DataFrame, keyCol: org.apache.spark.sql.Column,
       xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
       xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
+    // Second moments are SPLIT at 2³⁰ before the decimal sums (the
+    // dimStats recipe): a decimal sum that exceeds 2⁶³ takes DuckDB's
+    // two-part hugeint→double cast, which is NOT correctly rounded
+    // (measured 1-ULP drift at generated sf1) — splitting keeps every
+    // cast value on the exact int64 path of BOTH engines, and the
+    // recombination hi·2³⁰ + lo is the identical double op pair.
+    // Floor-split (lo = pmod ∈ [0, 2³⁰), hi = (p − lo) div 2³⁰) is
+    // sign-correct for negative products. Domain (ANSI-loud beyond):
+    // |fixed-point values| < 2³¹ (long products), < 2³¹ rows/group.
+    val S = 1L << 30
+    val sD = lit(S.toDouble) // 2³⁰ exact as double
     val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
-      .cast(DecimalType(38, 0))
+      .cast("long")
     val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
-      .cast(DecimalType(38, 0))
+      .cast("long")
     val n = count(lit(1)).cast("double")
     def isum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 0))).cast("double")
-    val x = col("x")
-    val y = col("y")
-    df.select(keyCol.as("key"), xi.as("x"), yi.as("y"))
+    def lo(p: String) = pmod(col(p), lit(S))
+    def hi(p: String) = expr(s"($p - ${p}_lo) div ${S}L")
+    val split = df.select(keyCol.as("key"), xi.as("x"), yi.as("y"))
+      .withColumn("pxx", col("x") * col("x"))
+      .withColumn("pyy", col("y") * col("y"))
+      .withColumn("pxy", col("x") * col("y"))
+      .withColumn("pxx_lo", lo("pxx")).withColumn("pyy_lo", lo("pyy"))
+      .withColumn("pxy_lo", lo("pxy"))
+      .withColumn("pxx_hi", hi("pxx")).withColumn("pyy_hi", hi("pyy"))
+      .withColumn("pxy_hi", hi("pxy"))
+    split
       .groupBy(col("key"))
-      .agg(n.as("n"), isum(x).as("sx"), isum(y).as("sy"),
-        isum(x * x).as("sxx"), isum(y * y).as("syy"), isum(x * y).as("sxy"))
+      .agg(n.as("n"), isum(col("x")).as("sx"), isum(col("y")).as("sy"),
+        isum(col("pxx_hi")).as("sxx_hi"), isum(col("pxx_lo")).as("sxx_lo"),
+        isum(col("pyy_hi")).as("syy_hi"), isum(col("pyy_lo")).as("syy_lo"),
+        isum(col("pxy_hi")).as("sxy_hi"), isum(col("pxy_lo")).as("sxy_lo"))
+      .withColumn("sxx", col("sxx_hi") * sD + col("sxx_lo"))
+      .withColumn("syy", col("syy_hi") * sD + col("syy_lo"))
+      .withColumn("sxy", col("sxy_hi") * sD + col("sxy_lo"))
       .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
       .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
       .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
