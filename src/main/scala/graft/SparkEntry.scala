@@ -307,6 +307,7 @@ object SparkEntry {
     "q192_grouped_ols"       -> ((s, d) => Relational.nationSpendTrend(Tables(s, d))),
     "q193_scd2_increment"    -> ((s, d) => graft.operators.Cdc.scd2HistoryIncremental(Tables(s, d))),
     "q194_stream_scd2"       -> ((s, d) => graft.streaming.StreamCdc.scd2Stream(s, d)),
+    "q195_ivm_dim_move"      -> ((s, d) => graft.operators.Ivm.nationRevenueDimMove(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2416,6 +2417,21 @@ object SparkEntry {
         | CAST(MIN(q) AS DOUBLE) / 100.0 AS min_price,
         | CAST(MAX(q) AS DOUBLE) / 100.0 AS max_price
         |FROM surv GROUP BY key""".stripMargin,
+    // q195: the oracle aggregates the POST-MOVE world from scratch —
+    // the engine's two-level transfer (per-customer partials moved
+    // between nations, facts never read) must land on the identical
+    // rollup
+    "q195_ivm_dim_move" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total_price
+        |FROM orders JOIN c2 ON o_custkey = c_custkey
+        |JOIN nation ON nk = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     // q181: SCC checked against the DEFINITION, not a replay of the
     // engine's rounds — a recursive-CTE transitive closure (seeded
     // with the reflexive pairs) and scc(v) = min{u : u→*v ∧ v→*u};

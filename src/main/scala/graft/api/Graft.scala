@@ -1046,6 +1046,16 @@ object Graft {
       factsTable: String): DataFrame =
     graft.operators.Ivm.mergeDeltaRetract(delta, viewTable, factsTable)
 
+  /** Dimension-move view maintenance (q195): fold a (key, g_old,
+    * g_new) dim-update delta into a group-level (g, n, s) view by
+    * transferring each moved key's ENTIRE partial between groups,
+    * read off the per-key aggregate table — O(|dim delta|) refresh,
+    * the fact table never in the loop. Count/sum only (min/max are
+    * not move-transferable). */
+  def ivmDimMove(view: DataFrame, aggTable: String,
+      delta: DataFrame): DataFrame =
+    graft.operators.Ivm.mergeDimMove(view, aggTable, delta)
+
   /** Join-key skew profile: (column_name, n_rows, n_keys, top1_cnt,
     * top1_share, entropy, balance) — the pre-shuffle diagnostic that
     * decides between a plain shuffle, salting, and AQE skew-split. */

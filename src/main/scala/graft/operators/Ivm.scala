@@ -205,6 +205,105 @@ object Ivm {
       .filter(col("n") > 0)
   }
 
+  // ── Dimension-move maintenance (q195) ──────────────────────────────
+  // The classic HARD case of join-view maintenance: the view is an
+  // aggregate over fact ⋈ dim (per-nation revenue), and the DIMENSION
+  // changes — a customer moves nation (the SCD1 update every CRM
+  // emits). Naively that reprices every fact of the moved customer;
+  // at 100 TB the fact table cannot be in the loop. The standard fix
+  // is a TWO-LEVEL rollup: a persisted per-dim-key aggregate (the
+  // q167 bucketed index — maintained by fact deltas exactly as
+  // before) plus the group-level view. A dim move then transfers the
+  // dim key's ENTIRE partial between groups: −(n_c, s_c) from the old
+  // group, +(n_c, s_c) to the new — O(|dim delta|) work, INDEPENDENT
+  // of the fact count, because count/sum partials are group elements
+  // (min/max are NOT move-transferable — they'd need a group-wide
+  // re-aggregation — so this operator maintains the retractable pair
+  // only, stated loudly, the q167/q180 division of labor).
+
+  /** Fold a dimension-move delta `(key, g_old, g_new)` — one row per
+    * moved dim key, groups nullable for enter/leave — into a
+    * group-level view `(g, n, s)`, reading each moved key's partial
+    * off the per-key aggregate table ([[buildAggIndex]] layout, its
+    * bucketed join zero-exchange). Keys with no facts contribute
+    * nothing; groups emptied drop out; a phantom move (retracting
+    * more than a group holds) fails loudly. */
+  def mergeDimMove(view: DataFrame, aggTable: String,
+      delta: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    require(view.columns.sameElements(Seq("g", "n", "s")),
+      s"view must be (g, n, s): ${view.columns.toSeq}")
+    require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
+      s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
+    val perKey = spark.table(aggTable)
+    require(perKey.columns.sameElements(Meta),
+      s"$aggTable is not an Ivm aggregate table: ${perKey.columns.toSeq}")
+    // broadcast the (small) move delta against ONE narrow zero-
+    // exchange scan of the per-key index — the fact table is out of
+    // the loop entirely; a storage layer with point reads / partition
+    // pruning makes the index leg O(delta) too
+    val contrib = perKey
+      .join(broadcast(delta), Seq("key"))
+      .select(explode(array(
+        struct(col("g_old").as("g"), (-col("n")).as("dn"), (-col("s")).as("ds")),
+        struct(col("g_new").as("g"), col("n").as("dn"), col("s").as("ds"))))
+        .as("c"))
+      .select(col("c.g"), col("c.dn"), col("c.ds"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    view.as("v")
+      .join(contrib.as("d"), Seq("g"), "full_outer")
+      .select(col("g"),
+        when(n2 >= 0, n2).otherwise(raise_error(concat(
+          lit("Ivm.mergeDimMove: negative count — move retracts more "
+            + "than the group holds, g="), col("g").cast("string")))
+          .cast("long")).as("n"),
+        (coalesce(col("v.s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .filter(col("n") > 0)
+  }
+
+  /** q195: the per-nation revenue view maintained under a
+    * deterministic customer-move delta (every c_custkey ≡ 0 mod 89
+    * moves to nation (c_nationkey + 7) mod 25). Base view and the
+    * per-customer aggregate index build once (memoized); the move
+    * delta folds in at query time reading ONLY the moved customers'
+    * partials — must hash-equal the oracle's from-scratch GROUP BY
+    * over the post-move world. */
+  private val dimMoveBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def nationRevenueDimMove(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    val aggTable = dimMoveBuilt.computeIfAbsent(
+      (t.spark.sparkContext, fp), _ => {
+        val name = s"graft_ivm_cust_$fp"
+        buildAggIndex(t.orders, $"o_custkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long"), name)
+        name
+      })
+    val nationOf = t.nation.select($"n_nationkey", $"n_name")
+    val baseView = t.spark.table(aggTable)
+      .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
+        $"key" === $"c_custkey")
+      .join(broadcast(nationOf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("g"))
+      .agg(sum($"n").as("n"), sum($"s").as("s"))
+    val delta = t.customer.filter($"c_custkey" % 89 === 0)
+      .select($"c_custkey".as("key"), $"c_nationkey",
+        (($"c_nationkey" + 7) % 25).as("nk_new"))
+      .join(broadcast(nationOf.select($"n_nationkey".as("c_nationkey"),
+        $"n_name".as("g_old"))), Seq("c_nationkey"))
+      .join(broadcast(nationOf.select($"n_nationkey".as("nk_new"),
+        $"n_name".as("g_new"))), Seq("nk_new"))
+      .select($"key", $"g_old", $"g_new")
+    mergeDimMove(baseView, aggTable, delta)
+      .select($"g".as("n_name"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"))
+      .orderBy($"n_name")
+  }
+
   /** q167 fixture instance: the per-customer order rollup (count,
     * exact cents total, min/max) maintained incrementally — the view
     * is built from pre-1997 orders once (memoized per fixture

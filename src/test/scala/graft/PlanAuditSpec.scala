@@ -170,5 +170,8 @@ object PlanAuditSpec {
     // streaming SCD2 fold: construction runs the foreachBatch replay
     // (q172's class); per-batch plan is scd2Over/scd2Increment,
     // asserted by CdcSpec
-    "q194_stream_scd2")
+    "q194_stream_scd2",
+    // builds the per-customer aggregate index on first construction
+    // (q180's class); the move-fold plan is asserted by IvmSpec
+    "q195_ivm_dim_move")
 }

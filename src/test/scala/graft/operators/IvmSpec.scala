@@ -174,4 +174,77 @@ class IvmSpec extends SparkSpec {
       plan.toString.contains("Bucketed: true"),
       s"expected bucketed scans:\n$plan")
   }
+
+  // ── dimension-move maintenance (q195) ──────────────────────────────
+
+  test("mergeDimMove transfers partials, empties groups, raises on phantoms") {
+    import spark.implicits._
+    // per-key agg index: k1 (2 facts, 30), k2 (1 fact, 5), k3 (1, 7)
+    val perKey = Seq(("k1", 2L, 30L, 10L, 20L), ("k2", 1L, 5L, 5L, 5L),
+      ("k3", 1L, 7L, 7L, 7L))
+      .toDF("key", "n", "s", "mn", "mx")
+    perKey.write.mode("overwrite").saveAsTable("graft_test_dimmove_agg")
+    val view = Seq(("A", 3L, 35L), ("B", 1L, 7L)).toDF("g", "n", "s")
+    // k2 moves A→B; k3 moves B→A; k9 (no facts) moves — contributes 0
+    val delta = Seq(("k2", "A", "B"), ("k3", "B", "A"), ("k9", "A", "B"))
+      .toDF("key", "g_old", "g_new")
+    val got = Ivm.mergeDimMove(view, "graft_test_dimmove_agg", delta)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toList
+    assert(got === List(("A", 3L, 37L), ("B", 1L, 5L)))
+    // emptying a group drops it: move k1 AND k3 out of A
+    val drain = Seq(("k1", "A", "B"), ("k3", "A", "B"))
+      .toDF("key", "g_old", "g_new")
+    val view2 = Seq(("A", 3L, 37L)).toDF("g", "n", "s")
+    val got2 = Ivm.mergeDimMove(view2, "graft_test_dimmove_agg", drain)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got2 === List(("B", 3L)))
+    // phantom: retracting from a group that never held the key's mass
+    val phantom = Seq(("k1", "NOPE", "A")).toDF("key", "g_old", "g_new")
+    val ex = intercept[Exception] {
+      Ivm.mergeDimMove(Seq(("A", 1L, 1L)).toDF("g", "n", "s"),
+        "graft_test_dimmove_agg", phantom).collect()
+    }
+    assert(ex.toString.contains("negative count") ||
+      (ex.getCause != null && ex.getCause.toString.contains("negative count")))
+  }
+
+  test("q195 fixture equals the scratch post-move rollup") {
+    import spark.implicits._
+    val got = Ivm.nationRevenueDimMove(sf001)
+    val truth = sf001.orders
+      .join(sf001.customer.select($"c_custkey",
+        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+          .otherwise($"c_nationkey").as("nk")),
+        $"o_custkey" === $"c_custkey")
+      .join(sf001.nation, $"nk" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("total_price"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "dim-move maintenance diverges from the post-move scratch rollup")
+  }
+
+  test("mergeDimMove plans no fact scan and no index shuffle") {
+    import spark.implicits._
+    Ivm.nationRevenueDimMove(sf001).collect() // ensure index exists
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(spark, sf001.dir, "orders").hashCode)
+    val view = Seq(("NATION_1", 10L, 1000L)).toDF("g", "n", "s")
+    val delta = Seq((89L, "NATION_1", "NATION_2"))
+      .toDF("key", "g_old", "g_new")
+    val merged = Ivm.mergeDimMove(view, s"graft_ivm_cust_$fp", delta)
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan
+    assert(!plan.toString.contains("orders"),
+      s"the fact table must be out of the loop:\n$plan")
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    val offenders = shuffles.filter(_.toString.contains("graft_ivm_cust"))
+    assert(offenders.isEmpty,
+      s"per-key index rows crossed an exchange:\n${offenders.mkString("\n")}")
+  }
 }
