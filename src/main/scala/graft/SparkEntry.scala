@@ -308,6 +308,7 @@ object SparkEntry {
     "q193_scd2_increment"    -> ((s, d) => graft.operators.Cdc.scd2HistoryIncremental(Tables(s, d))),
     "q194_stream_scd2"       -> ((s, d) => graft.streaming.StreamCdc.scd2Stream(s, d)),
     "q195_ivm_dim_move"      -> ((s, d) => graft.operators.Ivm.nationRevenueDimMove(Tables(s, d))),
+    "q196_lag_autocorr"      -> ((s, d) => Relational.userValueAutocorr(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1044,6 +1045,42 @@ object SparkEntry {
         |   / 100.0 AS intercept,
         | CASE WHEN dxx > 0 AND dyy > 0 THEN (dxy * dxy) / (dxx * dyy) END AS r2
         |FROM s""".stripMargin,
+    // q196: lag pairs via the same window, then the q192 split-moment
+    // replay; Pearson as the q110 fixed chain over the recombined
+    // moments — NULL on constant / too-short series
+    "q196_lag_autocorr" ->
+      """WITH s AS (
+        |  SELECT user_id AS key,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y,
+        |    lag(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT), 1) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS x
+        |  FROM events),
+        |p AS (SELECT key, x, y, x*x AS pxx, y*y AS pyy, x*y AS pxy
+        |  FROM s WHERE x IS NOT NULL),
+        |sp AS (
+        |  SELECT *, ((pxx % 1073741824) + 1073741824) % 1073741824 AS pxx_lo,
+        |    ((pyy % 1073741824) + 1073741824) % 1073741824 AS pyy_lo,
+        |    ((pxy % 1073741824) + 1073741824) % 1073741824 AS pxy_lo
+        |  FROM p),
+        |m AS (
+        |  SELECT key,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST((pxx - pxx_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pxx_lo AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST((pyy - pyy_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pyy_lo AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST((pxy - pxy_lo) // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) * 1073741824.0
+        |      + CAST(SUM(CAST(pxy_lo AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM sp GROUP BY 1),
+        |d AS (SELECT *, (sxy - sx * sy / n) AS dxy, (sxx - sx * sx / n) AS dxx,
+        |    (syy - sy * sy / n) AS dyy FROM m)
+        |SELECT key AS user_id, CAST(n AS BIGINT) AS n_pairs,
+        | CASE WHEN dxx > 0 AND dyy > 0
+        |   THEN dxy / (sqrt(dxx) * sqrt(dyy)) END AS autocorr
+        |FROM d""".stripMargin,
     // q109: gate contract like q107 — the HLL estimate is
     // engine-specific, its error bound is not
     "q109_approx_distinct_gate" ->

@@ -759,6 +759,17 @@ object Graft {
     graft.operators.Relational.groupedOlsOver(df, keyCol, xCol, yCol,
       xDecimals, yDecimals)
 
+  /** Per-key lag-k autocorrelation (q196): one window pass pairs each
+    * value with its k-step lag, then exact split-moment Pearson —
+    * engine-exact, order-independent, NULL (never NaN) on constant
+    * series; keys with ≤ k observations produce no row. One exchange
+    * + one map-side agg — never a shifted self-join. */
+  def lagAutocorr(df: DataFrame, keyCol: Column, tsCol: Column,
+      seqCol: Column, valCol: Column, k: Int = 1,
+      decimals: Int = 6): DataFrame =
+    graft.operators.Relational.lagAutocorrOver(df, keyCol, tsCol, seqCol,
+      valCol, k, decimals)
+
   /** Point-in-time dimension lookup (q186): each fact row (key, us,
     * payload...) joined to the SCD2 version live STRICTLY BEFORE its
     * instant — the leakage-safe feature-store read. Union+window

@@ -567,31 +567,22 @@ object Relational {
     * analysis ("is spend rising per nation?") — at 100 TB it's one
     * map-side-combined agg, |groups| result rows, no window, no
     * second pass. */
-  def groupedOlsOver(
-      df: DataFrame, keyCol: org.apache.spark.sql.Column,
-      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
-      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
-    // Second moments are SPLIT at 2³⁰ before the decimal sums (the
-    // dimStats recipe): a decimal sum that exceeds 2⁶³ takes DuckDB's
-    // two-part hugeint→double cast, which is NOT correctly rounded
-    // (measured 1-ULP drift at generated sf1) — splitting keeps every
-    // cast value on the exact int64 path of BOTH engines, and the
-    // recombination hi·2³⁰ + lo is the identical double op pair.
-    // Floor-split (lo = pmod ∈ [0, 2³⁰), hi = (p − lo) div 2³⁰) is
-    // sign-correct for negative products. Domain (ANSI-loud beyond):
-    // |fixed-point values| < 2³¹ (long products), < 2³¹ rows/group.
+  /** Shared split-moment aggregation over a pre-shaped (key, x, y)
+    * long frame: per-key (n, Σx, Σy, Σx², Σy², Σxy) with the second
+    * moments floor-split at 2³⁰ before the DECIMAL(38,0) sums and
+    * recombined hi·2³⁰ + lo — every engine-crossing cast stays on the
+    * exact int64 path (the q192 DuckDB hugeint-cast finding), the
+    * recombination is the identical double op pair. Consumed by
+    * [[groupedOlsOver]] and [[lagAutocorrOver]]. */
+  private def splitMomentsAgg(kxy: DataFrame): DataFrame = {
     val S = 1L << 30
     val sD = lit(S.toDouble) // 2³⁰ exact as double
-    val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
-      .cast("long")
-    val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
-      .cast("long")
     val n = count(lit(1)).cast("double")
     def isum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 0))).cast("double")
     def lo(p: String) = pmod(col(p), lit(S))
     def hi(p: String) = expr(s"($p - ${p}_lo) div ${S}L")
-    val split = df.select(keyCol.as("key"), xi.as("x"), yi.as("y"))
+    val split = kxy
       .withColumn("pxx", col("x") * col("x"))
       .withColumn("pyy", col("y") * col("y"))
       .withColumn("pxy", col("x") * col("y"))
@@ -608,6 +599,26 @@ object Relational {
       .withColumn("sxx", col("sxx_hi") * sD + col("sxx_lo"))
       .withColumn("syy", col("syy_hi") * sD + col("syy_lo"))
       .withColumn("sxy", col("sxy_hi") * sD + col("sxy_lo"))
+  }
+
+  def groupedOlsOver(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      xDecimals: Int = 0, yDecimals: Int = 0): DataFrame = {
+    // Second moments are SPLIT at 2³⁰ before the decimal sums (the
+    // dimStats recipe): a decimal sum that exceeds 2⁶³ takes DuckDB's
+    // two-part hugeint→double cast, which is NOT correctly rounded
+    // (measured 1-ULP drift at generated sf1) — splitting keeps every
+    // cast value on the exact int64 path of BOTH engines, and the
+    // recombination hi·2³⁰ + lo is the identical double op pair.
+    // Floor-split (lo = pmod ∈ [0, 2³⁰), hi = (p − lo) div 2³⁰) is
+    // sign-correct for negative products. Domain (ANSI-loud beyond):
+    // |fixed-point values| < 2³¹ (long products), < 2³¹ rows/group.
+    val xi = floor(xCol * lit(math.pow(10.0, xDecimals)) + lit(0.5))
+      .cast("long")
+    val yi = floor(yCol * lit(math.pow(10.0, yDecimals)) + lit(0.5))
+      .cast("long")
+    splitMomentsAgg(df.select(keyCol.as("key"), xi.as("x"), yi.as("y")))
       .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
       .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
       .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
@@ -639,6 +650,55 @@ object Relational {
       $"o_totalprice", xDecimals = 0, yDecimals = 2)
       .select($"key".as("n_name"), $"n_rows", $"slope", $"intercept", $"r2")
       .orderBy($"n_name")
+  }
+
+  // ── q196: per-key lag-k autocorrelation, exactly ────────────────────
+  /** Serial correlation of a per-key series with its own k-step lag —
+    * the first question asked of any per-entity time series ("is this
+    * signal trending or memoryless?"), and the residual diagnostic
+    * behind every forecasting model (Box–Jenkins identification).
+    * One window pass pairs each value with lag-k (per key, ordered by
+    * the caller's total order), then Pearson over the pairs via the
+    * SAME split exact-moment machinery as q192 — engine-exact,
+    * order-independent, NULL (never NaN) for constant or too-short
+    * series. Scale: one exchange on the key for the lag window, one
+    * map-side-combined agg — no second pass, no self-join (the naive
+    * formulation joins the series to itself shifted, shuffling twice).
+    * Output: (key, n_pairs, autocorr). */
+  def lagAutocorrOver(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column, seqCol: org.apache.spark.sql.Column,
+      valCol: org.apache.spark.sql.Column, k: Int = 1,
+      decimals: Int = 6): DataFrame = {
+    require(k >= 1, s"lag must be >= 1: $k")
+    val vi = floor(valCol * lit(math.pow(10.0, decimals)) + lit(0.5))
+      .cast("long")
+    val w = Window.partitionBy(col("key")).orderBy(col("__ts"), col("__seq"))
+    val pairs = df
+      .select(keyCol.as("key"), tsCol.as("__ts"), seqCol.as("__seq"),
+        vi.as("y"))
+      .withColumn("x", lag(col("y"), k).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("key"), col("x"), col("y"))
+    splitMomentsAgg(pairs)
+      .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .select(col("key"), col("n").cast("long").as("n_pairs"),
+        when(col("dxx") > 0 && col("dyy") > 0,
+          col("dxy") / (sqrt(col("dxx")) * sqrt(col("dyy"))))
+          .as("autocorr"))
+  }
+
+  /** q196 fixture: per-user lag-1 autocorrelation of event values in
+    * (ts, event_id) order — memorylessness check on the event stream. */
+  def userValueAutocorr(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    lagAutocorrOver(t.events, $"user_id", tsMicros($"ts"), $"event_id",
+      $"value")
+      .select($"key".as("user_id"), $"n_pairs", $"autocorr")
+      .orderBy($"user_id")
   }
 
   def quantityPriceCorrelation(t: Tables): DataFrame = {

@@ -613,6 +613,68 @@ class ApproxAgreementSpec extends graft.SparkSpec {
     }
   }
 
+  test("lagAutocorrOver: alternating, trending, constant, short series") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: strict alternation 1,5,1,5,1,5 → lag-1 corr = −1
+      ("a", 1L, 1L, 1.0), ("a", 2L, 2L, 5.0), ("a", 3L, 3L, 1.0),
+      ("a", 4L, 4L, 5.0), ("a", 5L, 5L, 1.0), ("a", 6L, 6L, 5.0),
+      // key b: exact line 1..5 → lag-1 corr = 1
+      ("b", 1L, 1L, 1.0), ("b", 2L, 2L, 2.0), ("b", 3L, 3L, 3.0),
+      ("b", 4L, 4L, 4.0), ("b", 5L, 5L, 5.0),
+      // key c: constant → zero variance → NULL
+      ("c", 1L, 1L, 7.0), ("c", 2L, 2L, 7.0), ("c", 3L, 3L, 7.0),
+      // key d: one observation → no pairs → no row
+      ("d", 1L, 1L, 9.0)
+    ).toDF("k", "ts", "seq", "v")
+    val got = Relational.lagAutocorrOver(df, $"k", $"ts", $"seq", $"v")
+      .orderBy("key").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b", "c"),
+      "a 1-observation key must produce no row")
+    assert(math.abs(got(0).getDouble(2) - (-1.0)) < 1e-12, s"alt: ${got(0)}")
+    assert(got(0).getLong(1) === 5L)
+    assert(math.abs(got(1).getDouble(2) - 1.0) < 1e-12, s"line: ${got(1)}")
+    assert(got(2).isNullAt(2), s"constant series must be NULL: ${got(2)}")
+  }
+
+  test("q196 matches a driver-side exact-moment reference bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.TimeFunctions.tsMicros
+    val rows = sf001.events
+      .select($"user_id", tsMicros($"ts").as("us"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(math.floor(r.getDouble(3) * 1e6 + 0.5).toLong)))
+    val got = Relational.userValueAutocorr(sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val S = BigInt(1L << 30)
+    for ((user, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(g => (g._2, g._3))
+      val pairs = grp.map(_._4).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+      val n = pairs.length.toDouble
+      def recomb(ps: Seq[BigInt]): Double = {
+        val los = ps.map(p => ((p % S) + S) % S)
+        val his = ps.zip(los).map { case (p, l) => (p - l) / S }
+        his.sum.toDouble * S.toDouble + los.sum.toDouble
+      }
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxx = recomb(pairs.map(p => p._1 * p._1))
+      val syy = recomb(pairs.map(p => p._2 * p._2))
+      val sxy = recomb(pairs.map(p => p._1 * p._2))
+      val dxy = sxy - sx * sy / n
+      val dxx = sxx - sx * sx / n
+      val dyy = syy - sy * sy / n
+      val expect = if (dxx > 0 && dyy > 0)
+        Some(dxy / (math.sqrt(dxx) * math.sqrt(dyy))) else None
+      val (gn, gc) = got(user)
+      assert(gn === pairs.length.toLong)
+      assert(gc === expect, s"user $user: $gc vs $expect")
+    }
+  }
+
   test("exactCorrelationOver stays exact past the Long product range") {
     import spark.implicits._
     // 5e9-unit magnitudes: x*x ≈ 2.5e19 > Long.MaxValue — a Long
