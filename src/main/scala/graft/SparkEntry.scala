@@ -309,6 +309,7 @@ object SparkEntry {
     "q194_stream_scd2"       -> ((s, d) => graft.streaming.StreamCdc.scd2Stream(s, d)),
     "q195_ivm_dim_move"      -> ((s, d) => graft.operators.Ivm.nationRevenueDimMove(Tables(s, d))),
     "q196_lag_autocorr"      -> ((s, d) => Relational.userValueAutocorr(Tables(s, d))),
+    "q197_psi_drift"         -> ((s, d) => Relational.eventValuePsi(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1081,6 +1082,41 @@ object SparkEntry {
         | CASE WHEN dxx > 0 AND dyy > 0
         |   THEN dxy / (sqrt(dxx) * sqrt(dyy)) END AS autocorr
         |FROM d""".stripMargin,
+    // q197: PSI replayed with the identical Laplace smoothing, ln
+    // through DuckDB's own glibc-backed ln, per-term 2^-40
+    // quantization and exact integer sum (the q179 fold)
+    "q197_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00' AS b,
+        |    CAST(least(floor(value / 60.0), 9.0) AS INTEGER) AS k
+        |  FROM events),
+        |c AS (SELECT g, b, k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT g, CAST(t2.k AS INTEGER) AS k
+        |  FROM c, range(0, 10) t2(k)),
+        |f AS (
+        |  SELECT grid.g, grid.k,
+        |    COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+        |    na.n AS na, nb.n AS nb
+        |  FROM grid
+        |  LEFT JOIN c ca ON ca.g = grid.g AND ca.k = grid.k AND NOT ca.b
+        |  LEFT JOIN c cb ON cb.g = grid.g AND cb.k = grid.k AND cb.b
+        |  JOIN t na ON na.g = grid.g AND NOT na.b
+        |  JOIN t nb ON nb.g = grid.g AND nb.b),
+        |q AS (
+        |  SELECT g, na, nb,
+        |    CAST(floor(
+        |      (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)
+        |        - CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+        |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |           / (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)))
+        |      * 1099511627776.0 + 0.5) AS BIGINT) AS qt
+        |  FROM f)
+        |SELECT g AS event_type, na AS n_base, nb AS n_current,
+        |  CAST(SUM(qt) AS DOUBLE) / 1099511627776.0 AS psi
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
     // q109: gate contract like q107 — the HLL estimate is
     // engine-specific, its error bound is not
     "q109_approx_distinct_gate" ->

@@ -759,6 +759,17 @@ object Graft {
     graft.operators.Relational.groupedOlsOver(df, keyCol, xCol, yCol,
       xDecimals, yDecimals)
 
+  /** Population-stability-index drift (q197): per-group PSI between a
+    * baseline and a comparison period of one bucketed measure —
+    * Laplace-smoothed proportions (zero buckets finite by contract),
+    * glibc-exact ln, per-term 2⁻⁴⁰ quantization + exact integer sum
+    * (order-independent, engine-exact). Groups missing either period
+    * are dropped. Two narrow aggs + a \|groups\|·K grid join. */
+  def psiDrift(df: DataFrame, groupCol: Column, isB: Column,
+      bucketCol: Column, nBuckets: Int): DataFrame =
+    graft.operators.Relational.psiDriftOver(df, groupCol, isB, bucketCol,
+      nBuckets)
+
   /** Per-key lag-k autocorrelation (q196): one window pass pairs each
     * value with its k-step lag, then exact split-moment Pearson —
     * engine-exact, order-independent, NULL (never NaN) on constant

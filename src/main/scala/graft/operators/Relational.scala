@@ -1114,6 +1114,67 @@ object Relational {
       .withColumn("abs_dev", abs(col("freq") - col("expected")))
   }
 
+  // ── q197: population-stability-index drift (PSI) ────────────────────
+  /** PSI between a baseline period A and a comparison period B of one
+    * bucketed measure, per group — THE model-monitoring drift score
+    * (≥ 0.25 = "investigate" in every scoring-governance playbook),
+    * complementing q156's frequency-delta detector with the
+    * industry-standard scalar. PSI = Σ_buckets (p_B − p_A)·ln(p_B/p_A)
+    * over Laplace-smoothed proportions p = (c+1)/(n+K) (zero-count
+    * buckets are REAL drift signal and must not produce ±∞ — the
+    * smoothing is deterministic and replayed by the oracle, never an
+    * ε convention mismatch). Every term is non-negative, so the sum
+    * is monotone; each term is one fixed double chain through the
+    * glibc-exact ln, quantized at 2⁻⁴⁰ and summed as exact integers
+    * (the q179 entropy fold) — order-independent, engine-exact.
+    * Groups missing either period entirely are dropped (no baseline →
+    * no score). Scale: two narrow aggs + a |groups|·K grid join —
+    * map-side combinable, never a second data pass. */
+  def psiDriftOver(df: DataFrame, groupCol: Column, isB: Column,
+      bucketCol: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val Q = 1099511627776.0 // 2^40
+    val counts = df
+      .select(groupCol.as("g"), isB.as("b"), bucketCol.as("k"))
+      .groupBy(col("g"), col("b"), col("k")).agg(count(lit(1)).as("c"))
+    def side(flag: Boolean, cn: String) = counts
+      .filter(col("b") === flag)
+      .select(col("g"), col("k"), col("c").as(cn))
+    def total(flag: Boolean, nn: String) = counts
+      .filter(col("b") === flag)
+      .groupBy(col("g")).agg(sum(col("c")).as(nn))
+    val grid = counts.select(col("g")).distinct()
+      .select(col("g"),
+        explode(sequence(lit(0), lit(nBuckets - 1))).as("k"))
+    val pa = (coalesce(col("ca"), lit(0L)) + 1L).cast("double") /
+      (col("na") + nBuckets).cast("double")
+    val pb = (coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+      (col("nb") + nBuckets).cast("double")
+    val term = (pb - pa) * call_function("math_ln", pb / pa)
+    grid
+      .join(side(flag = false, "ca"), Seq("g", "k"), "left")
+      .join(side(flag = true, "cb"), Seq("g", "k"), "left")
+      .join(total(flag = false, "na"), Seq("g"))
+      .join(total(flag = true, "nb"), Seq("g"))
+      .select(col("g"), col("na"), col("nb"),
+        floor(term * lit(Q) + lit(0.5)).cast("long").as("__q"))
+      .groupBy(col("g"), col("na"), col("nb"))
+      .agg((sum(col("__q")).cast("double") / lit(Q)).as("psi"))
+  }
+
+  /** q197 fixture: per-event-type PSI of the value distribution,
+    * weeks 1–2 of January as baseline vs the rest of the month, over
+    * 10 fixed-width buckets (60-unit steps, top bucket open). */
+  def eventValuePsi(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    psiDriftOver(t.events, $"event_type",
+      $"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"),
+      least(floor($"value" / 60.0), lit(9.0)).cast("int"), nBuckets = 10)
+      .select($"g".as("event_type"), $"na".as("n_base"),
+        $"nb".as("n_current"), $"psi")
+      .orderBy($"event_type")
+  }
+
   /** P(d) = log10(1 + 1/d) = ln(1 + 1/d)/ln(10), d ∈ 1..9 — computed
     * through the glibc-exact [[graft.expr.GlibcLog]] so the oracle
     * can RECOMPUTE the same doubles with DuckDB's own ln instead of

@@ -170,4 +170,56 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.getLong(1) === 2L &&
       r.getLong(2) === 40L && r.getDouble(3) === 2.5)
   }
+
+  // ── PSI drift (q197) ────────────────────────────────────────────────
+
+  test("psi: identical distributions score exactly 0; shifts score > 0") {
+    import spark.implicits._
+    // group "same": A and B identically distributed over buckets 0/1
+    // → every smoothed p_A = p_B → each term ln(1) = 0 → PSI = 0.0
+    val same = Seq.tabulate(40)(i => ("same", i >= 20, i % 2))
+    // group "shift": A all in bucket 0, B all in bucket 1 — maximal
+    // movement; smoothing keeps every term finite
+    val shift = Seq.tabulate(40)(i => ("shift", i >= 20, if (i >= 20) 1 else 0))
+    // group "only_a": baseline only — must be DROPPED (no comparison)
+    val onlyA = Seq.tabulate(5)(i => ("only_a", false, i % 2))
+    val df = (same ++ shift ++ onlyA).toDF("g", "b", "k")
+    val got = Relational.psiDriftOver(df, col("g"), col("b"), col("k"), 4)
+      .orderBy("g").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("same", "shift"),
+      "a group missing period B must produce no row")
+    assert(got(0).getDouble(3) === 0.0, s"identical dists: ${got(0)}")
+    assert(got(1).getDouble(3) > 1.0, s"total shift must score large: ${got(1)}")
+    assert(got(0).getLong(1) === 20L && got(0).getLong(2) === 20L)
+    // zero-count buckets (2, 3) existed in the grid on both sides and
+    // produced finite terms — the smoothing contract
+    assert(!got(1).getDouble(3).isInfinite && !got(1).getDouble(3).isNaN)
+  }
+
+  test("psi matches a driver-side replay with the same smoothing and fold") {
+    import spark.implicits._
+    val got = Relational.eventValuePsi(sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val rows = sf001.events.select($"event_type", $"ts", $"value").collect()
+      .map(r => (r.getString(0),
+        !r.getTimestamp(1).before(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+        math.min(math.floor(r.getDouble(2) / 60.0), 9.0).toInt))
+    for ((g, grp) <- rows.groupBy(_._1)) {
+      val (bs, as_) = grp.partition(_._2)
+      val na = as_.length.toLong
+      val nb = bs.length.toLong
+      val psi = (0 until 10).map { k =>
+        val ca = as_.count(_._3 == k).toLong
+        val cb = bs.count(_._3 == k).toLong
+        val pa = (ca + 1).toDouble / (na + 10).toDouble
+        val pb = (cb + 1).toDouble / (nb + 10).toDouble
+        math.floor((pb - pa) * graft.expr.GlibcLog.log(pb / pa)
+          * 1099511627776.0 + 0.5).toLong
+      }.sum.toDouble / 1099511627776.0
+      val (gna, gnb, gpsi) = got(g)
+      assert(gna === na && gnb === nb)
+      assert(gpsi === psi, s"$g: $gpsi vs $psi")
+    }
+  }
 }
