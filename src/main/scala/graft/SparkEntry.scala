@@ -310,6 +310,7 @@ object SparkEntry {
     "q195_ivm_dim_move"      -> ((s, d) => graft.operators.Ivm.nationRevenueDimMove(Tables(s, d))),
     "q196_lag_autocorr"      -> ((s, d) => Relational.userValueAutocorr(Tables(s, d))),
     "q197_psi_drift"         -> ((s, d) => Relational.eventValuePsi(Tables(s, d))),
+    "q198_incr_golden"       -> ((s, d) => Relational.partGoldenRecordsIncremental(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2692,6 +2693,26 @@ object SparkEntry {
     // walk) + arg_max survivorship on the collision-free len·2³²−id
     // key — golden_id AND golden_name ride the same key
     "q157_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT p_partkey AS id, p_partkey AS label FROM part
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t),
+        |cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+        |SELECT cluster_id,
+        | arg_max(n.p_partkey, CAST(strlen(n.p_name) AS BIGINT)*4294967296 - n.p_partkey) AS golden_id,
+        | arg_max(n.p_name, CAST(strlen(n.p_name) AS BIGINT)*4294967296 - n.p_partkey) AS golden_name,
+        | COUNT(*) AS n_members
+        |FROM cc JOIN part n ON cc.id = n.p_partkey
+        |GROUP BY 1""".stripMargin,
+    // q198: the incremental resolution's truth IS q157's full-corpus
+    // oracle — the engine runs the two-step (persisted state + batch
+    // match-in), the oracle never sees the split
+    "q198_incr_golden" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
         |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey

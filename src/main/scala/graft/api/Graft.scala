@@ -759,6 +759,27 @@ object Graft {
     graft.operators.Relational.groupedOlsOver(df, keyCol, xCol, yCol,
       xDecimals, yDecimals)
 
+  /** Incremental entity resolution (q198): build/persist the canonical
+    * cluster state once, match new batches against it — CC over
+    * {cluster reps ∪ new ids} is EXACTLY the full recompute by graph
+    * condensation (welds included); survivorship re-derived for
+    * touched blocks only. Refresh O(new + members-of-touched-blocks). */
+  def buildErIndex(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDist: Int, table: String): Unit =
+    graft.operators.Relational.buildErIndex(df, idCol, blockCol, nameCol,
+      maxDist, table)
+
+  /** Match a new (id, block, name) batch against a persisted ER state;
+    * returns the updated golden table (identical to full recompute). */
+  def goldenRecordsIncrement(newDf: DataFrame, table: String,
+      maxDist: Int): DataFrame =
+    graft.operators.Relational.goldenRecordsIncrement(newDf, table, maxDist)
+
+  /** Roll a persisted ER state forward with a new batch — two-step ≡
+    * rebuild. */
+  def updateErIndex(newDf: DataFrame, table: String, maxDist: Int): Unit =
+    graft.operators.Relational.updateErIndex(newDf, table, maxDist)
+
   /** Population-stability-index drift (q197): per-group PSI between a
     * baseline and a comparison period of one bucketed measure —
     * Laplace-smoothed proportions (zero buckets finite by contract),

@@ -173,5 +173,9 @@ object PlanAuditSpec {
     "q194_stream_scd2",
     // builds the per-customer aggregate index on first construction
     // (q180's class); the move-fold plan is asserted by IvmSpec
-    "q195_ivm_dim_move")
+    "q195_ivm_dim_move",
+    // builds the persisted ER state (PassJoin + CC driver loop) on
+    // first construction and runs the incremental CC at query time —
+    // q157's class
+    "q198_incr_golden")
 }
