@@ -183,7 +183,13 @@ class IvmSpec extends SparkSpec {
     val perKey = Seq(("k1", 2L, 30L, 10L, 20L), ("k2", 1L, 5L, 5L, 5L),
       ("k3", 1L, 7L, 7L, 7L))
       .toDF("key", "n", "s", "mn", "mx")
-    perKey.write.mode("overwrite").saveAsTable("graft_test_dimmove_agg")
+    // drop + clear the location: the dir can survive from a previous
+    // test JVM whose in-memory catalog is gone (LOCATION_ALREADY_EXISTS)
+    spark.sql("DROP TABLE IF EXISTS graft_test_dimmove_agg")
+    graft.Tables.deleteRec(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_test_dimmove_agg"))
+    perKey.write.saveAsTable("graft_test_dimmove_agg")
     val view = Seq(("A", 3L, 35L), ("B", 1L, 7L)).toDF("g", "n", "s")
     // k2 moves A→B; k3 moves B→A; k9 (no facts) moves — contributes 0
     val delta = Seq(("k2", "A", "B"), ("k3", "B", "A"), ("k9", "A", "B"))
