@@ -311,6 +311,7 @@ object SparkEntry {
     "q196_lag_autocorr"      -> ((s, d) => Relational.userValueAutocorr(Tables(s, d))),
     "q197_psi_drift"         -> ((s, d) => Relational.eventValuePsi(Tables(s, d))),
     "q198_incr_golden"       -> ((s, d) => Relational.partGoldenRecordsIncremental(Tables(s, d))),
+    "q199_stream_dim_move"   -> ((s, d) => graft.streaming.StreamIvm.nationRevenueDimMoveStream(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2496,6 +2497,20 @@ object SparkEntry {
     // between nations, facts never read) must land on the identical
     // rollup
     "q195_ivm_dim_move" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total_price
+        |FROM orders JOIN c2 ON o_custkey = c_custkey
+        |JOIN nation ON nk = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // q199: the streaming fold of q195 — same post-move scratch oracle,
+    // blind to the micro-batch chunking (signed transfers are
+    // associative; the per-key index is static under moves)
+    "q199_stream_dim_move" ->
       """WITH c2 AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
         |       ELSE c_nationkey END AS nk

@@ -272,25 +272,39 @@ object Ivm {
     * over the post-move world. */
   private val dimMoveBuilt = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), String]()
-  def nationRevenueDimMove(t: Tables): DataFrame = {
+
+  /** The memoized per-customer aggregate index (q195/q199). */
+  private[graft] def ensureCustAggIndex(t: Tables): String = {
     import t.spark.implicits._
     val fp = Integer.toHexString(
       graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
-    val aggTable = dimMoveBuilt.computeIfAbsent(
-      (t.spark.sparkContext, fp), _ => {
-        val name = s"graft_ivm_cust_$fp"
-        buildAggIndex(t.orders, $"o_custkey",
-          floor($"o_totalprice" * 100 + 0.5).cast("long"), name)
-        name
-      })
-    val nationOf = t.nation.select($"n_nationkey", $"n_name")
-    val baseView = t.spark.table(aggTable)
+    dimMoveBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_ivm_cust_$fp"
+      buildAggIndex(t.orders, $"o_custkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long"), name)
+      name
+    })
+  }
+
+  /** The pre-move per-nation (g, n, s) view off the per-customer
+    * index (shared by q195 and the q199 stream). */
+  private[graft] def nationBaseView(t: Tables, aggTable: String): DataFrame = {
+    import t.spark.implicits._
+    t.spark.table(aggTable)
       .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
         $"key" === $"c_custkey")
-      .join(broadcast(nationOf), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.nation.select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("g"))
       .agg(sum($"n").as("n"), sum($"s").as("s"))
-    val delta = t.customer.filter($"c_custkey" % 89 === 0)
+  }
+
+  /** The deterministic customer-move delta (every c_custkey ≡ 0 mod
+    * 89 moves to nation (c_nationkey + 7) mod 25), named by n_name. */
+  private[graft] def nationMoveDelta(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val nationOf = t.nation.select($"n_nationkey", $"n_name")
+    t.customer.filter($"c_custkey" % 89 === 0)
       .select($"c_custkey".as("key"), $"c_nationkey",
         (($"c_nationkey" + 7) % 25).as("nk_new"))
       .join(broadcast(nationOf.select($"n_nationkey".as("c_nationkey"),
@@ -298,7 +312,12 @@ object Ivm {
       .join(broadcast(nationOf.select($"n_nationkey".as("nk_new"),
         $"n_name".as("g_new"))), Seq("nk_new"))
       .select($"key", $"g_old", $"g_new")
-    mergeDimMove(baseView, aggTable, delta)
+  }
+
+  def nationRevenueDimMove(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val aggTable = ensureCustAggIndex(t)
+    mergeDimMove(nationBaseView(t, aggTable), aggTable, nationMoveDelta(t))
       .select($"g".as("n_name"), $"n".as("n_orders"),
         ($"s".cast("double") / 100.0).as("total_price"))
       .orderBy($"n_name")

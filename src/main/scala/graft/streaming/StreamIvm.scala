@@ -16,6 +16,10 @@ case class ReplayFactChange(fkey: Long, change: String,
     key_old: Option[Long], q_old: Option[Long],
     key_new: Option[Long], q_new: Option[Long])
 
+/** One dimension-move row under replay ([[graft.operators.Ivm]]
+  * mergeDimMove delta shape). */
+case class ReplayDimMove(key: Long, g_old: String, g_new: String)
+
 /** Streaming aggregate-view maintenance — q167's batch IVM fed by a
   * stream: `foreachBatch` folds each micro-batch's map-side-combined
   * partials into the maintained per-group view with the same monoid
@@ -166,5 +170,57 @@ object StreamIvm {
         ($"mn".cast("double") / 100.0).as("min_price"),
         ($"mx".cast("double") / 100.0).as("max_price"))
       .orderBy($"o_custkey")
+  }
+
+  /** q199 — STREAMING dimension-move maintenance: q195's fold fed by a
+    * stream of SCD1 dim updates. The per-key aggregate index is STATIC
+    * under moves (a move changes a key's group, never its partial), so
+    * the per-batch fold is pure signed addition into the group view —
+    * associative across any chunking of a valid move log (each move's
+    * g_old is the key's group at its position in the log), which makes
+    * stream(b1…bk) ≡ one-shot batch(∪bᵢ) ≡ the post-move scratch
+    * rollup. q199's oracle is q195's verbatim; StreamIvmSpec pins the
+    * stream ≡ one-shot equality. Per batch: O(batch) view work + one
+    * narrow scan of the per-key index — facts never in the loop. */
+  def nationRevenueDimMoveStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val aggTable = Ivm.ensureCustAggIndex(t)
+    val moves = Ivm.nationMoveDelta(t).as[ReplayDimMove]
+      .collect().toSeq.sortBy(_.key)
+    val chunks =
+      if (moves.isEmpty) Seq(Seq.empty[ReplayDimMove])
+      else moves.grouped(math.max(1, (moves.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayDimMove]
+    @volatile var view: DataFrame =
+      Ivm.nationBaseView(Tables(ss, dir), aggTable).localCheckpoint(true)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_dimmove_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayDimMove], _: Long) =>
+        view = Ivm.mergeDimMove(view, aggTable, batch.toDF())
+          .localCheckpoint(true)
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    spark.createDataFrame(rows, view.schema)
+      .select($"g".as("n_name"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"))
+      .orderBy($"n_name")
   }
 }

@@ -177,5 +177,8 @@ object PlanAuditSpec {
     // builds the persisted ER state (PassJoin + CC driver loop) on
     // first construction and runs the incremental CC at query time —
     // q157's class
-    "q198_incr_golden")
+    "q198_incr_golden",
+    // streaming dim-move fold: foreachBatch replay (q177's class);
+    // per-batch plan is mergeDimMove, asserted by IvmSpec
+    "q199_stream_dim_move")
 }

@@ -65,4 +65,15 @@ class StreamIvmSpec extends SparkSpec {
     assert(streamed.exceptAll(truth).isEmpty && truth.exceptAll(streamed).isEmpty,
       "streamed retractable fold diverges from the surviving-facts aggregate")
   }
+
+  // ── streaming dimension-move fold (q199) ───────────────────────────
+
+  test("streamed dim-move fold equals the one-shot batch fold") {
+    val oneShot = graft.operators.Ivm.nationRevenueDimMove(sf001)
+    val streamed = StreamIvm.nationRevenueDimMoveStream(spark, sf001.dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "micro-batched dim-move fold diverges from the one-shot fold")
+  }
 }
