@@ -106,6 +106,9 @@ object Bench {
       // refreshed from the round-10 full-suite solo map (bench_full
       // "solo", 185 queries): descending solo cost, so no
       // multi-second query starts into a draining pool
+      // q198 builds the persisted ER state on first touch (q157's
+      // class) — launch it first
+      "q198_incr_golden",
       "q161_rrf_ann_gate", "q181_scc", "q157_golden_record",
       "q135_ann_pq_gate", "q163_sssp", "q85_pagerank", "q144_ppr",
       "q171_damerau_match", "q175_robust_outliers", "q151_hits",
@@ -146,7 +149,10 @@ object Bench {
       "q161_rrf_ann_gate", "q170_kcore", "q162_incr_dedup",
       // round 10: SCC's coloring phases and the ANN index build's
       // m+1 fits are the same many-small-sequential-jobs shape
-      "q181_scc", "q182_ann_index_gate")
+      "q181_scc", "q182_ann_index_gate",
+      // the incremental-ER build runs PassJoin + the CC driver loop
+      // on first touch — q157's latency-bound shape
+      "q198_incr_golden")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:
