@@ -160,8 +160,27 @@ object Cdc {
       .select(col("key") +: col("valid_from_us").as("us") +:
         lit(Long.MinValue).as("seq") +: lit("U").as("op") +:
         payload.map(col): _*)
+    // Fail-loud guard on the cut precondition (cheap, delta-bounded):
+    // the open version's valid_from_us is the us of its key's LAST
+    // prefix change, so a late change with us strictly below it cannot
+    // be "wholly after the prefix" — silently proceeding would weave
+    // the violator into immutable history (corrupt closed versions).
+    // Equal-us violations need the prefix's seq (not retained in the
+    // dim) and stay under the documented contract.
+    val openFrom = touchedDim.filter(col("is_current"))
+      .select(col("key"), col("valid_from_us").as("__open_from"))
+    val guardedLate = late
+      .join(openFrom, Seq("key"), "left")
+      .withColumn("us",
+        when(col("__open_from").isNull || col("us") >= col("__open_from"),
+          col("us"))
+        .otherwise(raise_error(concat(
+          lit("scd2Increment: late change predates its key's open "
+            + "version (cut precondition violated), key="),
+          col("key").cast("string"))).cast("long")))
+      .drop("__open_from")
     val re = scd2Over(pseudo.unionByName(
-      late.select(col("key") +: col("us") +: col("seq") +: col("op") +:
+      guardedLate.select(col("key") +: col("us") +: col("seq") +: col("op") +:
         payload.map(col): _*)))
     untouched.unionByName(closed).unionByName(re)
   }

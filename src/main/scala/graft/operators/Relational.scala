@@ -1295,14 +1295,23 @@ object Relational {
     * glibc-exact ln, quantized at 2⁻⁴⁰ and summed as exact integers
     * (the q179 entropy fold) — order-independent, engine-exact.
     * Groups missing either period entirely are dropped (no baseline →
-    * no score). Scale: two narrow aggs + a |groups|·K grid join —
+    * no score). A bucket value outside [0, nBuckets) fails LOUDLY: it
+    * would be counted in the period totals yet silently excluded from
+    * the K-bucket grid sum, understating PSI with no visible symptom
+    * (an unclamped bucketing expression — e.g. an un-floored lower
+    * bound going negative — is a caller bug, not a smaller drift).
+    * Scale: two narrow aggs + a |groups|·K grid join —
     * map-side combinable, never a second data pass. */
   def psiDriftOver(df: DataFrame, groupCol: Column, isB: Column,
       bucketCol: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val Q = 1099511627776.0 // 2^40
+    val kChecked = when(bucketCol >= 0 && bucketCol < nBuckets, bucketCol)
+      .otherwise(raise_error(concat(
+        lit(s"psiDriftOver: bucket value outside [0, $nBuckets): "),
+        bucketCol.cast("string"))).cast("int"))
     val counts = df
-      .select(groupCol.as("g"), isB.as("b"), bucketCol.as("k"))
+      .select(groupCol.as("g"), isB.as("b"), kChecked.as("k"))
       .groupBy(col("g"), col("b"), col("k")).agg(count(lit(1)).as("c"))
     def side(flag: Boolean, cn: String) = counts
       .filter(col("b") === flag)

@@ -682,12 +682,24 @@ object Similarity {
     * the corpus is not a delete, it's a compaction — which is
     * [[compactAnnIndex]], run on its own schedule exactly as LSM
     * stores do). Probes exclude tombstones via a broadcast anti-join;
-    * deleting an id twice (or one never indexed) is a no-op. */
+    * deleting an id twice (or one never indexed) is a no-op — and the
+    * sidecar stays BOUNDED by it: incoming ids are anti-joined against
+    * the existing tombstones before the append, so re-deleting a
+    * cohort adds zero rows (the sidecar's cardinality is ≤ the number
+    * of DISTINCT ids ever deleted, which is what keeps the probe's
+    * broadcast anti-join input O(deleted), not O(delete-calls)). */
   def deleteFromAnnIndex(ids: DataFrame, table: String): Unit = {
     val spark = ids.sparkSession
     val tomb = s"${table}_tombs"
-    val mode = if (spark.catalog.tableExists(tomb)) "append" else "errorifexists"
-    ids.select(col("vec_id")).distinct().write.mode(mode).saveAsTable(tomb)
+    val fresh = ids.select(col("vec_id")).distinct()
+    if (spark.catalog.tableExists(tomb)) {
+      // localCheckpoint breaks the lineage from the sidecar scan so
+      // the append never reads the table it is writing (tombstones
+      // are broadcast-small by contract, so this is a bounded spill)
+      fresh.join(broadcast(spark.table(tomb)), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+        .write.mode("append").saveAsTable(tomb)
+    } else fresh.write.mode("errorifexists").saveAsTable(tomb)
   }
 
   /** Rewrite the index dropping tombstoned rows, then clear the
@@ -699,18 +711,26 @@ object Similarity {
       table: String): Unit = {
     val tmp = s"${table}_compacting"
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    graft.Tables.deleteRec(new java.io.File(wh, tmp))
+    val tmpDir = new java.io.File(wh, tmp)
+    val liveDir = new java.io.File(wh, table)
+    graft.Tables.deleteRec(tmpDir)
+    // ONE write of the survivors, to a staging directory (path-level,
+    // no catalog entry — ALTER TABLE RENAME does not relocate managed
+    // files under the session catalog, so the swap is a directory
+    // move + re-register instead: metadata-only, no second rewrite).
     aliveIndex(spark, table)
-      .write.partitionBy("ivf_list").saveAsTable(tmp)
+      .write.partitionBy("ivf_list").parquet(tmpDir.getAbsolutePath)
+    // Swap window (drop → move → create) is metadata-only — the live
+    // name is absent for milliseconds, not for a corpus rewrite; on a
+    // crash inside it the compacted data survives intact under the
+    // staging dir and a re-run (which deletes + rewrites the staging
+    // dir first) restores the live table.
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    graft.Tables.deleteRec(new java.io.File(wh, table))
-    // two-step swap (write tmp → rewrite under the original name):
-    // ALTER TABLE RENAME does not relocate a managed table's files
-    // under the session catalog, so the rename-only swap reads empty
-    spark.table(tmp).write.partitionBy("ivf_list").saveAsTable(table)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    graft.Tables.deleteRec(new java.io.File(wh, tmp))
+    graft.Tables.deleteRec(liveDir)
+    require(tmpDir.renameTo(liveDir),
+      s"compactAnnIndex: could not move $tmpDir over $liveDir")
+    spark.sql(s"CREATE TABLE $table USING parquet LOCATION '${liveDir.toURI}'")
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombs")
     graft.Tables.deleteRec(new java.io.File(wh, s"${table}_tombs"))
   }

@@ -133,8 +133,37 @@ class AnnIndexSpec extends SparkSpec {
     val again = Similarity.annIndexProbe(spark, "graft_test_ann_del",
       probes, survivors).collect()
     assert(tombedRows.toSeq === again.toSeq, "re-delete changed the probe")
+    // the sidecar is bounded by DISTINCT deleted ids — the re-delete
+    // above must not have appended duplicate tombstone rows
+    val distinctDeleted = emb.filter($"vec_id" % 10 === 3).count()
+    assert(spark.table("graft_test_ann_del_tombs").count() === distinctDeleted,
+      "re-delete grew the tombstone sidecar past the distinct-id bound")
     // compaction: physical rewrite, identical answers, tombstones gone
-    Similarity.compactAnnIndex(spark, "graft_test_ann_del")
+    // — and exactly ONE data write (the swap is a directory move, not
+    // a second rewrite; counted via a write-command listener)
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wl = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.optimizedPlan.getClass.getSimpleName
+            .contains("InsertIntoHadoopFsRelationCommand"))
+          writes.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(wl)
+    try {
+      Similarity.compactAnnIndex(spark, "graft_test_ann_del")
+      // listener delivery is async on the shared bus — settle
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (writes.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // catch a late second write, if any
+      assert(writes.get() === 1,
+        s"compaction must write the survivors exactly once, saw ${writes.get()}")
+    } finally spark.listenerManager.unregister(wl)
     assert(!spark.catalog.tableExists("graft_test_ann_del_tombs"),
       "compaction must clear the tombstone sidecar")
     assert(spark.table("graft_test_ann_del")
@@ -144,6 +173,16 @@ class AnnIndexSpec extends SparkSpec {
       probes, survivors).collect()
     assert(tombedRows.toSeq === compacted.toSeq,
       "compaction changed probe results")
+    // the re-registered (path-swapped) table stays a full lifecycle
+    // citizen: frozen-quantizer appends land in it and are probe-visible
+    val preAppend = spark.table("graft_test_ann_del").count()
+    Similarity.updateAnnIndex(
+      sf001.embeddings.filter($"vec_id" < 8)
+        .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding"),
+      $"vec_id", $"embedding", "graft_test_ann_del")
+    // 8 vectors × nAssign=3 multi-assignment rows each
+    assert(spark.table("graft_test_ann_del").count() === preAppend + 24,
+      "append after compaction did not land in the swapped table")
   }
 
   test("q189 gate: post-delete recall >= 0.9 at sf0.001") {

@@ -190,6 +190,26 @@ class CdcSpec extends SparkSpec {
       "a live-state-equal late upsert must change nothing")
   }
 
+  test("scd2Increment fails loudly when a late change predates the open version") {
+    import spark.implicits._
+    val dim = Cdc.scd2Over(log)
+    // key 1's open version starts at us=500 — a "late" change at
+    // us=400 violates the cut precondition and must raise, not weave
+    // itself into immutable history
+    val bad = Seq((1L, 400L, 95L, "U", 7.5, "bad"))
+      .toDF("key", "us", "seq", "op", "value", "etype")
+    val e = intercept[Exception] {
+      Cdc.scd2Increment(dim, bad).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("cut precondition"),
+      s"expected the cut-precondition raise, got: ${e.getMessage}")
+    // an equal-us late change (seq-ordered after) stays legal
+    val ok = Seq((1L, 500L, 95L, "U", 7.5, "ok"))
+      .toDF("key", "us", "seq", "op", "value", "etype")
+    assert(Cdc.scd2Increment(dim, ok).count() > 0)
+  }
+
   // ── point-in-time lookup (q186) ────────────────────────────────────
 
   test("pointInTimeLookup: strict-prior, gap, and tie semantics") {

@@ -196,6 +196,20 @@ class DataQualitySpec extends SparkSpec {
     assert(!got(1).getDouble(3).isInfinite && !got(1).getDouble(3).isNaN)
   }
 
+  test("psi fails loudly on a bucket value outside [0, nBuckets)") {
+    import spark.implicits._
+    // an out-of-range bucket would inflate the period totals while
+    // silently missing from the K-bucket grid — understated PSI with
+    // no symptom; the operator must raise instead
+    val df = (Seq.tabulate(20)(i => ("g", i >= 10, i % 3)) :+ ("g", true, -1))
+      .toDF("g", "b", "k")
+    val e = intercept[Exception] {
+      Relational.psiDriftOver(df, col("g"), col("b"), col("k"), 4).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("outside [0, 4)"),
+      s"expected the range raise, got: ${e.getMessage}")
+  }
+
   test("psi matches a driver-side replay with the same smoothing and fold") {
     import spark.implicits._
     val got = Relational.eventValuePsi(sf001).collect()
