@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import java.util.concurrent.Executors
 import scala.concurrent._
@@ -51,6 +52,48 @@ object Bench {
     f.getAbsolutePath
   }
 
+  // ── machine calibration ─────────────────────────────────────────────
+  // The bench wall is only comparable across runs if the machine is —
+  // and round 10 measured the same code at 67.8 s / 97.4 s / 122.0 s
+  // purely from host-state drift, leaving the 2×-of-baseline gate
+  // unfalsifiable. So every artifact now embeds a deterministic
+  // calibration probe: a constant-row, constant-plan, in-memory
+  // xxhash64 fold (no I/O, no shuffle — pure codegen'd CPU) timed
+  // solo at 1 task and at 32 tasks, min-of-3 after an untimed JIT
+  // pass. The emitted JSON carries the measured walls (calib_1t /
+  // calib_32t, plus a post-lanes calib_post_32t so drift DURING the
+  // run is visible too) alongside the pinned reference walls from the
+  // machine state the board's trajectory is anchored to, and a
+  // calibration-NORMALIZED total (value_norm = value · ref/measured on
+  // the 32-task probe — the lanes are 32-thread-throughput-bound, so
+  // the wide probe is the right scale) — the number the board quotes.
+  private val CalibRows1t = 120000000L // ~1–2 s/task at the anchor state
+
+  /** Reference probe walls, pinned on the round-11 build machine state
+    * (2026-08-16, local[32], Java 17; measured across 3 Bench launches:
+    * 32t stable at 2.60–2.68, 1t noisier at 1.77–2.19 — the 32t probe
+    * is the normalizer precisely because it is the stable one). A
+    * future run on this state reads calib_factor ≈ 1.0; a degraded or
+    * recovered host scales the normalized totals back onto this
+    * anchor. Re-anchor ONLY with a board note — these constants are
+    * what make cross-round totals comparable. */
+  private val CalibRef1t = 1.90
+  private val CalibRef32t = 2.62
+
+  private def calibProbe(spark: SparkSession, parts: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds each term to [0, 1e9) so the ANSI-checked sum can
+      // never overflow (≤ 3.84e9 rows · 1e9 < 2⁶³)
+      spark.range(0, CalibRows1t * parts, 1, parts)
+        .select(pmod(xxhash64(xxhash64(col("id"))), lit(1000000007L)).as("h"))
+        .agg(sum(col("h"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // untimed: JIT + codegen
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the whole machine — the bench target is local[32]
@@ -94,6 +137,13 @@ object Bench {
       Tables.warmLayout(spark, sfDir)
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+
+    // calibration probes run SOLO, after warm-up (JIT settled), before
+    // any lane — and once more after everything, so intra-run drift is
+    // in the artifact too. SPARK_GRAFT_CALIB=0 skips (quick iterations).
+    val doCalib = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
+    val calib1t = if (doCalib) calibProbe(spark, 1) else -1.0
+    val calib32t = if (doCalib) calibProbe(spark, 32) else -1.0
 
     implicit val ec: ExecutionContextExecutorService =
       ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(streams))
@@ -216,6 +266,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SOLO", "1") == "0") Map.empty
       else names.map(runQuery).toMap
     val soloWall = if (solo.isEmpty) 0.0 else (System.nanoTime() - soloT0) / 1e9
+    val calibPost32t = if (doCalib) calibProbe(spark, 32) else -1.0
 
     // median over the passes, per query and for the wall; a failure
     // (-1) in ANY pass surfaces as -1 rather than being median'd away
@@ -233,9 +284,23 @@ object Bench {
       .mapValues(ts => if (ts.exists(_._2 < 0)) -1.0 else median(ts.map(_._2)))
     def fmt(d: Double): String =
       if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // calibration-normalized totals: scale by ref/measured on the
+    // 32-task probe (the lanes are throughput-bound at 32 threads).
+    // A degraded host reads calib_32t > ref → value_norm < value; the
+    // board's headline is value_norm, raw stays alongside.
+    val calibFactor = if (calib32t > 0) calib32t / CalibRef32t else -1.0
+    def norm(x: Double): Double = if (calibFactor > 0) x / calibFactor else -1.0
+    val calibJson =
+      s""""calib_1t":${fmt(calib1t)},"calib_32t":${fmt(calib32t)},""" +
+        s""""calib_post_32t":${fmt(calibPost32t)},""" +
+        s""""calib_ref_1t":${fmt(CalibRef1t)},"calib_ref_32t":${fmt(CalibRef32t)},""" +
+        s""""calib_factor":${fmt(calibFactor)},""" +
+        s""""value_norm":${fmt(norm(wall))},"batch_lane_norm":${fmt(norm(batchWall))},""" +
+        s""""replay_lane_norm":${fmt(norm(replayWall))},"""
     def line(qmap: Seq[String], extra: String): String =
       s"""{"metric":"total","value":${fmt(wall)},"unit":"sec",""" +
         s""""batch_lane_sec":${fmt(batchWall)},"replay_lane_sec":${fmt(replayWall)},""" +
+        calibJson +
         s""""queries":${qmap.mkString("{", ",", "}")},""" +
         s""""n_queries":${names.length},"streams":$streams,"passes":$passes,"sf":"$sfDir"$extra}"""
     // The FULL per-query map goes to a file: the driver's artifact
