@@ -312,6 +312,7 @@ object SparkEntry {
     "q197_psi_drift"         -> ((s, d) => Relational.eventValuePsi(Tables(s, d))),
     "q198_incr_golden"       -> ((s, d) => Relational.partGoldenRecordsIncremental(Tables(s, d))),
     "q199_stream_dim_move"   -> ((s, d) => graft.streaming.StreamIvm.nationRevenueDimMoveStream(s, d)),
+    "q200_multi_ivm"         -> ((s, d) => graft.operators.MultiIvm.multiMeasureRollup(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2521,6 +2522,42 @@ object SparkEntry {
         |FROM orders JOIN c2 ON o_custkey = c_custkey
         |JOIN nation ON nk = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // q200: the multi-measure view's oracle aggregates the surviving
+    // post-delta facts from scratch — count, sum, avg, variance (via
+    // the 2³⁰-split exact square sums, recombined with the identical
+    // double op pair), a second sum, and a count-distinct the engine
+    // maintains off the multiplicity sidecar. q*q // 2³⁰ with // on
+    // non-negative squares is DuckDB's exact floor split, matching the
+    // engine's shiftright/bitmask pair bit for bit.
+    "q200_multi_ivm" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p FROM orders),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q,
+        |  u,
+        |  CASE WHEN fkey % 97 = 1 THEN '9-REPRICED' ELSE p END AS p
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55, u + 3, '0-NEW' FROM f WHERE fkey % 97 = 3),
+        |agg AS (
+        | SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(SUM(u) AS BIGINT) AS su,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM surv GROUP BY key)
+        |SELECT key AS o_custkey, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | su AS sum_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
     // q181: SCC checked against the DEFINITION, not a replay of the
     // engine's rounds — a recursive-CTE transitive closure (seeded
     // with the reflexive pairs) and scc(v) = min{u : u→*v ∧ v→*u};

@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-measure, composable incremental view maintenance — the
+  * generalization round 10's [[Ivm]] family deliberately deferred:
+  * that family hard-wires ONE group key and ONE measure per view
+  * (`Ivm.scala`'s (key, n, s, mn, mx) / (fkey, key, q) contracts), so
+  * every real warehouse view — several sums, an average, a variance,
+  * a count-distinct — meant hand-building a second view per measure.
+  * This operator maintains ONE view carrying an arbitrary LIST of
+  * measures, under the full I/D/U change algebra including group
+  * moves (an update whose key_old ≠ key_new), with cost bounded by
+  * the delta — never the fact history.
+  *
+  * The measure algebra, per declared measure column m (an exact
+  * integer-quantized column, the [[Ivm]] convention):
+  *
+  *  - `n` (count) and `s_m` (sum) are group elements — retract by
+  *    signed addition, one map-side-combined agg over the delta.
+  *  - `ssh_m`/`ssl_m` (sum of squares, floor-split at 2³⁰) make
+  *    avg/variance/stddev derivable EXACTLY: the split keeps every
+  *    partial on the int64 path of both engines (the q192
+  *    split-moment recipe — an unsplit Σq² overflows 2⁶³ at scale,
+  *    and DuckDB's hugeint→double cast is off by 1 ULP there), and
+  *    squares are ≥ 0, so hi = q² >> 30 and lo = q² & (2³⁰−1) is the
+  *    exact floor split; the parts are themselves group elements
+  *    (componentwise signed addition preserves hi·2³⁰ + lo = Σq²
+  *    without any carry normalization, because the identity is linear
+  *    in both parts). Domain (ANSI fails loudly beyond): |q| < 2³¹·⁵
+  *    so q² fits a long.
+  *  - `cd_d` (count-distinct of a declared column d) is NOT a group
+  *    element — a delete only lowers the distinct count if it removed
+  *    the LAST occurrence of its value. The standard production
+  *    treatment is a per-(key, value) MULTIPLICITY sidecar (the
+  *    q162-style persisted index, bucketed by key): a delta folds in
+  *    as signed multiplicities, values whose multiplicity crosses
+  *    zero change the count, and the updated count is re-derived for
+  *    ONLY the touched keys by one zero-exchange pass over their
+  *    sidecar rows. A retraction below multiplicity zero is a phantom
+  *    delete and fails loudly.
+  *
+  * Scale posture (MultiIvmSpec plan-asserts all of it): the persisted
+  * view, the multiplicity sidecars, and the merge joins all live on
+  * the SAME bucketed-by-key layout, so no persisted row ever crosses
+  * an exchange — the only shuffles in a refresh are the delta's own
+  * partial aggregations. Refresh cost: O(delta + sidecar-rows-of-
+  * touched-keys), independent of history size.
+  */
+object MultiIvm {
+
+  private val S = 1L << 30
+  private val DeltaMeta = Seq("fkey", "change", "key_old", "key_new")
+
+  private def sq(c: Column): Column = c * c
+  private def sqHi(c: Column): Column = shiftright(sq(c), 30)
+  private def sqLo(c: Column): Column = sq(c).bitwiseAND(lit(S - 1))
+
+  /** The view's column list for a measure/distinct declaration. */
+  def viewColumns(measures: Seq[String], distincts: Seq[String]): Seq[String] =
+    "key" +: "n" +:
+      (measures.flatMap(m => Seq(s"s_$m", s"ssh_$m", s"ssl_$m")) ++
+        distincts.map(d => s"cd_$d"))
+
+  /** Per-group partials of every declared measure over a
+    * `(fkey, key, measures..., distincts...)` fact frame. Distinct
+    * columns must be non-null (a NULL neither counts as a value nor
+    * retracts one — declare a sentinel instead). */
+  def multiPartials(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame = {
+    val aggs =
+      (count(lit(1)).as("n") +:
+        measures.flatMap(m => Seq(
+          sum(col(m)).as(s"s_$m"),
+          sum(sqHi(col(m))).as(s"ssh_$m"),
+          sum(sqLo(col(m))).as(s"ssl_$m")))) ++
+        distincts.map(d => count_distinct(col(d)).as(s"cd_$d"))
+    facts.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the multi-measure view bucketed by key, plus one
+    * per-(key, value) multiplicity sidecar per distinct column
+    * (`${table}_mult_<d>`, same bucket layout — co-located with the
+    * view so the whole refresh plans exchange-free on the persisted
+    * side). */
+  def buildMultiView(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String, buckets: Int = 8): Unit = {
+    val spark = facts.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def clear(n: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    clear(table)
+    multiPartials(facts, measures, distincts)
+      .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
+    distincts.foreach { d =>
+      val mt = s"${table}_mult_$d"
+      clear(mt)
+      facts.groupBy(col("key"), col(d).as("v"))
+        .agg(count(lit(1)).as("m"))
+        .write.bucketBy(buckets, "key").sortBy("key", "v").saveAsTable(mt)
+    }
+  }
+
+  /** The signed multiplicity contribution of a delta for distinct
+    * column d: one (key, v, dm) row per touched (group, value). */
+  private def multDelta(retracts: DataFrame, adds: DataFrame,
+      d: String): DataFrame =
+    retracts.select(col("key_old").as("key"), col(s"old_$d").as("v"),
+        lit(-1L).as("dm"))
+      .unionByName(adds.select(col("key_new").as("key"),
+        col(s"new_$d").as("v"), lit(1L).as("dm")))
+      .groupBy(col("key"), col("v")).agg(sum(col("dm")).as("dm"))
+
+  /** Updated multiplicity rows for the keys a delta touches — the
+    * sidecar's own roll-forward (write these back over the touched
+    * keys' rows to absorb the delta durably; signed multiplicities
+    * are associative, so any chunking of a change log folds to the
+    * same state — MultiIvmSpec proves two-chunk ≡ one-shot). Rows
+    * whose multiplicity reaches zero drop out; below zero raises. */
+  def updatedMultiplicities(delta: DataFrame, mult: DataFrame,
+      d: String): DataFrame = {
+    val retracts = delta.filter(col("change").isin("D", "U"))
+    val adds = delta.filter(col("change").isin("I", "U"))
+    val touched = retracts.select(col("key_old").as("key"))
+      .unionByName(adds.select(col("key_new").as("key"))).distinct()
+    val m2 = coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L))
+    mult.join(broadcast(touched), Seq("key"), "left_semi").as("c")
+      .hint("merge")
+      .join(multDelta(retracts, adds, d).as("d"), Seq("key", "v"),
+        "full_outer")
+      .select(col("key"), col("v"),
+        when(m2 >= 0, m2).otherwise(raise_error(concat(
+          lit(s"MultiIvm: negative multiplicity for $d — delta retracts "
+            + "a value the group never held, key="),
+          col("key").cast("string"))).cast("long")).as("m"))
+      .filter(col("m") > 0)
+  }
+
+  /** Fold a fact-level change set into the persisted multi-measure
+    * view. `delta` is one row per changed fact: `(fkey, change
+    * 'I'|'D'|'U', key_old, key_new, old_<c>, new_<c> …)` for every
+    * declared measure and distinct column — old side NULL for I, new
+    * side NULL for D, an update carrying FULL old and new images
+    * (and moving groups when key_old ≠ key_new). Returns the updated
+    * view over the surviving facts; emptied groups drop out; phantom
+    * retractions (count or multiplicity below zero) fail loudly. */
+  def mergeMultiDelta(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String): DataFrame = {
+    val spark = delta.sparkSession
+    mergeMultiDeltaFrames(delta, measures, distincts, spark.table(table),
+      distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap)
+  }
+
+  /** Frame-level core of [[mergeMultiDelta]] — the table entry point
+    * reads the persisted bucketed layouts; a streaming fold could
+    * pass its rolled-forward frames through the same algebra. */
+  def mergeMultiDeltaFrames(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], view: DataFrame,
+      mults: Map[String, DataFrame]): DataFrame = {
+    val expect = DeltaMeta ++
+      (measures ++ distincts).flatMap(c => Seq(s"old_$c", s"new_$c"))
+    require(delta.columns.sameElements(expect),
+      s"delta must be $expect: ${delta.columns.toSeq}")
+    require(view.columns.sameElements(viewColumns(measures, distincts)),
+      s"view must be ${viewColumns(measures, distincts)}: " +
+        s"${view.columns.toSeq}")
+    val retracts = delta.filter(col("change").isin("D", "U"))
+    val adds = delta.filter(col("change").isin("I", "U"))
+    // signed count/sum/split-square contributions — ONE map-side-
+    // combined agg over the delta (the only pass over delta rows)
+    val sgnCols = measures.flatMap { m =>
+      Seq((-col(s"old_$m")).as(s"c_s_$m"),
+        (-sqHi(col(s"old_$m"))).as(s"c_ssh_$m"),
+        (-sqLo(col(s"old_$m"))).as(s"c_ssl_$m"))
+    }
+    val addCols = measures.flatMap { m =>
+      Seq(col(s"new_$m").as(s"c_s_$m"),
+        sqHi(col(s"new_$m")).as(s"c_ssh_$m"),
+        sqLo(col(s"new_$m")).as(s"c_ssl_$m"))
+    }
+    val dns = retracts
+      .select(col("key_old").as("key") +: lit(-1L).as("c_n") +: sgnCols: _*)
+      .unionByName(adds
+        .select(col("key_new").as("key") +: lit(1L).as("c_n") +: addCols: _*))
+      .groupBy(col("key"))
+      .agg(sum(col("c_n")).as("dn"),
+        measures.flatMap(m => Seq(
+          sum(col(s"c_s_$m")).as(s"ds_$m"),
+          sum(col(s"c_ssh_$m")).as(s"dssh_$m"),
+          sum(col(s"c_ssl_$m")).as(s"dssl_$m"))): _*)
+    // per-distinct: re-derive the touched keys' counts off the updated
+    // multiplicities (zero-exchange over the bucketed sidecar; the
+    // count agg rides the join's existing key partitioning)
+    val cdNews = distincts.map { d =>
+      updatedMultiplicities(delta, mults(d), d)
+        .groupBy(col("key")).agg(count(lit(1)).as(s"__cd_$d"))
+    }
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    val joined = cdNews.foldLeft(
+      view.as("v").hint("merge").join(dns.as("d"), Seq("key"), "full_outer")) {
+      (acc, cdn) => acc.join(cdn, Seq("key"), "left")
+    }
+    val outCols =
+      when(n2 >= 0, n2).otherwise(raise_error(concat(
+        lit("MultiIvm: negative count — delta retracts a fact the view "
+          + "never held, key="), col("key").cast("string")))
+        .cast("long")).as("n") +:
+      (measures.flatMap(m => Seq(
+        (coalesce(col(s"v.s_$m"), lit(0L)) +
+          coalesce(col(s"ds_$m"), lit(0L))).as(s"s_$m"),
+        (coalesce(col(s"v.ssh_$m"), lit(0L)) +
+          coalesce(col(s"dssh_$m"), lit(0L))).as(s"ssh_$m"),
+        (coalesce(col(s"v.ssl_$m"), lit(0L)) +
+          coalesce(col(s"dssl_$m"), lit(0L))).as(s"ssl_$m"))) ++
+        // touched keys (with survivors) always have a re-derived
+        // count; untouched keys keep the view's — coalesce order IS
+        // the routing
+        distincts.map(d =>
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+    joined.select(col("key") +: outCols: _*).filter(col("n") > 0)
+  }
+
+  // ── q200 fixture: per-customer multi-measure order view ─────────────
+
+  /** Orders as a multi-measure fact frame: cents (exact price),
+    * units (a second sum measure, deterministic from the key so the
+    * oracle replays it), priority (distinct-counted). */
+  private[graft] def orderMultiFacts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders.select($"o_orderkey".as("fkey"), $"o_custkey".as("key"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      ($"o_orderkey" % 1000).cast("long").as("units"),
+      $"o_orderpriority".as("prio"))
+  }
+
+  private val Measures = Seq("cents", "units")
+  private val Distincts = Seq("prio")
+
+  /** q200's deterministic change set (the q180 residue recipe, widened
+    * to carry every measure's old/new image and exercise the
+    * multiplicity index): per fkey mod 97 —
+    *  0 → 'D' delete;
+    *  1 → 'U' reprice (+12345 cents) AND re-prioritize to
+    *      '9-REPRICED' (retracts one multiplicity, adds a NEW value);
+    *  2 → 'U' MOVE to key+1, payload unchanged (pure group transfer);
+    *  3 → 'I' new fact at fkey+2³¹: cents+55, units+3, prio '0-NEW'. */
+  private[graft] def orderMultiDelta(f: DataFrame): DataFrame = {
+    val nl = lit(null).cast("long")
+    val ns = lit(null).cast("string")
+    f.filter(col("fkey") % 97 === 0)
+      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
+        nl.as("key_new"), col("cents").as("old_cents"), nl.as("new_cents"),
+        col("units").as("old_units"), nl.as("new_units"),
+        col("prio").as("old_prio"), ns.as("new_prio"))
+      .unionByName(f.filter(col("fkey") % 97 === 1)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          col("key").as("key_new"), col("cents").as("old_cents"),
+          (col("cents") + 12345L).as("new_cents"),
+          col("units").as("old_units"), col("units").as("new_units"),
+          col("prio").as("old_prio"), lit("9-REPRICED").as("new_prio")))
+      .unionByName(f.filter(col("fkey") % 97 === 2)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          (col("key") + 1L).as("key_new"), col("cents").as("old_cents"),
+          col("cents").as("new_cents"), col("units").as("old_units"),
+          col("units").as("new_units"), col("prio").as("old_prio"),
+          col("prio").as("new_prio")))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select((col("fkey") + 2147483648L).as("fkey"), lit("I").as("change"),
+          nl.as("key_old"), col("key").as("key_new"), nl.as("old_cents"),
+          (col("cents") + 55L).as("new_cents"), nl.as("old_units"),
+          (col("units") + 3L).as("new_units"), ns.as("old_prio"),
+          lit("0-NEW").as("new_prio")))
+  }
+
+  private val multiBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+
+  /** q200: the per-customer view — count, total/avg/variance of price
+    * (split exact moments), a second sum, and a count-distinct of
+    * order priority — maintained under the I/D/U+move change set.
+    * Base view and multiplicity sidecar build once (memoized); the
+    * delta folds in at query time touching only its own groups' state.
+    * Must hash-equal the oracle's from-scratch aggregate over the
+    * surviving facts. Presented stats are each ONE fixed double chain
+    * (avg = (s/100)/n, var = ((Σq² − s²/n)/n)/10⁴ in dollars²) the
+    * oracle replays op for op. */
+  def multiMeasureRollup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    val table = multiBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_mivm_$fp"
+      buildMultiView(orderMultiFacts(t), Measures, Distincts, name)
+      name
+    })
+    val merged = mergeMultiDelta(orderMultiDelta(orderMultiFacts(t)),
+      Measures, Distincts, table)
+    val nD = $"n".cast("double")
+    val sD = $"s_cents".cast("double")
+    val ssq = $"ssh_cents".cast("double") * lit(S.toDouble) +
+      $"ssl_cents".cast("double")
+    merged.select($"key".as("o_custkey"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      $"s_units".as("sum_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"o_custkey")
+  }
+}

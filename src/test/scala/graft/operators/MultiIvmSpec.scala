@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q200: multi-measure IVM — merge ≡ from-scratch over survivors,
+  * multiplicity-index count-distinct transitions, chunked fold
+  * associativity, phantom retraction raises, and the no-persisted-row-
+  * crosses-an-exchange plan contract. */
+class MultiIvmSpec extends SparkSpec {
+
+  private val Ms = Seq("cents", "units")
+  private val Ds = Seq("prio")
+
+  private def facts = MultiIvm.orderMultiFacts(sf001)
+
+  private def scratchOver(f: DataFrame) =
+    MultiIvm.multiPartials(f, Ms, Ds)
+
+  /** The post-delta surviving facts, derived independently of the
+    * merge algebra (replays the residue recipe row-wise). */
+  private def survivors: DataFrame = {
+    val f = facts
+    f.filter(col("fkey") % 97 =!= 0)
+      .select(
+        when(col("fkey") % 97 === 2, col("key") + 1).otherwise(col("key")).as("key"),
+        (col("cents") + when(col("fkey") % 97 === 1, 12345L).otherwise(0L)).as("cents"),
+        col("units"),
+        when(col("fkey") % 97 === 1, "9-REPRICED").otherwise(col("prio")).as("prio"))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select(col("key"), (col("cents") + 55L).as("cents"),
+          (col("units") + 3L).as("units"), lit("0-NEW").as("prio")))
+      .withColumn("fkey", lit(0L)).select("fkey", "key", "cents", "units", "prio")
+  }
+
+  test("merged multi-measure view equals the from-scratch aggregate over survivors") {
+    MultiIvm.buildMultiView(facts, Ms, Ds, "graft_test_mivm")
+    val merged = MultiIvm.mergeMultiDelta(
+      MultiIvm.orderMultiDelta(facts), Ms, Ds, "graft_test_mivm")
+    val scratch = scratchOver(survivors)
+    assert(merged.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(merged).isEmpty,
+      "multi-measure merge diverges from the scratch aggregate")
+  }
+
+  test("count-distinct transitions on a hand fixture: drop-to-zero, new value, move") {
+    import spark.implicits._
+    // group A holds values {x:2, y:1}; group B holds {x:1}
+    val base = Seq(
+      (1L, "A", 10L, 1L, "x"), (2L, "A", 20L, 2L, "x"),
+      (3L, "A", 30L, 3L, "y"), (4L, "B", 40L, 4L, "x"))
+      .toDF("fkey", "key", "cents", "units", "prio")
+    val view = scratchOver(base)
+    val mult = base.groupBy($"key", $"prio".as("v"))
+      .agg(count(lit(1)).as("m"))
+    val nl = lit(null).cast("long")
+    val ns = lit(null).cast("string")
+    // delete fkey 3 (A loses its last 'y' → cd 2→1), move fkey 4 to A
+    // (B empties; A's 'x' multiplicity 2→3, cd unchanged), insert a
+    // 'z' into A (cd 1→... after delete: {x}∪{z} = 2)
+    val delta = Seq(3L, 4L, 5L).toDF("fkey")
+      .withColumn("change",
+        when($"fkey" === 3, "D").when($"fkey" === 4, "U").otherwise("I"))
+      .withColumn("key_old",
+        when($"fkey" === 3, "A").when($"fkey" === 4, "B").otherwise(ns))
+      .withColumn("key_new", when($"fkey" === 3, ns).otherwise("A"))
+      .withColumn("old_cents",
+        when($"fkey" === 3, 30L).when($"fkey" === 4, 40L).otherwise(nl))
+      .withColumn("new_cents",
+        when($"fkey" === 4, 40L).when($"fkey" === 5, 50L).otherwise(nl))
+      .withColumn("old_units",
+        when($"fkey" === 3, 3L).when($"fkey" === 4, 4L).otherwise(nl))
+      .withColumn("new_units",
+        when($"fkey" === 4, 4L).when($"fkey" === 5, 5L).otherwise(nl))
+      .withColumn("old_prio",
+        when($"fkey" === 3, "y").when($"fkey" === 4, "x").otherwise(ns))
+      .withColumn("new_prio", when($"fkey" === 3, ns).otherwise(
+        when($"fkey" === 4, "x").otherwise("z")))
+    val merged = MultiIvm.mergeMultiDeltaFrames(delta, Ms, Ds, view,
+      Map("prio" -> mult))
+    val got = merged.orderBy("key")
+      .select("key", "n", "s_cents", "s_units", "cd_prio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // A: rows {10x, 20x, 40x(moved), 50z} → n=4, s=120, u=1+2+4+5=12, cd={x,z}=2
+    assert(got === List(("A", 4L, 120L, 12L, 2L)), s"got $got")
+  }
+
+  test("chunked multiplicity fold equals one-shot (associativity)") {
+    MultiIvm.buildMultiView(facts, Ms, Ds, "graft_test_mivm_assoc")
+    val delta = MultiIvm.orderMultiDelta(facts)
+    val mult = spark.table("graft_test_mivm_assoc_mult_prio")
+    val oneShot = MultiIvm.updatedMultiplicities(delta, mult, "prio")
+    // chunk by fkey parity; chunk 2 folds into chunk 1's rolled-forward
+    // sidecar (untouched-by-1 keys' rows pass through via the union of
+    // the untouched slice — the write-back a production roll does)
+    val d1 = delta.filter(col("fkey") % 2 === 0)
+    val d2 = delta.filter(col("fkey") % 2 === 1)
+    val touched1 = d1.select(col("key_old").as("key"))
+      .where(col("key_old").isNotNull)
+      .unionByName(d1.select(col("key_new").as("key"))
+        .where(col("key_new").isNotNull)).distinct()
+    val rolled1 = mult.join(touched1, Seq("key"), "left_anti")
+      .unionByName(MultiIvm.updatedMultiplicities(d1, mult, "prio"))
+    val twoStep = MultiIvm.updatedMultiplicities(d2, rolled1, "prio")
+    // compare on the union of both steps' touched keys (the one-shot
+    // result only carries ITS touched keys)
+    val touchedAll = delta.select(col("key_old").as("key"))
+      .where(col("key_old").isNotNull)
+      .unionByName(delta.select(col("key_new").as("key"))
+        .where(col("key_new").isNotNull)).distinct()
+    val touched2 = d2.select(col("key_old").as("key"))
+      .where(col("key_old").isNotNull)
+      .unionByName(d2.select(col("key_new").as("key"))
+        .where(col("key_new").isNotNull)).distinct()
+    // keys updated by step 1 and untouched by step 2 keep step 1's
+    // rows; step-2-touched keys take step 2's
+    val a = rolled1.join(touched2, Seq("key"), "left_anti")
+      .unionByName(twoStep)
+      .join(touchedAll, Seq("key"), "left_semi")
+    val b = oneShot
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "two-chunk multiplicity fold diverges from one-shot")
+  }
+
+  test("phantom retractions fail loudly: count below zero, multiplicity below zero") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 10L, 1L, "x"))
+      .toDF("fkey", "key", "cents", "units", "prio")
+    val view = scratchOver(base)
+    val mult = base.groupBy($"key", $"prio".as("v"))
+      .agg(count(lit(1)).as("m"))
+    val nl = lit(null).cast("long")
+    val ns = lit(null).cast("string")
+    // deleting a value the group never held → multiplicity raise
+    val badVal = Seq((9L, "D", "A", null: String))
+      .toDF("fkey", "change", "key_old", "key_new")
+      .withColumn("old_cents", lit(10L)).withColumn("new_cents", nl)
+      .withColumn("old_units", lit(1L)).withColumn("new_units", nl)
+      .withColumn("old_prio", lit("NOPE")).withColumn("new_prio", ns)
+    val e1 = intercept[Exception] {
+      MultiIvm.mergeMultiDeltaFrames(badVal, Ms, Ds, view,
+        Map("prio" -> mult)).collect()
+    }
+    assert(e1.toString.contains("negative multiplicity") ||
+      (e1.getCause != null &&
+        e1.getCause.toString.contains("negative multiplicity")),
+      s"expected the multiplicity raise, got: $e1")
+    // deleting two facts from a one-fact group → count raise
+    val badN = Seq((8L, "D", "B", null: String), (9L, "D", "B", null: String))
+      .toDF("fkey", "change", "key_old", "key_new")
+      .withColumn("old_cents", lit(10L)).withColumn("new_cents", nl)
+      .withColumn("old_units", lit(1L)).withColumn("new_units", nl)
+      .withColumn("old_prio", lit("x")).withColumn("new_prio", ns)
+    val viewB = scratchOver(Seq((1L, "B", 10L, 1L, "x"))
+      .toDF("fkey", "key", "cents", "units", "prio"))
+    val e2 = intercept[Exception] {
+      MultiIvm.mergeMultiDeltaFrames(badN, Ms, Ds, viewB,
+        Map("prio" -> Seq(("B", "x", 1L)).toDF("key", "v", "m")))
+        .collect()
+    }
+    assert(e2.toString.contains("negative") ||
+      (e2.getCause != null && e2.getCause.toString.contains("negative")),
+      s"expected a negative raise, got: $e2")
+  }
+
+  test("merge never shuffles the persisted view or sidecar rows") {
+    import spark.implicits._
+    MultiIvm.buildMultiView(facts, Ms, Ds, "graft_test_mivm_plan")
+    // a genuinely delta-sized change set, collected up front
+    val picked = facts.orderBy("fkey").limit(2).collect()
+    val (f0, f1) = (picked(0), picked(1))
+    val delta = Seq(
+      (f0.getLong(0), "D", Some(f0.getLong(1)), Option.empty[Long],
+        Some(f0.getLong(2)), Option.empty[Long], Some(f0.getLong(3)),
+        Option.empty[Long], Some(f0.getString(4)), Option.empty[String]),
+      (f1.getLong(0), "U", Some(f1.getLong(1)), Some(f1.getLong(1)),
+        Some(f1.getLong(2)), Some(f1.getLong(2) + 1), Some(f1.getLong(3)),
+        Some(f1.getLong(3)), Some(f1.getString(4)), Some("9-REPRICED")))
+      .toDF("fkey", "change", "key_old", "key_new", "old_cents",
+        "new_cents", "old_units", "new_units", "old_prio", "new_prio")
+    val merged = MultiIvm.mergeMultiDelta(delta, Ms, Ds,
+      "graft_test_mivm_plan")
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    val offenders = shuffles.filter(_.toString.contains("graft_test_mivm_plan"))
+    assert(offenders.isEmpty,
+      s"persisted view/sidecar rows crossed an exchange:\n${offenders.mkString("\n")}")
+    assert(plan.toString.contains("SelectedBucketsCount") ||
+      plan.toString.contains("Bucketed: true"),
+      s"expected bucketed scans:\n$plan")
+  }
+}
