@@ -313,6 +313,7 @@ object SparkEntry {
     "q198_incr_golden"       -> ((s, d) => Relational.partGoldenRecordsIncremental(Tables(s, d))),
     "q199_stream_dim_move"   -> ((s, d) => graft.streaming.StreamIvm.nationRevenueDimMoveStream(s, d)),
     "q200_multi_ivm"         -> ((s, d) => graft.operators.MultiIvm.multiMeasureRollup(Tables(s, d))),
+    "q201_dim_move_minmax"   -> ((s, d) => graft.operators.Ivm.nationRevenueDimMoveFull(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2519,6 +2520,25 @@ object SparkEntry {
         |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
         | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |   / 100.0 AS total_price
+        |FROM orders JOIN c2 ON o_custkey = c_custkey
+        |JOIN nation ON nk = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // q201: the full dim-move view (q195 + min/max) — the oracle
+    // aggregates the post-move world from scratch; the engine's
+    // count/sum transfer plus touched-group min/max re-derivation
+    // over per-customer partials must land on the identical rollup
+    "q201_dim_move_minmax" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total_price,
+        | CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS min_price,
+        | CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS max_price
         |FROM orders JOIN c2 ON o_custkey = c_custkey
         |JOIN nation ON nk = n_nationkey
         |GROUP BY n_name""".stripMargin,

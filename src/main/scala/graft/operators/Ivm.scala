@@ -323,6 +323,119 @@ object Ivm {
       .orderBy($"n_name")
   }
 
+  // ── dimension moves with min/max (q201) ────────────────────────────
+  // [[mergeDimMove]] maintains count/sum only, because min/max are not
+  // transferable group elements: when a dim key LEAVES a group, the
+  // departing key may have held the group's min, and no signed
+  // arithmetic recovers the runner-up. But the TWO-LEVEL layout
+  // already holds what a re-derivation needs: the per-dim-key
+  // aggregate index carries each key's own (mn, mx), and a group's
+  // min/max is exactly the min/max over its MEMBER KEYS' partials. So
+  // a move re-aggregates min/max for ONLY the touched groups, over
+  // |dim|-scale per-key partials — the fact table stays out of the
+  // loop entirely (plan-asserted), which is the whole point: at
+  // 100 TB, |dim| (customers) is millions where |fact| (orders) is
+  // billions. count/sum still transfer by pure signed addition.
+
+  /** Fold a dimension-move delta into a FULL group-level view
+    * `(g, n, s, mn, mx)`. `mapping` is the POST-move (key, g)
+    * assignment of every dim key (base dim with the delta applied —
+    * the caller owns the dim and rolls it forward anyway); groups
+    * touched by any move re-derive mn/mx over their member keys'
+    * partials from the aggregate index, untouched groups pass
+    * through. Same loud phantom-move contract as [[mergeDimMove]]. */
+  def mergeDimMoveFull(view: DataFrame, aggTable: String,
+      mapping: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    require(view.columns.sameElements(Seq("g", "n", "s", "mn", "mx")),
+      s"view must be (g, n, s, mn, mx): ${view.columns.toSeq}")
+    require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
+      s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
+    require(mapping.columns.sameElements(Seq("key", "g")),
+      s"mapping must be (key, g): ${mapping.columns.toSeq}")
+    val perKey = spark.table(aggTable)
+    require(perKey.columns.sameElements(Meta),
+      s"$aggTable is not an Ivm aggregate table: ${perKey.columns.toSeq}")
+    val contrib = perKey
+      .join(broadcast(delta), Seq("key"))
+      .select(explode(array(
+        struct(col("g_old").as("g"), (-col("n")).as("dn"), (-col("s")).as("ds")),
+        struct(col("g_new").as("g"), col("n").as("dn"), col("s").as("ds"))))
+        .as("c"))
+      .select(col("c.g"), col("c.dn"), col("c.ds"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val touched = delta
+      .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    // min/max re-derivation for touched groups: per-key partials ⋈
+    // post-move membership, restricted to touched groups BEFORE the
+    // agg — |members-of-touched-groups| rows through the aggregation,
+    // never a fact row anywhere in the plan
+    val reagg = perKey
+      .join(mapping, Seq("key"))
+      .join(broadcast(touched), Seq("g"), "left_semi")
+      .groupBy(col("g"))
+      .agg(lit(true).as("__re"), min(col("mn")).as("rmn"),
+        max(col("mx")).as("rmx"))
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    view.as("v")
+      .join(contrib.as("d"), Seq("g"), "full_outer")
+      .join(reagg.as("r"), Seq("g"), "left")
+      .select(col("g"),
+        when(n2 >= 0, n2).otherwise(raise_error(concat(
+          lit("Ivm.mergeDimMoveFull: negative count — move retracts more "
+            + "than the group holds, g="), col("g").cast("string")))
+          .cast("long")).as("n"),
+        (coalesce(col("v.s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"),
+        when(col("__re") <=> lit(true), col("rmn"))
+          .otherwise(col("v.mn")).as("mn"),
+        when(col("__re") <=> lit(true), col("rmx"))
+          .otherwise(col("v.mx")).as("mx"))
+      .filter(col("n") > 0)
+  }
+
+  /** The pre-move FULL per-nation view (g, n, s, mn, mx) off the
+    * per-customer index — group min/max are the min/max over member
+    * keys' partials. */
+  private[graft] def nationBaseViewFull(t: Tables, aggTable: String): DataFrame = {
+    import t.spark.implicits._
+    t.spark.table(aggTable)
+      .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
+        $"key" === $"c_custkey")
+      .join(broadcast(t.nation.select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("g"))
+      .agg(sum($"n").as("n"), sum($"s").as("s"),
+        min($"mn").as("mn"), max($"mx").as("mx"))
+  }
+
+  /** q201: q195's customer-move maintenance carrying ALL FOUR
+    * aggregates — count/sum transfer by signed addition, min/max
+    * re-derive over the touched nations' member-customer partials
+    * (IvmSpec plan-asserts the fact table is absent from the plan).
+    * Must hash-equal the oracle's post-move scratch rollup including
+    * min/max. */
+  def nationRevenueDimMoveFull(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val aggTable = ensureCustAggIndex(t)
+    val moved = nationMoveDelta(t)
+    // post-move membership: every customer's (possibly moved) nation
+    val mapping = t.customer
+      .select($"c_custkey".as("key"),
+        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+          .otherwise($"c_nationkey").as("nk"))
+      .join(broadcast(t.nation.select($"n_nationkey".as("nk"),
+        $"n_name".as("g"))), Seq("nk"))
+      .select($"key", $"g")
+    mergeDimMoveFull(nationBaseViewFull(t, aggTable), aggTable, mapping, moved)
+      .select($"g".as("n_name"), $"n".as("n_orders"),
+        ($"s".cast("double") / 100.0).as("total_price"),
+        ($"mn".cast("double") / 100.0).as("min_price"),
+        ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"n_name")
+  }
+
   /** q167 fixture instance: the per-customer order rollup (count,
     * exact cents total, min/max) maintained incrementally — the view
     * is built from pre-1997 orders once (memoized per fixture

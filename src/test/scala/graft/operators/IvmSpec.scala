@@ -253,4 +253,69 @@ class IvmSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"per-key index rows crossed an exchange:\n${offenders.mkString("\n")}")
   }
+
+  // ── q201: dimension moves carrying min/max ─────────────────────────
+
+  test("q201 fixture equals the scratch post-move rollup including min/max") {
+    import spark.implicits._
+    val got = Ivm.nationRevenueDimMoveFull(sf001)
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    val truth = sf001.orders
+      .join(sf001.customer.select($"c_custkey",
+        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+          .otherwise($"c_nationkey").as("nk")),
+        $"o_custkey" === $"c_custkey")
+      .join(sf001.nation, $"nk" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents).cast("double") / 100.0).as("total_price"),
+        (min(cents).cast("double") / 100.0).as("min_price"),
+        (max(cents).cast("double") / 100.0).as("max_price"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "full dim-move maintenance diverges from the post-move scratch rollup")
+  }
+
+  test("mergeDimMoveFull: untouched groups keep min/max, movers re-derive, no fact scan") {
+    import spark.implicits._
+    Ivm.nationRevenueDimMoveFull(sf001).collect() // ensure index exists
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(spark, sf001.dir, "orders").hashCode)
+    val aggTable = s"graft_ivm_cust_$fp"
+    // hand view with a sentinel untouched group: its mn/mx must pass
+    // through byte-identically since no move touches it
+    val view = Seq(("G_TOUCHED", 10L, 1000L, 5L, 500L),
+      ("G_OTHER", 3L, 300L, 7L, 70L), ("G_UNTOUCHED", 2L, 50L, 11L, 22L))
+      .toDF("g", "n", "s", "mn", "mx")
+    // key 89 exists in the index (custkey 89 ≡ 0 mod 89)
+    val delta = Seq((89L, "G_TOUCHED", "G_OTHER"))
+      .toDF("key", "g_old", "g_new")
+    val idx = spark.table(aggTable)
+    val k89 = idx.filter($"key" === 89L).collect()(0)
+    // mapping: key 89 now lives in G_OTHER; give both touched groups
+    // one other member so they survive with derivable min/max
+    val other = idx.filter($"key" =!= 89L).orderBy("key").limit(1).collect()(0)
+    val mapping = Seq((89L, "G_OTHER"), (other.getLong(0), "G_TOUCHED"))
+      .toDF("key", "g")
+    val merged = Ivm.mergeDimMoveFull(view, aggTable, mapping, delta)
+    merged.collect()
+    val rows = merged.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("G_UNTOUCHED") === ((2L, 50L, 11L, 22L)),
+      s"untouched group must pass through: ${rows("G_UNTOUCHED")}")
+    assert(rows("G_TOUCHED")._1 === 10L - k89.getLong(1) &&
+      rows("G_TOUCHED")._2 === 1000L - k89.getLong(2),
+      "count/sum must transfer out of the old group")
+    assert(rows("G_TOUCHED")._3 === other.getLong(3) &&
+      rows("G_TOUCHED")._4 === other.getLong(4),
+      "old group's min/max must re-derive from its remaining member")
+    assert(rows("G_OTHER")._1 === 3L + k89.getLong(1),
+      "count must transfer into the new group")
+    assert(rows("G_OTHER")._3 === k89.getLong(3) &&
+      rows("G_OTHER")._4 === k89.getLong(4),
+      "new group's min/max must re-derive from its member partials")
+    val plan = merged.queryExecution.executedPlan
+    assert(!plan.toString.contains("orders"),
+      s"the fact table must be out of the loop:\n$plan")
+  }
 }
