@@ -314,6 +314,8 @@ object SparkEntry {
     "q199_stream_dim_move"   -> ((s, d) => graft.streaming.StreamIvm.nationRevenueDimMoveStream(s, d)),
     "q200_multi_ivm"         -> ((s, d) => graft.operators.MultiIvm.multiMeasureRollup(Tables(s, d))),
     "q201_dim_move_minmax"   -> ((s, d) => graft.operators.Ivm.nationRevenueDimMoveFull(Tables(s, d))),
+    "q202_incr_cc"           -> ((s, d) => graft.operators.Graph.ccCoPurchaseIncremental(Tables(s, d))),
+    "q203_pagerank_warm"     -> ((s, d) => graft.operators.Graph.pageRankWarmTrade(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2523,6 +2525,76 @@ object SparkEntry {
         |FROM orders JOIN c2 ON o_custkey = c_custkey
         |JOIN nation ON nk = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // q202: the incremental CC's oracle is the from-scratch
+    // transitive closure over ALL co-purchase edges (the q103 walk
+    // pattern) — blind to the engine's base/delta split, so hash
+    // equality certifies the condensation argument end to end
+    "q202_incr_cc" ->
+      """WITH RECURSIVE lo AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS MATERIALIZED (
+        | SELECT DISTINCT a.ck AS id_a, b.ck AS id_b
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |e AS MATERIALIZED (
+        | SELECT id_a AS s, id_b AS t FROM p
+        | UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t)
+        |SELECT id AS c_custkey, MIN(label) AS component
+        |FROM walk GROUP BY id""".stripMargin,
+    // q203: the warm-start fold replayed whole — 3 quantized rounds
+    // on the base graph (o_orderkey % 11 <> 0) from uniform, then 2
+    // rounds on the full graph seeded from those ranks (new nodes at
+    // 1/N_full), every contribution floor-quantized at 2^40 exactly
+    // as q85
+    "q203_pagerank_warm" ->
+      """WITH bpairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 11 <> 0),
+        |be AS (SELECT c AS src, s AS dst FROM bpairs UNION ALL SELECT s, c FROM bpairs),
+        |bnodes AS (SELECT DISTINCT src AS id FROM be),
+        |bn AS (SELECT COUNT(*) AS n FROM bnodes),
+        |bdeg AS (SELECT src, COUNT(*) AS deg FROM be GROUP BY 1),
+        |b0 AS (SELECT id, 1.0e0/n AS pr FROM bnodes CROSS JOIN bn),
+        |b1 AS (SELECT t.id, (1.0e0-0.85e0)/bn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT be.dst AS id,
+        |   SUM(CAST(floor(b0.pr/bdeg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM be JOIN b0 ON be.src = b0.id JOIN bdeg ON be.src = bdeg.src
+        |  GROUP BY be.dst) t CROSS JOIN bn),
+        |b2 AS (SELECT t.id, (1.0e0-0.85e0)/bn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT be.dst AS id,
+        |   SUM(CAST(floor(b1.pr/bdeg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM be JOIN b1 ON be.src = b1.id JOIN bdeg ON be.src = bdeg.src
+        |  GROUP BY be.dst) t CROSS JOIN bn),
+        |b3 AS (SELECT t.id, (1.0e0-0.85e0)/bn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT be.dst AS id,
+        |   SUM(CAST(floor(b2.pr/bdeg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM be JOIN b2 ON be.src = b2.id JOIN bdeg ON be.src = bdeg.src
+        |  GROUP BY be.dst) t CROSS JOIN bn),
+        |fpairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |fe AS (SELECT c AS src, s AS dst FROM fpairs UNION ALL SELECT s, c FROM fpairs),
+        |fnodes AS (SELECT DISTINCT src AS id FROM fe),
+        |fn AS (SELECT COUNT(*) AS n FROM fnodes),
+        |fdeg AS (SELECT src, COUNT(*) AS deg FROM fe GROUP BY 1),
+        |f0 AS (SELECT fnodes.id, COALESCE(b3.pr, 1.0e0/fn.n) AS pr
+        |  FROM fnodes CROSS JOIN fn LEFT JOIN b3 ON fnodes.id = b3.id),
+        |f1 AS (SELECT t.id, (1.0e0-0.85e0)/fn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT fe.dst AS id,
+        |   SUM(CAST(floor(f0.pr/fdeg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM fe JOIN f0 ON fe.src = f0.id JOIN fdeg ON fe.src = fdeg.src
+        |  GROUP BY fe.dst) t CROSS JOIN fn),
+        |f2 AS (SELECT t.id, (1.0e0-0.85e0)/fn.n + 0.85e0*(CAST(t.qs AS DOUBLE)/1099511627776.0e0) AS pr FROM (
+        |  SELECT fe.dst AS id,
+        |   SUM(CAST(floor(f1.pr/fdeg.deg*1099511627776.0e0 + 0.5e0) AS BIGINT)) AS qs
+        |  FROM fe JOIN f1 ON fe.src = f1.id JOIN fdeg ON fe.src = fdeg.src
+        |  GROUP BY fe.dst) t CROSS JOIN fn)
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, pr
+        |FROM f2""".stripMargin,
     // q201: the full dim-move view (q195 + min/max) — the oracle
     // aggregates the post-move world from scratch; the engine's
     // count/sum transfer plus touched-group min/max re-derivation

@@ -964,4 +964,226 @@ object Graph {
       .select($"id".as("s_suppkey"), $"scc", $"scc_size")
       .orderBy($"s_suppkey")
   }
+
+  // ── q202: incremental connected components ──────────────────────────
+  // Dedup and ER got their persisted-state increments (q162/q198);
+  // this lifts the same condensation argument into the graph family
+  // as a GENERAL operator: given a persisted labeling of the base
+  // graph and a batch of NEW edges, contract every component to its
+  // representative (its min-id label), run CC over the delta-bounded
+  // condensed graph — nodes are the reps the new edges touch, edges
+  // are the new edges with endpoints collapsed to reps — and expand:
+  // members of merged components relabel to the merged minimum,
+  // untouched rows pass through byte-identically. Correct by graph
+  // condensation: CC(V, E ∪ E') = expand(CC(reps(E-components),
+  // collapse(E'))), and min-id labels compose (min over merged reps =
+  // global min id). Cost: O(|E'| + members-of-merged-components);
+  // the base edge set is NEVER re-read — at 100 TB the edge log is
+  // the fact table and stays out of the loop.
+
+  /** Persist a CC labeling (id, component) for `nodes`/`edges`,
+    * bucketed by component — the layout [[ccIncrement]]'s relabel
+    * join reads without exchanging the state. */
+  def buildCcState(nodes: DataFrame, edges: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val spark = nodes.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.Tables.deleteRec(new java.io.File(wh, table))
+    Dedup.connectedComponents(nodes, edges)
+      .write.bucketBy(buckets, "component").sortBy("component", "id")
+      .saveAsTable(table)
+  }
+
+  /** Fold a batch of new undirected edges `(a, b)` into a persisted
+    * labeling — returns the FULL updated (id, component). Endpoints
+    * unknown to the state enter as their own singleton reps (node
+    * inserts ride along free). The state is read twice, exchange-free
+    * both times: a broadcast endpoint lookup and a broadcast relabel
+    * join (GraphIncrementSpec asserts no state shuffle). */
+  def ccIncrement(newEdges: DataFrame, table: String): DataFrame =
+    ccIncrementFrames(newEdges, newEdges.sparkSession.table(table))
+
+  def ccIncrementFrames(newEdges: DataFrame, state: DataFrame): DataFrame = {
+    require(state.columns.sameElements(Seq("id", "component")),
+      s"state must be (id, component): ${state.columns.toSeq}")
+    val Seq(aCol, bCol) = newEdges.columns.toSeq.take(2)
+    val ends = newEdges.select(col(aCol).as("id"))
+      .union(newEdges.select(col(bCol).as("id"))).distinct()
+    // rep of each touched endpoint: its state label, or itself if new
+    val knownRep = state.join(broadcast(ends), Seq("id"), "left_semi")
+      .select(col("id"), col("component").as("rep"))
+    val endRep = ends
+      .join(knownRep.select(col("id"), col("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    // condensed graph: new edges with endpoints collapsed to reps
+    val condEdges = newEdges
+      .join(endRep.select(col("id").as(aCol), col("rep").as("ra")), Seq(aCol))
+      .join(endRep.select(col("id").as(bCol), col("rep").as("rb")), Seq(bCol))
+      .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb"))
+    val condNodes = endRep.select(col("rep").as("id")).distinct()
+    val condensed = Dedup.connectedComponents(condNodes, condEdges,
+      edgesWithinNodes = true)
+    // relabel map: only reps whose label changed (merged components)
+    val relabel = condensed.filter(col("component") =!= col("id"))
+      .select(col("id").as("component"), col("component").as("__new"))
+    val updated = state
+      .join(broadcast(relabel), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+    // endpoints the state had never seen: singleton reps carrying
+    // their condensed label (delta-scale anti join — against the
+    // delta-bounded knownRep, never the full state)
+    val newRows = ends
+      .join(knownRep.select(col("id")), Seq("id"), "left_anti")
+      .join(condensed.select(col("id"), col("component")), Seq("id"))
+    updated.unionByName(newRows)
+  }
+
+  /** q202: CC over the customer co-purchase graph maintained
+    * incrementally — the base labeling persists (edges with
+    * (a+b) mod 5 ≠ 0), the remaining edges fold in as an insert
+    * batch at query time. Must hash-equal the oracle's from-scratch
+    * transitive closure over ALL edges (every customer labeled; the
+    * isolated ones are their own component). */
+  private val ccBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def ccCoPurchaseIncremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val edges = customerCoEdges(t)
+    val fp = Integer.toHexString(
+      (graft.Tables.parallelLayout(t.spark, t.dir, "lineitem").hashCode * 31
+        + graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode))
+    val table = ccBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_cc_state_$fp"
+      buildCcState(t.customer.select($"c_custkey"),
+        edges.filter(($"a" + $"b") % 5 =!= 0), name)
+      name
+    })
+    ccIncrement(edges.filter(($"a" + $"b") % 5 === 0), table)
+      .select($"id".as("c_custkey"), $"component")
+      .orderBy($"c_custkey")
+  }
+
+  // ── q203: PageRank warm-start ───────────────────────────────────────
+  // The power iteration's convergence depends on the distance between
+  // the init vector and the fixed point — after a small edge delta
+  // the old ranks ARE close, so seeding from them instead of uniform
+  // 1/N saves most of the rounds (the persisted-rank analogue of the
+  // IVM family: maintain, don't recompute). Two surfaces: the
+  // fixed-round fold below (oracle-replayable bit for bit), and
+  // [[pageRankConvergedRounds]], which iterates to an L∞ tolerance
+  // and REPORTS the round count — the rounds-saved measurement the
+  // sweep table records.
+
+  /** `iters` rounds of PageRank seeded from `init` (id, pr) instead
+    * of uniform — nodes absent from `init` (new since the seed) start
+    * at 1/N. Same quantized-contribution fold as [[pageRankOver]], so
+    * the oracle replays it exactly. */
+  def pageRankWarmStart(edges: DataFrame, srcCol: Column, dstCol: Column,
+      init: DataFrame, iters: Int, d: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nAgg = deg.agg(count(lit(1)).as("n"))
+    val pr0 = deg
+      .join(init.select(col("id").as("src"), col("pr").as("__init")),
+        Seq("src"), "left")
+      .crossJoin(broadcast(nAgg))
+      .select(col("src").as("id"),
+        coalesce(col("__init"), lit(1.0) / col("n")).as("pr"), col("deg"))
+    val last = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg") * lit(PrScale) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("dst"))
+        .agg(sum(col("q")).as("qs"))
+      deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(deg("src").as("id"),
+          (lit(1.0 - d) / col("n") +
+            lit(d) * (coalesce(col("qs"), lit(0L)).cast("double") / lit(PrScale))).as("pr"),
+          deg("deg"))
+    }
+    last.select(col("id"), col("pr"))
+  }
+
+  /** Iterate PageRank to an L∞ fixed-point tolerance from `init`
+    * (None = uniform) and return (ranks, rounds) — the measurement
+    * half of warm-starting: GraphIncrementSpec asserts warm rounds <
+    * cold rounds on the same graph and that both land on the same
+    * fixed point. One extra driver-side max-diff action per round
+    * (the sscConverged/ssspConverged loop shape). */
+  def pageRankConvergedRounds(edges: DataFrame, srcCol: Column,
+      dstCol: Column, d: Double, tol: Double,
+      init: Option[DataFrame] = None, maxIters: Int = 100): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nAgg = deg.agg(count(lit(1)).as("n"))
+    var pr = init.map(i => deg
+        .join(i.select(col("id").as("src"), col("pr").as("__init")),
+          Seq("src"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(col("src").as("id"),
+          coalesce(col("__init"), lit(1.0) / col("n")).as("pr"), col("deg")))
+      .getOrElse(deg.crossJoin(broadcast(nAgg))
+        .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"), col("deg")))
+      .localCheckpoint(true)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"pageRankConvergedRounds: no fixed point in $maxIters rounds " +
+            s"(last L∞ delta $delta)")
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg") * lit(PrScale) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("dst"))
+        .agg(sum(col("q")).as("qs"))
+      val next = deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(deg("src").as("id"),
+          (lit(1.0 - d) / col("n") +
+            lit(d) * (coalesce(col("qs"), lit(0L)).cast("double") / lit(PrScale))).as("pr"),
+          deg("deg"))
+        .localCheckpoint(true)
+      delta = next.as("n")
+        .join(pr.select(col("id"), col("pr").as("__prev")), Seq("id"))
+        .agg(max(abs(col("pr") - col("__prev")))).head().getDouble(0)
+      pr = next
+      iter += 1
+    }
+    (pr.select(col("id"), col("pr")), iter)
+  }
+
+  /** q203: warm-started PageRank on the customer–supplier trade graph
+    * — the base graph (orders with o_orderkey mod 11 ≠ 0) is ranked 3
+    * rounds from uniform (the "yesterday" state), then the FULL graph
+    * is ranked 2 rounds seeded from those ranks. Fixed round counts
+    * so the oracle replays the entire two-phase fold bit for bit; the
+    * convergence-rounds-saved claim is spec-measured separately. */
+  def pageRankWarmTrade(t: Tables, d: Double = 0.85): DataFrame = {
+    import t.spark.implicits._
+    def pairsOf(o: DataFrame) = o
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    def sym(p: DataFrame) = p.select($"c".as("src"), $"s".as("dst"))
+      .union(p.select($"s".as("src"), $"c".as("dst")))
+    val base = sym(pairsOf(t.orders.filter($"o_orderkey" % 11 =!= 0)))
+    val full = sym(pairsOf(t.orders))
+    val prior = pageRankOver(base, $"src", $"dst", iters = 3, d = d)
+    pageRankWarmStart(full, $"src", $"dst", prior, iters = 2, d = d)
+      .select($"id",
+        when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        $"pr")
+      .orderBy($"id")
+  }
 }
