@@ -316,6 +316,7 @@ object SparkEntry {
     "q201_dim_move_minmax"   -> ((s, d) => graft.operators.Ivm.nationRevenueDimMoveFull(Tables(s, d))),
     "q202_incr_cc"           -> ((s, d) => graft.operators.Graph.ccCoPurchaseIncremental(Tables(s, d))),
     "q203_pagerank_warm"     -> ((s, d) => graft.operators.Graph.pageRankWarmTrade(Tables(s, d))),
+    "q204_ann_drift_gate"    -> ((s, d) => Similarity.annDriftGate(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2525,6 +2526,16 @@ object SparkEntry {
         |FROM orders JOIN c2 ON o_custkey = c_custkey
         |JOIN nation ON nk = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // q204: like q101/q102/q182 the oracle is the lifecycle CONTRACT —
+    // the drifted delta must trip the PSI detector (psi_exceeded),
+    // the branch taken must be the retrain (retrained), and the
+    // retrained index must clear the recall floor for drifted-cohort
+    // probes (meets_floor); any silent-decay regression flips a flag
+    "q204_ann_drift_gate" ->
+      """SELECT vec_id AS q_id, TRUE AS meets_floor,
+        | TRUE AS psi_exceeded, TRUE AS retrained
+        |FROM embeddings WHERE vec_id % 3 = 0 AND vec_id < 15
+        |ORDER BY q_id""".stripMargin,
     // q202: the incremental CC's oracle is the from-scratch
     // transitive closure over ALL co-purchase edges (the q103 walk
     // pattern) — blind to the engine's base/delta split, so hash

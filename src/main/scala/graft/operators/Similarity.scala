@@ -735,6 +735,188 @@ object Similarity {
     graft.Tables.deleteRec(new java.io.File(wh, s"${table}_tombs"))
   }
 
+  // ── q204: quantizer-drift detection + retrain lifecycle ─────────────
+  // [[updateAnnIndex]] freezes quantizers forever — the FAISS add()
+  // semantics — which is exactly right until the data distribution
+  // moves: drifted vectors collapse into a few coarse lists, the PQ
+  // codebooks stop spanning the new region, and recall decays with NO
+  // error anywhere. The repo already owns both halves of the fix: the
+  // q197 PSI detector and the q182 recall contract. This composes
+  // them into the lifecycle every production vector store runs:
+  // measure PSI between the index's stored coarse-assignment
+  // distribution and each delta's frozen-model assignments; below the
+  // threshold the delta appends frozen (cheap path), above it the
+  // quantizers REFIT on the current corpus, the corpus re-encodes,
+  // and the new index swaps in blue/green (directory move — the
+  // compaction swap, never a second rewrite of the green build).
+
+  /** PSI of a delta's frozen-model coarse assignments against the
+    * index's stored distribution — one number per maintenance batch,
+    * the q197 detector pointed at the quantizer. ≥ 0.25 is the
+    * standard "investigate" line; a delta from the training
+    * distribution scores near 0. */
+  def annAssignmentPsi(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame, nAssign: Int = 3): DataFrame = {
+    val model = loadPqModel(spark, table)
+    val baseLists = spark.table(table)
+      .select(col("ivf_list"), lit(false).as("b"))
+    val deltaLists = encodePq(
+        delta.select(col("vec_id"), col("embedding")), model, nAssign)
+      .select(col("ivf_list"), lit(true).as("b"))
+    Relational.psiDriftOver(baseLists.unionByName(deltaLists),
+        lit("all"), col("b"), col("ivf_list"), model.nList)
+      .select(col("na").as("n_index"), col("nb").as("n_delta"), col("psi"))
+  }
+
+  /** Swap a managed table's files under another table name:
+    * drop-target → directory move → re-register. Metadata-only (the
+    * green build's single write is the only data write). */
+  private def swapTableFiles(spark: org.apache.spark.sql.SparkSession,
+      fromTable: String, toTable: String, partitioned: Boolean): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val fromDir = new java.io.File(wh, fromTable)
+    val toDir = new java.io.File(wh, toTable)
+    spark.sql(s"DROP TABLE IF EXISTS $toTable")
+    graft.Tables.deleteRec(toDir)
+    require(fromDir.renameTo(toDir),
+      s"swapTableFiles: could not move $fromDir over $toDir")
+    spark.sql(s"DROP TABLE IF EXISTS $fromTable") // entry only; files moved
+    spark.sql(s"CREATE TABLE $toTable USING parquet LOCATION '${toDir.toURI}'")
+    if (partitioned) spark.sql(s"ALTER TABLE $toTable RECOVER PARTITIONS")
+  }
+
+  /** Refit the quantizers on `corpus` (the CURRENT full store — base
+    * plus every delta), re-encode it, and swap the result in under
+    * the live name, index then meta (the two moves are each
+    * metadata-only; a probe between them is the documented
+    * non-transactional window, same class as compaction's). Any
+    * tombstones die with the swap — the passed corpus is encoded
+    * verbatim, so pass the post-delete survivors. */
+  def retrainAnnIndex(corpus: DataFrame, idCol: org.apache.spark.sql.Column,
+      embCol: org.apache.spark.sql.Column, table: String, m: Int = 16,
+      ks: Int = 32, nList: Int = 16, nAssign: Int = 3,
+      trainCap: Long = 131072L): Unit = {
+    val spark = corpus.sparkSession
+    val green = s"${table}_green"
+    buildAnnIndex(corpus, idCol, embCol, green, trainOn = None,
+      m = m, ks = ks, nList = nList, nAssign = nAssign, trainCap = trainCap)
+    swapTableFiles(spark, green, table, partitioned = true)
+    swapTableFiles(spark, s"${green}_meta", s"${table}_meta",
+      partitioned = false)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombs")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.Tables.deleteRec(new java.io.File(wh, s"${table}_tombs"))
+  }
+
+  /** q204's deterministic distribution shift: the vec_id ≡ 0 (mod 3)
+    * cohort translates far outside the training range (x → 30 + x per
+    * component, spread UNCHANGED). Frozen quantizers collapse it —
+    * the per-subspace argmin is dominated by the constant offset's
+    * −2·30·Σc term (gaps ~7 across base centroids vs ≤ ~1.8 of
+    * x-dependent signal), so codes stop separating the cohort — while
+    * the full-scale within-cohort structure is exactly what a REFIT
+    * k-means resolves (a third of the training mass with base-sized
+    * variance earns the cluster its own centroids). The silent-decay
+    * mode the detector exists for, in its purest form. */
+  private[graft] def driftedCohort(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.embeddings.filter($"vec_id" % 3 === 0)
+      .select($"vec_id",
+        transform($"embedding", x => lit(30.0f) + x).as("embedding"))
+  }
+
+  /** The drift gate's shortlist depth: half the drifted cohort
+    * (floor 64). The depth must sit BELOW the cohort size, or the
+    * exact re-rank stage silently rescues collapsed codes (a
+    * 167-vector cohort fits whole inside the default 400 shortlist
+    * and recall reads 1.0 no matter how degenerate the ADC ranking
+    * is) — the realistic regime is shortlist ≪ eligible corpus,
+    * where recall genuinely depends on the quantizer. Half keeps the
+    * frozen path far under the floor (≈ depth/cohort ≈ 0.5 of a
+    * near-random shortlist) while giving the retrained ADC the
+    * headroom to clear it under any partitioning of the k-means fit
+    * (the fit's float-sum order shifts centroids a little between
+    * session configs; the gate must not ride that edge). */
+  private def driftRerank(cohortN: Long): Int =
+    math.max(64L, cohortN / 2L).toInt
+
+  /** Probe recall of the drift fixture's index against the exact
+    * top-10 over the full (base ∪ drifted) corpus — shared by the
+    * gate and the spec's before/after comparison. */
+  private[graft] def driftProbeRecall(t: Tables, table: String): Double = {
+    import t.spark.implicits._
+    val base = t.embeddings.filter($"vec_id" % 3 =!= 0)
+      .select($"vec_id", $"embedding")
+    val drifted = driftedCohort(t)
+    val full = base.unionByName(drifted)
+    val probes = drifted.filter($"vec_id" < 15)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val ann = annIndexProbe(t.spark, table, probes, full, nProbe = 8,
+      rerank = driftRerank(drifted.count()))
+    exactTop10Over(full, probes)
+      .join(ann.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"), "left_semi")
+      .count().toDouble / (5 * 10).toDouble
+  }
+
+  private val annDriftBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+
+  /** Build q204's lifecycle once per fixture: index the undrifted
+    * base, measure the drifted delta's assignment PSI, and take the
+    * indicated branch (the fixture's shift trips the 0.25 line, so
+    * the branch IS the retrain + blue/green swap); the decision rides
+    * a one-row sidecar the gate echoes. */
+  private[graft] def ensureDriftIndex(t: Tables,
+      threshold: Double = 0.25): String = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "embeddings").hashCode)
+    annDriftBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_ann_drift_$fp"
+      val base = t.embeddings.filter($"vec_id" % 3 =!= 0)
+        .select($"vec_id", $"embedding")
+      val drifted = driftedCohort(t)
+      buildAnnIndex(base, $"vec_id", $"embedding", name)
+      val psi = annAssignmentPsi(t.spark, name, drifted).head().getDouble(2)
+      val exceeded = psi > threshold
+      if (exceeded)
+        retrainAnnIndex(base.unionByName(drifted), $"vec_id", $"embedding",
+          name)
+      else updateAnnIndex(drifted, $"vec_id", $"embedding", name)
+      val dec = s"${name}_decision"
+      t.spark.sql(s"DROP TABLE IF EXISTS $dec")
+      graft.Tables.deleteRec(new java.io.File(t.spark.conf
+        .get("spark.sql.warehouse.dir").stripPrefix("file:"), dec))
+      Seq((psi, exceeded, exceeded))
+        .toDF("psi", "psi_exceeded", "retrained").write.saveAsTable(dec)
+      name
+    })
+  }
+
+  /** q204: the drift-maintained index gated driver-visibly — recall
+    * ≥ `floor` for probes FROM the drifted cohort against the exact
+    * top-10 over the full corpus (frozen codebooks measurably fail
+    * this — AnnDriftSpec pins the before/after gap), plus the
+    * detector's decision flags. Oracle = the contract: every probe
+    * row TRUE/TRUE/TRUE. */
+  def annDriftGate(t: Tables, floor: Double = 0.9): DataFrame = {
+    import t.spark.implicits._
+    val table = ensureDriftIndex(t)
+    val base = t.embeddings.filter($"vec_id" % 3 =!= 0)
+      .select($"vec_id", $"embedding")
+    val drifted = driftedCohort(t)
+    val full = base.unionByName(drifted)
+    val probes = drifted.filter($"vec_id" < 15)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val ann = annIndexProbe(t.spark, table, probes, full, nProbe = 8,
+      rerank = driftRerank(drifted.count()))
+    recallGateAgainst(exactTop10Over(full, probes),
+        ann.select($"q_id", $"vec_id"), floor)
+      .crossJoin(broadcast(t.spark.table(s"${table}_decision")
+        .select($"psi_exceeded", $"retrained")))
+      .orderBy($"q_id")
+  }
+
   /** q182: the persisted-index lifecycle gated driver-visibly — the
     * index is built from the embeddings EXCLUDING the vec_id%10==7
     * cohort (training frozen on that base), the cohort appended via
