@@ -317,6 +317,7 @@ object SparkEntry {
     "q202_incr_cc"           -> ((s, d) => graft.operators.Graph.ccCoPurchaseIncremental(Tables(s, d))),
     "q203_pagerank_warm"     -> ((s, d) => graft.operators.Graph.pageRankWarmTrade(Tables(s, d))),
     "q204_ann_drift_gate"    -> ((s, d) => Similarity.annDriftGate(Tables(s, d))),
+    "q205_stream_ann_gate"   -> ((s, d) => graft.streaming.StreamAnn.annIngestGate(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -1799,6 +1800,13 @@ object SparkEntry {
     // append, so a regression in the persist/load/append lifecycle
     // (not just the quantizers) flips every row's meets_floor
     "q182_ann_index_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // q205: the streamed-ingest index under the identical recall
+    // contract — a stream that dropped, duplicated, or mis-encoded a
+    // batch fails the gate (row-set equality vs the one-shot append
+    // is StreamAnnSpec's stronger pin)
+    "q205_stream_ann_gate" ->
       """SELECT DISTINCT vec_id AS q_id, TRUE AS meets_floor
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // q188/q189: the same contract with the eligible corpus narrowed —

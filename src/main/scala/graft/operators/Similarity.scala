@@ -952,6 +952,19 @@ object Similarity {
   private def rerankFor(n: Long): Int =
     math.max(400L, n / 64L).min(1L << 20).toInt
 
+  /** Probe ANY persisted index table against the full-corpus
+    * brute-force truth with the q182 probe-headroom recipe — the gate
+    * core q182 and the q205 streamed-ingest index share. */
+  def annTableGate(t: Tables, table: String, floor: Double = 0.9): DataFrame = {
+    import t.spark.implicits._
+    val probes = t.embeddings.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val ann = annIndexProbe(t.spark, table, probes,
+      t.embeddings.select($"vec_id", $"embedding"), nProbe = 8,
+      rerank = rerankFor(t.embeddings.count()))
+    recallGateOver(t, ann.select($"q_id", $"vec_id"), floor)
+  }
+
   def annIndexGate(t: Tables, floor: Double = 0.9): DataFrame = {
     import t.spark.implicits._
     val table = ensureAnnIndex(t)
