@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     "q108_bigram_nll",
     // one-row node-count broadcast per power iteration
     "q85_pagerank",
+    // the same one-row node-count broadcast, in both the base-graph
+    // seed fold and the warm rounds
+    "q203_pagerank_warm",
     // one-row seed-count broadcast per personalized power iteration
     "q144_ppr",
     // one-row token-total broadcast for the CMS eps·N bound
@@ -180,5 +183,11 @@ object PlanAuditSpec {
     "q198_incr_golden",
     // streaming dim-move fold: foreachBatch replay (q177's class);
     // per-batch plan is mergeDimMove, asserted by IvmSpec
-    "q199_stream_dim_move")
+    "q199_stream_dim_move",
+    // round 11: q204 builds the base index + PSI decision + retrain
+    // swap on first touch (2× q182's fit cost) and carries the
+    // one-row verdict + decision broadcasts; q205 runs the
+    // foreachBatch ingest replay during construction (q177's class)
+    // and the same verdict broadcast
+    "q204_ann_drift_gate", "q205_stream_ann_gate")
 }
