@@ -318,6 +318,7 @@ object SparkEntry {
     "q203_pagerank_warm"     -> ((s, d) => graft.operators.Graph.pageRankWarmTrade(Tables(s, d))),
     "q204_ann_drift_gate"    -> ((s, d) => Similarity.annDriftGate(Tables(s, d))),
     "q205_stream_ann_gate"   -> ((s, d) => graft.streaming.StreamAnn.annIngestGate(s, d)),
+    "q206_multi_dim_move"    -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMove(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2614,6 +2615,38 @@ object SparkEntry {
         |  GROUP BY fe.dst) t CROSS JOIN fn)
         |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, pr
         |FROM f2""".stripMargin,
+    // q206: multi-measure dim-move — the oracle aggregates the
+    // post-move world from scratch, count-distinct included; the
+    // engine's wholesale multiplicity-vector transfer must land on
+    // the identical rollup (same floor-split and double chains as
+    // q200)
+    "q206_multi_dim_move" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer),
+        |f AS (SELECT n_name,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p
+        | FROM orders JOIN c2 ON o_custkey = c_custkey
+        | JOIN nation ON nk = n_nationkey),
+        |agg AS (
+        | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(SUM(u) AS BIGINT) AS su,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM f GROUP BY n_name)
+        |SELECT n_name, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | su AS sum_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
     // q201: the full dim-move view (q195 + min/max) — the oracle
     // aggregates the post-move world from scratch; the engine's
     // count/sum transfer plus touched-group min/max re-derivation

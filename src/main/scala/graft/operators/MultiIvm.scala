@@ -224,6 +224,106 @@ object MultiIvm {
     joined.select(col("key") +: outCols: _*).filter(col("n") > 0)
   }
 
+  // ── q206: multi-measure views under DIMENSION moves ─────────────────
+  // The q195 two-level treatment lifted to the full multi-measure
+  // algebra: the view aggregates fact ⋈ dim per GROUP, and the dim
+  // key moves between groups. (n, s, Σq²-parts) transfer by signed
+  // addition of the key's partials exactly as q195's (n, s) did —
+  // the split squares are group elements too. COUNT-DISTINCT
+  // transfers WHOLESALE at the multiplicity level: the group's
+  // (value → multiplicity) map is the sum of its member keys' maps,
+  // so a move subtracts the key's entire (v, m) vector from the old
+  // group's sidecar and adds it to the new one's; values crossing
+  // zero change the count, re-derived for touched groups only. Cost:
+  // O(|dim delta| · values-per-key + touched-groups' sidecar rows) —
+  // the fact table is never in the loop (spec-asserted no fact scan).
+
+  /** Fold a dimension-move delta `(key, g_old, g_new)` into a
+    * group-level multi-measure view. `perKeyTable` is a
+    * [[buildMultiView]] over the DIM KEY (its `_mult_<d>` sidecars
+    * hold each key's (v, m) vector); `view` is the group-level
+    * (g, n, s_*, ssh_*, ssl_*, cd_*) frame and `groupMults` the
+    * group-level (g, v, m) multiplicity frames. Emptied groups drop
+    * out; phantom moves (count or multiplicity below zero) raise. */
+  def mergeMultiDimMove(view: DataFrame, groupMults: Map[String, DataFrame],
+      perKeyTable: String, delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame = {
+    val spark = delta.sparkSession
+    require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
+      s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
+    val viewCols = "g" +: viewColumns(measures, distincts).drop(1)
+    require(view.columns.sameElements(viewCols),
+      s"view must be $viewCols: ${view.columns.toSeq}")
+    val perKey = spark.table(perKeyTable)
+    // signed transfer of every additive partial (count, sums, split
+    // squares) — one narrow pass over the moved keys' partials
+    def side(g: Column, sgn: Column) = struct(
+      g.as("g") +: (sgn * col("n")).as("dn") +:
+        measures.flatMap(m => Seq((sgn * col(s"s_$m")).as(s"ds_$m"),
+          (sgn * col(s"ssh_$m")).as(s"dssh_$m"),
+          (sgn * col(s"ssl_$m")).as(s"dssl_$m"))): _*)
+    val contrib = perKey
+      .join(broadcast(delta), Seq("key"))
+      .select(explode(array(side(col("g_old"), lit(-1L)),
+        side(col("g_new"), lit(1L)))).as("c"))
+      .select(col("c.*"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g"))
+      .agg(sum(col("dn")).as("dn"),
+        measures.flatMap(m => Seq(
+          sum(col(s"ds_$m")).as(s"ds_$m"),
+          sum(col(s"dssh_$m")).as(s"dssh_$m"),
+          sum(col(s"dssl_$m")).as(s"dssl_$m"))): _*)
+    val touched = delta
+      .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    // per-distinct: the moved keys' multiplicity vectors transfer
+    // between groups; re-derive touched groups' counts off the merged
+    // group-level multiplicities
+    val cdNews = distincts.map { d =>
+      val keyMult = spark.table(s"${perKeyTable}_mult_$d")
+      val mContrib = keyMult
+        .join(broadcast(delta), Seq("key"))
+        .select(explode(array(
+          struct(col("g_old").as("g"), col("v"), (-col("m")).as("dm")),
+          struct(col("g_new").as("g"), col("v"), col("m").as("dm"))))
+          .as("c"))
+        .select(col("c.*"))
+        .filter(col("g").isNotNull)
+        .groupBy(col("g"), col("v")).agg(sum(col("dm")).as("dm"))
+      val m2 = coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L))
+      groupMults(d)
+        .join(broadcast(touched), Seq("g"), "left_semi")
+        .join(mContrib, Seq("g", "v"), "full_outer")
+        .select(col("g"), col("v"),
+          when(m2 >= 0, m2).otherwise(raise_error(concat(
+            lit(s"MultiIvm: negative multiplicity for $d under a move, g="),
+            col("g").cast("string"))).cast("long")).as("m"))
+        .filter(col("m") > 0)
+        .groupBy(col("g")).agg(count(lit(1)).as(s"__cd_$d"))
+    }
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    val joined = cdNews.foldLeft(
+      view.as("v").join(contrib.as("d"), Seq("g"), "full_outer")) {
+      (acc, cdn) => acc.join(cdn, Seq("g"), "left")
+    }
+    val outCols =
+      when(n2 >= 0, n2).otherwise(raise_error(concat(
+        lit("MultiIvm: negative count — move retracts more than the "
+          + "group holds, g="), col("g").cast("string")))
+        .cast("long")).as("n") +:
+      (measures.flatMap(m => Seq(
+        (coalesce(col(s"v.s_$m"), lit(0L)) +
+          coalesce(col(s"ds_$m"), lit(0L))).as(s"s_$m"),
+        (coalesce(col(s"v.ssh_$m"), lit(0L)) +
+          coalesce(col(s"dssh_$m"), lit(0L))).as(s"ssh_$m"),
+        (coalesce(col(s"v.ssl_$m"), lit(0L)) +
+          coalesce(col(s"dssl_$m"), lit(0L))).as(s"ssl_$m"))) ++
+        distincts.map(d =>
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+    joined.select(col("g") +: outCols: _*).filter(col("n") > 0)
+  }
+
   // ── q200 fixture: per-customer multi-measure order view ─────────────
 
   /** Orders as a multi-measure fact frame: cents (exact price),
@@ -279,6 +379,19 @@ object MultiIvm {
   private val multiBuilt = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), String]()
 
+  /** The memoized per-customer multi-measure state (view + multiplicity
+    * sidecars) — shared read-only by q200 (fact deltas) and q206 (dim
+    * moves), the same one-build-two-consumers shape as q195/q199. */
+  private[graft] def ensureMultiView(t: Tables): String = {
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    multiBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_mivm_$fp"
+      buildMultiView(orderMultiFacts(t), Measures, Distincts, name)
+      name
+    })
+  }
+
   /** q200: the per-customer view — count, total/avg/variance of price
     * (split exact moments), a second sum, and a count-distinct of
     * order priority — maintained under the I/D/U+move change set.
@@ -290,13 +403,7 @@ object MultiIvm {
     * oracle replays op for op. */
   def multiMeasureRollup(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val fp = Integer.toHexString(
-      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
-    val table = multiBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
-      val name = s"graft_mivm_$fp"
-      buildMultiView(orderMultiFacts(t), Measures, Distincts, name)
-      name
-    })
+    val table = ensureMultiView(t)
     val merged = mergeMultiDelta(orderMultiDelta(orderMultiFacts(t)),
       Measures, Distincts, table)
     val nD = $"n".cast("double")
@@ -310,5 +417,61 @@ object MultiIvm {
       $"s_units".as("sum_units"),
       $"cd_prio".as("n_priorities"))
       .orderBy($"o_custkey")
+  }
+
+  /** The pre-move per-nation multi-measure view and group-level
+    * multiplicities, derived off the persisted per-customer state
+    * (shared with q200) — the q195 nationBaseView pattern. Group
+    * count-distinct comes from the SUMMED multiplicity vectors, never
+    * from per-key cd (distinct counts don't add). */
+  private def nationMultiBase(t: Tables,
+      perKeyTable: String): (DataFrame, DataFrame) = {
+    import t.spark.implicits._
+    val mapping = t.customer.select($"c_custkey".as("key"), $"c_nationkey")
+      .join(broadcast(t.nation.select($"n_nationkey", $"n_name".as("g"))),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"key", $"g")
+    val perKey = t.spark.table(perKeyTable)
+    val gmult = t.spark.table(s"${perKeyTable}_mult_prio")
+      .join(broadcast(mapping), Seq("key"))
+      .groupBy($"g", $"v").agg(sum($"m").as("m"))
+    val cd = gmult.groupBy($"g").agg(count(lit(1)).as("cd_prio"))
+    val view = perKey.join(broadcast(mapping), Seq("key"))
+      .groupBy($"g")
+      .agg(sum($"n").as("n"),
+        sum($"s_cents").as("s_cents"), sum($"ssh_cents").as("ssh_cents"),
+        sum($"ssl_cents").as("ssl_cents"),
+        sum($"s_units").as("s_units"), sum($"ssh_units").as("ssh_units"),
+        sum($"ssl_units").as("ssl_units"))
+      .join(cd, Seq("g"))
+      .select($"g", $"n", $"s_cents", $"ssh_cents", $"ssl_cents",
+        $"s_units", $"ssh_units", $"ssl_units", $"cd_prio")
+    (view, gmult)
+  }
+
+  /** q206: the per-nation multi-measure view maintained under q195's
+    * customer-move delta — additive partials transfer by signed
+    * addition, each mover's multiplicity VECTOR transfers wholesale
+    * between the groups' sidecars, count-distinct re-derives for
+    * touched nations only; the fact table is never read (spec-
+    * asserted). Must hash-equal the oracle's post-move scratch
+    * aggregate including the count-distinct. */
+  def multiMeasureDimMove(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perKeyTable = ensureMultiView(t)
+    val (view, gmult) = nationMultiBase(t, perKeyTable)
+    val merged = mergeMultiDimMove(view, Map("prio" -> gmult), perKeyTable,
+      Ivm.nationMoveDelta(t), Measures, Distincts)
+    val nD = $"n".cast("double")
+    val sD = $"s_cents".cast("double")
+    val ssq = $"ssh_cents".cast("double") * lit(S.toDouble) +
+      $"ssl_cents".cast("double")
+    merged.select($"g".as("n_name"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      $"s_units".as("sum_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"n_name")
   }
 }

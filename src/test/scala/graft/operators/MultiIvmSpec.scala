@@ -165,6 +165,78 @@ class MultiIvmSpec extends SparkSpec {
       s"expected a negative raise, got: $e2")
   }
 
+  test("q206: dim-move merge equals the post-move scratch aggregate") {
+    import spark.implicits._
+    val got = MultiIvm.multiMeasureDimMove(sf001)
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    val sq = cents * cents
+    val moved = sf001.customer.select($"c_custkey",
+      when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+        .otherwise($"c_nationkey").as("nk"))
+    val f = sf001.orders
+      .join(moved, $"o_custkey" === $"c_custkey")
+      .join(sf001.nation, $"nk" === $"n_nationkey")
+      .select($"n_name", cents.as("q"), ($"o_orderkey" % 1000).as("u"),
+        $"o_orderpriority".as("p"))
+    val nD = count(lit(1)).cast("double")
+    val sD = sum($"q").cast("double")
+    val ssqD = (sum(shiftright($"q" * $"q", 30)).cast("double") *
+      1073741824.0 + sum(($"q" * $"q").bitwiseAND(lit((1L << 30) - 1)))
+        .cast("double"))
+    val truth = f.groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sD / 100.0).as("total_price"),
+        ((sD / 100.0) / nD).as("avg_price"),
+        (((ssqD - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+        sum($"u").as("sum_units"),
+        count_distinct($"p").as("n_priorities"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "multi-measure dim-move diverges from the post-move scratch rollup")
+    // no fact scan: an orders read would surface its columns in the
+    // plan (the output alias n_orders makes a bare "orders" grep
+    // useless here)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("o_totalprice") && !plan.contains("o_orderkey"),
+      s"the fact table must be out of the dim-move loop:\n$plan")
+  }
+
+  test("dim-move hand fixture: multiplicity vector transfer moves the distinct count") {
+    import spark.implicits._
+    // per-key state: key 1 (group A) holds {x:2}; key 2 (group A)
+    // holds {y:1}; key 3 (group B) holds {x:1}
+    val base = Seq(
+      (10L, 1L, 10L, 1L, "x"), (11L, 1L, 20L, 2L, "x"),
+      (12L, 2L, 30L, 3L, "y"), (13L, 3L, 40L, 4L, "x"))
+      .toDF("fkey", "key", "cents", "units", "prio")
+    MultiIvm.buildMultiView(base, Seq("cents", "units"), Seq("prio"),
+      "graft_test_mivm_dm")
+    val mapping = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("key", "g")
+    val perKey = spark.table("graft_test_mivm_dm")
+    val gmult = spark.table("graft_test_mivm_dm_mult_prio")
+      .join(mapping, Seq("key")).groupBy($"g", $"v")
+      .agg(sum($"m").as("m"))
+    val view = perKey.join(mapping, Seq("key")).groupBy($"g")
+      .agg(sum($"n").as("n"), sum($"s_cents").as("s_cents"),
+        sum($"ssh_cents").as("ssh_cents"), sum($"ssl_cents").as("ssl_cents"),
+        sum($"s_units").as("s_units"), sum($"ssh_units").as("ssh_units"),
+        sum($"ssl_units").as("ssl_units"))
+      .join(gmult.groupBy($"g").agg(count(lit(1)).as("cd_prio")), Seq("g"))
+      .select("g", "n", "s_cents", "ssh_cents", "ssl_cents",
+        "s_units", "ssh_units", "ssl_units", "cd_prio")
+    // key 1 moves A → B: A loses both 'x' facts (cd 2→1, only 'y'
+    // left), B gains them ('x' multiplicity 1→3, cd stays 1)
+    val delta = Seq((1L, "A", "B")).toDF("key", "g_old", "g_new")
+    val got = MultiIvm.mergeMultiDimMove(view, Map("prio" -> gmult),
+      "graft_test_mivm_dm", delta, Seq("cents", "units"), Seq("prio"))
+      .orderBy("g")
+      .select("g", "n", "s_cents", "s_units", "cd_prio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got === List(("A", 1L, 30L, 3L, 1L), ("B", 3L, 70L, 7L, 1L)),
+      s"got $got")
+  }
+
   test("merge never shuffles the persisted view or sidecar rows") {
     import spark.implicits._
     MultiIvm.buildMultiView(facts, Ms, Ds, "graft_test_mivm_plan")
