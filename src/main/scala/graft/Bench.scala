@@ -157,8 +157,9 @@ object Bench {
       // "solo", 185 queries): descending solo cost, so no
       // multi-second query starts into a draining pool
       // q198 builds the persisted ER state on first touch (q157's
-      // class) — launch it first
-      "q198_incr_golden",
+      // class) — launch it first; q204 pays two full index builds
+      // (base fit + drift retrain) on first touch — same class
+      "q204_ann_drift_gate", "q198_incr_golden",
       "q161_rrf_ann_gate", "q181_scc", "q157_golden_record",
       "q135_ann_pq_gate", "q163_sssp", "q85_pagerank", "q144_ppr",
       "q171_damerau_match", "q175_robust_outliers", "q151_hits",
@@ -202,7 +203,11 @@ object Bench {
       "q181_scc", "q182_ann_index_gate",
       // the incremental-ER build runs PassJoin + the CC driver loop
       // on first touch — q157's latency-bound shape
-      "q198_incr_golden")
+      "q198_incr_golden",
+      // round 11: the drift lifecycle's first touch is 2× the q182
+      // build (base fit + retrain fit) — many small sequential
+      // k-means jobs, the heavy pool's exact clientele
+      "q204_ann_drift_gate")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:

@@ -1080,11 +1080,13 @@ object Graph {
     * at 1/N. Same quantized-contribution fold as [[pageRankOver]], so
     * the oracle replays it exactly. */
   def pageRankWarmStart(edges: DataFrame, srcCol: Column, dstCol: Column,
-      init: DataFrame, iters: Int, d: Double): DataFrame = {
+      init: DataFrame, iters: Int, d: Double,
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .localCheckpoint(false, edgeStorage)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nAgg = deg.agg(count(lit(1)).as("n"))
     val pr0 = deg
@@ -1179,8 +1181,13 @@ object Graph {
       .union(p.select($"s".as("src"), $"c".as("dst")))
     val base = sym(pairsOf(t.orders.filter($"o_orderkey" % 11 =!= 0)))
     val full = sym(pairsOf(t.orders))
-    val prior = pageRankOver(base, $"src", $"dst", iters = 3, d = d)
-    pageRankWarmStart(full, $"src", $"dst", prior, iters = 2, d = d)
+    // single-box scale valve (see pageRankOver): q203 checkpoints TWO
+    // trade-graph edge lists (base + full), so the DISK_ONLY valve
+    // matters twice as much here as in q85
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_PR_STORAGE", "MEMORY_AND_DISK"))
+    val prior = pageRankOver(base, $"src", $"dst", iters = 3, d = d, storage)
+    pageRankWarmStart(full, $"src", $"dst", prior, iters = 2, d = d, storage)
       .select($"id",
         when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         $"pr")
