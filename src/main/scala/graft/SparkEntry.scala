@@ -319,6 +319,7 @@ object SparkEntry {
     "q204_ann_drift_gate"    -> ((s, d) => Similarity.annDriftGate(Tables(s, d))),
     "q205_stream_ann_gate"   -> ((s, d) => graft.streaming.StreamAnn.annIngestGate(s, d)),
     "q206_multi_dim_move"    -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMove(Tables(s, d))),
+    "q207_stream_multi_ivm"  -> ((s, d) => graft.streaming.StreamIvm.multiMeasureStream(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2640,6 +2641,40 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
         | FROM f GROUP BY n_name)
         |SELECT n_name, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | su AS sum_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
+    // q207: the streaming multi-measure fold's oracle is q200's
+    // scratch aggregate restricted to the replayed fact slice —
+    // surviving facts only, blind to the micro-batch chunking (the
+    // fold's composability IS the claim; stream ≡ one-shot is
+    // StreamIvmSpec's pin)
+    "q207_stream_multi_ivm" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p FROM orders WHERE o_orderkey < 1048576),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q,
+        |  u,
+        |  CASE WHEN fkey % 97 = 1 THEN '9-REPRICED' ELSE p END AS p
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55, u + 3, '0-NEW' FROM f WHERE fkey % 97 = 3),
+        |agg AS (
+        | SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(SUM(u) AS BIGINT) AS su,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM surv GROUP BY key)
+        |SELECT key AS o_custkey, n AS n_orders,
         | CAST(s AS DOUBLE) / 100.0 AS total_price,
         | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
         | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))

@@ -20,6 +20,15 @@ case class ReplayFactChange(fkey: Long, change: String,
   * mergeDimMove delta shape). */
 case class ReplayDimMove(key: Long, g_old: String, g_new: String)
 
+/** One multi-measure change row under replay
+  * ([[graft.operators.MultiIvm]] delta shape for the q200 fixture's
+  * (cents, units, prio) declaration). */
+case class ReplayMultiChange(fkey: Long, change: String,
+    key_old: Option[Long], key_new: Option[Long],
+    old_cents: Option[Long], new_cents: Option[Long],
+    old_units: Option[Long], new_units: Option[Long],
+    old_prio: Option[String], new_prio: Option[String])
+
 /** Streaming aggregate-view maintenance — q167's batch IVM fed by a
   * stream: `foreachBatch` folds each micro-batch's map-side-combined
   * partials into the maintained per-group view with the same monoid
@@ -169,6 +178,93 @@ object StreamIvm {
         ($"s".cast("double") / 100.0).as("total_price"),
         ($"mn".cast("double") / 100.0).as("min_price"),
         ($"mx".cast("double") / 100.0).as("max_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** q207 — STREAMING multi-measure view maintenance: q200's fold fed
+    * by the change stream, completing the family pattern (q167→q177,
+    * q180→q187, q195→q199, q200→q207). Each micro-batch folds through
+    * the SAME frame-level algebra ([[graft.operators.MultiIvm
+    * .mergeMultiDeltaFrames]] — signed count/sums/split-squares, plus
+    * the count-distinct re-derivation) and ROLLS FORWARD both pieces
+    * of state: the view (the merge output IS the updated view) and
+    * the multiplicity sidecar (untouched keys' rows pass through,
+    * touched keys take [[graft.operators.MultiIvm
+    * .updatedMultiplicities]]'s rows — the write-back a production
+    * MERGE does). Both folds are associative, so stream(b1…bk) ≡
+    * one-shot batch(∪bᵢ) ≡ the scratch aggregate over survivors —
+    * StreamIvmSpec pins the first equality, q207's oracle is the
+    * last, blind to chunking. Per batch O(batch + touched keys'
+    * sidecar rows); the production shape MERGEs into the bucketed
+    * view + sidecar tables. */
+  def multiMeasureStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MultiIvm
+    val Ms = Seq("cents", "units")
+    val Ds = Seq("prio")
+    val boundedFacts = MultiIvm.orderMultiFacts(Tables(spark, dir))
+      .filter(col("fkey") < MaxStreamOrderKey)
+    val deltaRows = MultiIvm.orderMultiDelta(boundedFacts)
+      .as[ReplayMultiChange].collect().toSeq.sortBy(_.fkey)
+    val chunks =
+      if (deltaRows.isEmpty) Seq(Seq.empty[ReplayMultiChange])
+      else deltaRows.grouped(
+        math.max(1, (deltaRows.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayMultiChange]
+    val baseFacts = MultiIvm.orderMultiFacts(Tables(ss, dir))
+      .filter(col("fkey") < MaxStreamOrderKey).localCheckpoint(true)
+    @volatile var view: DataFrame =
+      MultiIvm.multiPartials(baseFacts, Ms, Ds).localCheckpoint(true)
+    @volatile var mult: DataFrame = baseFacts
+      .groupBy(col("key"), col("prio").as("v"))
+      .agg(count(lit(1)).as("m")).localCheckpoint(true)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_mivm_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayMultiChange], _: Long) =>
+        val d = batch.toDF()
+        // view first (its cd re-derivation reads the PRE-batch
+        // sidecar), then roll the sidecar forward for batch N+1
+        val merged = MultiIvm.mergeMultiDeltaFrames(d, Ms, Ds, view,
+          Map("prio" -> mult)).localCheckpoint(true)
+        val touched = d.select(col("key_old").as("key"))
+          .where(col("key_old").isNotNull)
+          .unionByName(d.select(col("key_new").as("key"))
+            .where(col("key_new").isNotNull)).distinct()
+        mult = mult.join(touched, Seq("key"), "left_anti")
+          .unionByName(MultiIvm.updatedMultiplicities(d, mult, "prio"))
+          .localCheckpoint(true)
+        view = merged
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    val S = 1L << 30
+    val v = spark.createDataFrame(rows, view.schema)
+    val nD = col("n").cast("double")
+    val sD = col("s_cents").cast("double")
+    val ssq = col("ssh_cents").cast("double") * lit(S.toDouble) +
+      col("ssl_cents").cast("double")
+    v.select($"key".as("o_custkey"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      $"s_units".as("sum_units"),
+      $"cd_prio".as("n_priorities"))
       .orderBy($"o_custkey")
   }
 

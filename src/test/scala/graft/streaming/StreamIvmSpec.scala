@@ -76,4 +76,35 @@ class StreamIvmSpec extends SparkSpec {
       oneShot.exceptAll(streamed).isEmpty,
       "micro-batched dim-move fold diverges from the one-shot fold")
   }
+
+  // ── streaming multi-measure fold (q207) ────────────────────────────
+
+  test("streamed multi-measure fold equals the one-shot merge over the slice") {
+    import spark.implicits._
+    import graft.operators.MultiIvm
+    val Ms = Seq("cents", "units")
+    val Ds = Seq("prio")
+    val facts = MultiIvm.orderMultiFacts(sf001)
+      .filter(col("fkey") < StreamIvm.MaxStreamOrderKey)
+    val view = MultiIvm.multiPartials(facts, Ms, Ds)
+    val mult = facts.groupBy($"key", $"prio".as("v"))
+      .agg(count(lit(1)).as("m"))
+    val oneShotRaw = MultiIvm.mergeMultiDeltaFrames(
+      MultiIvm.orderMultiDelta(facts), Ms, Ds, view, Map("prio" -> mult))
+    val S = 1L << 30
+    val nD = col("n").cast("double")
+    val sD = col("s_cents").cast("double")
+    val ssq = col("ssh_cents").cast("double") * lit(S.toDouble) +
+      col("ssl_cents").cast("double")
+    val oneShot = oneShotRaw.select($"key".as("o_custkey"),
+      $"n".as("n_orders"), (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      $"s_units".as("sum_units"), $"cd_prio".as("n_priorities"))
+    val streamed = StreamIvm.multiMeasureStream(spark, sf001.dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "micro-batched multi-measure fold diverges from the one-shot merge")
+  }
 }
