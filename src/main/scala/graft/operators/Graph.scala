@@ -1064,6 +1064,148 @@ object Graph {
       .orderBy($"c_custkey")
   }
 
+  // ── q208: incremental CC under edge DELETION ─────────────────────────
+  // [[ccIncrement]] is insert-only by construction: min-label
+  // relabeling can only MERGE components, never split one, so a
+  // deleted bridge is inexpressible. The standard production
+  // treatment mirrors q180's touched-group recipe applied to graphs:
+  // persist the edge set BUCKETED BY COMPONENT alongside the labeling,
+  // and on a delete batch re-run CC over ONLY the components that
+  // lost an edge — their surviving edges stream off the bucketed
+  // sidecar (zero-exchange semi-join), every other component's rows
+  // pass through byte-identically. A non-bridge deletion relabels the
+  // touched component to the same labels; a bridge deletion splits it
+  // into min-id fragments — both exact, because CC restricted to a
+  // component's own edges IS the global CC there (deleting an edge
+  // never connects anything). Inserts then fold through the existing
+  // condensation argument over the post-delete labeling. Cost:
+  // O(|D| + edges-of-touched-components + |I|) — the base edge log
+  // outside the touched components is NEVER re-read, which is the
+  // 100 TB posture (deletes touch few components; their edge sets are
+  // the q180 "facts of touched groups").
+
+  /** Persist a CC labeling AND the edge set for delete-capable
+    * maintenance: `$table` is [[buildCcState]]'s (id, component)
+    * layout; `${table}_edges` holds the canonical edges (a < b)
+    * labeled and bucketed by their component, so a delete batch's
+    * touched-component re-solve reads only its own buckets. */
+  def buildCcStateFull(nodes: DataFrame, edges: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val spark = nodes.sparkSession
+    buildCcState(nodes, edges, table, buckets)
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val canon = edges.select(
+      least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b")).distinct()
+    val et = s"${table}_edges"
+    spark.sql(s"DROP TABLE IF EXISTS $et")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.Tables.deleteRec(new java.io.File(wh, et))
+    canon
+      .join(spark.table(table).select(col("id").as("a"),
+        col("component")), Seq("a"))
+      .select(col("component"), col("a"), col("b"))
+      .write.bucketBy(buckets, "component").sortBy("component", "a", "b")
+      .saveAsTable(et)
+  }
+
+  /** Fold a batch of edge INSERTS and DELETES into a persisted
+    * labeling + edge state — returns the FULL updated (id, component).
+    * Deletes referencing an edge the state never held raise loudly (a
+    * phantom delete means the change log and the state have diverged —
+    * the [[graft.operators.Ivm]] family's contract). */
+  def ccApplyChanges(inserts: DataFrame, deletes: DataFrame,
+      table: String): DataFrame = {
+    val spark = inserts.sparkSession
+    ccApplyChangesFrames(inserts, deletes, spark.table(table),
+      spark.table(s"${table}_edges"))
+  }
+
+  /** Frame-level core of [[ccApplyChanges]]: `state` is (id,
+    * component), `stateEdges` (component, a, b) with a < b — the
+    * persisted layouts, or a streaming fold's rolled-forward frames
+    * ([[graft.streaming.StreamGraph]]). */
+  def ccApplyChangesFrames(inserts: DataFrame, deletes: DataFrame,
+      state: DataFrame, stateEdges: DataFrame): DataFrame = {
+    require(state.columns.sameElements(Seq("id", "component")),
+      s"state must be (id, component): ${state.columns.toSeq}")
+    require(stateEdges.columns.sameElements(Seq("component", "a", "b")),
+      s"edge state must be (component, a, b): ${stateEdges.columns.toSeq}")
+    val Seq(dA, dB) = deletes.columns.toSeq.take(2)
+    val del = deletes.select(
+      least(col(dA), col(dB)).as("a"),
+      greatest(col(dA), col(dB)).as("b")).distinct()
+    // each delete's component off the edge sidecar — the small side
+    // broadcasts, the bucketed sidecar streams (no shuffle); the
+    // matched rows are delta-bounded, so materialize them once
+    val matched = stateEdges
+      .join(broadcast(del), Seq("a", "b"))
+      .select(col("component")).localCheckpoint(true)
+    // loud phantom-delete contract: the sidecar's edges are distinct,
+    // so |matched| < |deletes| means some delete referenced an edge
+    // the state never held — the change log and state have diverged
+    val nDel = del.count()
+    val nMatched = matched.count()
+    if (nMatched != nDel)
+      throw new IllegalArgumentException(
+        s"Graph.ccApplyChanges: ${nDel - nMatched} of $nDel deletes "
+          + "reference edges the state never held — phantom deletes")
+    val delComp = matched.distinct()
+    // surviving edges of ONLY the touched components, off the
+    // component-bucketed sidecar (both the semi and the anti join
+    // broadcast — no edge-state shuffle, spec-asserted)
+    val survEdges = stateEdges
+      .join(broadcast(delComp), Seq("component"), "left_semi")
+      .join(broadcast(del), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"))
+    val touchedNodes = state
+      .join(broadcast(delComp), Seq("component"), "left_semi")
+      .select(col("id"))
+    // exact within touched components: a deletion can only DISconnect,
+    // so the global CC restricted to a touched component equals the CC
+    // of that component's own surviving edges
+    val relabeled = Dedup.connectedComponents(touchedNodes, survEdges,
+      edgesWithinNodes = true)
+    val untouched = state
+      .join(broadcast(delComp), Seq("component"), "left_anti")
+    val postDelete = untouched.unionByName(relabeled)
+    // inserts ride the existing condensation fold over the post-delete
+    // labeling (I ∪ D in one batch: CC((E \ D) ∪ I) composes as
+    // insert-fold(delete-fold) because each step is exact)
+    ccIncrementFrames(inserts, postDelete)
+  }
+
+  /** q208: delete-capable incremental CC on the co-purchase graph —
+    * the persisted state holds edges with (3a+b) mod 11 ≠ 0; at query
+    * time the (a+b) mod 7 ≡ 0 slice of those DELETES and the held-out
+    * (3a+b) mod 11 ≡ 0, (a+b) mod 7 ≠ 0 edges INSERT, so the oracle
+    * is the from-scratch closure over exactly the (a+b) mod 7 ≠ 0
+    * edges — blind to the engine's base/delete/insert split. Bridges
+    * that split components are exercised by construction (the spec
+    * additionally pins a hand-built bridge vs non-bridge pair). */
+  private val ccrBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def ccCoPurchaseRetract(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val edges = customerCoEdges(t)
+    val fp = Integer.toHexString(
+      (graft.Tables.parallelLayout(t.spark, t.dir, "lineitem").hashCode * 31
+        + graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode))
+    val table = ccrBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_ccr_state_$fp"
+      buildCcStateFull(t.customer.select($"c_custkey"),
+        edges.filter(($"a" * 3 + $"b") % 11 =!= 0), name)
+      name
+    })
+    val deletes = edges.filter(($"a" * 3 + $"b") % 11 =!= 0 &&
+      ($"a" + $"b") % 7 === 0)
+    val inserts = edges.filter(($"a" * 3 + $"b") % 11 === 0 &&
+      ($"a" + $"b") % 7 =!= 0)
+    ccApplyChanges(inserts, deletes, table)
+      .select($"id".as("c_custkey"), $"component")
+      .orderBy($"c_custkey")
+  }
+
   // ── q203: PageRank warm-start ───────────────────────────────────────
   // The power iteration's convergence depends on the distance between
   // the init vector and the fixed point — after a small edge delta
@@ -1159,11 +1301,26 @@ object Graph {
       delta = next.as("n")
         .join(pr.select(col("id"), col("pr").as("__prev")), Seq("id"))
         .agg(max(abs(col("pr") - col("__prev")))).head().getDouble(0)
+      // the previous round's checkpointed rank blocks are dead once
+      // the L∞ action has read them — free them now, or up to
+      // maxIters copies of the rank vector sit in block storage for
+      // the life of the session (the init frame is internal too; only
+      // the final frame, the result, stays persisted)
+      unpersistCheckpointed(pr)
       pr = next
       iter += 1
     }
     (pr.select(col("id"), col("pr")), iter)
   }
+
+  /** Unpersist the RDD blocks behind an eager localCheckpoint'd frame
+    * (Dataset.unpersist only consults the cache manager, which knows
+    * nothing about checkpoint storage). Precise — unpersists exactly
+    * the frame's own LogicalRDD, never another query's blocks. */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** q203: warm-started PageRank on the customer–supplier trade graph
     * — the base graph (orders with o_orderkey mod 11 ≠ 0) is ranked 3

@@ -410,6 +410,21 @@ object Ivm {
         min($"mn").as("mn"), max($"mx").as("mx"))
   }
 
+  /** Post-move (key, g) membership derived FROM the move delta — the
+    * base assignment left-joined with the delta, coalesce(g_new, g) —
+    * so the move recipe lives in exactly one place
+    * ([[nationMoveDelta]]); a recipe change cannot silently diverge
+    * the mapping from the delta (they are the same frame). Shared by
+    * q201 and the q212 multi-measure move. */
+  private[graft] def postMoveMapping(t: Tables, moved: DataFrame): DataFrame = {
+    import t.spark.implicits._
+    t.customer.select($"c_custkey".as("key"), $"c_nationkey")
+      .join(broadcast(t.nation.select($"n_nationkey".as("c_nationkey"),
+        $"n_name".as("g"))), Seq("c_nationkey"))
+      .join(broadcast(moved.select($"key", $"g_new")), Seq("key"), "left")
+      .select($"key", coalesce($"g_new", $"g").as("g"))
+  }
+
   /** q201: q195's customer-move maintenance carrying ALL FOUR
     * aggregates — count/sum transfer by signed addition, min/max
     * re-derive over the touched nations' member-customer partials
@@ -420,15 +435,8 @@ object Ivm {
     import t.spark.implicits._
     val aggTable = ensureCustAggIndex(t)
     val moved = nationMoveDelta(t)
-    // post-move membership: every customer's (possibly moved) nation
-    val mapping = t.customer
-      .select($"c_custkey".as("key"),
-        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
-          .otherwise($"c_nationkey").as("nk"))
-      .join(broadcast(t.nation.select($"n_nationkey".as("nk"),
-        $"n_name".as("g"))), Seq("nk"))
-      .select($"key", $"g")
-    mergeDimMoveFull(nationBaseViewFull(t, aggTable), aggTable, mapping, moved)
+    mergeDimMoveFull(nationBaseViewFull(t, aggTable), aggTable,
+      postMoveMapping(t, moved), moved)
       .select($"g".as("n_name"), $"n".as("n_orders"),
         ($"s".cast("double") / 100.0).as("total_price"),
         ($"mn".cast("double") / 100.0).as("min_price"),

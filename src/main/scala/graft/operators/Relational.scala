@@ -1303,16 +1303,28 @@ object Relational {
     * Scale: two narrow aggs + a |groups|·K grid join —
     * map-side combinable, never a second data pass. */
   def psiDriftOver(df: DataFrame, groupCol: Column, isB: Column,
-      bucketCol: Column, nBuckets: Int): DataFrame = {
+      bucketCol: Column, nBuckets: Int): DataFrame =
+    psiFromCounts(df
+      .select(groupCol.as("g"), isB.as("b"), bucketCol.as("k"))
+      .groupBy(col("g"), col("b"), col("k")).agg(count(lit(1)).as("c")),
+      nBuckets)
+
+  /** [[psiDriftOver]]'s core over PRE-AGGREGATED `(g, b, k, c)` bucket
+    * counts — the delta-bounded entry for callers that MAINTAIN a
+    * count sidecar instead of rescanning the base population each
+    * batch (q204's per-list index sidecar). Duplicate (g, b, k) rows
+    * sum; the math downstream of the counts is the row-level entry's
+    * verbatim, so the two entries are bit-identical on equal counts. */
+  def psiFromCounts(counts0: DataFrame, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val Q = 1099511627776.0 // 2^40
-    val kChecked = when(bucketCol >= 0 && bucketCol < nBuckets, bucketCol)
+    val kChecked = when(col("k") >= 0 && col("k") < nBuckets, col("k"))
       .otherwise(raise_error(concat(
         lit(s"psiDriftOver: bucket value outside [0, $nBuckets): "),
-        bucketCol.cast("string"))).cast("int"))
-    val counts = df
-      .select(groupCol.as("g"), isB.as("b"), kChecked.as("k"))
-      .groupBy(col("g"), col("b"), col("k")).agg(count(lit(1)).as("c"))
+        col("k").cast("string"))).cast("int"))
+    val counts = counts0
+      .select(col("g"), col("b"), kChecked.as("k"), col("c"))
+      .groupBy(col("g"), col("b"), col("k")).agg(sum(col("c")).as("c"))
     def side(flag: Boolean, cn: String) = counts
       .filter(col("b") === flag)
       .select(col("g"), col("k"), col("c").as(cn))

@@ -585,7 +585,8 @@ object Similarity {
   def buildAnnIndex(src: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, table: String,
       trainOn: Option[DataFrame] = None, m: Int = 16, ks: Int = 32,
-      nList: Int = 16, nAssign: Int = 3, trainCap: Long = 131072L): Unit = {
+      nList: Int = 16, nAssign: Int = 3, trainCap: Long = 131072L,
+      epoch: Long = 0L): Unit = {
     val spark = src.sparkSession
     import spark.implicits._
     val base = src.select(idCol.as("vec_id"), embCol.as("embedding"))
@@ -593,26 +594,72 @@ object Similarity {
       .getOrElse(base)
     val model = fitPq(tr, m, ks, nList, trainCap)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq(table, s"${table}_meta").foreach { n =>
+    Seq(table, s"${table}_meta", s"${table}_lists").foreach { n =>
       spark.sql(s"DROP TABLE IF EXISTS $n")
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
     encodePq(base, model, nAssign)
       .write.partitionBy("ivf_list").saveAsTable(table)
+    // the index EPOCH is stamped in two places — a table property on
+    // the index and a column in the meta row — and the probe asserts
+    // they agree, which turns the retrain swap's two-table window
+    // (new index + old quantizers would serve WRONG distances) into a
+    // loud retryable error instead of silent wrong answers
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.epoch' = '$epoch')")
     Seq((model.m, model.ks, model.dsub, model.nList,
-        model.coarse.map(_.toSeq).toSeq, model.cbFlat.toSeq))
-      .toDF("m", "ks", "dsub", "nlist", "coarse", "cbflat")
+        model.coarse.map(_.toSeq).toSeq, model.cbFlat.toSeq, epoch))
+      .toDF("m", "ks", "dsub", "nlist", "coarse", "cbflat", "epoch")
       .write.saveAsTable(s"${table}_meta")
+    // per-list count sidecar (nList rows): the base distribution
+    // [[annAssignmentPsi]] reads instead of rescanning the index on
+    // every maintenance batch — rolled forward by [[updateAnnIndex]],
+    // rebuilt by retrain, dropped (and lazily rebuilt) by compaction
+    spark.table(table).groupBy(col("ivf_list"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.saveAsTable(s"${table}_lists")
   }
 
   /** Reload the fitted quantizers from the index's metadata sidecar. */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession,
-      table: String): PqModel = {
+      table: String): PqModel = loadMetaRow(spark, table)._1
+
+  /** One read of the meta sidecar: (model, epoch). */
+  private def loadMetaRow(spark: org.apache.spark.sql.SparkSession,
+      table: String): (PqModel, Long) = {
     val r = spark.table(s"${table}_meta").head()
-    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+    (PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
       r.getSeq[scala.collection.Seq[Double]](4)
         .map(_.toIndexedSeq).toIndexedSeq,
-      r.getSeq[Double](5).toIndexedSeq)
+      r.getSeq[Double](5).toIndexedSeq), r.getLong(6))
+  }
+
+  /** The epoch recorded in the meta sidecar. */
+  def metaEpoch(spark: org.apache.spark.sql.SparkSession,
+      table: String): Long = loadMetaRow(spark, table)._2
+
+  /** The epoch stamped on the index table itself (its `graft.epoch`
+    * table property); a table without the stamp reads as -1 — always
+    * a loud mismatch at the probe. */
+  def indexEpoch(spark: org.apache.spark.sql.SparkSession,
+      table: String): Long = {
+    val r = spark.sql(s"SHOW TBLPROPERTIES $table ('graft.epoch')").head()
+    scala.util.Try(r.getString(1).trim.toLong).getOrElse(-1L)
+  }
+
+  /** Raise if the index table and the meta sidecar disagree on epoch —
+    * a probe that lands between the retrain swap's two directory
+    * moves would otherwise pair the NEW codes with the OLD quantizers
+    * and serve wrong distances with no error anywhere. */
+  private def requireEpochAgreement(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val ie = indexEpoch(spark, table)
+    val me = metaEpoch(spark, table)
+    if (ie != me)
+      throw new IllegalStateException(
+        s"ANN index $table epoch mismatch: index=$ie meta=$me — the probe "
+          + "raced a retrain swap (index and quantizers are from different "
+          + "generations); retry after the swap completes")
   }
 
   /** Extend a persisted index with a delta corpus: encode against the
@@ -625,11 +672,32 @@ object Similarity {
   def updateAnnIndex(delta: DataFrame, idCol: org.apache.spark.sql.Column,
       embCol: org.apache.spark.sql.Column, table: String,
       nAssign: Int = 3): Unit = {
-    val model = loadPqModel(delta.sparkSession, table)
-    encodePq(delta.select(idCol.as("vec_id"), embCol.as("embedding")),
-        model, nAssign)
-      .write.mode("append").format("parquet").partitionBy("ivf_list")
+    val spark = delta.sparkSession
+    val model = loadPqModel(spark, table)
+    val enc = encodePq(delta.select(idCol.as("vec_id"),
+      embCol.as("embedding")), model, nAssign)
+    enc.write.mode("append").format("parquet").partitionBy("ivf_list")
       .saveAsTable(table)
+    // roll the per-list count sidecar forward by the delta's own
+    // counts — a second pass over the (delta-bounded, deterministic)
+    // encode plus an nList-row overwrite, never an index scan (if
+    // compaction dropped the sidecar, PSI lazily rebuilds it;
+    // nothing to roll forward here)
+    val lists = s"${table}_lists"
+    if (spark.catalog.tableExists(lists)) {
+      val dc = enc.groupBy(col("ivf_list")).agg(count(lit(1)).as("dc"))
+      val merged = spark.table(lists).as("b")
+        .join(dc, Seq("ivf_list"), "full_outer")
+        .select(col("ivf_list"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("cnt"))
+        .localCheckpoint() // break lineage: overwrite reads itself
+      // insertInto, not saveAsTable: data-only overwrite that keeps
+      // the table identity (the post-retrain sidecar is re-registered
+      // at an explicit location; saveAsTable-overwrite would drop it
+      // and collide with the surviving files)
+      merged.write.mode("overwrite").insertInto(lists)
+    }
   }
 
   /** Probe a persisted index: load the model sidecar (one tiny head —
@@ -642,9 +710,11 @@ object Similarity {
     * displace a live one from the shortlist. */
   def annIndexProbe(spark: org.apache.spark.sql.SparkSession, table: String,
       probes: DataFrame, raw: DataFrame, nProbe: Int = 6,
-      rerank: Int = 200): DataFrame =
+      rerank: Int = 200): DataFrame = {
+    requireEpochAgreement(spark, table)
     probePq(aliveIndex(spark, table), loadPqModel(spark, table), probes, raw,
       nProbe, rerank)
+  }
 
   /** FILTERED vector search (q188): probe the persisted index under a
     * metadata predicate — "top-k among the vectors WHERE pred", the
@@ -662,9 +732,11 @@ object Similarity {
   def annIndexProbeWhere(spark: org.apache.spark.sql.SparkSession,
       table: String, probes: DataFrame, raw: DataFrame,
       pred: org.apache.spark.sql.Column, nProbe: Int = 6,
-      rerank: Int = 200): DataFrame =
+      rerank: Int = 200): DataFrame = {
+    requireEpochAgreement(spark, table)
     probePq(aliveIndex(spark, table).filter(pred),
       loadPqModel(spark, table), probes, raw, nProbe, rerank)
+  }
 
   /** The index minus its tombstones (identity when none exist). */
   private def aliveIndex(spark: org.apache.spark.sql.SparkSession,
@@ -713,6 +785,17 @@ object Similarity {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tmpDir = new java.io.File(wh, tmp)
     val liveDir = new java.io.File(wh, table)
+    // Crash recovery FIRST: a prior compaction that died between
+    // deleting the live dir and renaming staging left the compacted
+    // survivors as the SOLE copy under the staging dir — finishing
+    // that interrupted swap (rename + re-register) restores the index;
+    // deleting staging here would destroy it. Only when the live dir
+    // exists is a leftover staging dir stale (the crash was before the
+    // drop, live is authoritative) and safe to clear below.
+    if (tmpDir.isDirectory && !liveDir.exists()) {
+      finishIndexSwap(spark, table, tmpDir, liveDir)
+      return
+    }
     graft.Tables.deleteRec(tmpDir)
     // ONE write of the survivors, to a staging directory (path-level,
     // no catalog entry — ALTER TABLE RENAME does not relocate managed
@@ -721,18 +804,34 @@ object Similarity {
     aliveIndex(spark, table)
       .write.partitionBy("ivf_list").parquet(tmpDir.getAbsolutePath)
     // Swap window (drop → move → create) is metadata-only — the live
-    // name is absent for milliseconds, not for a corpus rewrite; on a
-    // crash inside it the compacted data survives intact under the
-    // staging dir and a re-run (which deletes + rewrites the staging
-    // dir first) restores the live table.
+    // name is absent for milliseconds, not for a corpus rewrite; a
+    // crash inside it is recovered by the entry guard above.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     graft.Tables.deleteRec(liveDir)
+    finishIndexSwap(spark, table, tmpDir, liveDir)
+  }
+
+  /** The back half of a compaction swap — also the crash-recovery
+    * path, so everything after the survivor write lives here exactly
+    * once: rename staging over live, re-register, re-stamp the meta
+    * sidecar's epoch on the recreated table (compaction never changes
+    * quantizers), clear the tombstones the survivors already exclude,
+    * and drop the per-list count sidecar (stale once tombstoned rows
+    * are physically gone; [[annAssignmentPsi]] lazily rebuilds it). */
+  private def finishIndexSwap(spark: org.apache.spark.sql.SparkSession,
+      table: String, tmpDir: java.io.File, liveDir: java.io.File): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     require(tmpDir.renameTo(liveDir),
       s"compactAnnIndex: could not move $tmpDir over $liveDir")
+    spark.sql(s"DROP TABLE IF EXISTS $table") // recovery: stale entry
     spark.sql(s"CREATE TABLE $table USING parquet LOCATION '${liveDir.toURI}'")
     spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.epoch' = '${metaEpoch(spark, table)}')")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombs")
     graft.Tables.deleteRec(new java.io.File(wh, s"${table}_tombs"))
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_lists")
+    graft.Tables.deleteRec(new java.io.File(wh, s"${table}_lists"))
   }
 
   // ── q204: quantizer-drift detection + retrain lifecycle ─────────────
@@ -758,13 +857,27 @@ object Similarity {
   def annAssignmentPsi(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame, nAssign: Int = 3): DataFrame = {
     val model = loadPqModel(spark, table)
-    val baseLists = spark.table(table)
-      .select(col("ivf_list"), lit(false).as("b"))
-    val deltaLists = encodePq(
+    // the base distribution comes from the per-list count sidecar
+    // (nList rows, rolled forward by every append) — O(1) per
+    // maintenance batch, never a rescan of the index itself. The one
+    // exception: compaction drops the sidecar (tombstoned rows left
+    // the physical table), and the first PSI after it rebuilds the
+    // sidecar from one index scan — amortized, and that scan is the
+    // compaction-accurate truth by definition.
+    val lists = s"${table}_lists"
+    if (!spark.catalog.tableExists(lists))
+      spark.table(table).groupBy(col("ivf_list"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.saveAsTable(lists)
+    val baseCounts = spark.table(lists)
+      .select(lit("all").as("g"), lit(false).as("b"),
+        col("ivf_list").as("k"), col("cnt").as("c"))
+    val deltaCounts = encodePq(
         delta.select(col("vec_id"), col("embedding")), model, nAssign)
-      .select(col("ivf_list"), lit(true).as("b"))
-    Relational.psiDriftOver(baseLists.unionByName(deltaLists),
-        lit("all"), col("b"), col("ivf_list"), model.nList)
+      .groupBy(col("ivf_list")).agg(count(lit(1)).as("c"))
+      .select(lit("all").as("g"), lit(true).as("b"),
+        col("ivf_list").as("k"), col("c"))
+    Relational.psiFromCounts(baseCounts.unionByName(deltaCounts), model.nList)
       .select(col("na").as("n_index"), col("nb").as("n_delta"), col("psi"))
   }
 
@@ -772,7 +885,8 @@ object Similarity {
     * drop-target → directory move → re-register. Metadata-only (the
     * green build's single write is the only data write). */
   private def swapTableFiles(spark: org.apache.spark.sql.SparkSession,
-      fromTable: String, toTable: String, partitioned: Boolean): Unit = {
+      fromTable: String, toTable: String, partitioned: Boolean,
+      epoch: Option[Long] = None): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val fromDir = new java.io.File(wh, fromTable)
     val toDir = new java.io.File(wh, toTable)
@@ -783,6 +897,9 @@ object Similarity {
     spark.sql(s"DROP TABLE IF EXISTS $fromTable") // entry only; files moved
     spark.sql(s"CREATE TABLE $toTable USING parquet LOCATION '${toDir.toURI}'")
     if (partitioned) spark.sql(s"ALTER TABLE $toTable RECOVER PARTITIONS")
+    // re-register loses table properties — restamp the index epoch
+    epoch.foreach(e => spark.sql(
+      s"ALTER TABLE $toTable SET TBLPROPERTIES ('graft.epoch' = '$e')"))
   }
 
   /** Refit the quantizers on `corpus` (the CURRENT full store — base
@@ -798,9 +915,23 @@ object Similarity {
       trainCap: Long = 131072L): Unit = {
     val spark = corpus.sparkSession
     val green = s"${table}_green"
+    // the new generation's epoch: old epoch + 1 (0 if the live index
+    // is gone — retrain is rebuildable from the passed corpus)
+    val newEpoch =
+      if (spark.catalog.tableExists(s"${table}_meta"))
+        metaEpoch(spark, table) + 1L
+      else 0L
     buildAnnIndex(corpus, idCol, embCol, green, trainOn = None,
-      m = m, ks = ks, nList = nList, nAssign = nAssign, trainCap = trainCap)
-    swapTableFiles(spark, green, table, partitioned = true)
+      m = m, ks = ks, nList = nList, nAssign = nAssign, trainCap = trainCap,
+      epoch = newEpoch)
+    // index first (its stamp flips to newEpoch), meta last — a probe
+    // landing between the moves sees index=newEpoch vs meta=old and
+    // RAISES (requireEpochAgreement) instead of serving the new codes
+    // under the old quantizers' distances
+    swapTableFiles(spark, green, table, partitioned = true,
+      epoch = Some(newEpoch))
+    swapTableFiles(spark, s"${green}_lists", s"${table}_lists",
+      partitioned = false)
     swapTableFiles(spark, s"${green}_meta", s"${table}_meta",
       partitioned = false)
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombs")
@@ -1038,6 +1169,10 @@ object Similarity {
       }
       t.spark.table(src).write.partitionBy("ivf_list").saveAsTable(name)
       t.spark.table(s"${src}_meta").write.saveAsTable(s"${name}_meta")
+      // the clone must carry the source's epoch stamp — the probe
+      // asserts index-property ≡ meta agreement on every read
+      t.spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+        s"('graft.epoch' = '${metaEpoch(t.spark, name)}')")
       deleteFromAnnIndex(
         t.embeddings.filter($"vec_id" % 10 === 3).select($"vec_id"), name)
       name

@@ -82,6 +82,12 @@ object StreamAnn {
         q.stop()
         graft.Tables.deleteRec(ckDir)
       }
+      // the appends ran in the cloned streaming session; the CALLER's
+      // session already holds a relation-cache snapshot of the index
+      // (the build's per-list count pass read it), and cross-session
+      // appends don't invalidate it — refresh, or the caller reads the
+      // pre-stream file listing
+      spark.catalog.refreshTable(name)
       name
     })
   }
