@@ -320,6 +320,11 @@ object SparkEntry {
     "q205_stream_ann_gate"   -> ((s, d) => graft.streaming.StreamAnn.annIngestGate(s, d)),
     "q206_multi_dim_move"    -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMove(Tables(s, d))),
     "q207_stream_multi_ivm"  -> ((s, d) => graft.streaming.StreamIvm.multiMeasureStream(s, d)),
+    "q208_cc_retract"        -> ((s, d) => graft.operators.Graph.ccCoPurchaseRetract(Tables(s, d))),
+    "q209_multi_ivm_minmax"  -> ((s, d) => graft.operators.MultiIvm.multiMeasureRollupFull(Tables(s, d))),
+    "q210_stream_cc"         -> ((s, d) => graft.streaming.StreamGraph.ccStream(s, d)),
+    "q211_stream_multi_move" -> ((s, d) => graft.streaming.StreamIvm.multiMeasureDimMoveStream(s, d)),
+    "q212_multi_move_minmax" -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMoveFull(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2681,6 +2686,149 @@ object SparkEntry {
         |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
         |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
         | su AS sum_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
+    // q208: delete-capable incremental CC — the oracle is the
+    // from-scratch closure over exactly the surviving edge set
+    // ((a+b) mod 7 ≠ 0, which is (base \ deletes) ∪ inserts by the
+    // fixture's construction), blind to the engine's three-way split;
+    // hash equality certifies both the touched-component re-solve and
+    // the insert condensation end to end
+    "q208_cc_retract" ->
+      """WITH RECURSIVE lo AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS MATERIALIZED (
+        | SELECT DISTINCT a.ck AS id_a, b.ck AS id_b
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |pk AS MATERIALIZED (
+        | SELECT id_a, id_b FROM p WHERE (id_a + id_b) % 7 <> 0),
+        |e AS MATERIALIZED (
+        | SELECT id_a AS s, id_b AS t FROM pk
+        | UNION ALL SELECT id_b AS s, id_a AS t FROM pk),
+        |walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t)
+        |SELECT id AS c_custkey, MIN(label) AS component
+        |FROM walk GROUP BY id""".stripMargin,
+    // q210: the streaming CC fold's oracle is q202's from-scratch
+    // closure verbatim — the streamed chunking must land on the same
+    // labeling (stream ≡ one-shot is StreamGraphSpec's pin)
+    "q210_stream_cc" ->
+      """WITH RECURSIVE lo AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS MATERIALIZED (
+        | SELECT DISTINCT a.ck AS id_a, b.ck AS id_b
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |e AS MATERIALIZED (
+        | SELECT id_a AS s, id_b AS t FROM p
+        | UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t)
+        |SELECT id AS c_custkey, MIN(label) AS component
+        |FROM walk GROUP BY id""".stripMargin,
+    // q209: q200's oracle carrying min/max too — the engine's
+    // retraction path re-derives them off the bucketed fact sidecar,
+    // the oracle just aggregates the survivors
+    "q209_multi_ivm_minmax" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p FROM orders),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q,
+        |  u,
+        |  CASE WHEN fkey % 97 = 1 THEN '9-REPRICED' ELSE p END AS p
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55, u + 3, '0-NEW' FROM f WHERE fkey % 97 = 3),
+        |agg AS (
+        | SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(MIN(q) AS BIGINT) AS mnq, CAST(MAX(q) AS BIGINT) AS mxq,
+        |  CAST(SUM(u) AS BIGINT) AS su, CAST(MAX(u) AS BIGINT) AS mxu,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM surv GROUP BY key)
+        |SELECT key AS o_custkey, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | CAST(mnq AS DOUBLE) / 100.0 AS min_price,
+        | CAST(mxq AS DOUBLE) / 100.0 AS max_price,
+        | su AS sum_units, mxu AS max_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
+    // q211: the streaming multi-measure dim-move fold's oracle is
+    // q206's post-move scratch rollup verbatim — blind to the
+    // chunking (stream ≡ one-shot is StreamIvmSpec's pin)
+    "q211_stream_multi_move" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer),
+        |f AS (SELECT n_name,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p
+        | FROM orders JOIN c2 ON o_custkey = c_custkey
+        | JOIN nation ON nk = n_nationkey),
+        |agg AS (
+        | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(SUM(u) AS BIGINT) AS su,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM f GROUP BY n_name)
+        |SELECT n_name, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | su AS sum_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
+    // q212: q206's oracle carrying min/max too — the engine re-derives
+    // them for touched nations over member-customer partials; the
+    // oracle aggregates the post-move world from scratch
+    "q212_multi_move_minmax" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer),
+        |f AS (SELECT n_name,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p
+        | FROM orders JOIN c2 ON o_custkey = c_custkey
+        | JOIN nation ON nk = n_nationkey),
+        |agg AS (
+        | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(MIN(q) AS BIGINT) AS mnq, CAST(MAX(q) AS BIGINT) AS mxq,
+        |  CAST(SUM(u) AS BIGINT) AS su, CAST(MAX(u) AS BIGINT) AS mxu,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM f GROUP BY n_name)
+        |SELECT n_name, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | CAST(mnq AS DOUBLE) / 100.0 AS min_price,
+        | CAST(mxq AS DOUBLE) / 100.0 AS max_price,
+        | su AS sum_units, mxu AS max_units, cd AS n_priorities
         |FROM agg""".stripMargin,
     // q201: the full dim-move view (q195 + min/max) — the oracle
     // aggregates the post-move world from scratch; the engine's

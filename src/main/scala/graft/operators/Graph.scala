@@ -1047,18 +1047,28 @@ object Graph {
     * isolated ones are their own component). */
   private val ccBuilt = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), String]()
-  def ccCoPurchaseIncremental(t: Tables): DataFrame = {
+
+  /** The memoized q202 base labeling (edges with (a+b) mod 5 ≠ 0) —
+    * shared by the one-shot increment (q202) and the streaming fold
+    * (q210), the one-build-two-consumers shape. */
+  private[graft] def ensureCcState(t: Tables): String = {
     import t.spark.implicits._
     val edges = customerCoEdges(t)
     val fp = Integer.toHexString(
       (graft.Tables.parallelLayout(t.spark, t.dir, "lineitem").hashCode * 31
         + graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode))
-    val table = ccBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+    ccBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
       val name = s"graft_cc_state_$fp"
       buildCcState(t.customer.select($"c_custkey"),
         edges.filter(($"a" + $"b") % 5 =!= 0), name)
       name
     })
+  }
+
+  def ccCoPurchaseIncremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val edges = customerCoEdges(t)
+    val table = ensureCcState(t)
     ccIncrement(edges.filter(($"a" + $"b") % 5 === 0), table)
       .select($"id".as("c_custkey"), $"component")
       .orderBy($"c_custkey")
@@ -1168,6 +1178,7 @@ object Graph {
       edgesWithinNodes = true)
     val untouched = state
       .join(broadcast(delComp), Seq("component"), "left_anti")
+      .select(col("id"), col("component")) // USING join fronts the key
     val postDelete = untouched.unionByName(relabeled)
     // inserts ride the existing condensation fold over the post-delete
     // labeling (I ∪ D in one batch: CC((E \ D) ∪ I) composes as

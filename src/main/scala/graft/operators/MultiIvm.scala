@@ -281,25 +281,8 @@ object MultiIvm {
     // between groups; re-derive touched groups' counts off the merged
     // group-level multiplicities
     val cdNews = distincts.map { d =>
-      val keyMult = spark.table(s"${perKeyTable}_mult_$d")
-      val mContrib = keyMult
-        .join(broadcast(delta), Seq("key"))
-        .select(explode(array(
-          struct(col("g_old").as("g"), col("v"), (-col("m")).as("dm")),
-          struct(col("g_new").as("g"), col("v"), col("m").as("dm"))))
-          .as("c"))
-        .select(col("c.*"))
-        .filter(col("g").isNotNull)
-        .groupBy(col("g"), col("v")).agg(sum(col("dm")).as("dm"))
-      val m2 = coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L))
-      groupMults(d)
-        .join(broadcast(touched), Seq("g"), "left_semi")
-        .join(mContrib, Seq("g", "v"), "full_outer")
-        .select(col("g"), col("v"),
-          when(m2 >= 0, m2).otherwise(raise_error(concat(
-            lit(s"MultiIvm: negative multiplicity for $d under a move, g="),
-            col("g").cast("string"))).cast("long")).as("m"))
-        .filter(col("m") > 0)
+      movedGroupMultRows(groupMults(d),
+          spark.table(s"${perKeyTable}_mult_$d"), delta, touched, d)
         .groupBy(col("g")).agg(count(lit(1)).as(s"__cd_$d"))
     }
     val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
@@ -319,6 +302,301 @@ object MultiIvm {
           coalesce(col(s"dssh_$m"), lit(0L))).as(s"ssh_$m"),
         (coalesce(col(s"v.ssl_$m"), lit(0L)) +
           coalesce(col(s"dssl_$m"), lit(0L))).as(s"ssl_$m"))) ++
+        distincts.map(d =>
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+    joined.select(col("g") +: outCols: _*).filter(col("n") > 0)
+  }
+
+  /** The merged (g, v, m) multiplicity rows of the TOUCHED groups
+    * after a dim-move delta transfers each moved key's (v, m) vector
+    * between its old and new group — the one block of move algebra
+    * shared by the one-shot folds' cd re-derivation AND the q211
+    * streaming roll-forward (write these back over the touched
+    * groups' sidecar rows). Phantom moves raise. */
+  private[graft] def movedGroupMultRows(gmult: DataFrame,
+      keyMult: DataFrame, delta: DataFrame, touched: DataFrame,
+      d: String): DataFrame = {
+    val mContrib = keyMult
+      .join(broadcast(delta), Seq("key"))
+      .select(explode(array(
+        struct(col("g_old").as("g"), col("v"), (-col("m")).as("dm")),
+        struct(col("g_new").as("g"), col("v"), col("m").as("dm"))))
+        .as("c"))
+      .select(col("c.*"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g"), col("v")).agg(sum(col("dm")).as("dm"))
+    val m2 = coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L))
+    gmult
+      .join(broadcast(touched), Seq("g"), "left_semi")
+      .join(mContrib, Seq("g", "v"), "full_outer")
+      .select(col("g"), col("v"),
+        when(m2 >= 0, m2).otherwise(raise_error(concat(
+          lit(s"MultiIvm: negative multiplicity for $d under a move, g="),
+          col("g").cast("string"))).cast("long")).as("m"))
+      .filter(col("m") > 0)
+  }
+
+  // ── q209/q212: min/max in the multi-measure algebra ─────────────────
+  // The round-11 view carries only group-element measures (count,
+  // sums, split squares) plus the sidecar-backed count-distinct;
+  // min/max were q180/q201's single-measure specialty, so a view
+  // wanting avg AND max meant two views. This closes it: the FULL
+  // view carries per-measure (mn_m, mx_m) maintained by exactly the
+  // two re-derivation recipes the repo already proved out —
+  //  - fact deltas (q209): groups that LOST a value re-derive
+  //    min/max over the surviving facts of the touched keys, read off
+  //    a key-bucketed fact sidecar (q180's recipe, all measures in
+  //    one pass); insert-only groups extend monoid-wise.
+  //  - dimension moves (q212): touched groups re-derive min/max over
+  //    their member KEYS' per-key partials under the post-move
+  //    mapping (q201's recipe) — the fact table is never in the plan.
+  // Everything else (sums, squares, multiplicity vectors) keeps the
+  // signed-addition / wholesale-transfer algebra unchanged.
+
+  /** The FULL view's column list: [[viewColumns]] plus per-measure
+    * min/max. */
+  def viewColumnsFull(measures: Seq[String],
+      distincts: Seq[String]): Seq[String] =
+    "key" +: "n" +:
+      (measures.flatMap(m =>
+        Seq(s"s_$m", s"ssh_$m", s"ssl_$m", s"mn_$m", s"mx_$m")) ++
+        distincts.map(d => s"cd_$d"))
+
+  /** [[multiPartials]] plus per-measure min/max. */
+  def multiPartialsFull(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame = {
+    val aggs =
+      (count(lit(1)).as("n") +:
+        measures.flatMap(m => Seq(
+          sum(col(m)).as(s"s_$m"),
+          sum(sqHi(col(m))).as(s"ssh_$m"),
+          sum(sqLo(col(m))).as(s"ssl_$m"),
+          min(col(m)).as(s"mn_$m"),
+          max(col(m)).as(s"mx_$m")))) ++
+        distincts.map(d => count_distinct(col(d)).as(s"cd_$d"))
+    facts.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[buildMultiView]] for the FULL algebra: the min/max-carrying
+    * view, the multiplicity sidecars, AND a key-bucketed FACT sidecar
+    * (`${table}_facts`) — the retraction re-derivation's zero-exchange
+    * read, exactly [[Ivm.buildFactIndex]]'s role for q180. */
+  def buildMultiViewFull(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String, buckets: Int = 8): Unit = {
+    val spark = facts.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def clear(n: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    clear(table)
+    multiPartialsFull(facts, measures, distincts)
+      .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
+    distincts.foreach { d =>
+      val mt = s"${table}_mult_$d"
+      clear(mt)
+      facts.groupBy(col("key"), col(d).as("v"))
+        .agg(count(lit(1)).as("m"))
+        .write.bucketBy(buckets, "key").sortBy("key", "v").saveAsTable(mt)
+    }
+    val ft = s"${table}_facts"
+    clear(ft)
+    facts.write.bucketBy(buckets, "key").sortBy("key", "fkey")
+      .saveAsTable(ft)
+  }
+
+  /** [[mergeMultiDelta]] for the FULL view — same delta contract,
+    * returns the updated (key, n, s_*, ssh_*, ssl_*, mn_*, mx_*,
+    * cd_*) view over the surviving facts. */
+  def mergeMultiDeltaFull(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String): DataFrame = {
+    val spark = delta.sparkSession
+    mergeMultiDeltaFullFrames(delta, measures, distincts,
+      spark.table(table),
+      distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap,
+      spark.table(s"${table}_facts"))
+  }
+
+  /** Frame-level core of [[mergeMultiDeltaFull]]. `facts` holds the
+    * PRE-delta fact rows `(fkey, key, measures..., distincts...)`. */
+  def mergeMultiDeltaFullFrames(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], view: DataFrame,
+      mults: Map[String, DataFrame], facts: DataFrame): DataFrame = {
+    val expect = DeltaMeta ++
+      (measures ++ distincts).flatMap(c => Seq(s"old_$c", s"new_$c"))
+    require(delta.columns.sameElements(expect),
+      s"delta must be $expect: ${delta.columns.toSeq}")
+    require(view.columns.sameElements(viewColumnsFull(measures, distincts)),
+      s"view must be ${viewColumnsFull(measures, distincts)}: " +
+        s"${view.columns.toSeq}")
+    val retracts = delta.filter(col("change").isin("D", "U"))
+    val adds = delta.filter(col("change").isin("I", "U"))
+    // signed additive contributions — unchanged from the base algebra
+    val sgnCols = measures.flatMap { m =>
+      Seq((-col(s"old_$m")).as(s"c_s_$m"),
+        (-sqHi(col(s"old_$m"))).as(s"c_ssh_$m"),
+        (-sqLo(col(s"old_$m"))).as(s"c_ssl_$m"))
+    }
+    val addCols = measures.flatMap { m =>
+      Seq(col(s"new_$m").as(s"c_s_$m"),
+        sqHi(col(s"new_$m")).as(s"c_ssh_$m"),
+        sqLo(col(s"new_$m")).as(s"c_ssl_$m"))
+    }
+    val dns = retracts
+      .select(col("key_old").as("key") +: lit(-1L).as("c_n") +: sgnCols: _*)
+      .unionByName(adds
+        .select(col("key_new").as("key") +: lit(1L).as("c_n") +: addCols: _*))
+      .groupBy(col("key"))
+      .agg(sum(col("c_n")).as("dn"),
+        measures.flatMap(m => Seq(
+          sum(col(s"c_s_$m")).as(s"ds_$m"),
+          sum(col(s"c_ssh_$m")).as(s"dssh_$m"),
+          sum(col(s"c_ssl_$m")).as(s"dssl_$m"))): _*)
+    val cdNews = distincts.map { d =>
+      updatedMultiplicities(delta, mults(d), d)
+        .groupBy(col("key")).agg(count(lit(1)).as(s"__cd_$d"))
+    }
+    // min/max re-derivation for groups that LOST a value (q180's
+    // recipe, all measures in one pass): surviving base facts of the
+    // touched keys off the bucketed sidecar (broadcast semi + anti —
+    // no exchange on the persisted side), merged monoid-wise with the
+    // delta rows landing there
+    val touched = retracts.select(col("key_old").as("key")).distinct()
+    val removed = retracts.select(col("fkey")).distinct()
+    val survBase = facts
+      .join(broadcast(touched), Seq("key"), "left_semi")
+      .join(broadcast(removed), Seq("fkey"), "left_anti")
+      .groupBy(col("key"))
+      .agg(min(col(measures.head)).as(s"bmn_${measures.head}"),
+        (max(col(measures.head)).as(s"bmx_${measures.head}") +:
+          measures.tail.flatMap(m => Seq(
+            min(col(m)).as(s"bmn_$m"), max(col(m)).as(s"bmx_$m")))): _*)
+    val survNew = adds
+      .join(broadcast(touched), adds("key_new") === touched("key"),
+        "left_semi")
+      .groupBy(col("key_new").as("key"))
+      .agg(min(col(s"new_${measures.head}")).as(s"nmn_${measures.head}"),
+        (max(col(s"new_${measures.head}")).as(s"nmx_${measures.head}") +:
+          measures.tail.flatMap(m => Seq(
+            min(col(s"new_$m")).as(s"nmn_$m"),
+            max(col(s"new_$m")).as(s"nmx_$m")))): _*)
+    val reagg = survBase.as("b").hint("merge")
+      .join(survNew.as("nw"), Seq("key"), "full_outer")
+      .select(col("key") +: lit(true).as("__re") +:
+        measures.flatMap(m => Seq(
+          least(col(s"bmn_$m"), col(s"nmn_$m")).as(s"rmn_$m"),
+          greatest(col(s"bmx_$m"), col(s"nmx_$m")).as(s"rmx_$m"))): _*)
+    // monoid extension for groups touched only by inserts
+    val insExt = adds.groupBy(col("key_new").as("key"))
+      .agg(min(col(s"new_${measures.head}")).as(s"imn_${measures.head}"),
+        (max(col(s"new_${measures.head}")).as(s"imx_${measures.head}") +:
+          measures.tail.flatMap(m => Seq(
+            min(col(s"new_$m")).as(s"imn_$m"),
+            max(col(s"new_$m")).as(s"imx_$m")))): _*)
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    val joined = cdNews.foldLeft(
+      view.as("v").hint("merge").join(dns.as("d"), Seq("key"), "full_outer")
+        .join(insExt.as("i"), Seq("key"), "left")
+        .join(reagg.as("r"), Seq("key"), "left")) {
+      (acc, cdn) => acc.join(cdn, Seq("key"), "left")
+    }
+    val outCols =
+      when(n2 >= 0, n2).otherwise(raise_error(concat(
+        lit("MultiIvm: negative count — delta retracts a fact the view "
+          + "never held, key="), col("key").cast("string")))
+        .cast("long")).as("n") +:
+      (measures.flatMap(m => Seq(
+        (coalesce(col(s"v.s_$m"), lit(0L)) +
+          coalesce(col(s"ds_$m"), lit(0L))).as(s"s_$m"),
+        (coalesce(col(s"v.ssh_$m"), lit(0L)) +
+          coalesce(col(s"dssh_$m"), lit(0L))).as(s"ssh_$m"),
+        (coalesce(col(s"v.ssl_$m"), lit(0L)) +
+          coalesce(col(s"dssl_$m"), lit(0L))).as(s"ssl_$m"),
+        when(col("__re") <=> lit(true), col(s"rmn_$m"))
+          .otherwise(least(col(s"v.mn_$m"), col(s"imn_$m"))).as(s"mn_$m"),
+        when(col("__re") <=> lit(true), col(s"rmx_$m"))
+          .otherwise(greatest(col(s"v.mx_$m"), col(s"imx_$m"))).as(s"mx_$m")))
+        ++ distincts.map(d =>
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+    joined.select(col("key") +: outCols: _*).filter(col("n") > 0)
+  }
+
+  /** [[mergeMultiDimMove]] for the FULL group view: additive partials
+    * and multiplicity vectors transfer exactly as before; per-measure
+    * min/max re-derive for TOUCHED groups over their member keys'
+    * per-key partials under `mapping` (the post-move (key, g)
+    * assignment — q201's recipe). The fact table is never read. */
+  def mergeMultiDimMoveFull(view: DataFrame,
+      groupMults: Map[String, DataFrame], perKeyTable: String,
+      mapping: DataFrame, delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame = {
+    val spark = delta.sparkSession
+    require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
+      s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
+    require(mapping.columns.sameElements(Seq("key", "g")),
+      s"mapping must be (key, g): ${mapping.columns.toSeq}")
+    val viewCols = "g" +: viewColumnsFull(measures, distincts).drop(1)
+    require(view.columns.sameElements(viewCols),
+      s"view must be $viewCols: ${view.columns.toSeq}")
+    val perKey = spark.table(perKeyTable)
+    def side(g: Column, sgn: Column) = struct(
+      g.as("g") +: (sgn * col("n")).as("dn") +:
+        measures.flatMap(m => Seq((sgn * col(s"s_$m")).as(s"ds_$m"),
+          (sgn * col(s"ssh_$m")).as(s"dssh_$m"),
+          (sgn * col(s"ssl_$m")).as(s"dssl_$m"))): _*)
+    val contrib = perKey
+      .join(broadcast(delta), Seq("key"))
+      .select(explode(array(side(col("g_old"), lit(-1L)),
+        side(col("g_new"), lit(1L)))).as("c"))
+      .select(col("c.*"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g"))
+      .agg(sum(col("dn")).as("dn"),
+        measures.flatMap(m => Seq(
+          sum(col(s"ds_$m")).as(s"ds_$m"),
+          sum(col(s"dssh_$m")).as(s"dssh_$m"),
+          sum(col(s"dssl_$m")).as(s"dssl_$m"))): _*)
+    val touched = delta
+      .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    val cdNews = distincts.map { d =>
+      movedGroupMultRows(groupMults(d),
+          spark.table(s"${perKeyTable}_mult_$d"), delta, touched, d)
+        .groupBy(col("g")).agg(count(lit(1)).as(s"__cd_$d"))
+    }
+    // min/max re-derivation: member keys' partials ⋈ post-move
+    // membership, restricted to touched groups BEFORE the agg —
+    // |members-of-touched-groups| per-key rows, no fact rows anywhere
+    val reagg = perKey
+      .join(mapping, Seq("key"))
+      .join(broadcast(touched), Seq("g"), "left_semi")
+      .groupBy(col("g"))
+      .agg(lit(true).as("__re"),
+        measures.flatMap(m => Seq(
+          min(col(s"mn_$m")).as(s"rmn_$m"),
+          max(col(s"mx_$m")).as(s"rmx_$m"))): _*)
+    val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    val joined = cdNews.foldLeft(
+      view.as("v").join(contrib.as("d"), Seq("g"), "full_outer")
+        .join(reagg.as("r"), Seq("g"), "left")) {
+      (acc, cdn) => acc.join(cdn, Seq("g"), "left")
+    }
+    val outCols =
+      when(n2 >= 0, n2).otherwise(raise_error(concat(
+        lit("MultiIvm: negative count — move retracts more than the "
+          + "group holds, g="), col("g").cast("string")))
+        .cast("long")).as("n") +:
+      (measures.flatMap(m => Seq(
+        (coalesce(col(s"v.s_$m"), lit(0L)) +
+          coalesce(col(s"ds_$m"), lit(0L))).as(s"s_$m"),
+        (coalesce(col(s"v.ssh_$m"), lit(0L)) +
+          coalesce(col(s"dssh_$m"), lit(0L))).as(s"ssh_$m"),
+        (coalesce(col(s"v.ssl_$m"), lit(0L)) +
+          coalesce(col(s"dssl_$m"), lit(0L))).as(s"ssl_$m"),
+        when(col("__re") <=> lit(true), col(s"rmn_$m"))
+          .otherwise(col(s"v.mn_$m")).as(s"mn_$m"),
+        when(col("__re") <=> lit(true), col(s"rmx_$m"))
+          .otherwise(col(s"v.mx_$m")).as(s"mx_$m"))) ++
         distincts.map(d =>
           coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
     joined.select(col("g") +: outCols: _*).filter(col("n") > 0)
@@ -424,7 +702,7 @@ object MultiIvm {
     * (shared with q200) — the q195 nationBaseView pattern. Group
     * count-distinct comes from the SUMMED multiplicity vectors, never
     * from per-key cd (distinct counts don't add). */
-  private def nationMultiBase(t: Tables,
+  private[graft] def nationMultiBase(t: Tables,
       perKeyTable: String): (DataFrame, DataFrame) = {
     import t.spark.implicits._
     val mapping = t.customer.select($"c_custkey".as("key"), $"c_nationkey")
@@ -471,6 +749,115 @@ object MultiIvm {
       ((sD / 100.0) / nD).as("avg_price"),
       (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
       $"s_units".as("sum_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"n_name")
+  }
+
+  // ── q209/q212 fixtures: the FULL per-customer state ──────────────────
+
+  private val multiFullBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+
+  /** The memoized FULL per-customer state (min/max view + multiplicity
+    * sidecars + bucketed fact sidecar) — shared by q209 (fact deltas)
+    * and q212 (dim moves), the q200/q206 one-build-two-consumers
+    * shape lifted to the full algebra. */
+  private[graft] def ensureMultiViewFull(t: Tables): String = {
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    multiFullBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_mivmf_$fp"
+      buildMultiViewFull(orderMultiFacts(t), Measures, Distincts, name)
+      name
+    })
+  }
+
+  /** q209: q200's maintenance carrying min/max too — ONE view now
+    * holds count, exact total/avg/variance, a second sum, the
+    * count-distinct, AND per-measure min/max, under the same
+    * I/D/U+move change set. The retraction-touched groups' min/max
+    * re-derive off the bucketed fact sidecar; everything else keeps
+    * the signed algebra. Must hash-equal the oracle's from-scratch
+    * aggregate over the surviving facts, min/max included. */
+  def multiMeasureRollupFull(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val table = ensureMultiViewFull(t)
+    val merged = mergeMultiDeltaFull(orderMultiDelta(orderMultiFacts(t)),
+      Measures, Distincts, table)
+    val nD = $"n".cast("double")
+    val sD = $"s_cents".cast("double")
+    val ssq = $"ssh_cents".cast("double") * lit(S.toDouble) +
+      $"ssl_cents".cast("double")
+    merged.select($"key".as("o_custkey"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      ($"mn_cents".cast("double") / 100.0).as("min_price"),
+      ($"mx_cents".cast("double") / 100.0).as("max_price"),
+      $"s_units".as("sum_units"),
+      $"mx_units".as("max_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"o_custkey")
+  }
+
+  /** The pre-move per-nation FULL view (min/max from member keys'
+    * partials — group min = min over member mins) and group-level
+    * multiplicities, off the persisted FULL per-customer state. */
+  private def nationMultiBaseFull(t: Tables,
+      perKeyTable: String): (DataFrame, DataFrame) = {
+    import t.spark.implicits._
+    val mapping = t.customer.select($"c_custkey".as("key"), $"c_nationkey")
+      .join(broadcast(t.nation.select($"n_nationkey", $"n_name".as("g"))),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"key", $"g")
+    val perKey = t.spark.table(perKeyTable)
+    val gmult = t.spark.table(s"${perKeyTable}_mult_prio")
+      .join(broadcast(mapping), Seq("key"))
+      .groupBy($"g", $"v").agg(sum($"m").as("m"))
+    val cd = gmult.groupBy($"g").agg(count(lit(1)).as("cd_prio"))
+    val view = perKey.join(broadcast(mapping), Seq("key"))
+      .groupBy($"g")
+      .agg(sum($"n").as("n"),
+        sum($"s_cents").as("s_cents"), sum($"ssh_cents").as("ssh_cents"),
+        sum($"ssl_cents").as("ssl_cents"),
+        min($"mn_cents").as("mn_cents"), max($"mx_cents").as("mx_cents"),
+        sum($"s_units").as("s_units"), sum($"ssh_units").as("ssh_units"),
+        sum($"ssl_units").as("ssl_units"),
+        min($"mn_units").as("mn_units"), max($"mx_units").as("mx_units"))
+      .join(cd, Seq("g"))
+      .select($"g", $"n", $"s_cents", $"ssh_cents", $"ssl_cents",
+        $"mn_cents", $"mx_cents",
+        $"s_units", $"ssh_units", $"ssl_units", $"mn_units", $"mx_units",
+        $"cd_prio")
+    (view, gmult)
+  }
+
+  /** q212: q206's customer-move maintenance on the FULL view —
+    * additive partials and multiplicity vectors transfer exactly as
+    * q206, min/max re-derive for touched nations over member-customer
+    * partials under the post-move mapping (derived from the move
+    * delta itself, [[Ivm.postMoveMapping]]). The fact table is never
+    * read (spec-asserted). Must hash-equal the oracle's post-move
+    * scratch rollup including min/max. */
+  def multiMeasureDimMoveFull(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perKeyTable = ensureMultiViewFull(t)
+    val (view, gmult) = nationMultiBaseFull(t, perKeyTable)
+    val moved = Ivm.nationMoveDelta(t)
+    val merged = mergeMultiDimMoveFull(view, Map("prio" -> gmult),
+      perKeyTable, Ivm.postMoveMapping(t, moved), moved, Measures, Distincts)
+    val nD = $"n".cast("double")
+    val sD = $"s_cents".cast("double")
+    val ssq = $"ssh_cents".cast("double") * lit(S.toDouble) +
+      $"ssl_cents".cast("double")
+    merged.select($"g".as("n_name"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      ($"mn_cents".cast("double") / 100.0).as("min_price"),
+      ($"mx_cents".cast("double") / 100.0).as("max_price"),
+      $"s_units".as("sum_units"),
+      $"mx_units".as("max_units"),
       $"cd_prio".as("n_priorities"))
       .orderBy($"n_name")
   }

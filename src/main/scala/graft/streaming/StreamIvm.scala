@@ -278,6 +278,91 @@ object StreamIvm {
     * rollup. q199's oracle is q195's verbatim; StreamIvmSpec pins the
     * stream ≡ one-shot equality. Per batch: O(batch) view work + one
     * narrow scan of the per-key index — facts never in the loop. */
+  /** q211 — STREAMING multi-measure dimension-move maintenance:
+    * q206's fold fed by the SCD1 update stream, completing the
+    * family-matrix row q207 completed for fact deltas. Each
+    * micro-batch folds through [[graft.operators.MultiIvm
+    * .mergeMultiDimMove]] (additive partials transfer signed,
+    * count-distinct re-derives off the group multiplicities) and
+    * rolls BOTH state pieces forward: the view (the merge output) and
+    * the group-level multiplicity sidecar (untouched groups pass
+    * through, touched groups take [[graft.operators.MultiIvm
+    * .movedGroupMultRows]]'s merged rows — the same write-back a
+    * production MERGE does). The per-key state is STATIC under moves
+    * (a move changes a key's group, never its partials or its (v, m)
+    * vector), and each key moves at most once in the log, so any
+    * chunking folds to the same state: stream(b1…bk) ≡ one-shot
+    * batch(∪bᵢ) ≡ the post-move scratch rollup. q211's oracle is
+    * q206's verbatim; StreamIvmSpec pins stream ≡ one-shot. Per
+    * batch: O(batch + touched groups' sidecar rows); facts never in
+    * the loop. */
+  def multiMeasureDimMoveStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MultiIvm
+    val Ms = Seq("cents", "units")
+    val Ds = Seq("prio")
+    val t = Tables(spark, dir)
+    val perKeyTable = MultiIvm.ensureMultiView(t)
+    val moves = Ivm.nationMoveDelta(t).as[ReplayDimMove]
+      .collect().toSeq.sortBy(_.key)
+    val chunks =
+      if (moves.isEmpty) Seq(Seq.empty[ReplayDimMove])
+      else moves.grouped(math.max(1, (moves.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayDimMove]
+    val (view0, gmult0) = MultiIvm.nationMultiBase(Tables(ss, dir), perKeyTable)
+    @volatile var view: DataFrame = view0.localCheckpoint(true)
+    @volatile var gmult: DataFrame = gmult0.localCheckpoint(true)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_mdimmove_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayDimMove], _: Long) =>
+        val d = batch.toDF()
+        // view first (its cd re-derivation reads the PRE-batch group
+        // multiplicities), then roll the sidecar forward for batch N+1
+        val merged = MultiIvm.mergeMultiDimMove(view,
+          Map("prio" -> gmult), perKeyTable, d, Ms, Ds)
+          .localCheckpoint(true)
+        val touched = d
+          .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+          .filter(col("g").isNotNull).distinct()
+        gmult = gmult.join(broadcast(touched), Seq("g"), "left_anti")
+          .unionByName(MultiIvm.movedGroupMultRows(gmult,
+            ss.table(s"${perKeyTable}_mult_prio"), d, touched, "prio"))
+          .localCheckpoint(true)
+        view = merged
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    val S = 1L << 30
+    val v = spark.createDataFrame(rows, view.schema)
+    val nD = col("n").cast("double")
+    val sD = col("s_cents").cast("double")
+    val ssq = col("ssh_cents").cast("double") * lit(S.toDouble) +
+      col("ssl_cents").cast("double")
+    v.select($"g".as("n_name"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      $"s_units".as("sum_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"n_name")
+  }
+
   def nationRevenueDimMoveStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)

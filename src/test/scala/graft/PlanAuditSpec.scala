@@ -189,5 +189,12 @@ object PlanAuditSpec {
     // one-row verdict + decision broadcasts; q205 runs the
     // foreachBatch ingest replay during construction (q177's class)
     // and the same verdict broadcast
-    "q204_ann_drift_gate", "q205_stream_ann_gate")
+    "q204_ann_drift_gate", "q205_stream_ann_gate",
+    // round 12: q208 builds the component-bucketed edge state on
+    // first touch and runs the touched-component CC driver loop (plus
+    // the delta-bounded phantom-check actions) during construction —
+    // q202's class with q57's loop; q210/q211 are foreachBatch
+    // replays (q177's class; per-batch plans are ccIncrementFrames /
+    // mergeMultiDimMove, asserted by GraphIncrementSpec / MultiIvmSpec)
+    "q208_cc_retract", "q210_stream_cc", "q211_stream_multi_move")
 }

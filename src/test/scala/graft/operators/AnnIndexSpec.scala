@@ -185,6 +185,37 @@ class AnnIndexSpec extends SparkSpec {
       "append after compaction did not land in the swapped table")
   }
 
+  test("a probe inside the retrain swap window raises, never wrong distances") {
+    import spark.implicits._
+    Similarity.buildAnnIndex(
+      sf001.embeddings.filter($"vec_id" < 300),
+      $"vec_id", $"embedding", "graft_test_ann_epoch")
+    val probes = sf001.embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val raw = sf001.embeddings.filter($"vec_id" < 300)
+      .select($"vec_id", $"embedding")
+    // healthy index: epochs agree, probe answers
+    assert(Similarity.annIndexProbe(spark, "graft_test_ann_epoch",
+      probes, raw).count() > 0)
+    // inject the exact mid-swap state retrainAnnIndex passes through:
+    // index already stamped with the NEW generation, meta sidecar
+    // still the old one — the probe must raise loudly instead of
+    // ranking the new codes under the old quantizers' distances
+    val old = Similarity.metaEpoch(spark, "graft_test_ann_epoch")
+    spark.sql("ALTER TABLE graft_test_ann_epoch SET TBLPROPERTIES " +
+      s"('graft.epoch' = '${old + 1}')")
+    val e = intercept[IllegalStateException] {
+      Similarity.annIndexProbe(spark, "graft_test_ann_epoch", probes, raw)
+    }
+    assert(e.getMessage.contains("epoch mismatch"),
+      s"expected the epoch-mismatch raise, got: $e")
+    // swap completes (property restored) → probes answer again
+    spark.sql("ALTER TABLE graft_test_ann_epoch SET TBLPROPERTIES " +
+      s"('graft.epoch' = '$old')")
+    assert(Similarity.annIndexProbe(spark, "graft_test_ann_epoch",
+      probes, raw).count() > 0)
+  }
+
   test("q189 gate: post-delete recall >= 0.9 at sf0.001") {
     val r = Similarity.annDeleteGate(sf001).collect()
     assert(r.length === 5 && r.forall(x => x.getBoolean(1) && x.getBoolean(2)),

@@ -237,6 +237,96 @@ class MultiIvmSpec extends SparkSpec {
       s"got $got")
   }
 
+  // ── q209/q212: the FULL algebra (min/max) ───────────────────────────
+
+  test("q209: full merge equals the from-scratch aggregate incl. min/max") {
+    MultiIvm.buildMultiViewFull(facts, Ms, Ds, "graft_test_mivmf")
+    val merged = MultiIvm.mergeMultiDeltaFull(
+      MultiIvm.orderMultiDelta(facts), Ms, Ds, "graft_test_mivmf")
+    val scratch = MultiIvm.multiPartialsFull(survivors, Ms, Ds)
+    assert(merged.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(merged).isEmpty,
+      "full multi-measure merge diverges from the scratch aggregate")
+  }
+
+  test("full merge: two-chunk fold equals one-shot (min/max re-derivation composes)") {
+    import spark.implicits._
+    MultiIvm.buildMultiViewFull(facts, Ms, Ds, "graft_test_mivmf_assoc")
+    val delta = MultiIvm.orderMultiDelta(facts)
+    val view = spark.table("graft_test_mivmf_assoc")
+    val mult = spark.table("graft_test_mivmf_assoc_mult_prio")
+    val factIdx = spark.table("graft_test_mivmf_assoc_facts")
+    val oneShot = MultiIvm.mergeMultiDeltaFullFrames(delta, Ms, Ds, view,
+      Map("prio" -> mult), factIdx)
+    // chunk by fkey parity and roll ALL THREE state pieces forward
+    // between chunks (view := merge output; sidecar := write-back;
+    // facts := anti-join retracted, append added) — the production
+    // MERGE sequence
+    val d1 = delta.filter(col("fkey") % 2 === 0)
+    val d2 = delta.filter(col("fkey") % 2 === 1)
+    def touchedOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("key_old").as("key")).where(col("key_old").isNotNull)
+        .unionByName(d.select(col("key_new").as("key"))
+          .where(col("key_new").isNotNull)).distinct()
+    val v1 = MultiIvm.mergeMultiDeltaFullFrames(d1, Ms, Ds, view,
+      Map("prio" -> mult), factIdx).localCheckpoint(true)
+    val m1 = mult.join(touchedOf(d1), Seq("key"), "left_anti")
+      .unionByName(MultiIvm.updatedMultiplicities(d1, mult, "prio"))
+      .localCheckpoint(true)
+    val f1 = factIdx
+      .join(d1.filter(col("change").isin("D", "U")).select(col("fkey")),
+        Seq("fkey"), "left_anti")
+      .unionByName(d1.filter(col("change").isin("I", "U"))
+        .select(col("fkey"), col("key_new").as("key"),
+          col("new_cents").as("cents"), col("new_units").as("units"),
+          col("new_prio").as("prio")))
+      .localCheckpoint(true)
+    val twoStep = MultiIvm.mergeMultiDeltaFullFrames(d2, Ms, Ds, v1,
+      Map("prio" -> m1), f1)
+    assert(twoStep.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(twoStep).isEmpty,
+      "two-chunk full fold diverges from one-shot")
+  }
+
+  test("q212: full dim-move equals the post-move scratch incl. min/max; no fact scan") {
+    import spark.implicits._
+    val got = MultiIvm.multiMeasureDimMoveFull(sf001)
+    got.collect()
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    val units = ($"o_orderkey" % 1000).cast("long")
+    val S = 1L << 30
+    val nD = count(lit(1)).cast("double")
+    val sD = sum(cents).cast("double")
+    val ssq = sum(shiftright(cents * cents, 30)).cast("double") *
+      lit(S.toDouble) +
+      sum((cents * cents).bitwiseAND(lit(S - 1))).cast("double")
+    val truth = sf001.orders
+      .join(sf001.customer.select($"c_custkey",
+        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+          .otherwise($"c_nationkey").as("nk")),
+        $"o_custkey" === $"c_custkey")
+      .join(sf001.nation, $"nk" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sD / 100.0).as("total_price"),
+        ((sD / 100.0) / nD).as("avg_price"),
+        (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+        (min(cents).cast("double") / 100.0).as("min_price"),
+        (max(cents).cast("double") / 100.0).as("max_price"),
+        sum(units).as("sum_units"),
+        max(units).as("max_units"),
+        count_distinct($"o_orderpriority").as("n_priorities"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "full multi-measure dim-move diverges from the post-move scratch")
+    // the fact table must be out of the move loop: no scan LOCATION
+    // may point at the orders parquet (output aliases like n_orders
+    // would false-positive a bare substring check on the plan)
+    val plan = got.queryExecution.executedPlan
+    assert(!plan.toString.contains("/orders"),
+      s"the fact table must be out of the move loop:\n$plan")
+  }
+
   test("merge never shuffles the persisted view or sidecar rows") {
     import spark.implicits._
     MultiIvm.buildMultiView(facts, Ms, Ds, "graft_test_mivm_plan")

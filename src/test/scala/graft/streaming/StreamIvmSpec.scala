@@ -107,4 +107,15 @@ class StreamIvmSpec extends SparkSpec {
       oneShot.exceptAll(streamed).isEmpty,
       "micro-batched multi-measure fold diverges from the one-shot merge")
   }
+
+  // ── streaming multi-measure dim-move fold (q211) ────────────────────
+
+  test("streamed multi-measure dim-move fold equals the one-shot fold") {
+    val oneShot = graft.operators.MultiIvm.multiMeasureDimMove(sf001)
+    val streamed = StreamIvm.multiMeasureDimMoveStream(spark, sf001.dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "micro-batched multi-measure dim-move diverges from the one-shot fold")
+  }
 }
