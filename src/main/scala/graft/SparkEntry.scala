@@ -325,6 +325,7 @@ object SparkEntry {
     "q210_stream_cc"         -> ((s, d) => graft.streaming.StreamGraph.ccStream(s, d)),
     "q211_stream_multi_move" -> ((s, d) => graft.streaming.StreamIvm.multiMeasureDimMoveStream(s, d)),
     "q212_multi_move_minmax" -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMoveFull(Tables(s, d))),
+    "q213_stream_cc_retract" -> ((s, d) => graft.streaming.StreamGraph.ccRetractStream(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2708,6 +2709,32 @@ object SparkEntry {
         | UNION ALL SELECT id_b AS s, id_a AS t FROM pk),
         |walk AS (
         |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |  UNION
+        |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t)
+        |SELECT id AS c_custkey, MIN(label) AS component
+        |FROM walk GROUP BY id""".stripMargin,
+    // q213: the streaming I/D fold's oracle is q208's from-scratch
+    // closure restricted to the bounded replay subgraph (customers
+    // < 4096 — StreamGraph.MaxStreamNode, the q177 fixed-slice
+    // recipe) — blind to chunking (stream ≡ one-shot is
+    // StreamGraphSpec's pin)
+    "q213_stream_cc_retract" ->
+      """WITH RECURSIVE lo AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey < 4096),
+        |p AS MATERIALIZED (
+        | SELECT DISTINCT a.ck AS id_a, b.ck AS id_b
+        |  FROM lo a JOIN lo b ON a.pk = b.pk AND a.m = b.m AND a.ck < b.ck),
+        |pk AS MATERIALIZED (
+        | SELECT id_a, id_b FROM p WHERE (id_a + id_b) % 7 <> 0),
+        |e AS MATERIALIZED (
+        | SELECT id_a AS s, id_b AS t FROM pk
+        | UNION ALL SELECT id_b AS s, id_a AS t FROM pk),
+        |walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |   WHERE c_custkey < 4096
         |  UNION
         |  SELECT e.s AS id, w.label FROM walk w JOIN e ON w.id = e.t)
         |SELECT id AS c_custkey, MIN(label) AS component

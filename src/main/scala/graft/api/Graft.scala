@@ -1122,4 +1122,107 @@ object Graft {
       sides: org.apache.spark.sql.SparkSession => (DataFrame, DataFrame)):
       (DataFrame, String) =
     graft.operators.Skew.adaptiveJoinAgg(spark, sides)
+
+  // ── multi-measure IVM (q200/q206/q209/q212) ─────────────────────────
+
+  /** Persist a multi-measure view (count + exact sums + split square
+    * sums per measure, retractable count-distinct via per-(key, value)
+    * multiplicity sidecars) bucketed by key. */
+  def multiViewBuild(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String, buckets: Int = 8): Unit =
+    graft.operators.MultiIvm.buildMultiView(facts, measures, distincts,
+      table, buckets)
+
+  /** Fold an I/D/U+move fact change set into a persisted multi-measure
+    * view — O(delta + touched keys' sidecar rows), phantom
+    * retractions raise. */
+  def multiViewMerge(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String): DataFrame =
+    graft.operators.MultiIvm.mergeMultiDelta(delta, measures, distincts,
+      table)
+
+  /** [[multiViewBuild]] with per-measure MIN/MAX (plus the bucketed
+    * fact sidecar their retraction re-derivation reads). */
+  def multiViewBuildFull(facts: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String, buckets: Int = 8): Unit =
+    graft.operators.MultiIvm.buildMultiViewFull(facts, measures,
+      distincts, table, buckets)
+
+  /** [[multiViewMerge]] on the full (min/max-carrying) view. */
+  def multiViewMergeFull(delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String], table: String): DataFrame =
+    graft.operators.MultiIvm.mergeMultiDeltaFull(delta, measures,
+      distincts, table)
+
+  /** Dimension moves on a group-level multi-measure view: additive
+    * partials transfer signed, each mover's multiplicity VECTOR
+    * transfers wholesale, count-distinct re-derives for touched
+    * groups — facts never in the loop. */
+  def multiViewDimMove(view: DataFrame, groupMults: Map[String, DataFrame],
+      perKeyTable: String, delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame =
+    graft.operators.MultiIvm.mergeMultiDimMove(view, groupMults,
+      perKeyTable, delta, measures, distincts)
+
+  /** [[multiViewDimMove]] on the full view: min/max re-derive for
+    * touched groups over member keys' partials under the post-move
+    * `mapping`. */
+  def multiViewDimMoveFull(view: DataFrame,
+      groupMults: Map[String, DataFrame], perKeyTable: String,
+      mapping: DataFrame, delta: DataFrame, measures: Seq[String],
+      distincts: Seq[String]): DataFrame =
+    graft.operators.MultiIvm.mergeMultiDimMoveFull(view, groupMults,
+      perKeyTable, mapping, delta, measures, distincts)
+
+  // ── incremental graph maintenance (q202/q203/q208/q210) ─────────────
+
+  /** Persist a CC labeling bucketed by component (insert-only
+    * maintenance). */
+  def ccBuildState(nodes: DataFrame, edges: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    graft.operators.Graph.buildCcState(nodes, edges, table, buckets)
+
+  /** Fold a batch of new undirected edges into a persisted labeling —
+    * condensation-exact, O(|delta| + members-of-merged-components). */
+  def ccIncrement(newEdges: DataFrame, table: String): DataFrame =
+    graft.operators.Graph.ccIncrement(newEdges, table)
+
+  /** [[ccBuildState]] plus the component-bucketed edge sidecar that
+    * makes DELETES maintainable. */
+  def ccBuildStateFull(nodes: DataFrame, edges: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    graft.operators.Graph.buildCcStateFull(nodes, edges, table, buckets)
+
+  /** Fold edge INSERTS and DELETES into a persisted labeling: touched
+    * components re-solve over their surviving edges (bridge deletions
+    * split exactly), inserts fold via condensation; phantom deletes
+    * raise. */
+  def ccApplyChanges(inserts: DataFrame, deletes: DataFrame,
+      table: String): DataFrame =
+    graft.operators.Graph.ccApplyChanges(inserts, deletes, table)
+
+  /** PageRank seeded from prior ranks (nodes absent from `init` start
+    * at 1/N) — the persisted-rank warm start that saves most of the
+    * rounds after a small edge delta. */
+  def pageRankWarmStart(edges: DataFrame, srcCol: Column, dstCol: Column,
+      init: DataFrame, iters: Int, d: Double = 0.85): DataFrame =
+    graft.operators.Graph.pageRankWarmStart(edges, srcCol, dstCol, init,
+      iters, d)
+
+  // ── ANN lifecycle: drift + retrain (q204) ───────────────────────────
+
+  /** PSI of a delta's frozen-model coarse assignments against the
+    * index's stored per-list distribution (count-sidecar-backed, no
+    * index rescan) — ≥ 0.25 is the standard investigate line. */
+  def annAssignmentPsi(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame, nAssign: Int = 3): DataFrame =
+    graft.operators.Similarity.annAssignmentPsi(spark, table, delta, nAssign)
+
+  /** Refit the quantizers on the current corpus, re-encode ONCE, and
+    * swap blue/green under the live name — the index epoch bumps and
+    * probes racing the swap raise rather than serving mixed-generation
+    * distances. */
+  def retrainAnnIndex(corpus: DataFrame, idCol: Column, embCol: Column,
+      table: String): Unit =
+    graft.operators.Similarity.retrainAnnIndex(corpus, idCol, embCol, table)
 }

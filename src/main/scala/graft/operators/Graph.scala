@@ -1134,7 +1134,21 @@ object Graph {
   /** Frame-level core of [[ccApplyChanges]]: `state` is (id,
     * component), `stateEdges` (component, a, b) with a < b — the
     * persisted layouts, or a streaming fold's rolled-forward frames
-    * ([[graft.streaming.StreamGraph]]). */
+    * ([[graft.streaming.StreamGraph]]).
+    *
+    * Deletes and inserts resolve in ONE CC pass (not a delete re-solve
+    * followed by an insert condensation — each CC loop is
+    * round-LATENCY-bound, so halving the loop count halves the fold
+    * wall): the participating nodes are the delete-touched components'
+    * MEMBERS plus, for insert endpoints outside them, their component
+    * REPS (or themselves if brand-new); the edges are the touched
+    * components' surviving edges plus the inserts with endpoints
+    * collapsed under that mapping. Exact by the same two arguments
+    * composed — deletion only disconnects, so CC restricted to a
+    * touched component equals CC over its surviving edges; and an
+    * untouched component's rep carries its min member id, so min-label
+    * CC over {members ∪ reps} lands every merged group on the true
+    * global minimum. */
   def ccApplyChangesFrames(inserts: DataFrame, deletes: DataFrame,
       state: DataFrame, stateEdges: DataFrame): DataFrame = {
     require(state.columns.sameElements(Seq("id", "component")),
@@ -1142,9 +1156,13 @@ object Graph {
     require(stateEdges.columns.sameElements(Seq("component", "a", "b")),
       s"edge state must be (component, a, b): ${stateEdges.columns.toSeq}")
     val Seq(dA, dB) = deletes.columns.toSeq.take(2)
+    val Seq(iA, iB) = inserts.columns.toSeq.take(2)
     val del = deletes.select(
       least(col(dA), col(dB)).as("a"),
       greatest(col(dA), col(dB)).as("b")).distinct()
+    val ins = inserts.select(
+      least(col(iA), col(iB)).as("a"),
+      greatest(col(iA), col(iB)).as("b")).distinct()
     // each delete's component off the edge sidecar — the small side
     // broadcasts, the bucketed sidecar streams (no shuffle); the
     // matched rows are delta-bounded, so materialize them once
@@ -1171,19 +1189,49 @@ object Graph {
     val touchedNodes = state
       .join(broadcast(delComp), Seq("component"), "left_semi")
       .select(col("id"))
-    // exact within touched components: a deletion can only DISconnect,
-    // so the global CC restricted to a touched component equals the CC
-    // of that component's own surviving edges
-    val relabeled = Dedup.connectedComponents(touchedNodes, survEdges,
-      edgesWithinNodes = true)
-    val untouched = state
+    // insert-endpoint mapping: members of delete-touched components
+    // stay THEMSELVES (they participate directly), endpoints in
+    // untouched components collapse to their component rep, ids the
+    // state has never seen stay themselves (node inserts ride free)
+    val ends = ins.select(col("a").as("id"))
+      .union(ins.select(col("b").as("id"))).distinct()
+    val endState = state.join(broadcast(ends), Seq("id"), "left_semi")
+      .join(broadcast(delComp.select(col("component"),
+        lit(true).as("__touched"))), Seq("component"), "left")
+      .select(col("id"), col("component"), col("__touched"))
+    val endRep = ends
+      .join(endState, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__touched") <=> lit(true), col("id"))
+          .otherwise(coalesce(col("component"), col("id"))).as("rep"))
+    val mappedIns = ins
+      .join(endRep.select(col("id").as("a"), col("rep").as("ra")), Seq("a"))
+      .join(endRep.select(col("id").as("b"), col("rep").as("rb")), Seq("b"))
+      .select(col("ra").as("a"), col("rb").as("b"))
+      .filter(col("a") =!= col("b"))
+    // untouched-component reps entering the CC (delta-bounded: the
+    // components of insert endpoints outside the delete-touched set)
+    // — their rows expand back through the relabel map, never directly
+    val reps = endState.filter(col("__touched").isNull)
+      .select(col("component").as("id")).distinct()
+    val condNodes = touchedNodes
+      .unionByName(reps)
+      .unionByName(ends // brand-new ids: not in state at all
+        .join(endState.select(col("id")), Seq("id"), "left_anti"))
+      .distinct()
+    val cc = Dedup.connectedComponents(condNodes,
+      survEdges.unionByName(mappedIns), edgesWithinNodes = true)
+    // expand: reps' labels relabel their (untouched) components'
+    // members; touched members and brand-new ids take theirs directly
+    val relabel = cc.filter(col("component") =!= col("id"))
+      .select(col("id").as("component"), col("component").as("__new"))
+    val untouchedRows = state
       .join(broadcast(delComp), Seq("component"), "left_anti")
-      .select(col("id"), col("component")) // USING join fronts the key
-    val postDelete = untouched.unionByName(relabeled)
-    // inserts ride the existing condensation fold over the post-delete
-    // labeling (I ∪ D in one batch: CC((E \ D) ∪ I) composes as
-    // insert-fold(delete-fold) because each step is exact)
-    ccIncrementFrames(inserts, postDelete)
+      .join(broadcast(relabel), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+    val direct = cc.join(broadcast(reps), Seq("id"), "left_anti")
+    untouchedRows.unionByName(direct)
   }
 
   /** q208: delete-capable incremental CC on the co-purchase graph —
@@ -1196,23 +1244,43 @@ object Graph {
     * additionally pins a hand-built bridge vs non-bridge pair). */
   private val ccrBuilt = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), String]()
-  def ccCoPurchaseRetract(t: Tables): DataFrame = {
+
+  /** The memoized q208 FULL state (labels + edge sidecar; base =
+    * edges with (3a+b) mod 11 ≠ 0) — shared by the one-shot apply
+    * (q208) and the streaming fold (q213). */
+  private[graft] def ensureCcrState(t: Tables): String = {
     import t.spark.implicits._
     val edges = customerCoEdges(t)
     val fp = Integer.toHexString(
       (graft.Tables.parallelLayout(t.spark, t.dir, "lineitem").hashCode * 31
         + graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode))
-    val table = ccrBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+    ccrBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
       val name = s"graft_ccr_state_$fp"
       buildCcStateFull(t.customer.select($"c_custkey"),
         edges.filter(($"a" * 3 + $"b") % 11 =!= 0), name)
       name
     })
-    val deletes = edges.filter(($"a" * 3 + $"b") % 11 =!= 0 &&
+  }
+
+  /** q208's deterministic change set over the co-purchase graph:
+    * deletes = base edges with (a+b) mod 7 ≡ 0, inserts = held-out
+    * edges with (a+b) mod 7 ≠ 0 — so the post-change edge set is
+    * exactly {(a, b) : (a+b) mod 7 ≠ 0}, the oracle's world. */
+  private[graft] def ccrDeletes(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    customerCoEdges(t).filter(($"a" * 3 + $"b") % 11 =!= 0 &&
       ($"a" + $"b") % 7 === 0)
-    val inserts = edges.filter(($"a" * 3 + $"b") % 11 === 0 &&
+  }
+  private[graft] def ccrInserts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    customerCoEdges(t).filter(($"a" * 3 + $"b") % 11 === 0 &&
       ($"a" + $"b") % 7 =!= 0)
-    ccApplyChanges(inserts, deletes, table)
+  }
+
+  def ccCoPurchaseRetract(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val table = ensureCcrState(t)
+    ccApplyChanges(ccrInserts(t), ccrDeletes(t), table)
       .select($"id".as("c_custkey"), $"component")
       .orderBy($"c_custkey")
   }

@@ -23,8 +23,10 @@ case class ReplayVec(vec_id: Long, embedding: Array[Float])
   * full-corpus brute-force truth.
   *
   * State posture: the ONLY cross-batch state is the frozen-model
-  * sidecar (one row, ~9 KB) and the index table itself — no
-  * in-memory fold state at all, which is what makes this the
+  * sidecar (one row, ~9 KB), the nList-row per-list count sidecar
+  * (rolled forward per batch for the q204 drift detector), and the
+  * index table itself — no in-memory fold state at all, which is what
+  * makes this the
   * production `foreachBatch` ingest shape (a real deployment points
   * the same two tables at object storage; drift-triggered retrains
   * are q204's job, on their own schedule). Per batch the cost is

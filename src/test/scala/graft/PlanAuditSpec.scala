@@ -196,5 +196,6 @@ object PlanAuditSpec {
     // q202's class with q57's loop; q210/q211 are foreachBatch
     // replays (q177's class; per-batch plans are ccIncrementFrames /
     // mergeMultiDimMove, asserted by GraphIncrementSpec / MultiIvmSpec)
-    "q208_cc_retract", "q210_stream_cc", "q211_stream_multi_move")
+    "q208_cc_retract", "q210_stream_cc", "q211_stream_multi_move",
+    "q213_stream_cc_retract")
 }

@@ -24,4 +24,25 @@ class StreamGraphSpec extends SparkSpec {
       scratch.exceptAll(streamed).isEmpty,
       "streamed CC fold diverges from the from-scratch closure")
   }
+
+  test("streamed I/D fold equals one-shot apply and the closure over the final edges") {
+    import spark.implicits._
+    val b = StreamGraph.MaxStreamNode
+    val streamed = StreamGraph.ccRetractStream(spark, sf001.dir)
+    val oneShot = StreamGraph.ccRetractOneShot(spark, sf001.dir)
+    assert(streamed.count() ===
+      sf001.customer.filter($"c_custkey" < b).count())
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "streamed I/D fold diverges from the one-shot apply")
+    val finalEdges = Graph.customerCoEdges(sf001)
+      .filter($"a" < b && $"b" < b && ($"a" + $"b") % 7 =!= 0)
+    val scratch = Dedup.connectedComponents(
+        sf001.customer.select($"c_custkey").filter($"c_custkey" < b),
+        finalEdges)
+      .select($"id".as("c_custkey"), $"component")
+    assert(streamed.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(streamed).isEmpty,
+      "streamed I/D fold diverges from the from-scratch closure")
+  }
 }
