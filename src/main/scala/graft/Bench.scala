@@ -100,9 +100,18 @@ object Bench {
   //    that is stable across hosts. The ref is this build's solo-lane
   //    wall on the anchor machine — re-pinned whenever the query set
   //    changes (it names the whole set, so it must).
-  /** Pinned on the round-12 build machine (212 queries; median-of-3). */
-  private val CalibRefConc = 3.2
-  private val SoloRefLane = 300.0
+  /** Pinned on the round-12 build machine, 2026-08-16: CalibRefConc =
+    * median of FIVE full-bench launches (2.504/2.565/2.416/2.472/
+    * 2.381); SoloRefLane = median of the two final-query-set (213)
+    * launches (313.6/318.8). Within-session spread worth knowing:
+    * the batch lane drifted 59.5 → 68.1 s across those five launches
+    * while BOTH probes held within ±8% — even the concurrent probe
+    * (run solo, before the lanes) does not fully capture slow
+    * intra-run host drift, which is why the artifact also carries
+    * value_solo_norm and the frozen subset (19.2–23.1 s across all
+    * five, the tightest surface). */
+  private val CalibRefConc = 2.47
+  private val SoloRefLane = 316.2
 
   /** The FROZEN round-4-era query list (110 queries, extracted from
     * the round-4 commit's SparkEntry) — the cross-round bench
