@@ -100,6 +100,16 @@ object Bench {
   //    that is stable across hosts. The ref is this build's solo-lane
   //    wall on the anchor machine — re-pinned whenever the query set
   //    changes (it names the whole set, so it must).
+  // VALIDATED in a deliberately loaded window (16–32 busy-loop
+  // threads competing with the lanes, round 12): raw wall 110.5 s vs
+  // clean 84.8–87.3, and value_solo_norm read 87.8 — within 2% of the
+  // clean walls — while the pure-CPU probes OVER-corrected (factors
+  // 1.65/1.80 → normalized 67/61 s; a compute-only probe degrades
+  // more under CPU contention than the mixed scan/shuffle/driver
+  // workload does). Decision rule for cross-run comparison: read
+  // value_solo_norm as the corrected wall; read calib_factor /
+  // calib_conc_factor as LOAD DETECTORS (≫1 ⇒ the raw wall is
+  // measuring the host, not the code).
   /** Pinned on the round-12 build machine, 2026-08-16: CalibRefConc =
     * median of FIVE full-bench launches (2.504/2.565/2.416/2.472/
     * 2.381); SoloRefLane = median of the two final-query-set (213)

@@ -326,6 +326,7 @@ object SparkEntry {
     "q211_stream_multi_move" -> ((s, d) => graft.streaming.StreamIvm.multiMeasureDimMoveStream(s, d)),
     "q212_multi_move_minmax" -> ((s, d) => graft.operators.MultiIvm.multiMeasureDimMoveFull(Tables(s, d))),
     "q213_stream_cc_retract" -> ((s, d) => graft.streaming.StreamGraph.ccRetractStream(s, d)),
+    "q214_stream_move_minmax" -> ((s, d) => graft.streaming.StreamIvm.multiMeasureDimMoveFullStream(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2828,6 +2829,39 @@ object SparkEntry {
     // them for touched nations over member-customer partials; the
     // oracle aggregates the post-move world from scratch
     "q212_multi_move_minmax" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer),
+        |f AS (SELECT n_name,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS u,
+        |  o_orderpriority AS p
+        | FROM orders JOIN c2 ON o_custkey = c_custkey
+        | JOIN nation ON nk = n_nationkey),
+        |agg AS (
+        | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s,
+        |  CAST(SUM((q*q) // 1073741824) AS BIGINT) AS ssh,
+        |  CAST(SUM((q*q) % 1073741824) AS BIGINT) AS ssl,
+        |  CAST(MIN(q) AS BIGINT) AS mnq, CAST(MAX(q) AS BIGINT) AS mxq,
+        |  CAST(SUM(u) AS BIGINT) AS su, CAST(MAX(u) AS BIGINT) AS mxu,
+        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS cd
+        | FROM f GROUP BY n_name)
+        |SELECT n_name, n AS n_orders,
+        | CAST(s AS DOUBLE) / 100.0 AS total_price,
+        | (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+        | (((CAST(ssh AS DOUBLE) * 1073741824.0 + CAST(ssl AS DOUBLE))
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        | CAST(mnq AS DOUBLE) / 100.0 AS min_price,
+        | CAST(mxq AS DOUBLE) / 100.0 AS max_price,
+        | su AS sum_units, mxu AS max_units, cd AS n_priorities
+        |FROM agg""".stripMargin,
+    // q214: the streaming FULL dim-move fold's oracle is q212's
+    // post-move scratch rollup incl. min/max, verbatim — blind to
+    // chunking (stream ≡ one-shot is StreamIvmSpec's pin)
+    "q214_stream_move_minmax" ->
       """WITH c2 AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
         |       ELSE c_nationkey END AS nk

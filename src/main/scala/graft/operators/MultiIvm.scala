@@ -803,7 +803,7 @@ object MultiIvm {
   /** The pre-move per-nation FULL view (min/max from member keys'
     * partials — group min = min over member mins) and group-level
     * multiplicities, off the persisted FULL per-customer state. */
-  private def nationMultiBaseFull(t: Tables,
+  private[graft] def nationMultiBaseFull(t: Tables,
       perKeyTable: String): (DataFrame, DataFrame) = {
     import t.spark.implicits._
     val mapping = t.customer.select($"c_custkey".as("key"), $"c_nationkey")

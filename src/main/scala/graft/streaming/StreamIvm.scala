@@ -363,6 +363,105 @@ object StreamIvm {
       .orderBy($"n_name")
   }
 
+  /** q214 — STREAMING multi-measure dim-moves on the FULL (min/max-
+    * carrying) view: q212's fold fed by the SCD1 stream, completing
+    * the min/max × move × streaming cell. Three state pieces roll
+    * forward per batch: the view (the merge output), the group
+    * multiplicity sidecar ([[graft.operators.MultiIvm
+    * .movedGroupMultRows]]' write-back), and the post-move MAPPING —
+    * the batch's moves applied to the running (key, g) assignment
+    * BEFORE the merge, because the touched groups' min/max re-derive
+    * over member-key partials under the membership as of the END of
+    * the batch. Same composability argument as q211 (per-key state
+    * static under moves, each key moves once per log) plus q212's
+    * re-derivation exactness per batch ⇒ stream ≡ one-shot ≡
+    * post-move scratch incl. min/max; oracle = q212's verbatim,
+    * StreamIvmSpec pins stream ≡ one-shot. Facts never in the loop. */
+  def multiMeasureDimMoveFullStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MultiIvm
+    val Ms = Seq("cents", "units")
+    val Ds = Seq("prio")
+    val t = Tables(spark, dir)
+    val perKeyTable = MultiIvm.ensureMultiViewFull(t)
+    val moves = Ivm.nationMoveDelta(t).as[ReplayDimMove]
+      .collect().toSeq.sortBy(_.key)
+    val chunks =
+      if (moves.isEmpty) Seq(Seq.empty[ReplayDimMove])
+      else moves.grouped(math.max(1, (moves.length + Chunks - 1) / Chunks)).toSeq
+    val ss = spark.newSession()
+    graft.expr.GraftFunctions.register(ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = ss.sqlContext
+    val input = MemoryStream[ReplayDimMove]
+    val ts = Tables(ss, dir)
+    val (view0, gmult0) = MultiIvm.nationMultiBaseFull(ts, perKeyTable)
+    @volatile var view: DataFrame = view0.localCheckpoint(true)
+    @volatile var gmult: DataFrame = gmult0.localCheckpoint(true)
+    // the running (key, g) membership — starts at the base assignment
+    @volatile var mapping: DataFrame = ts.customer
+      .select($"c_custkey".as("key"), $"c_nationkey")
+      .join(broadcast(ts.nation.select($"n_nationkey".as("c_nationkey"),
+        $"n_name".as("g"))), Seq("c_nationkey"))
+      .select($"key", $"g").localCheckpoint(true)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(ckRoot,
+      "graft_stream_mdmf_" + java.util.UUID.randomUUID())
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckDir.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ReplayDimMove], _: Long) =>
+        val d = batch.toDF()
+        // membership first (the merge re-derives min/max under the
+        // POST-batch assignment), then the merge against the
+        // PRE-batch sidecar, then the sidecar write-back
+        val mappingNext = mapping
+          .join(broadcast(d.select(col("key"), col("g_new"))), Seq("key"),
+            "left")
+          .select(col("key"),
+            coalesce(col("g_new"), col("g")).as("g")).localCheckpoint(true)
+        val merged = MultiIvm.mergeMultiDimMoveFull(view,
+          Map("prio" -> gmult), perKeyTable, mappingNext, d, Ms, Ds)
+          .localCheckpoint(true)
+        val touched = d
+          .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+          .filter(col("g").isNotNull).distinct()
+        gmult = gmult.join(broadcast(touched), Seq("g"), "left_anti")
+          .unionByName(MultiIvm.movedGroupMultRows(gmult,
+            ss.table(s"${perKeyTable}_mult_prio"), d, touched, "prio"))
+          .localCheckpoint(true)
+        view = merged
+        mapping = mappingNext
+        (): Unit
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.Tables.deleteRec(ckDir)
+    }
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    val S = 1L << 30
+    val v = spark.createDataFrame(rows, view.schema)
+    val nD = col("n").cast("double")
+    val sD = col("s_cents").cast("double")
+    val ssq = col("ssh_cents").cast("double") * lit(S.toDouble) +
+      col("ssl_cents").cast("double")
+    v.select($"g".as("n_name"), $"n".as("n_orders"),
+      (sD / 100.0).as("total_price"),
+      ((sD / 100.0) / nD).as("avg_price"),
+      (((ssq - sD * sD / nD) / nD) / 10000.0).as("var_price"),
+      ($"mn_cents".cast("double") / 100.0).as("min_price"),
+      ($"mx_cents".cast("double") / 100.0).as("max_price"),
+      $"s_units".as("sum_units"),
+      $"mx_units".as("max_units"),
+      $"cd_prio".as("n_priorities"))
+      .orderBy($"n_name")
+  }
+
   def nationRevenueDimMoveStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)

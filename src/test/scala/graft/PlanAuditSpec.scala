@@ -197,5 +197,5 @@ object PlanAuditSpec {
     // replays (q177's class; per-batch plans are ccIncrementFrames /
     // mergeMultiDimMove, asserted by GraphIncrementSpec / MultiIvmSpec)
     "q208_cc_retract", "q210_stream_cc", "q211_stream_multi_move",
-    "q213_stream_cc_retract")
+    "q213_stream_cc_retract", "q214_stream_move_minmax")
 }

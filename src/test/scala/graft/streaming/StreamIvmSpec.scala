@@ -118,4 +118,15 @@ class StreamIvmSpec extends SparkSpec {
       oneShot.exceptAll(streamed).isEmpty,
       "micro-batched multi-measure dim-move diverges from the one-shot fold")
   }
+
+  // ── streaming FULL (min/max) dim-move fold (q214) ───────────────────
+
+  test("streamed full dim-move fold equals the one-shot full fold") {
+    val oneShot = graft.operators.MultiIvm.multiMeasureDimMoveFull(sf001)
+    val streamed = StreamIvm.multiMeasureDimMoveFullStream(spark, sf001.dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "micro-batched full dim-move diverges from the one-shot fold")
+  }
 }
