@@ -1222,8 +1222,14 @@ object Graph {
     val cc = Dedup.connectedComponents(condNodes,
       survEdges.unionByName(mappedIns), edgesWithinNodes = true)
     // expand: reps' labels relabel their (untouched) components'
-    // members; touched members and brand-new ids take theirs directly
-    val relabel = cc.filter(col("component") =!= col("id"))
+    // members; touched members and brand-new ids take theirs directly.
+    // The relabel map is restricted to REP-keyed rows before the
+    // broadcast — touched members' rows can never match an untouched
+    // component label (ids are unique across nodes), and a giant
+    // touched component's members must not ride a broadcast
+    val relabel = cc
+      .join(broadcast(reps), Seq("id"), "left_semi")
+      .filter(col("component") =!= col("id"))
       .select(col("id").as("component"), col("component").as("__new"))
     val untouchedRows = state
       .join(broadcast(delComp), Seq("component"), "left_anti")
