@@ -111,17 +111,17 @@ object Bench {
   // calib_conc_factor as LOAD DETECTORS (≫1 ⇒ the raw wall is
   // measuring the host, not the code).
   /** Pinned on the round-12 build machine, 2026-08-16: CalibRefConc =
-    * median of FIVE full-bench launches (2.504/2.565/2.416/2.472/
-    * 2.381); SoloRefLane = median of the two final-query-set (213)
-    * launches (313.6/318.8). Within-session spread worth knowing:
-    * the batch lane drifted 59.5 → 68.1 s across those five launches
-    * while BOTH probes held within ±8% — even the concurrent probe
-    * (run solo, before the lanes) does not fully capture slow
-    * intra-run host drift, which is why the artifact also carries
-    * value_solo_norm and the frozen subset (19.2–23.1 s across all
-    * five, the tightest surface). */
-  private val CalibRefConc = 2.47
-  private val SoloRefLane = 316.2
+    * median of EIGHT full-bench launches (2.38–2.80); SoloRefLane =
+    * median of the three final-query-set (214) launches
+    * (310.5/321.7/363.9). Within-session spread worth knowing: the
+    * batch lane wandered 58.9–76.0 s across the eight launches while
+    * the probes held within ±9% — even the concurrent probe (run
+    * solo, before the lanes) does not fully capture slow intra-run
+    * host drift, which is why the artifact also carries
+    * value_solo_norm and the frozen r4 subset (19.2–26.1 s across all
+    * eight, the tightest surface relative to its own scale). */
+  private val CalibRefConc = 2.50
+  private val SoloRefLane = 321.7
 
   /** The FROZEN round-4-era query list (110 queries, extracted from
     * the round-4 commit's SparkEntry) — the cross-round bench
