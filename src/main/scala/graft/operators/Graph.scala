@@ -1111,9 +1111,18 @@ object Graph {
     spark.sql(s"DROP TABLE IF EXISTS $et")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     graft.Tables.deleteRec(new java.io.File(wh, et))
+    // BOTH endpoints must carry a label: buildCcState's labeling
+    // ([[Dedup.connectedComponents]] with edgesWithinNodes=false)
+    // silently drops edges with an endpoint outside `nodes`, so the
+    // sidecar mirrors that drop semantics — otherwise a half-known
+    // edge diverges the two state pieces (a later touched-component
+    // re-solve could introduce the unlabeled endpoint as a component
+    // label, and a delete of the dropped half raises a spurious
+    // phantom)
+    val st = spark.table(table)
     canon
-      .join(spark.table(table).select(col("id").as("a"),
-        col("component")), Seq("a"))
+      .join(st.select(col("id").as("a"), col("component")), Seq("a"))
+      .join(st.select(col("id").as("b")), Seq("b"), "left_semi")
       .select(col("component"), col("a"), col("b"))
       .write.bucketBy(buckets, "component").sortBy("component", "a", "b")
       .saveAsTable(et)
@@ -1174,10 +1183,16 @@ object Graph {
     // the state never held — the change log and state have diverged
     val nDel = del.count()
     val nMatched = matched.count()
-    if (nMatched != nDel)
+    if (nMatched < nDel)
       throw new IllegalArgumentException(
         s"Graph.ccApplyChanges: ${nDel - nMatched} of $nDel deletes "
           + "reference edges the state never held — phantom deletes")
+    if (nMatched > nDel)
+      throw new IllegalStateException(
+        s"Graph.ccApplyChanges: $nDel deletes matched $nMatched sidecar "
+          + "rows — the edge state holds duplicate (a, b) rows and has "
+          + "broken its distinct contract (a roll-forward appended a "
+          + "non-canonicalized or duplicated insert)")
     val delComp = matched.distinct()
     // surviving edges of ONLY the touched components, off the
     // component-bucketed sidecar (both the semi and the anti join

@@ -796,6 +796,21 @@ object Similarity {
       finishIndexSwap(spark, table, tmpDir, liveDir)
       return
     }
+    // Second crash window: between DROP TABLE and the live-dir delete.
+    // On re-run BOTH dirs exist but the catalog entry is gone — the
+    // guard above is skipped, and without this branch the rewrite
+    // below would fail at aliveIndex (no catalog entry) after deleting
+    // the staging copy, leaving compaction stuck until the live dir is
+    // re-registered by hand. The live files are the authoritative
+    // pre-drop state (tombstones sidecar still present), so
+    // re-register them and let the compaction proceed normally.
+    if (liveDir.isDirectory && !spark.catalog.tableExists(table)) {
+      spark.sql(
+        s"CREATE TABLE $table USING parquet LOCATION '${liveDir.toURI}'")
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.epoch' = '${metaEpoch(spark, table)}')")
+    }
     graft.Tables.deleteRec(tmpDir)
     // ONE write of the survivors, to a staging directory (path-level,
     // no catalog entry — ALTER TABLE RENAME does not relocate managed
@@ -865,6 +880,25 @@ object Similarity {
     // sidecar from one index scan — amortized, and that scan is the
     // compaction-accurate truth by definition.
     val lists = s"${table}_lists"
+    // Sidecar/index AGREEMENT check (the epoch pair's analogue for the
+    // count sidecar): updateAnnIndex's two writes (index append, then
+    // sidecar overwrite) are not atomic, and a crash between them
+    // leaves the sidecar silently undercounting — biasing every later
+    // PSI base distribution with no error anywhere. The sidecar's
+    // Σcnt must equal the table's current row count (a parquet
+    // count(*) is footer-metadata only — no data scan); on any
+    // disagreement the sidecar is dropped and rebuilt from one index
+    // scan, exactly the post-compaction lazy-rebuild path.
+    if (spark.catalog.tableExists(lists)) {
+      val scCnt = spark.table(lists)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      if (scCnt != spark.table(table).count()) {
+        spark.sql(s"DROP TABLE IF EXISTS $lists")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        graft.Tables.deleteRec(new java.io.File(wh, lists))
+      }
+    }
     if (!spark.catalog.tableExists(lists))
       spark.table(table).groupBy(col("ivf_list"))
         .agg(count(lit(1)).as("cnt"))

@@ -183,13 +183,38 @@ object StreamGraph {
           .localCheckpoint(true)
         // edge roll-forward: survivors ∪ inserts, labeled under the
         // NEW labeling (batch N+1's delete lookups and touched-
-        // component reads need post-batch-N components)
-        stateEdges = stateEdges.select(col("a"), col("b"))
-          .join(broadcast(del), Seq("a", "b"), "left_anti")
-          .unionByName(ins)
+        // component reads need post-batch-N components). Inserts are
+        // canonicalized (a < b) and de-duplicated FIRST — the sidecar's
+        // distinct-canonical contract is what delete matching relies
+        // on, and a reversed or repeated insert in the change log must
+        // not corrupt it (ccApplyChangesFrames raises on a duplicated
+        // sidecar). Only TOUCHED components' edges re-label (deletes'
+        // components plus insert endpoints' components — the only
+        // labels a batch can change); untouched rows pass through,
+        // keeping the roll-forward O(batch + touched-component edges).
+        val insC = ins.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")).distinct()
+          .localCheckpoint(true)
+        val delC = del.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")).distinct()
+        val ends = insC.select(col("a").as("id"))
+          .unionByName(insC.select(col("b").as("id"))).distinct()
+        val touchedComps = stateEdges.join(broadcast(delC), Seq("a", "b"))
+          .select(col("component"))
+          .unionByName(state.join(broadcast(ends), Seq("id"), "left_semi")
+            .select(col("component")))
+          .distinct().localCheckpoint(true)
+        val untouched = stateEdges
+          .join(broadcast(touchedComps), Seq("component"), "left_anti")
+        val relabeled = stateEdges
+          .join(broadcast(touchedComps), Seq("component"), "left_semi")
+          .select(col("a"), col("b"))
+          .join(broadcast(delC), Seq("a", "b"), "left_anti")
+          .unionByName(insC)
+          .distinct() // an insert duplicating a surviving edge collapses
           .join(labels.select(col("id").as("a"), col("component")), Seq("a"))
           .select(col("component"), col("a"), col("b"))
-          .localCheckpoint(true)
+        stateEdges = untouched.unionByName(relabeled).localCheckpoint(true)
         state = labels
         (): Unit
       }
