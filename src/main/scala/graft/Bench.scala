@@ -281,6 +281,10 @@ object Bench {
       // re-solve loop on first touch; q209 builds the full multi view
       // + fact sidecar — both multi-second first-touch, launch early
       "q208_cc_retract", "q209_multi_ivm_minmax",
+      // round 13: the delete-capable dedup/ER states pay the full
+      // banding/PassJoin + CC build on first touch (q198/q208's
+      // class) — launch them with the other state builders
+      "q215_dedup_delete", "q216_er_delete",
       "q161_rrf_ann_gate", "q181_scc", "q157_golden_record",
       "q135_ann_pq_gate", "q163_sssp", "q85_pagerank", "q144_ppr",
       "q171_damerau_match", "q175_robust_outliers", "q151_hits",
@@ -331,7 +335,10 @@ object Bench {
       "q204_ann_drift_gate",
       // round 12: the touched-component CC re-solve is the same
       // many-small-sequential-rounds shape as q57/q103's driver loop
-      "q208_cc_retract")
+      "q208_cc_retract",
+      // round 13: the delete-capable state builds + touched-cluster
+      // re-solves are the same latency-bound driver-loop shape
+      "q215_dedup_delete", "q216_er_delete")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:

@@ -82,6 +82,14 @@ object Verify {
         s"${jq(k)}: {${jq("twin")}: ${jq(twin)}, ${jq("why")}: ${jq(why)}}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/twins.json"), twinsJson)
+    // sidecar: which hash-checked queries' oracles stop at the driver
+    // SFs and which engine-side tool pins them at sf1+ — the artifact
+    // carries the generated-SF coverage story directly
+    val scaleJson = SparkEntry.scaleEvidence.toSeq.sortBy(_._1)
+      .map { case (k, (tool, why)) =>
+        s"${jq(k)}: {${jq("tool")}: ${jq(tool)}, ${jq("why")}: ${jq(why)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scale_evidence.json"), scaleJson)
     // sidecar: every failed query with its message, always written
     // (empty object on a clean run) so its absence vs emptiness is
     // itself a signal

@@ -351,6 +351,182 @@ object Dedup {
       .write.saveAsTable(s"${outPrefix}_pairs")
   }
 
+  // ── q215: incremental dedup under DOCUMENT DELETION ──────────────────
+  // [[updateDedupIndex]] is insert-only: a removed document (GDPR
+  // purge, license takedown, corpus re-curation — the most common
+  // mutation a production corpus store sees) would leave its band
+  // keys in the index as phantom candidates, and min-label clustering
+  // can never SPLIT the cluster it bridged. The treatment is q208's
+  // touched-component recipe transplanted to the dedup graph: persist
+  // the clustering alongside the index with the verified-pair set
+  // bucketed BY CLUSTER, and on a delete batch re-run CC over ONLY the
+  // clusters that lost a member — their surviving members and
+  // surviving pairs stream off the cluster-bucketed state (broadcast
+  // semi-joins, no state shuffle); every untouched cluster's rows pass
+  // through byte-identically. Exact because jaccard is a per-pair
+  // function (deleting a doc removes exactly its incident pairs,
+  // never creating one) and the pair set is transitively closed into
+  // clusters — no surviving pair crosses a cluster boundary, so CC
+  // restricted to a touched cluster IS the global CC there. Cost:
+  // O(|D| + members/pairs-of-touched-clusters); the corpus-scale
+  // tables (docs, bands) are never re-read for the labeling.
+
+  /** [[buildDedupIndex]] plus the delete-capable state: a
+    * `${prefix}_clusters` labeling (doc_id, cluster) bucketed by
+    * cluster, and the `${prefix}_pairs` table written WITH each
+    * pair's cluster label, bucketed by cluster — so a delete batch's
+    * touched-cluster re-solve reads only its own buckets. The
+    * insert-side consumers ([[dedupIncrementalOver]],
+    * [[updateDedupIndex]]) select (id_a, id_b) by name and read this
+    * layout unchanged. */
+  def buildDedupIndexFull(docs: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column, prefix: String,
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2,
+      shingleK: Int = 3, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(s"${prefix}_docs", s"${prefix}_bands", s"${prefix}_pairs",
+        s"${prefix}_clusters").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    val d = shingledDocs(docs, idCol, textCol, shingleK).localCheckpoint(true)
+    d.select(col("doc_id"), col("shh"))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_docs")
+    flatBands(d, bands, rowsPerBand)
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${prefix}_bands")
+    val pairs = minhashPairsCore(docs, idCol, textCol, maxDist, bands,
+      rowsPerBand, shingleK)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    connectedComponents(docs.select(idCol.as("doc_id")), pairs,
+        edgesWithinNodes = true)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .saveAsTable(s"${prefix}_clusters")
+    // both endpoints share one cluster by construction (the labeling
+    // is the transitive closure of exactly these pairs)
+    pairs
+      .join(spark.table(s"${prefix}_clusters")
+        .select(col("doc_id").as("id_a"), col("cluster")), Seq("id_a"))
+      .select(col("cluster"), col("id_a"), col("id_b"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .saveAsTable(s"${prefix}_pairs")
+  }
+
+  /** Cluster labels over the SURVIVING corpus after deleting
+    * `deleteIds` from a [[buildDedupIndexFull]] state — identical to
+    * from-scratch clustering of the survivors (q215's oracle).
+    * Deletes referencing a doc the state never held raise loudly
+    * (the [[graft.operators.Ivm]] family's phantom contract). */
+  def dedupApplyDeletes(deleteIds: DataFrame, prefix: String): DataFrame = {
+    val spark = deleteIds.sparkSession
+    val clusters = spark.table(s"${prefix}_clusters")
+    val pairs = spark.table(s"${prefix}_pairs")
+    val del = deleteIds.select(col(deleteIds.columns.head).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // each delete's cluster off the bucketed labeling — the small side
+    // broadcasts; the matched rows are delta-bounded
+    val matched = clusters.join(broadcast(del), Seq("doc_id"))
+      .select(col("cluster")).localCheckpoint(true)
+    val nDel = del.count()
+    val nMatched = matched.count()
+    if (nMatched != nDel)
+      throw new IllegalArgumentException(
+        s"Dedup.dedupApplyDeletes: ${nDel - nMatched} of $nDel deletes "
+          + "reference documents the index never held — phantom deletes")
+    val delComp = matched.distinct()
+    // touched clusters' surviving members and pairs, off the
+    // cluster-bucketed state (broadcast semi + anti joins — no state
+    // shuffle, DedupRetractSpec asserts it)
+    val survMembers = clusters
+      .join(broadcast(delComp), Seq("cluster"), "left_semi")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val survPairs = pairs
+      .join(broadcast(delComp), Seq("cluster"), "left_semi")
+      .join(broadcast(del.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(del.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val cc = connectedComponents(survMembers, survPairs,
+      edgesWithinNodes = true)
+    clusters.join(broadcast(delComp), Seq("cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster").as("cluster_id"))
+      .unionByName(cc.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
+  /** Roll the FULL index forward under a delete batch, writing the
+    * updated state under `outPrefix`: the deleted docs' rows leave
+    * every table — no phantom band keys remain to candidate against
+    * tomorrow's delta — and the touched clusters' labels/pairs carry
+    * the post-delete labeling. Two-step ≡ rebuild over the survivors
+    * (DedupRetractSpec proves table-level equality). */
+  def updateDedupIndexDeletes(deleteIds: DataFrame, prefix: String,
+      outPrefix: String, buckets: Int = 8): Unit = {
+    require(outPrefix != prefix, "write the updated index under a new prefix")
+    val spark = deleteIds.sparkSession
+    val labels = dedupApplyDeletes(deleteIds, prefix).localCheckpoint(true)
+    val del = deleteIds.select(col(deleteIds.columns.head).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(s"${outPrefix}_docs", s"${outPrefix}_bands", s"${outPrefix}_pairs",
+        s"${outPrefix}_clusters").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    spark.table(s"${prefix}_docs")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${outPrefix}_docs")
+    spark.table(s"${prefix}_bands")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${outPrefix}_bands")
+    labels.select(col("doc_id"), col("cluster_id").as("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .saveAsTable(s"${outPrefix}_clusters")
+    spark.table(s"${prefix}_pairs")
+      .select(col("id_a"), col("id_b"))
+      .join(broadcast(del.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(del.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .join(labels.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("cluster")), Seq("id_a"))
+      .select(col("cluster"), col("id_a"), col("id_b"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .saveAsTable(s"${outPrefix}_pairs")
+  }
+
+  /** q215 fixture: the FULL delete-capable index built over the whole
+    * corpus once (memoized, the q162/q198 recipe), then the
+    * doc_id ≡ 5 (mod 13) slice DELETED at query time. The emitted
+    * clustering covers the survivors and must hash-equal q103's
+    * from-scratch closure over exactly the surviving corpus — blind
+    * to the engine's state/delete split. */
+  private val dedupFullBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def dedupDeleteClusters(t: Tables, maxDist: Double = 0.4): DataFrame = {
+    import t.spark.implicits._
+    val isDel = ($"doc_id" % 13) === 5
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "documents").hashCode)
+    val prefix = dedupFullBuilt.computeIfAbsent(
+      (t.spark.sparkContext, fp), _ => {
+        val p = s"graft_dedupf_idx_$fp"
+        buildDedupIndexFull(t.documents, $"doc_id", $"text", p, maxDist)
+        p
+      })
+    dedupApplyDeletes(t.documents.filter(isDel).select($"doc_id"), prefix)
+      .orderBy($"doc_id")
+  }
+
   /** q162 fixture instance: the corpus split 90/10 by doc_id — the
     * 90% "yesterday" side indexed once (memoized per fixture
     * fingerprint, the q116 recipe), the 10% delta deduped against it.

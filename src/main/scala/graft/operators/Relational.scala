@@ -922,9 +922,11 @@ object Relational {
     erIncrementState(newDf, table, maxDist)._1
 
   /** The incremental core: returns (updated golden table, updated
-    * membership table) for a new batch against the persisted state. */
+    * membership table, updated pair sidecar if the state carries one
+    * — [[buildErIndexFull]] states do, [[buildErIndex]] states don't)
+    * for a new batch against the persisted state. */
   private def erIncrementState(newDf: DataFrame, table: String,
-      maxDist: Int): (DataFrame, DataFrame) = {
+      maxDist: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
     val spark = newDf.sparkSession
     require(newDf.columns.sameElements(Seq("id", "block", "name")),
       s"new batch must be (id, block, name): ${newDf.columns.toSeq}")
@@ -973,7 +975,21 @@ object Relational {
       .join(broadcast(touchedBlocks), Seq("block"), "left_anti")
       .select(col("id"), col("block"), col("name"), col("cluster"))
       .unionByName(touchedMem)
-    (updatedGolden, updatedMembers)
+    // delete-capable states also persist the verified pair set; the
+    // probe's pair run covers ALL within-block pairs of the touched
+    // blocks (probe = new ∪ every old member there), so the sidecar
+    // rolls forward as untouched-block rows + relabeled probe pairs —
+    // an insert never silently delete-breaks a full state
+    val updatedPairs =
+      if (!spark.catalog.tableExists(s"${table}_pairs")) None
+      else Some(spark.table(s"${table}_pairs")
+        .join(broadcast(touchedBlocks), Seq("block"), "left_anti")
+        .select(col("cluster"), col("block"), col("id_a"), col("id_b"))
+        .unionByName(pairs
+          .join(touchedMem.select(col("id").as("id_a"), col("block"),
+            col("cluster")), Seq("id_a"))
+          .select(col("cluster"), col("block"), col("id_a"), col("id_b"))))
+    (updatedGolden, updatedMembers, updatedPairs)
   }
 
   /** Roll the persisted canonical state forward with a new batch —
@@ -982,17 +998,21 @@ object Relational {
   def updateErIndex(newDf: DataFrame, table: String, maxDist: Int,
       buckets: Int = 8): Unit = {
     val spark = newDf.sparkSession
-    val (updatedGolden, updatedMembers) =
+    val (updatedGolden, updatedMembers, updatedPairs) =
       erIncrementState(newDf, table, maxDist)
     val g = updatedGolden.localCheckpoint(true)
     val m = updatedMembers.localCheckpoint(true)
+    val p = updatedPairs.map(_.localCheckpoint(true))
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq(table, s"${table}_golden").foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n")
-      graft.Tables.deleteRec(new java.io.File(wh, n))
-    }
+    (Seq(table, s"${table}_golden") ++ p.map(_ => s"${table}_pairs"))
+      .foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        graft.Tables.deleteRec(new java.io.File(wh, n))
+      }
     m.write.bucketBy(buckets, "cluster").saveAsTable(table)
     g.write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+    p.foreach(_.write.bucketBy(buckets, "cluster")
+      .sortBy("cluster", "id_a", "id_b").saveAsTable(s"${table}_pairs"))
   }
 
   /** q198: incremental golden records — the canonical state is built
@@ -1015,6 +1035,181 @@ object Relational {
       .select($"p_partkey".as("id"), $"p_brand".as("block"),
         $"p_name".as("name"))
     goldenRecordsIncrement(delta, table, maxDist)
+      .select($"cluster_id", $"golden_id", $"golden_name", $"n_members")
+      .orderBy($"cluster_id")
+  }
+
+  // ── q216: incremental ER under MEMBER DELETION ──────────────────────
+  // [[updateErIndex]] grows the canonical state; retracting a member
+  // (GDPR erasure, a source system un-merging a record, curation
+  // rollback) had no maintenance path — and deletion is the hard
+  // direction, because removing the record that BRIDGED two real
+  // entities must split a previously-welded cluster, which min-label
+  // clustering can never express incrementally without state. The
+  // treatment is q215's (and q208's) touched-component recipe: persist
+  // the verified fuzzy-match pair set WITH each pair's cluster label,
+  // bucketed by cluster, and on a delete batch re-run CC over ONLY the
+  // clusters that lost a member — surviving members and pairs stream
+  // off the cluster-bucketed state behind broadcast semi/anti joins
+  // (no state shuffle), survivorship is re-derived for exactly those
+  // clusters, and every untouched golden row passes through
+  // byte-identically. Exact because the match predicate is per-pair
+  // (levenshtein within a block): deleting a record removes exactly
+  // its incident pairs and can never create one, and no surviving pair
+  // crosses a cluster boundary (clusters are the transitive closure),
+  // so CC restricted to a touched cluster IS the global CC there.
+  // Cost: O(|D| + members/pairs-of-touched-clusters); the corpus-scale
+  // tables are never re-matched or re-labeled.
+
+  /** [[buildErIndex]] plus the delete-capable state: the verified
+    * fuzzy-pair set written WITH each pair's cluster label and block,
+    * bucketed by cluster — so a delete batch's touched-cluster
+    * re-solve reads only its own buckets. The insert-side consumers
+    * ([[goldenRecordsIncrement]], [[updateErIndex]]) read the
+    * member/golden tables unchanged and roll this sidecar forward. */
+  def buildErIndexFull(df: DataFrame, idCol: Column, blockCol: Column,
+      nameCol: Column, maxDist: Int, table: String, buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(table, s"${table}_golden", s"${table}_pairs").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    val base = df.select(idCol.as("id"), blockCol.as("block"),
+      nameCol.as("name"))
+    val pairs = fuzzyPairsOver(df, idCol, blockCol, nameCol, maxDist)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val cc = graft.operators.Dedup.connectedComponents(
+      base.select(col("id")), pairs, edgesWithinNodes = true)
+    base.join(cc, "id")
+      .select(col("id"), col("block"), col("name"),
+        col("component").as("cluster"))
+      .write.bucketBy(buckets, "cluster").saveAsTable(table)
+    survivorshipOver(spark.table(table))
+      .write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+    // both endpoints share one cluster and block by construction (the
+    // labeling is the transitive closure of exactly these pairs)
+    pairs
+      .join(spark.table(table).select(col("id").as("id_a"), col("block"),
+        col("cluster")), Seq("id_a"))
+      .select(col("cluster"), col("block"), col("id_a"), col("id_b"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .saveAsTable(s"${table}_pairs")
+  }
+
+  /** The golden-record table over the SURVIVING corpus after deleting
+    * `deleteIds`' members from a [[buildErIndexFull]] state —
+    * identical to a from-scratch resolution of the survivors (q216's
+    * oracle). Deletes referencing a record the state never held raise
+    * loudly (the [[graft.operators.Ivm]] family's phantom contract). */
+  def erApplyDeletes(deleteIds: DataFrame, table: String): DataFrame =
+    erDeleteState(deleteIds, table)._1
+
+  /** The delete core: (updated golden, updated members, updated pair
+    * sidecar) for a delete batch against a full state. */
+  private def erDeleteState(deleteIds: DataFrame, table: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = deleteIds.sparkSession
+    val members = spark.table(table)
+    require(members.columns.sameElements(ErMemberCols),
+      s"$table is not an ER membership table: ${members.columns.toSeq}")
+    val golden = spark.table(s"${table}_golden")
+    val pairs = spark.table(s"${table}_pairs")
+    val del = deleteIds.select(col(deleteIds.columns.head).as("id"))
+      .distinct().localCheckpoint(true)
+    // each delete's cluster off the bucketed membership — the small
+    // side broadcasts; the matched rows are delta-bounded
+    val matched = members.join(broadcast(del), Seq("id"))
+      .select(col("cluster")).localCheckpoint(true)
+    val nDel = del.count()
+    val nMatched = matched.count()
+    if (nMatched != nDel)
+      throw new IllegalArgumentException(
+        s"Relational.erApplyDeletes: ${nDel - nMatched} of $nDel deletes "
+          + "reference records the state never held — phantom deletes")
+    val delComp = matched.distinct()
+    // touched clusters' surviving members and pairs, off the
+    // cluster-bucketed state (broadcast semi + anti joins — no state
+    // shuffle, ErRetractSpec asserts it)
+    val survMembers = members
+      .join(broadcast(delComp), Seq("cluster"), "left_semi")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .select(col("id"), col("block"), col("name"))
+    val survPairs = pairs
+      .join(broadcast(delComp), Seq("cluster"), "left_semi")
+      .join(broadcast(del.select(col("id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(del.select(col("id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.operators.Dedup.connectedComponents(
+      survMembers.select(col("id")), survPairs, edgesWithinNodes = true)
+    val touchedMem = survMembers
+      .join(cc.select(col("id"), col("component").as("cluster")), Seq("id"))
+      .select(col("id"), col("block"), col("name"), col("cluster"))
+    val updatedGolden = golden
+      .join(broadcast(delComp.select(col("cluster").as("cluster_id"))),
+        Seq("cluster_id"), "left_anti")
+      .select(col("block"), col("cluster_id"), col("golden_id"),
+        col("golden_name"), col("n_members"))
+      .unionByName(survivorshipOver(touchedMem))
+    val updatedMembers = members
+      .join(broadcast(delComp), Seq("cluster"), "left_anti")
+      .select(col("id"), col("block"), col("name"), col("cluster"))
+      .unionByName(touchedMem)
+    val updatedPairs = pairs
+      .join(broadcast(delComp), Seq("cluster"), "left_anti")
+      .select(col("cluster"), col("block"), col("id_a"), col("id_b"))
+      .unionByName(survPairs
+        .join(touchedMem.select(col("id").as("id_a"), col("block"),
+          col("cluster")), Seq("id_a"))
+        .select(col("cluster"), col("block"), col("id_a"), col("id_b")))
+    (updatedGolden, updatedMembers, updatedPairs)
+  }
+
+  /** Roll the FULL canonical state forward under a delete batch —
+    * the deleted members leave every table, touched clusters carry the
+    * post-delete labeling (splits included), untouched rows rewrite
+    * byte-identically. Two-step ≡ rebuild over the survivors
+    * (ErRetractSpec proves table-level equality). */
+  def updateErIndexDeletes(deleteIds: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val spark = deleteIds.sparkSession
+    val (g0, m0, p0) = erDeleteState(deleteIds, table)
+    val g = g0.localCheckpoint(true)
+    val m = m0.localCheckpoint(true)
+    val p = p0.localCheckpoint(true)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(table, s"${table}_golden", s"${table}_pairs").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    m.write.bucketBy(buckets, "cluster").saveAsTable(table)
+    g.write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+    p.write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .saveAsTable(s"${table}_pairs")
+  }
+
+  /** q216 fixture: the FULL delete-capable state built over the whole
+    * part corpus once (memoized, q215's recipe), then the
+    * p_partkey ≡ 3 (mod 17) slice DELETED at query time. The emitted
+    * golden table covers the survivors and must hash-equal q157's
+    * from-scratch resolution of exactly the surviving corpus — blind
+    * to the engine's state/delete split. */
+  private val erFullBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  def partGoldenRecordsDelete(t: Tables, maxDist: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "part").hashCode)
+    val table = erFullBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_erf_$fp"
+      buildErIndexFull(t.part, $"p_partkey", $"p_brand", $"p_name",
+        maxDist, name)
+      name
+    })
+    erApplyDeletes(t.part.filter($"p_partkey" % 17 === 3)
+        .select($"p_partkey"), table)
       .select($"cluster_id", $"golden_id", $"golden_name", $"n_members")
       .orderBy($"cluster_id")
   }

@@ -197,5 +197,11 @@ object PlanAuditSpec {
     // replays (q177's class; per-batch plans are ccIncrementFrames /
     // mergeMultiDimMove, asserted by GraphIncrementSpec / MultiIvmSpec)
     "q208_cc_retract", "q210_stream_cc", "q211_stream_multi_move",
-    "q213_stream_cc_retract", "q214_stream_move_minmax")
+    "q213_stream_cc_retract", "q214_stream_move_minmax",
+    // round 13: q215/q216 build the full delete-capable dedup/ER
+    // states (banding/PassJoin + the CC driver loop) on first touch
+    // and run the touched-cluster CC re-solve at query time — q208's
+    // class; DedupRetractSpec / ErRetractSpec assert the
+    // no-state-shuffle delete plan
+    "q215_dedup_delete", "q216_er_delete")
 }
