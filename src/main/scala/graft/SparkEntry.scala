@@ -329,6 +329,8 @@ object SparkEntry {
     "q214_stream_move_minmax" -> ((s, d) => graft.streaming.StreamIvm.multiMeasureDimMoveFullStream(s, d)),
     "q215_dedup_delete"      -> ((s, d) => Dedup.dedupDeleteClusters(Tables(s, d))),
     "q216_er_delete"         -> ((s, d) => Relational.partGoldenRecordsDelete(Tables(s, d))),
+    "q217_topk_ivm"          -> ((s, d) => graft.operators.MultiIvm.topkRollup(Tables(s, d))),
+    "q219_topk_move"         -> ((s, d) => graft.operators.MultiIvm.topkDimMove(Tables(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -2847,6 +2849,44 @@ object SparkEntry {
         | CAST(mxq AS DOUBLE) / 100.0 AS max_price,
         | su AS sum_units, mxu AS max_units, cd AS n_priorities
         |FROM agg""".stripMargin,
+    // q217: the maintained per-customer leaderboard — the oracle is
+    // the from-scratch row_number-filtered top-3 by (price desc,
+    // orderkey asc) over the SURVIVING facts after q209's I/D/U+move
+    // replay, blind to the engine's persisted-state / delta split
+    "q217_topk_ivm" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q
+        | FROM orders),
+        |surv AS (
+        | SELECT fkey,
+        |  CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT fkey + 2147483648, key, q + 55 FROM f WHERE fkey % 97 = 3),
+        |r AS (SELECT key, fkey, q,
+        |  row_number() OVER (PARTITION BY key ORDER BY q DESC, fkey) AS rk
+        | FROM surv)
+        |SELECT key AS o_custkey, rk, fkey AS o_orderkey,
+        | CAST(q AS DOUBLE) / 100.0 AS price
+        |FROM r WHERE rk <= 3""".stripMargin,
+    // q219: the per-nation leaderboard under q212's customer moves —
+    // the oracle is the post-move scratch top-3 per nation
+    "q219_topk_move" ->
+      """WITH c2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+        |       ELSE c_nationkey END AS nk
+        | FROM customer),
+        |f AS (SELECT o_orderkey AS fkey, n_name,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q
+        | FROM orders JOIN c2 ON o_custkey = c_custkey
+        | JOIN nation ON nk = n_nationkey),
+        |r AS (SELECT n_name, fkey, q,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY q DESC, fkey) AS rk
+        | FROM f)
+        |SELECT n_name, rk, fkey AS o_orderkey,
+        | CAST(q AS DOUBLE) / 100.0 AS price
+        |FROM r WHERE rk <= 3""".stripMargin,
     // q211: the streaming multi-measure dim-move fold's oracle is
     // q206's post-move scratch rollup verbatim — blind to the
     // chunking (stream ≡ one-shot is StreamIvmSpec's pin)

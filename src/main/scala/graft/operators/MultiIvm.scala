@@ -353,14 +353,66 @@ object MultiIvm {
   // Everything else (sums, squares, multiplicity vectors) keeps the
   // signed-addition / wholesale-transfer algebra unchanged.
 
+  // ── q217/q219: top-k-per-group in the maintained view ───────────────
+  // min/max are the k=1 degenerate of the ordered non-monoid a real
+  // dashboard serves: the maintained LEADERBOARD (top-k facts per
+  // group by a measure). The algebra is exactly the min/max one's:
+  //  - top-k IS a merge monoid under inserts — topk(A ∪ B) =
+  //    topk(topk(A) ∪ topk(B)) — so insert-only groups extend by an
+  //    array merge, never a re-scan;
+  //  - retraction is not invertible (the evicted (k+1)-th is gone),
+  //    so retraction-touched groups re-derive over the surviving
+  //    facts of the touched keys off the key-bucketed fact sidecar
+  //    (q180/q209's recipe, a windowed top-k so per-task state stays
+  //    O(k));
+  //  - dimension moves never read facts: a group's top-k is the merge
+  //    of its member KEYS' per-key top-k arrays (any fact in the
+  //    group's top-k is a fortiori in its own key's), so touched
+  //    groups re-merge member arrays under the post-move mapping —
+  //    q206's wholesale-transfer argument at the per-key level.
+  // Representation: `tk_m` = array<struct<v, fkey>> sorted by
+  // (v desc, fkey asc), length ≤ k — canonical, so results are
+  // deterministic and hash-comparable against a row_number oracle.
+
+  private def tkCmp(l: Column, r: Column): Column =
+    when(l.getField("v") > r.getField("v"), -1)
+      .when(l.getField("v") < r.getField("v"), 1)
+      .when(l.getField("fkey") < r.getField("fkey"), -1)
+      .when(l.getField("fkey") > r.getField("fkey"), 1)
+      .otherwise(0)
+  private def tkSort(a: Column, k: Int): Column =
+    slice(array_sort(a, tkCmp), 1, k)
+  private val TkEmpty = "array<struct<v: bigint, fkey: bigint>>"
+  private def tkMerge(a: Column, b: Column, k: Int): Column =
+    tkSort(concat(coalesce(a, array().cast(TkEmpty)),
+      coalesce(b, array().cast(TkEmpty))), k)
+
+  /** Per-key top-k of `facts` for measure m: row_number over the
+    * key partition keeps per-task state O(k) before the array
+    * collapses — never collect-then-sort a whole group. */
+  private def topkOf(facts: DataFrame, m: String, k: Int,
+      out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col(m).desc, col("fkey"))
+    facts.select(col("key"), col(m), col("fkey"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("key"))
+      .agg(collect_list(struct(col(m).cast("long").as("v"),
+        col("fkey").cast("long").as("fkey"))).as("__a"))
+      .select(col("key"), tkSort(col("__a"), k).as(out))
+  }
+
   /** The FULL view's column list: [[viewColumns]] plus per-measure
-    * min/max. */
-  def viewColumnsFull(measures: Seq[String],
-      distincts: Seq[String]): Seq[String] =
+    * min/max, plus one `tk_m` leaderboard column per declared
+    * (measure, k) pair. */
+  def viewColumnsFull(measures: Seq[String], distincts: Seq[String],
+      topks: Seq[(String, Int)] = Nil): Seq[String] =
     "key" +: "n" +:
       (measures.flatMap(m =>
         Seq(s"s_$m", s"ssh_$m", s"ssl_$m", s"mn_$m", s"mx_$m")) ++
-        distincts.map(d => s"cd_$d"))
+        distincts.map(d => s"cd_$d") ++
+        topks.map { case (m, _) => s"tk_$m" })
 
   /** [[multiPartials]] plus per-measure min/max. */
   def multiPartialsFull(facts: DataFrame, measures: Seq[String],
@@ -382,7 +434,8 @@ object MultiIvm {
     * (`${table}_facts`) — the retraction re-derivation's zero-exchange
     * read, exactly [[Ivm.buildFactIndex]]'s role for q180. */
   def buildMultiViewFull(facts: DataFrame, measures: Seq[String],
-      distincts: Seq[String], table: String, buckets: Int = 8): Unit = {
+      distincts: Seq[String], table: String, buckets: Int = 8,
+      topks: Seq[(String, Int)] = Nil): Unit = {
     val spark = facts.sparkSession
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     def clear(n: String): Unit = {
@@ -390,7 +443,10 @@ object MultiIvm {
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
     clear(table)
-    multiPartialsFull(facts, measures, distincts)
+    topks.foldLeft(multiPartialsFull(facts, measures, distincts)) {
+        case (acc, (m, k)) => acc.join(topkOf(facts, m, k, s"tk_$m"), "key")
+      }
+      .select(viewColumnsFull(measures, distincts, topks).map(col): _*)
       .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
     distincts.foreach { d =>
       val mt = s"${table}_mult_$d"
@@ -409,25 +465,28 @@ object MultiIvm {
     * returns the updated (key, n, s_*, ssh_*, ssl_*, mn_*, mx_*,
     * cd_*) view over the surviving facts. */
   def mergeMultiDeltaFull(delta: DataFrame, measures: Seq[String],
-      distincts: Seq[String], table: String): DataFrame = {
+      distincts: Seq[String], table: String,
+      topks: Seq[(String, Int)] = Nil): DataFrame = {
     val spark = delta.sparkSession
     mergeMultiDeltaFullFrames(delta, measures, distincts,
       spark.table(table),
       distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap,
-      spark.table(s"${table}_facts"))
+      spark.table(s"${table}_facts"), topks)
   }
 
   /** Frame-level core of [[mergeMultiDeltaFull]]. `facts` holds the
     * PRE-delta fact rows `(fkey, key, measures..., distincts...)`. */
   def mergeMultiDeltaFullFrames(delta: DataFrame, measures: Seq[String],
       distincts: Seq[String], view: DataFrame,
-      mults: Map[String, DataFrame], facts: DataFrame): DataFrame = {
+      mults: Map[String, DataFrame], facts: DataFrame,
+      topks: Seq[(String, Int)] = Nil): DataFrame = {
     val expect = DeltaMeta ++
       (measures ++ distincts).flatMap(c => Seq(s"old_$c", s"new_$c"))
     require(delta.columns.sameElements(expect),
       s"delta must be $expect: ${delta.columns.toSeq}")
-    require(view.columns.sameElements(viewColumnsFull(measures, distincts)),
-      s"view must be ${viewColumnsFull(measures, distincts)}: " +
+    require(view.columns.sameElements(
+      viewColumnsFull(measures, distincts, topks)),
+      s"view must be ${viewColumnsFull(measures, distincts, topks)}: " +
         s"${view.columns.toSeq}")
     val retracts = delta.filter(col("change").isin("D", "U"))
     val adds = delta.filter(col("change").isin("I", "U"))
@@ -493,12 +552,27 @@ object MultiIvm {
           measures.tail.flatMap(m => Seq(
             min(col(s"new_$m")).as(s"imn_$m"),
             max(col(s"new_$m")).as(s"imx_$m")))): _*)
+    // leaderboard deltas: the re-derived top-k over touched keys'
+    // surviving sidecar rows, and the adds' own top-k (which doubles
+    // as the monoid extension for insert-only groups) — both
+    // delta-bounded, both O(k) per task through the window
+    val tkFrames = topks.map { case (m, k) =>
+      val rtk = topkOf(facts
+        .join(broadcast(touched), Seq("key"), "left_semi")
+        .join(broadcast(removed), Seq("fkey"), "left_anti"),
+        m, k, s"__rtk_$m")
+      val itk = topkOf(adds.select(col("key_new").as("key"),
+        col(s"new_$m").as(m), col("fkey")), m, k, s"__itk_$m")
+      (rtk, itk)
+    }
     val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
-    val joined = cdNews.foldLeft(
+    val joined = tkFrames.foldLeft(cdNews.foldLeft(
       view.as("v").hint("merge").join(dns.as("d"), Seq("key"), "full_outer")
         .join(insExt.as("i"), Seq("key"), "left")
         .join(reagg.as("r"), Seq("key"), "left")) {
       (acc, cdn) => acc.join(cdn, Seq("key"), "left")
+    }) { case (acc, (rtk, itk)) =>
+      acc.join(rtk, Seq("key"), "left").join(itk, Seq("key"), "left")
     }
     val outCols =
       when(n2 >= 0, n2).otherwise(raise_error(concat(
@@ -517,7 +591,16 @@ object MultiIvm {
         when(col("__re") <=> lit(true), col(s"rmx_$m"))
           .otherwise(greatest(col(s"v.mx_$m"), col(s"imx_$m"))).as(s"mx_$m")))
         ++ distincts.map(d =>
-          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d"))
+        ++ topks.map { case (m, k) =>
+          // untouched rows pass their array through untouched; only
+          // re-derived or insert-extended groups pay the k-merge
+          when(col("__re") <=> lit(true),
+            tkMerge(col(s"__rtk_$m"), col(s"__itk_$m"), k))
+            .when(col(s"__itk_$m").isNotNull,
+              tkMerge(col(s"v.tk_$m"), col(s"__itk_$m"), k))
+            .otherwise(col(s"v.tk_$m")).as(s"tk_$m")
+        })
     joined.select(col("key") +: outCols: _*).filter(col("n") > 0)
   }
 
@@ -529,13 +612,14 @@ object MultiIvm {
   def mergeMultiDimMoveFull(view: DataFrame,
       groupMults: Map[String, DataFrame], perKeyTable: String,
       mapping: DataFrame, delta: DataFrame, measures: Seq[String],
-      distincts: Seq[String]): DataFrame = {
+      distincts: Seq[String],
+      topks: Seq[(String, Int)] = Nil): DataFrame = {
     val spark = delta.sparkSession
     require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
       s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
     require(mapping.columns.sameElements(Seq("key", "g")),
       s"mapping must be (key, g): ${mapping.columns.toSeq}")
-    val viewCols = "g" +: viewColumnsFull(measures, distincts).drop(1)
+    val viewCols = "g" +: viewColumnsFull(measures, distincts, topks).drop(1)
     require(view.columns.sameElements(viewCols),
       s"view must be $viewCols: ${view.columns.toSeq}")
     val perKey = spark.table(perKeyTable)
@@ -574,7 +658,13 @@ object MultiIvm {
       .agg(lit(true).as("__re"),
         measures.flatMap(m => Seq(
           min(col(s"mn_$m")).as(s"rmn_$m"),
-          max(col(s"mx_$m")).as(s"rmx_$m"))): _*)
+          max(col(s"mx_$m")).as(s"rmx_$m"))) ++
+          // group top-k = merge of member keys' per-key arrays (any
+          // group-top-k fact is a fortiori in its own key's top-k) —
+          // |members|·k structs per touched group, no fact rows
+          topks.map { case (m, k) =>
+            tkSort(flatten(collect_list(col(s"tk_$m"))), k).as(s"rtk_$m")
+          }: _*)
     val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
     val joined = cdNews.foldLeft(
       view.as("v").join(contrib.as("d"), Seq("g"), "full_outer")
@@ -598,7 +688,11 @@ object MultiIvm {
         when(col("__re") <=> lit(true), col(s"rmx_$m"))
           .otherwise(col(s"v.mx_$m")).as(s"mx_$m"))) ++
         distincts.map(d =>
-          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")))
+          coalesce(col(s"__cd_$d"), col(s"v.cd_$d")).as(s"cd_$d")) ++
+        topks.map { case (m, _) =>
+          when(col("__re") <=> lit(true), col(s"rtk_$m"))
+            .otherwise(col(s"v.tk_$m")).as(s"tk_$m")
+        })
     joined.select(col("g") +: outCols: _*).filter(col("n") > 0)
   }
 
@@ -617,6 +711,7 @@ object MultiIvm {
 
   private val Measures = Seq("cents", "units")
   private val Distincts = Seq("prio")
+  private[graft] val TopKs = Seq("cents" -> 3)
 
   /** q200's deterministic change set (the q180 residue recipe, widened
     * to carry every measure's old/new image and exercise the
@@ -767,7 +862,8 @@ object MultiIvm {
       graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
     multiFullBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
       val name = s"graft_mivmf_$fp"
-      buildMultiViewFull(orderMultiFacts(t), Measures, Distincts, name)
+      buildMultiViewFull(orderMultiFacts(t), Measures, Distincts, name,
+        topks = TopKs)
       name
     })
   }
@@ -783,7 +879,7 @@ object MultiIvm {
     import t.spark.implicits._
     val table = ensureMultiViewFull(t)
     val merged = mergeMultiDeltaFull(orderMultiDelta(orderMultiFacts(t)),
-      Measures, Distincts, table)
+      Measures, Distincts, table, TopKs)
     val nD = $"n".cast("double")
     val sD = $"s_cents".cast("double")
     val ssq = $"ssh_cents".cast("double") * lit(S.toDouble) +
@@ -803,8 +899,8 @@ object MultiIvm {
   /** The pre-move per-nation FULL view (min/max from member keys'
     * partials — group min = min over member mins) and group-level
     * multiplicities, off the persisted FULL per-customer state. */
-  private[graft] def nationMultiBaseFull(t: Tables,
-      perKeyTable: String): (DataFrame, DataFrame) = {
+  private[graft] def nationMultiBaseFull(t: Tables, perKeyTable: String,
+      topks: Seq[(String, Int)] = Nil): (DataFrame, DataFrame) = {
     import t.spark.implicits._
     val mapping = t.customer.select($"c_custkey".as("key"), $"c_nationkey")
       .join(broadcast(t.nation.select($"n_nationkey", $"n_name".as("g"))),
@@ -818,17 +914,21 @@ object MultiIvm {
     val view = perKey.join(broadcast(mapping), Seq("key"))
       .groupBy($"g")
       .agg(sum($"n").as("n"),
-        sum($"s_cents").as("s_cents"), sum($"ssh_cents").as("ssh_cents"),
-        sum($"ssl_cents").as("ssl_cents"),
-        min($"mn_cents").as("mn_cents"), max($"mx_cents").as("mx_cents"),
-        sum($"s_units").as("s_units"), sum($"ssh_units").as("ssh_units"),
-        sum($"ssl_units").as("ssl_units"),
-        min($"mn_units").as("mn_units"), max($"mx_units").as("mx_units"))
+        Seq(sum($"s_cents").as("s_cents"), sum($"ssh_cents").as("ssh_cents"),
+          sum($"ssl_cents").as("ssl_cents"),
+          min($"mn_cents").as("mn_cents"), max($"mx_cents").as("mx_cents"),
+          sum($"s_units").as("s_units"), sum($"ssh_units").as("ssh_units"),
+          sum($"ssl_units").as("ssl_units"),
+          min($"mn_units").as("mn_units"), max($"mx_units").as("mx_units")) ++
+          topks.map { case (m, k) =>
+            tkSort(flatten(collect_list(col(s"tk_$m"))), k).as(s"tk_$m")
+          }: _*)
       .join(cd, Seq("g"))
-      .select($"g", $"n", $"s_cents", $"ssh_cents", $"ssl_cents",
-        $"mn_cents", $"mx_cents",
-        $"s_units", $"ssh_units", $"ssl_units", $"mn_units", $"mx_units",
-        $"cd_prio")
+      .select(col("g") +: col("n") +:
+        (Seq("s_cents", "ssh_cents", "ssl_cents", "mn_cents", "mx_cents",
+          "s_units", "ssh_units", "ssl_units", "mn_units", "mx_units",
+          "cd_prio").map(col) ++
+          topks.map { case (m, _) => col(s"tk_$m") }): _*)
     (view, gmult)
   }
 
@@ -860,5 +960,46 @@ object MultiIvm {
       $"mx_units".as("max_units"),
       $"cd_prio".as("n_priorities"))
       .orderBy($"n_name")
+  }
+
+  // ── q217/q219 fixtures: the maintained per-customer leaderboard ─────
+
+  /** q217: the per-customer top-3-orders-by-price leaderboard
+    * maintained under q209's I/D/U+move change set — retraction-
+    * touched customers re-derive off the bucketed fact sidecar,
+    * insert-only customers extend by the array-merge monoid, untouched
+    * rows pass through. Emitted one row per (customer, rank); must
+    * hash-equal the oracle's row_number-filtered top-k over the
+    * surviving facts. */
+  def topkRollup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val table = ensureMultiViewFull(t)
+    val merged = mergeMultiDeltaFull(orderMultiDelta(orderMultiFacts(t)),
+      Measures, Distincts, table, TopKs)
+    merged.select($"key", posexplode($"tk_cents"))
+      .select($"key".as("o_custkey"), ($"pos" + 1).cast("long").as("rk"),
+        $"col.fkey".as("o_orderkey"),
+        ($"col.v".cast("double") / 100.0).as("price"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** q219: the per-nation top-3 leaderboard maintained under q212's
+    * customer-move delta — touched nations re-merge their member
+    * customers' per-key arrays under the post-move mapping (the fact
+    * table is never read, spec-asserted); untouched nations pass
+    * through. Must hash-equal the oracle's post-move scratch top-k. */
+  def topkDimMove(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perKeyTable = ensureMultiViewFull(t)
+    val (view, gmult) = nationMultiBaseFull(t, perKeyTable, TopKs)
+    val moved = Ivm.nationMoveDelta(t)
+    val merged = mergeMultiDimMoveFull(view, Map("prio" -> gmult),
+      perKeyTable, Ivm.postMoveMapping(t, moved), moved, Measures,
+      Distincts, TopKs)
+    merged.select($"g", posexplode($"tk_cents"))
+      .select($"g".as("n_name"), ($"pos" + 1).cast("long").as("rk"),
+        $"col.fkey".as("o_orderkey"),
+        ($"col.v".cast("double") / 100.0).as("price"))
+      .orderBy($"n_name", $"rk")
   }
 }

@@ -356,4 +356,98 @@ class MultiIvmSpec extends SparkSpec {
       plan.toString.contains("Bucketed: true"),
       s"expected bucketed scans:\n$plan")
   }
+
+  // ── q217/q219: the maintained top-k leaderboard ─────────────────────
+
+  /** Survivors WITH their fact keys (the leaderboard identifies rows
+    * by (v, fkey), so the q209 helper's fkey=0 collapse is unusable
+    * here): the insert's fkey is the engine's fkey + 2³¹ image. */
+  private def survivorsWithFkey: DataFrame = {
+    val f = facts
+    f.filter(col("fkey") % 97 =!= 0)
+      .select(col("fkey"),
+        when(col("fkey") % 97 === 2, col("key") + 1).otherwise(col("key")).as("key"),
+        (col("cents") + when(col("fkey") % 97 === 1, 12345L).otherwise(0L)).as("cents"))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select((col("fkey") + 2147483648L).as("fkey"), col("key"),
+          (col("cents") + 55L).as("cents")))
+  }
+
+  private def topkTruthOf(f: DataFrame, part: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(part)).orderBy(col("cents").desc, col("fkey"))
+    f.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col(part), col("rk"), col("fkey").as("o_orderkey"),
+        (col("cents").cast("double") / 100.0).as("price"))
+  }
+
+  test("q217: maintained top-k equals the from-scratch windowed top-k over survivors") {
+    val got = MultiIvm.topkRollup(sf001)
+      .withColumnRenamed("o_custkey", "key")
+    val truth = topkTruthOf(survivorsWithFkey, "key")
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "maintained leaderboard diverges from the windowed top-k")
+  }
+
+  test("top-k: two-chunk fold equals one-shot (leaderboard re-derivation composes)") {
+    import spark.implicits._
+    val tks = MultiIvm.TopKs
+    MultiIvm.buildMultiViewFull(facts, Ms, Ds, "graft_test_mivmf_tk",
+      topks = tks)
+    val delta = MultiIvm.orderMultiDelta(facts)
+    val view = spark.table("graft_test_mivmf_tk")
+    val mult = spark.table("graft_test_mivmf_tk_mult_prio")
+    val factIdx = spark.table("graft_test_mivmf_tk_facts")
+    val oneShot = MultiIvm.mergeMultiDeltaFullFrames(delta, Ms, Ds, view,
+      Map("prio" -> mult), factIdx, tks)
+    val d1 = delta.filter(col("fkey") % 2 === 0)
+    val d2 = delta.filter(col("fkey") % 2 === 1)
+    def touchedOf(d: DataFrame) =
+      d.select(col("key_old").as("key")).where(col("key_old").isNotNull)
+        .unionByName(d.select(col("key_new").as("key"))
+          .where(col("key_new").isNotNull)).distinct()
+    val v1 = MultiIvm.mergeMultiDeltaFullFrames(d1, Ms, Ds, view,
+      Map("prio" -> mult), factIdx, tks).localCheckpoint(true)
+    val m1 = mult.join(touchedOf(d1), Seq("key"), "left_anti")
+      .unionByName(MultiIvm.updatedMultiplicities(d1, mult, "prio"))
+      .localCheckpoint(true)
+    val f1 = factIdx
+      .join(d1.filter(col("change").isin("D", "U")).select(col("fkey")),
+        Seq("fkey"), "left_anti")
+      .unionByName(d1.filter(col("change").isin("I", "U"))
+        .select(col("fkey"), col("key_new").as("key"),
+          col("new_cents").as("cents"), col("new_units").as("units"),
+          col("new_prio").as("prio")))
+      .localCheckpoint(true)
+    val twoStep = MultiIvm.mergeMultiDeltaFullFrames(d2, Ms, Ds, v1,
+      Map("prio" -> m1), f1, tks)
+    assert(twoStep.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(twoStep).isEmpty,
+      "two-chunk leaderboard fold diverges from one-shot")
+  }
+
+  test("q219: top-k dim-move equals the post-move scratch top-k; no fact scan") {
+    import spark.implicits._
+    val got = MultiIvm.topkDimMove(sf001)
+    got.collect()
+    val postMove = sf001.orders
+      .join(sf001.customer.select($"c_custkey",
+        when($"c_custkey" % 89 === 0, ($"c_nationkey" + 7) % 25)
+          .otherwise($"c_nationkey").as("nk")),
+        $"o_custkey" === $"c_custkey")
+      .join(sf001.nation, $"nk" === $"n_nationkey")
+      .select($"n_name", $"o_orderkey".as("fkey"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val truth = topkTruthOf(postMove, "n_name")
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "top-k dim-move diverges from the post-move scratch")
+    // the move fold must stay fact-free: member keys' per-key arrays
+    // re-merge, the orders parquet never enters the plan
+    val plan = got.queryExecution.executedPlan
+    assert(!plan.toString.contains("/orders"),
+      s"the fact table must be out of the move loop:\n$plan")
+  }
 }
