@@ -283,8 +283,9 @@ object Bench {
       "q208_cc_retract", "q209_multi_ivm_minmax",
       // round 13: the delete-capable dedup/ER states pay the full
       // banding/PassJoin + CC build on first touch (q198/q208's
-      // class) — launch them with the other state builders
-      "q215_dedup_delete", "q216_er_delete",
+      // class) — launch them with the other state builders; q218
+      // builds its own HLL view state (q209's class)
+      "q215_dedup_delete", "q216_er_delete", "q218_hll_ivm_gate",
       "q161_rrf_ann_gate", "q181_scc", "q157_golden_record",
       "q135_ann_pq_gate", "q163_sssp", "q85_pagerank", "q144_ppr",
       "q171_damerau_match", "q175_robust_outliers", "q151_hits",

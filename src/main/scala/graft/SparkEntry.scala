@@ -330,6 +330,7 @@ object SparkEntry {
     "q215_dedup_delete"      -> ((s, d) => Dedup.dedupDeleteClusters(Tables(s, d))),
     "q216_er_delete"         -> ((s, d) => Relational.partGoldenRecordsDelete(Tables(s, d))),
     "q217_topk_ivm"          -> ((s, d) => graft.operators.MultiIvm.topkRollup(Tables(s, d))),
+    "q218_hll_ivm_gate"      -> ((s, d) => graft.operators.MultiIvm.hllRollupGate(Tables(s, d))),
     "q219_topk_move"         -> ((s, d) => graft.operators.MultiIvm.topkDimMove(Tables(s, d))),
   )
 
@@ -2870,6 +2871,23 @@ object SparkEntry {
         |SELECT key AS o_custkey, rk, fkey AS o_orderkey,
         | CAST(q AS DOUBLE) / 100.0 AS price
         |FROM r WHERE rk <= 3""".stripMargin,
+    // q218: the maintained HLL view measure — the estimate is
+    // engine-specific, so the oracle checks the maintained EXACT
+    // count (replayed from scratch over the survivors) and the
+    // relative-error contract flag, q109's gate shape
+    "q218_hll_ivm_gate" ->
+      """WITH f AS (SELECT o_orderkey AS fkey, o_custkey % 25 AS key,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS q
+        | FROM orders),
+        |surv AS (
+        | SELECT CASE WHEN fkey % 97 = 2 THEN key + 1 ELSE key END AS key,
+        |  q + CASE WHEN fkey % 97 = 1 THEN 12345 ELSE 0 END AS q
+        | FROM f WHERE fkey % 97 <> 0
+        | UNION ALL
+        | SELECT key, q + 55 FROM f WHERE fkey % 97 = 3)
+        |SELECT key, COUNT(DISTINCT q // 100) AS n_pvals,
+        | TRUE AS meets_bound
+        |FROM surv GROUP BY key ORDER BY key""".stripMargin,
     // q219: the per-nation leaderboard under q212's customer moves —
     // the oracle is the post-move scratch top-3 per nation
     "q219_topk_move" ->

@@ -405,14 +405,17 @@ object MultiIvm {
 
   /** The FULL view's column list: [[viewColumns]] plus per-measure
     * min/max, plus one `tk_m` leaderboard column per declared
-    * (measure, k) pair. */
+    * (measure, k) pair, plus one `hs_d` HLL sketch column per
+    * declared mergeable-sketch distinct (q218). */
   def viewColumnsFull(measures: Seq[String], distincts: Seq[String],
-      topks: Seq[(String, Int)] = Nil): Seq[String] =
+      topks: Seq[(String, Int)] = Nil,
+      hlls: Seq[String] = Nil): Seq[String] =
     "key" +: "n" +:
       (measures.flatMap(m =>
         Seq(s"s_$m", s"ssh_$m", s"ssl_$m", s"mn_$m", s"mx_$m")) ++
         distincts.map(d => s"cd_$d") ++
-        topks.map { case (m, _) => s"tk_$m" })
+        topks.map { case (m, _) => s"tk_$m" } ++
+        hlls.map(d => s"hs_$d"))
 
   /** [[multiPartials]] plus per-measure min/max. */
   def multiPartialsFull(facts: DataFrame, measures: Seq[String],
@@ -435,7 +438,10 @@ object MultiIvm {
     * read, exactly [[Ivm.buildFactIndex]]'s role for q180. */
   def buildMultiViewFull(facts: DataFrame, measures: Seq[String],
       distincts: Seq[String], table: String, buckets: Int = 8,
-      topks: Seq[(String, Int)] = Nil): Unit = {
+      topks: Seq[(String, Int)] = Nil, hlls: Seq[String] = Nil): Unit = {
+    require(hlls.forall(distincts.contains),
+      s"every hll column needs the multiplicity sidecar of a declared " +
+        s"distinct (retraction rebuilds from it): $hlls vs $distincts")
     val spark = facts.sparkSession
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     def clear(n: String): Unit = {
@@ -443,10 +449,14 @@ object MultiIvm {
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
     clear(table)
-    topks.foldLeft(multiPartialsFull(facts, measures, distincts)) {
-        case (acc, (m, k)) => acc.join(topkOf(facts, m, k, s"tk_$m"), "key")
+    val withTk = topks.foldLeft(multiPartialsFull(facts, measures, distincts)) {
+      case (acc, (m, k)) => acc.join(topkOf(facts, m, k, s"tk_$m"), "key")
+    }
+    hlls.foldLeft(withTk) { (acc, d) =>
+        acc.join(facts.groupBy(col("key"))
+          .agg(hll_sketch_agg(col(d)).as(s"hs_$d")), "key")
       }
-      .select(viewColumnsFull(measures, distincts, topks).map(col): _*)
+      .select(viewColumnsFull(measures, distincts, topks, hlls).map(col): _*)
       .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
     distincts.foreach { d =>
       val mt = s"${table}_mult_$d"
@@ -466,12 +476,13 @@ object MultiIvm {
     * cd_*) view over the surviving facts. */
   def mergeMultiDeltaFull(delta: DataFrame, measures: Seq[String],
       distincts: Seq[String], table: String,
-      topks: Seq[(String, Int)] = Nil): DataFrame = {
+      topks: Seq[(String, Int)] = Nil,
+      hlls: Seq[String] = Nil): DataFrame = {
     val spark = delta.sparkSession
     mergeMultiDeltaFullFrames(delta, measures, distincts,
       spark.table(table),
       distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap,
-      spark.table(s"${table}_facts"), topks)
+      spark.table(s"${table}_facts"), topks, hlls)
   }
 
   /** Frame-level core of [[mergeMultiDeltaFull]]. `facts` holds the
@@ -479,14 +490,17 @@ object MultiIvm {
   def mergeMultiDeltaFullFrames(delta: DataFrame, measures: Seq[String],
       distincts: Seq[String], view: DataFrame,
       mults: Map[String, DataFrame], facts: DataFrame,
-      topks: Seq[(String, Int)] = Nil): DataFrame = {
+      topks: Seq[(String, Int)] = Nil,
+      hlls: Seq[String] = Nil): DataFrame = {
     val expect = DeltaMeta ++
       (measures ++ distincts).flatMap(c => Seq(s"old_$c", s"new_$c"))
     require(delta.columns.sameElements(expect),
       s"delta must be $expect: ${delta.columns.toSeq}")
+    require(hlls.forall(distincts.contains),
+      s"every hll column needs a declared distinct's sidecar: $hlls")
     require(view.columns.sameElements(
-      viewColumnsFull(measures, distincts, topks)),
-      s"view must be ${viewColumnsFull(measures, distincts, topks)}: " +
+      viewColumnsFull(measures, distincts, topks, hlls)),
+      s"view must be ${viewColumnsFull(measures, distincts, topks, hlls)}: " +
         s"${view.columns.toSeq}")
     val retracts = delta.filter(col("change").isin("D", "U"))
     val adds = delta.filter(col("change").isin("I", "U"))
@@ -514,6 +528,15 @@ object MultiIvm {
     val cdNews = distincts.map { d =>
       updatedMultiplicities(delta, mults(d), d)
         .groupBy(col("key")).agg(count(lit(1)).as(s"__cd_$d"))
+    }
+    // HLL sketches rebuild for touched keys from the SAME surviving
+    // value set the exact count reads — the sidecar holds each live
+    // value once, and HLL is duplicate-insensitive, so the rebuilt
+    // register state equals a from-scratch sketch of the surviving
+    // facts; untouched keys keep their bytes (q218)
+    val hsNews = hlls.map { d =>
+      updatedMultiplicities(delta, mults(d), d)
+        .groupBy(col("key")).agg(hll_sketch_agg(col("v")).as(s"__hs_$d"))
     }
     // min/max re-derivation for groups that LOST a value (q180's
     // recipe, all measures in one pass): surviving base facts of the
@@ -566,14 +589,14 @@ object MultiIvm {
       (rtk, itk)
     }
     val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
-    val joined = tkFrames.foldLeft(cdNews.foldLeft(
+    val joined = hsNews.foldLeft(tkFrames.foldLeft(cdNews.foldLeft(
       view.as("v").hint("merge").join(dns.as("d"), Seq("key"), "full_outer")
         .join(insExt.as("i"), Seq("key"), "left")
         .join(reagg.as("r"), Seq("key"), "left")) {
       (acc, cdn) => acc.join(cdn, Seq("key"), "left")
     }) { case (acc, (rtk, itk)) =>
       acc.join(rtk, Seq("key"), "left").join(itk, Seq("key"), "left")
-    }
+    }) { (acc, hsn) => acc.join(hsn, Seq("key"), "left") }
     val outCols =
       when(n2 >= 0, n2).otherwise(raise_error(concat(
         lit("MultiIvm: negative count — delta retracts a fact the view "
@@ -600,7 +623,9 @@ object MultiIvm {
             .when(col(s"__itk_$m").isNotNull,
               tkMerge(col(s"v.tk_$m"), col(s"__itk_$m"), k))
             .otherwise(col(s"v.tk_$m")).as(s"tk_$m")
-        })
+        }
+        ++ hlls.map(d =>
+          coalesce(col(s"__hs_$d"), col(s"v.hs_$d")).as(s"hs_$d")))
     joined.select(col("key") +: outCols: _*).filter(col("n") > 0)
   }
 
@@ -613,13 +638,15 @@ object MultiIvm {
       groupMults: Map[String, DataFrame], perKeyTable: String,
       mapping: DataFrame, delta: DataFrame, measures: Seq[String],
       distincts: Seq[String],
-      topks: Seq[(String, Int)] = Nil): DataFrame = {
+      topks: Seq[(String, Int)] = Nil,
+      hlls: Seq[String] = Nil): DataFrame = {
     val spark = delta.sparkSession
     require(delta.columns.sameElements(Seq("key", "g_old", "g_new")),
       s"delta must be (key, g_old, g_new): ${delta.columns.toSeq}")
     require(mapping.columns.sameElements(Seq("key", "g")),
       s"mapping must be (key, g): ${mapping.columns.toSeq}")
-    val viewCols = "g" +: viewColumnsFull(measures, distincts, topks).drop(1)
+    val viewCols =
+      "g" +: viewColumnsFull(measures, distincts, topks, hlls).drop(1)
     require(view.columns.sameElements(viewCols),
       s"view must be $viewCols: ${view.columns.toSeq}")
     val perKey = spark.table(perKeyTable)
@@ -664,7 +691,11 @@ object MultiIvm {
           // |members|·k structs per touched group, no fact rows
           topks.map { case (m, k) =>
             tkSort(flatten(collect_list(col(s"tk_$m"))), k).as(s"rtk_$m")
-          }: _*)
+          } ++
+          // group sketch = HLL union of member keys' sketches — the
+          // mergeability that makes the sketch a view measure
+          hlls.map(d =>
+            hll_union_agg(col(s"hs_$d")).as(s"rhs_$d")): _*)
     val n2 = coalesce(col("v.n"), lit(0L)) + coalesce(col("dn"), lit(0L))
     val joined = cdNews.foldLeft(
       view.as("v").join(contrib.as("d"), Seq("g"), "full_outer")
@@ -692,7 +723,10 @@ object MultiIvm {
         topks.map { case (m, _) =>
           when(col("__re") <=> lit(true), col(s"rtk_$m"))
             .otherwise(col(s"v.tk_$m")).as(s"tk_$m")
-        })
+        } ++
+        hlls.map(d =>
+          when(col("__re") <=> lit(true), col(s"rhs_$d"))
+            .otherwise(col(s"v.hs_$d")).as(s"hs_$d")))
     joined.select(col("g") +: outCols: _*).filter(col("n") > 0)
   }
 
@@ -1001,5 +1035,87 @@ object MultiIvm {
         $"col.fkey".as("o_orderkey"),
         ($"col.v".cast("double") / 100.0).as("price"))
       .orderBy($"n_name", $"rk")
+  }
+
+  // ── q218 fixture: HLL sketch as a maintained view measure ───────────
+  // The exact count-distinct sidecar is O(distinct values per key); a
+  // 100 TB view with a high-cardinality distinct (users per URL) wants
+  // a MERGEABLE sketch column instead. `hs_d` is an Apache DataSketches
+  // HLL (Spark's hll_sketch_agg): inserts and dimension moves merge
+  // sketches (hll_union_agg over member keys — no re-scan); retraction
+  // rebuilds touched keys' sketches from the multiplicity sidecar's
+  // surviving value set (duplicate-insensitivity makes that equal a
+  // from-scratch sketch of the surviving facts). The driver-visible
+  // gate is q109's relative-error contract per group.
+
+  /** Orders bucketed into 25 coarse groups so per-group cardinality is
+    * high enough to exercise estimation, with the whole-dollar price
+    * as the sketched distinct (`pval` = cents div 100 — exactly
+    * replayable in the oracle). */
+  private[graft] def orderHllFacts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+    t.orders.select($"o_orderkey".as("fkey"),
+      ($"o_custkey" % 25).as("key"), cents.as("cents"),
+      (cents / 100).cast("long").as("pval"))
+  }
+
+  private val HMs = Seq("cents")
+  private val HDs = Seq("pval")
+  private val HHs = Seq("pval")
+
+  /** q209's residue recipe on the HLL fixture: D, reprice-U (whose
+    * pval moves with the price), group-move-U, and I. */
+  private[graft] def orderHllDelta(f: DataFrame): DataFrame = {
+    val nl = lit(null).cast("long")
+    f.filter(col("fkey") % 97 === 0)
+      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
+        nl.as("key_new"), col("cents").as("old_cents"), nl.as("new_cents"),
+        col("pval").as("old_pval"), nl.as("new_pval"))
+      .unionByName(f.filter(col("fkey") % 97 === 1)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          col("key").as("key_new"), col("cents").as("old_cents"),
+          (col("cents") + 12345L).as("new_cents"),
+          col("pval").as("old_pval"),
+          ((col("cents") + 12345L) / 100).cast("long").as("new_pval")))
+      .unionByName(f.filter(col("fkey") % 97 === 2)
+        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
+          (col("key") + 1L).as("key_new"), col("cents").as("old_cents"),
+          col("cents").as("new_cents"), col("pval").as("old_pval"),
+          col("pval").as("new_pval")))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select((col("fkey") + 2147483648L).as("fkey"), lit("I").as("change"),
+          nl.as("key_old"), col("key").as("key_new"), nl.as("old_cents"),
+          (col("cents") + 55L).as("new_cents"), nl.as("old_pval"),
+          ((col("cents") + 55L) / 100).cast("long").as("new_pval")))
+  }
+
+  private val hllBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
+  private[graft] def ensureHllView(t: Tables): String = {
+    val fp = Integer.toHexString(
+      graft.Tables.parallelLayout(t.spark, t.dir, "orders").hashCode)
+    hllBuilt.computeIfAbsent((t.spark.sparkContext, fp), _ => {
+      val name = s"graft_mivmh_$fp"
+      buildMultiViewFull(orderHllFacts(t), HMs, HDs, name, hlls = HHs)
+      name
+    })
+  }
+
+  /** q218: the maintained sketch's estimate must stay within
+    * `maxRelErr` of the maintained EXACT count after the I/D/U+move
+    * fold — the estimate is engine-specific, so the oracle checks the
+    * exact count and the contract flag (q109's shape). HLL register
+    * state is order-insensitive, so the flags are deterministic. */
+  def hllRollupGate(t: Tables, maxRelErr: Double = 0.05): DataFrame = {
+    import t.spark.implicits._
+    val table = ensureHllView(t)
+    val merged = mergeMultiDeltaFull(orderHllDelta(orderHllFacts(t)),
+      HMs, HDs, table, hlls = HHs)
+    merged.select($"key",
+      $"cd_pval".as("n_pvals"),
+      (abs(hll_sketch_estimate($"hs_pval") - $"cd_pval") /
+        $"cd_pval" <= maxRelErr).as("meets_bound"))
+      .orderBy($"key")
   }
 }

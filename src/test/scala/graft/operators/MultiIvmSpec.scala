@@ -450,4 +450,77 @@ class MultiIvmSpec extends SparkSpec {
     assert(!plan.toString.contains("/orders"),
       s"the fact table must be out of the move loop:\n$plan")
   }
+
+  // ── q218: HLL sketch as a maintained view measure ───────────────────
+
+  test("q218: rebuilt sketch estimates equal a from-scratch sketch of the survivors") {
+    import spark.implicits._
+    val f = MultiIvm.orderHllFacts(sf001)
+    MultiIvm.buildMultiViewFull(f, Seq("cents"), Seq("pval"),
+      "graft_test_mivmh", hlls = Seq("pval"))
+    val merged = MultiIvm.mergeMultiDeltaFull(MultiIvm.orderHllDelta(f),
+      Seq("cents"), Seq("pval"), "graft_test_mivmh", hlls = Seq("pval"))
+    // survivors replayed row-wise, sketched from scratch — the
+    // maintained sketch's ESTIMATE must agree exactly (identical
+    // register state; bytes may differ in coupon order)
+    val surv = f.filter(col("fkey") % 97 =!= 0)
+      .select(
+        when(col("fkey") % 97 === 2, col("key") + 1).otherwise(col("key")).as("key"),
+        when(col("fkey") % 97 === 1,
+          ((col("cents") + 12345L) / 100).cast("long"))
+          .otherwise(col("pval")).as("pval"))
+      .unionByName(f.filter(col("fkey") % 97 === 3)
+        .select(col("key"),
+          ((col("cents") + 55L) / 100).cast("long").as("pval")))
+    val scratch = surv.groupBy(col("key"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("pval"))).as("est"),
+        count_distinct(col("pval")).as("cd"))
+    val got = merged.select(col("key"),
+      hll_sketch_estimate(col("hs_pval")).as("est"), col("cd_pval").as("cd"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+      "maintained sketch estimates diverge from from-scratch sketches")
+  }
+
+  test("hll under dim moves: group sketch = union of member sketches, fact-free") {
+    import spark.implicits._
+    // keys {1,2,3} with overlapping value sets; groups A={1,2}, B={3};
+    // move key 2 into B — the union must absorb the overlap exactly
+    val facts = Seq(
+      (10L, 1L, 5L, 100L), (11L, 1L, 6L, 101L),
+      (20L, 2L, 7L, 101L), (21L, 2L, 8L, 102L),
+      (30L, 3L, 9L, 102L), (31L, 3L, 4L, 103L))
+      .toDF("fkey", "key", "cents", "pval")
+    MultiIvm.buildMultiViewFull(facts, Seq("cents"), Seq("pval"),
+      "graft_test_mivmh_mv", hlls = Seq("pval"))
+    val perKey = spark.table("graft_test_mivmh_mv")
+    val mapping0 = Seq(1L -> "A", 2L -> "A", 3L -> "B").toDF("key", "g")
+    val gmult = spark.table("graft_test_mivmh_mv_mult_pval")
+      .join(mapping0, Seq("key")).groupBy($"g", $"v").agg(sum($"m").as("m"))
+    // cd from the summed multiplicity vectors, hs from member unions
+    val cd = gmult.groupBy($"g").agg(count(lit(1)).as("cd_pval"))
+    val hs = perKey.join(mapping0, Seq("key")).groupBy($"g")
+      .agg(hll_union_agg($"hs_pval").as("hs_pval"))
+    val view = perKey.join(mapping0, Seq("key")).groupBy($"g")
+      .agg(sum($"n").as("n"), sum($"s_cents").as("s_cents"),
+        sum($"ssh_cents").as("ssh_cents"), sum($"ssl_cents").as("ssl_cents"),
+        min($"mn_cents").as("mn_cents"), max($"mx_cents").as("mx_cents"))
+      .join(cd, Seq("g")).join(hs, Seq("g"))
+      .select($"g", $"n", $"s_cents", $"ssh_cents", $"ssl_cents",
+        $"mn_cents", $"mx_cents", $"cd_pval", $"hs_pval")
+    val delta = Seq((2L, "A", "B")).toDF("key", "g_old", "g_new")
+    val mapping1 = Seq(1L -> "A", 2L -> "B", 3L -> "B").toDF("key", "g")
+    val moved = MultiIvm.mergeMultiDimMoveFull(view,
+      Map("pval" -> gmult), "graft_test_mivmh_mv", mapping1, delta,
+      Seq("cents"), Seq("pval"), hlls = Seq("pval"))
+    moved.collect()
+    val got = moved.select($"g",
+      hll_sketch_estimate($"hs_pval").cast("long").as("est"),
+      $"cd_pval").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // post-move exact: A = {100, 101}, B = {101, 102, 103} — small
+    // sets, so the sketch estimate is exact
+    assert(got === Map("A" -> (2L, 2L), "B" -> (3L, 3L)), s"got $got")
+    assert(!moved.queryExecution.executedPlan.toString.contains("/orders"))
+  }
 }
