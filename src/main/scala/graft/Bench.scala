@@ -398,10 +398,44 @@ object Bench {
     // (round-7 verdict: q06 4.6→6.2 s on an unchanged plan). Next
     // round's regression diff should read THIS map first. Skippable
     // with SPARK_GRAFT_SOLO=0 for quick iterations.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val soloT0 = System.nanoTime()
+    // per-query in-lane medians, needed now to police the solo lane
+    val inLaneMed: Map[String, Double] = (runs ++ replayRuns)
+      .flatMap(_._2).groupBy(_._1).view
+      .mapValues(ts =>
+        if (ts.exists(_._2 < 0)) -1.0 else median(ts.map(_._2))).toMap
     val solo: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SOLO", "1") == "0") Map.empty
-      else names.map(runQuery).toMap
+      else {
+        val first = names.map(runQuery).toMap
+        // min-of-2, but only where it matters: a solo wall ABOVE the
+        // query's own 16-stream in-lane median is physically
+        // impossible except as measurement contamination (round 12's
+        // q69–q96 block read 4–9× on untouched code and masqueraded
+        // as regression) — re-run those once and keep the min; clean
+        // readings stay single-shot so the lane cost barely moves
+        first.map { case (n, s) =>
+          val lane = inLaneMed.getOrElse(n, -1.0)
+          if (s > 0 && lane > 0 && s > lane)
+            n -> (runQuery(n)._2 match {
+              case s2 if s2 > 0 => math.min(s, s2)
+              case _ => s
+            })
+          else n -> s
+        }
+      }
+    // still-contaminated solo readings, flagged so the next round's
+    // regression diff can discard them instead of chasing ghosts
+    val soloGtLane = names.filter { n =>
+      val s = solo.getOrElse(n, -1.0)
+      val l = inLaneMed.getOrElse(n, -1.0)
+      s > 0 && l > 0 && s > l
+    }
     val soloWall = if (solo.isEmpty) 0.0 else (System.nanoTime() - soloT0) / 1e9
     // FROZEN r4-era subset lane (cross-round comparable, round 12):
     // one warm concurrent pass over exactly [[SubsetR4]], in the same
@@ -418,11 +452,7 @@ object Bench {
 
     // median over the passes, per query and for the wall; a failure
     // (-1) in ANY pass surfaces as -1 rather than being median'd away
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    // (median defined above the solo lane, which also needs it)
     // total = throughput-lane wall + replay-lane wall: the suite cost
     // is the sum of the two sequential lanes, reported per-lane below
     val batchWall = median(runs.map(_._1))
@@ -478,7 +508,9 @@ object Bench {
     // that line is the driver's only guaranteed artifact
     val soloJson =
       if (solo.isEmpty) ""
-      else s""","solo_lane_sec":${fmt(soloWall)},"solo":""" +
+      else s""","solo_lane_sec":${fmt(soloWall)},""" +
+        s""""solo_gt_lane":${soloGtLane.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},"solo":""" +
         names.map(n => "\"" + n + "\":" + fmt(solo(n)))
           .mkString("{", ",", "}")
     val wrote = try {

@@ -3949,7 +3949,7 @@ object SparkEntry {
     "q208_cc_retract" -> ("tools.CcRetractScaleCheck",
       "recursive CC-closure oracle is DuckDB-intractable past sf0.1; ccApplyChanges over the persisted state equals the from-scratch distributed closure at sf1 and sf10, diff 0"),
     "q210_stream_cc" -> ("tools.CcRetractScaleCheck",
-      "same closure oracle class as q208; the streaming fold replays a bounded subgraph (q177's slice recipe) whose state is constant in SF, and the underlying increment is the tool-checked one"),
+      "same closure oracle class as q208 (q202's); the per-batch fold is ccIncrementFrames, whose increment ≡ from-scratch equality GraphIncrementSpec pins engine-side and whose delete-capable superset the tool checks live at sf1/sf10"),
     "q215_dedup_delete" -> ("tools.CorpusRetractScaleCheck",
       "shingle-jaccard pair oracle is O(n^2) in DuckDB; dedupApplyDeletes over the persisted full index equals the engine's from-scratch clustering of the survivors at generated SFs, diff 0"),
     "q216_er_delete" -> ("tools.CorpusRetractScaleCheck",

@@ -34,7 +34,9 @@ case class ReplayVec(vec_id: Long, embedding: Array[Float])
   * never rescanned, never reshuffled. */
 object StreamAnn {
 
-  private val Chunks = 3
+  // two data micro-batches — one real cross-batch append at the
+  // minimum turnaround cost (the StreamIvm/StreamGraph rationale)
+  private val Chunks = 2
 
   private val built = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), String]()
@@ -52,9 +54,11 @@ object StreamAnn {
       val name = s"graft_ann_stream_$fp"
       Similarity.buildAnnIndex(t.embeddings.filter($"vec_id" % 10 =!= 7),
         $"vec_id", $"embedding", name)
-      val deltaRows = t.embeddings.filter($"vec_id" % 10 === 7)
-        .select($"vec_id", $"embedding")
-        .orderBy($"vec_id").as[ReplayVec].collect().toSeq
+      val deltaRows = SliceCache.memo(t.spark.sparkContext, s"q205:${t.dir}") {
+        t.embeddings.filter($"vec_id" % 10 === 7)
+          .select($"vec_id", $"embedding")
+          .orderBy($"vec_id").as[ReplayVec].collect().toSeq
+      }
       val chunks =
         if (deltaRows.isEmpty) Seq(Seq.empty[ReplayVec])
         else deltaRows.grouped(

@@ -33,7 +33,13 @@ case class ReplayEdgeOp(op: String, a: Long, b: Long)
   * the labeling is read exchange-free, never rescanned wholesale. */
 object StreamGraph {
 
-  private val Chunks = 3
+  // TWO data micro-batches: the cross-batch composability claim is
+  // batch-count-blind (StreamGraphSpec pins stream ≡ one-shot ≡
+  // closure with its own chunking), and each batch of the CC fold is
+  // round-latency-bound — ~8 pointer-jumping rounds of driver-paced
+  // tiny jobs — so the replay lane's wall is batch count × round
+  // latency, not data. Two batches keep one real cross-batch merge.
+  private val Chunks = 2
 
   /** q210 — stream the q202 delta slice ((a+b) mod 5 ≡ 0 co-purchase
     * edges) through the foreachBatch CC fold in [[Chunks]]
@@ -43,9 +49,11 @@ object StreamGraph {
     import spark.implicits._
     val t = Tables(spark, dir)
     val table = Graph.ensureCcState(t)
-    val deltaRows = Graph.customerCoEdges(t)
-      .filter(($"a" + $"b") % 5 === 0)
-      .orderBy($"a", $"b").as[ReplayEdge].collect().toSeq
+    val deltaRows = SliceCache.memo(spark.sparkContext, s"q210:$dir") {
+      Graph.customerCoEdges(t)
+        .filter(($"a" + $"b") % 5 === 0)
+        .orderBy($"a", $"b").as[ReplayEdge].collect().toSeq
+    }
     val chunks =
       if (deltaRows.isEmpty) Seq(Seq.empty[ReplayEdge])
       else deltaRows.grouped(
@@ -145,8 +153,10 @@ object StreamGraph {
     import spark.implicits._
     val t = Tables(spark, dir)
     val table = ensureBoundedCcrState(t)
-    val changeRows = boundedChanges(t)
-      .orderBy($"a", $"b", $"op").as[ReplayEdgeOp].collect().toSeq
+    val changeRows = SliceCache.memo(spark.sparkContext, s"q213:$dir") {
+      boundedChanges(t)
+        .orderBy($"a", $"b", $"op").as[ReplayEdgeOp].collect().toSeq
+    }
     // TWO micro-batches, not the family's three: each delete batch
     // pays a full ~8-round CC re-solve of its touched components
     // (round-latency-bound — the fold wall is batch count × rounds ×
@@ -192,9 +202,12 @@ object StreamGraph {
         // components plus insert endpoints' components — the only
         // labels a batch can change); untouched rows pass through,
         // keeping the roll-forward O(batch + touched-component edges).
+        // insC/touchedComps are delta-bounded and derived from
+        // in-memory batch rows + already-checkpointed state — cheap to
+        // recompute at each of their 2-3 uses, NOT worth an eager
+        // checkpoint job each (the fold's wall is driver job count)
         val insC = ins.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b")).distinct()
-          .localCheckpoint(true)
         val delC = del.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b")).distinct()
         val ends = insC.select(col("a").as("id"))
@@ -203,7 +216,7 @@ object StreamGraph {
           .select(col("component"))
           .unionByName(state.join(broadcast(ends), Seq("id"), "left_semi")
             .select(col("component")))
-          .distinct().localCheckpoint(true)
+          .distinct()
         val untouched = stateEdges
           .join(broadcast(touchedComps), Seq("component"), "left_anti")
         val relabeled = stateEdges

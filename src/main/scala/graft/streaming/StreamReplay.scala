@@ -47,14 +47,17 @@ object StreamReplay {
   /** Slice bound for the event-table replays: the first week. */
   private[streaming] val EventCutoff = "2024-01-08 00:00:00"
 
-  /** Data micro-batches per event replay. Three ~2.3-day chunks over
-    * the 7-day slice: every day window except the first still spans a
-    * chunk boundary, so cross-micro-batch state merge — the property
-    * under test — is exercised, at the minimum batch count. (Round 5
-    * ran 8 chunks; each extra micro-batch costs per-partition state
+  /** Data micro-batches per event replay. Two ~3.5-day chunks over
+    * the 7-day slice: the mid-window chunk boundary still splits day
+    * windows across micro-batches, so cross-micro-batch state merge —
+    * the property under test — is exercised, at the minimum batch
+    * count that has a real boundary. (Round 5 ran 8 chunks, rounds
+    * 6-12 ran 3; each extra micro-batch costs per-partition state
     * store load/commit + offset-log latency, and the replay lane's
-    * batch turnaround, not data volume, set that bench's makespan.) */
-  private[streaming] val EventChunks = 3
+    * batch turnaround, not data volume, sets the bench's makespan —
+    * the streaming specs pin the multi-boundary merge property with
+    * their own chunking.) */
+  private[streaming] val EventChunks = 2
 
   /** Planted-copy id offset for the dedup replays — far above any
     * fixture doc_id, so `id < CopyIdOff` marks an original. */
