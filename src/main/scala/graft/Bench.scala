@@ -215,6 +215,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt / 2, 4).toString)
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // NOTE: AQE's default size-based coalescing can squash a
       // byte-light / CPU-heavy stage (merge-walk jaccard verify:

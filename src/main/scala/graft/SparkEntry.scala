@@ -332,6 +332,23 @@ object SparkEntry {
     "q217_topk_ivm"          -> ((s, d) => graft.operators.MultiIvm.topkRollup(Tables(s, d))),
     "q218_hll_ivm_gate"      -> ((s, d) => graft.operators.MultiIvm.hllRollupGate(Tables(s, d))),
     "q219_topk_move"         -> ((s, d) => graft.operators.MultiIvm.topkDimMove(Tables(s, d))),
+    // q220: the maintenance family's SQL front door — the SCD2
+    // assembly reached through `CALL graft.scd2_assemble(...)` (the
+    // GraftSqlParser extension) instead of the Scala facade; the
+    // session must be built with spark.sql.extensions =
+    // graft.expr.GraftExtensions (Verify/Bench are). Same fold, same
+    // oracle as q159 — the statement is the thing under test.
+    "q220_sql_call_scd2"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Cdc.eventChangeLog(Tables(s, d))
+        .createOrReplaceTempView("graft_sql_changes_q220")
+      s.sql("CALL graft.scd2_assemble('graft_sql_changes_q220')")
+        .select(col("key").as("user_id"), col("value"), col("etype"),
+          timestamp_micros(col("valid_from_us")).as("valid_from"),
+          timestamp_micros(col("valid_to_us")).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -3139,6 +3156,29 @@ object SparkEntry {
     // suppressed upsert's payload equals the live state), then
     // lead(us) closes each retained version; deletes only close
     "q159_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, event_type AS etype
+        |  FROM events),
+        |o AS (SELECT *, lag(op) OVER w AS pop, lag(value) OVER w AS pval,
+        |    lag(etype) OVER w AS pet
+        |  FROM log WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        |r AS (SELECT * FROM o WHERE
+        |  CASE WHEN op = 'D' THEN pop = 'U'
+        |       ELSE pop IS NULL OR pop = 'D'
+        |         OR value IS DISTINCT FROM pval OR etype IS DISTINCT FROM pet
+        |  END),
+        |v AS (SELECT *, lead(us) OVER
+        |  (PARTITION BY key ORDER BY us, seq) AS to_us FROM r)
+        |SELECT key AS user_id, value, etype, make_timestamp(us) AS valid_from,
+        | make_timestamp(to_us) AS valid_to, to_us IS NULL AS is_current
+        |FROM v WHERE op = 'U'""".stripMargin,
+    // q220: the SQL CALL front door runs the SAME assembly as q159 —
+    // its oracle is q159's verbatim; the parity certifies the
+    // statement resolves to the identical fold
+    "q220_sql_call_scd2" ->
       """WITH log AS (
         |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    event_id AS seq,

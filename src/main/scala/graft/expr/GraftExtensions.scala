@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer-level rewrite: expand jaccard_at_least into
     // size-ratio-bound AND exact-jaccard (see JaccardPrefilterRule)
     ext.injectOptimizerRule(_ => JaccardPrefilterRule)
+    // the maintenance family's SQL entry point: CALL graft.<proc>(...)
+    // resolves to the same lazy fold the Scala facade builds; every
+    // other statement parses through the stock parser untouched
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }
