@@ -29,6 +29,7 @@ object Profile {
       // full parallelism while still coalescing genuinely tiny reads.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

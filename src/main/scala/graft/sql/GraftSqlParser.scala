@@ -28,7 +28,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `cdc_apply` changes lead with (key, us, seq, op); `dedup_increment`
   * deltas are (doc_id, text). Procedures whose fail-loud checks run
   * driver-side actions (the phantom-delete counts) run them at
-  * `spark.sql(...)` time — CALL semantics are eager. */
+  * `spark.sql(...)` time — CALL semantics are eager.
+  *
+  * Why a parser and not Spark 4's native V2 ProcedureCatalog: a
+  * `BoundProcedure.call` returns its result as a `Scan`, i.e. a
+  * MATERIALIZED result set (the Iceberg-procedure shape, built for
+  * small command outputs). These folds return corpus-scale frames —
+  * an updated SCD2 dimension, a re-clustered corpus — that must stay
+  * LAZY distributed plans the caller can write wherever it wants;
+  * intercepting the statement and answering with the fold's logical
+  * plan is the only route that keeps CALL results plan-sized. Without
+  * the extension installed, the stock parser still parses the CALL
+  * and fails with MISSING_CATALOG_ABILITY — a clear pointer, not a
+  * syntax error. */
 object GraftSql {
 
   /** Dispatch a procedure by name. Table-name arguments resolve via

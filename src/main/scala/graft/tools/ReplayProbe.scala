@@ -15,6 +15,7 @@ object ReplayProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "5")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
