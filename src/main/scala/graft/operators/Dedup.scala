@@ -415,6 +415,69 @@ object Dedup {
       .saveAsTable(s"${prefix}_pairs")
   }
 
+  /** Roll the FULL index forward under an INSERT delta — the
+    * [[updateDedupIndex]] of the delete-capable state (that one's
+    * positional pair-table union rejects the labeled sidecar loudly,
+    * but a full-state user needs the path, not the error): docs and
+    * bands append as before, the pair sidecar gains the delta's
+    * cross + internal pairs, and clustering/pair labels rewrite under
+    * [[dedupIncrementalOver]]'s post-insert labeling — so inserts and
+    * deletes compose on ONE state (DedupRetractSpec's weld/un-weld
+    * round-trip proves two-step ≡ rebuild, ER's q216 contract). */
+  def updateDedupIndexInserts(delta: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      prefix: String, outPrefix: String,
+      maxDist: Double = 0.4, bands: Int = 16, rowsPerBand: Int = 2,
+      shingleK: Int = 3, buckets: Int = 8): Unit = {
+    require(outPrefix != prefix, "write the updated index under a new prefix")
+    val spark = delta.sparkSession
+    val labels = dedupIncrementalOver(delta, idCol, textCol, prefix,
+      maxDist, bands, rowsPerBand, shingleK).localCheckpoint(true)
+    val dd = shingledDocs(delta, idCol, textCol, shingleK).localCheckpoint(true)
+    // the delta's pairs against the index + internal to itself — the
+    // same candidate/verify shape updateDedupIndex appends
+    val newPairs = flatBands(dd, bands, rowsPerBand)
+      .select(col("doc_id").as("id_d"), col("bk")).hint("merge")
+      .join(spark.table(s"${prefix}_bands")
+        .select(col("doc_id").as("id_i"), col("bk")), Seq("bk"))
+      .select(col("id_d"), col("id_i")).distinct()
+      .join(broadcast(dd.select(col("doc_id").as("id_d"),
+        col("shh").as("shh_d"))), Seq("id_d"))
+      .join(spark.table(s"${prefix}_docs")
+        .select(col("doc_id").as("id_i"), col("shh").as("shh_i")), Seq("id_i"))
+      .filter(lit(1.0) - graft.functions.TextFunctions.jaccardSorted(
+        col("shh_d"), col("shh_i")) <= maxDist)
+      .select(col("id_d").as("id_a"), col("id_i").as("id_b"))
+      .union(minhashPairsCore(delta, idCol, textCol, maxDist, bands,
+        rowsPerBand, shingleK).select(col("id_a"), col("id_b")))
+      .localCheckpoint(true)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(s"${outPrefix}_docs", s"${outPrefix}_bands", s"${outPrefix}_pairs",
+        s"${outPrefix}_clusters").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      graft.Tables.deleteRec(new java.io.File(wh, n))
+    }
+    spark.table(s"${prefix}_docs")
+      .unionByName(dd.select(col("doc_id"), col("shh")))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${outPrefix}_docs")
+    spark.table(s"${prefix}_bands")
+      .unionByName(flatBands(dd, bands, rowsPerBand))
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${outPrefix}_bands")
+    labels.select(col("doc_id"), col("cluster_id").as("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .saveAsTable(s"${outPrefix}_clusters")
+    spark.table(s"${prefix}_pairs")
+      .select(col("id_a"), col("id_b"))
+      .unionByName(newPairs)
+      .join(labels.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("cluster")), Seq("id_a"))
+      .select(col("cluster"), col("id_a"), col("id_b"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .saveAsTable(s"${outPrefix}_pairs")
+  }
+
   /** Cluster labels over the SURVIVING corpus after deleting
     * `deleteIds` from a [[buildDedupIndexFull]] state — identical to
     * from-scratch clustering of the survivors (q215's oracle).

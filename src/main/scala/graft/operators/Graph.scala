@@ -1324,11 +1324,19 @@ object Graph {
   def pageRankWarmStart(edges: DataFrame, srcCol: Column, dstCol: Column,
       init: DataFrame, iters: Int, d: Double,
       edgeStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      edgesPrepared: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
-      .repartition(col("src"))
-      .localCheckpoint(false, edgeStorage)
+    // edgesPrepared: the caller's edge frame is ALREADY distinct,
+    // partitioned by src, and persisted (the q203 memoized state) —
+    // re-distincting and re-checkpointing it every warm fold would
+    // copy the whole edge list per run, the exact cost warm-starting
+    // exists to avoid
+    val e =
+      if (edgesPrepared) edges.select(srcCol.as("src"), dstCol.as("dst"))
+      else edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+        .repartition(col("src"))
+        .localCheckpoint(false, edgeStorage)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nAgg = deg.agg(count(lit(1)).as("n"))
     val pr0 = deg
@@ -1458,13 +1466,25 @@ object Graph {
           .union(p.select($"s".as("src"), $"c".as("dst")))
         val base = sym(keyed.filter($"okey" % 11 =!= 0)
           .select($"c", $"s").distinct())
+        // the persisted pieces honor the storage valve (an sf10 edge
+        // list at MEMORY_AND_DISK evicts everything else); the keyed
+        // join frame is build-scaffolding only — free its blocks once
+        // both graphs have been derived from it
+        // distinct by construction (c even / s odd keeps the two sym
+        // halves disjoint; the pair set is distinct before sym), and
+        // pre-partitioned by src so the warm fold consumes it as-is
         val fullE = sym(keyed.select($"c", $"s").distinct())
-          .localCheckpoint(true)
+          .repartition($"src")
+          .localCheckpoint(true, storage)
         val pr = pageRankOver(base, $"src", $"dst", iters = 3, d = d,
           storage).localCheckpoint(true)
+        keyed.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(false))
         (fullE, pr)
       })
-    pageRankWarmStart(full, $"src", $"dst", prior, iters = 2, d = d, storage)
+    pageRankWarmStart(full, $"src", $"dst", prior, iters = 2, d = d, storage,
+        edgesPrepared = true)
       .select($"id",
         when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         $"pr")

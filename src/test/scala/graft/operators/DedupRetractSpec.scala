@@ -121,4 +121,31 @@ class DedupRetractSpec extends SparkSpec {
     assert(nm(100L) === 1L && nm(1L) === 1L,
       s"new doc must join A's cluster through the rolled-forward index: $nm")
   }
+
+  test("weld then un-weld round-trips on one full state: inserts and deletes compose") {
+    import spark.implicits._
+    // build without the bridge B, INSERT it (welds {1,3}), then
+    // DELETE it — the state must land back on a rebuild of the
+    // original corpus, table for table (q216's ER contract, dedup side)
+    val without = handCorpus.filter($"doc_id" =!= 2L)
+    val bridge = handCorpus.filter($"doc_id" === 2L)
+    Dedup.buildDedupIndexFull(without, $"doc_id", $"text",
+      "graft_test_ddr_rt")
+    Dedup.updateDedupIndexInserts(bridge, $"doc_id", $"text",
+      "graft_test_ddr_rt", "graft_test_ddr_rt2")
+    val welded = spark.table("graft_test_ddr_rt2_clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(welded(1L) === welded(2L) && welded(1L) === welded(3L),
+      s"insert must weld {1,2,3}: $welded")
+    Dedup.updateDedupIndexDeletes(Seq(2L).toDF("doc_id"),
+      "graft_test_ddr_rt2", "graft_test_ddr_rt3")
+    Dedup.buildDedupIndexFull(without, $"doc_id", $"text",
+      "graft_test_ddr_rt_scratch")
+    Seq("_docs", "_bands", "_pairs", "_clusters").foreach { s =>
+      val a = spark.table(s"graft_test_ddr_rt3$s")
+      val b = spark.table(s"graft_test_ddr_rt_scratch$s")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"table $s diverges after the weld/un-weld round-trip")
+    }
+  }
 }
