@@ -248,10 +248,10 @@ object Dedup {
     }
     val d = shingledDocs(docs, idCol, textCol, shingleK).localCheckpoint(true)
     d.select(col("doc_id"), col("shh"))
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id")).write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_docs")
     flatBands(d, bands, rowsPerBand)
-      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${prefix}_bands")
     minhashPairsCore(docs, idCol, textCol, maxDist, bands, rowsPerBand, shingleK)
       .select(col("id_a"), col("id_b"))
@@ -324,13 +324,13 @@ object Dedup {
     val dd = shingledDocs(delta, idCol, textCol, shingleK).localCheckpoint(true)
     spark.table(s"${prefix}_docs")
       .unionByName(dd.select(col("doc_id"), col("shh")))
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id")).write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${outPrefix}_docs")
     // unionByName: the table's column order is a storage detail the
     // delta frame must not have to match positionally
     spark.table(s"${prefix}_bands")
       .unionByName(flatBands(dd, bands, rowsPerBand))
-      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${outPrefix}_bands")
     val idxDocs = spark.table(s"${prefix}_docs")
     val newPairs = flatBands(dd, bands, rowsPerBand)
@@ -392,10 +392,10 @@ object Dedup {
     }
     val d = shingledDocs(docs, idCol, textCol, shingleK).localCheckpoint(true)
     d.select(col("doc_id"), col("shh"))
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id")).write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_docs")
     flatBands(d, bands, rowsPerBand)
-      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${prefix}_bands")
     val pairs = minhashPairsCore(docs, idCol, textCol, maxDist, bands,
       rowsPerBand, shingleK)
@@ -403,7 +403,7 @@ object Dedup {
     connectedComponents(docs.select(idCol.as("doc_id")), pairs,
         edgesWithinNodes = true)
       .select(col("id").as("doc_id"), col("component").as("cluster"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
       .saveAsTable(s"${prefix}_clusters")
     // both endpoints share one cluster by construction (the labeling
     // is the transitive closure of exactly these pairs)
@@ -411,7 +411,7 @@ object Dedup {
       .join(spark.table(s"${prefix}_clusters")
         .select(col("doc_id").as("id_a"), col("cluster")), Seq("id_a"))
       .select(col("cluster"), col("id_a"), col("id_b"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
       .saveAsTable(s"${prefix}_pairs")
   }
 
@@ -459,14 +459,14 @@ object Dedup {
     }
     spark.table(s"${prefix}_docs")
       .unionByName(dd.select(col("doc_id"), col("shh")))
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id")).write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${outPrefix}_docs")
     spark.table(s"${prefix}_bands")
       .unionByName(flatBands(dd, bands, rowsPerBand))
-      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${outPrefix}_bands")
     labels.select(col("doc_id"), col("cluster_id").as("cluster"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
       .saveAsTable(s"${outPrefix}_clusters")
     spark.table(s"${prefix}_pairs")
       .select(col("id_a"), col("id_b"))
@@ -474,7 +474,7 @@ object Dedup {
       .join(labels.select(col("doc_id").as("id_a"),
         col("cluster_id").as("cluster")), Seq("id_a"))
       .select(col("cluster"), col("id_a"), col("id_b"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
       .saveAsTable(s"${outPrefix}_pairs")
   }
 
@@ -487,14 +487,23 @@ object Dedup {
     val spark = deleteIds.sparkSession
     val clusters = spark.table(s"${prefix}_clusters")
     val pairs = spark.table(s"${prefix}_pairs")
+    // both counts ride their frame's materialization job via observe()
+    // (the connectedComponents recipe — two fewer driver jobs on a
+    // latency-bound fold)
+    val delObs = org.apache.spark.sql.Observation()
     val del = deleteIds.select(col(deleteIds.columns.head).as("doc_id"))
-      .distinct().localCheckpoint(true)
+      .distinct().observe(delObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nDel = Option(delObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     // each delete's cluster off the bucketed labeling — the small side
     // broadcasts; the matched rows are delta-bounded
+    val mObs = org.apache.spark.sql.Observation()
     val matched = clusters.join(broadcast(del), Seq("doc_id"))
-      .select(col("cluster")).localCheckpoint(true)
-    val nDel = del.count()
-    val nMatched = matched.count()
+      .select(col("cluster")).observe(mObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nMatched = Option(mObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     if (nMatched != nDel)
       throw new IllegalArgumentException(
         s"Dedup.dedupApplyDeletes: ${nDel - nMatched} of $nDel deletes "
@@ -545,14 +554,14 @@ object Dedup {
     }
     spark.table(s"${prefix}_docs")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id")).write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${outPrefix}_docs")
     spark.table(s"${prefix}_bands")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${outPrefix}_bands")
     labels.select(col("doc_id"), col("cluster_id").as("cluster"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "doc_id")
       .saveAsTable(s"${outPrefix}_clusters")
     spark.table(s"${prefix}_pairs")
       .select(col("id_a"), col("id_b"))
@@ -563,7 +572,7 @@ object Dedup {
       .join(labels.select(col("doc_id").as("id_a"),
         col("cluster_id").as("cluster")), Seq("id_a"))
       .select(col("cluster"), col("id_a"), col("id_b"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
       .saveAsTable(s"${outPrefix}_pairs")
   }
 

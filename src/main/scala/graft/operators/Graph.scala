@@ -173,7 +173,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
     (1 to iters).foldLeft(ssspInit(e, sourcePred)) { (dist, _) =>
-      ssspRound(e, dist)
+      ssspRound(e, dist).select(col("id"), col("dist"))
     }
   }
 
@@ -194,24 +194,29 @@ object Graph {
         .otherwise(lit(null).cast("long")).as("dist"))
 
   /** One synchronous relax round: regroup contributions by dst, then
-    * an id-co-partitioned left join back onto the distance frame. */
+    * an id-co-partitioned left join back onto the distance frame.
+    * Emits a third `chg` column (1 where the distance improved this
+    * round) so the convergence metric can ride the SAME pass via
+    * observe() — callers that don't need it project it away. */
   private def ssspRound(e: DataFrame, dist: DataFrame): DataFrame = {
     val relax = e.join(dist.filter(col("dist").isNotNull),
         e("src") === col("id"))
       .select(col("dst"), (col("dist") + col("w")).as("nd"))
       .groupBy(col("dst")).agg(min(col("nd")).as("nd"))
+    val nd = when(col("dist").isNull, col("nd"))
+      .when(col("nd").isNull, col("dist"))
+      .otherwise(least(col("dist"), col("nd")))
     dist.join(relax, dist("id") === relax("dst"), "left")
-      .select(dist("id"),
-        when(col("dist").isNull, col("nd"))
-          .when(col("nd").isNull, col("dist"))
-          .otherwise(least(col("dist"), col("nd"))).as("dist"))
+      .select(dist("id"), nd.as("dist"),
+        (!(nd <=> col("dist"))).cast("long").as("chg"))
   }
 
   /** Label-correcting SSSP run UNTIL CONVERGENCE: rounds stop when no
-    * distance improves (one integer count action per round — the
-    * k-means/BPE driver-loop shape; each round's frame is eagerly
-    * checkpointed so the lineage and the CacheManager never see an
-    * unbounded chain). Returns (distances, rounds-run). Converged
+    * distance improves (the improved-count observation rides each
+    * round's checkpoint job — one job per round; each round's frame
+    * is eagerly checkpointed so the lineage and the CacheManager
+    * never see an unbounded chain). Returns (distances, rounds-run).
+    * Converged
     * means exact: with non-negative integer weights, a fixed point of
     * the relax operator IS the true shortest-distance labeling. */
   def ssspConverged(
@@ -227,9 +232,18 @@ object Graph {
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxIters) {
-      val next = ssspRound(e, dist).localCheckpoint(true)
-      changed = next.as("n").join(dist.as("p"), col("n.id") === col("p.id"))
-        .filter(!(col("n.dist") <=> col("p.dist"))).count()
+      // the convergence metric rides the checkpoint materialization
+      // via observe() over ssspRound's own in-row improved flag — ONE
+      // job per round, replacing a node-scale self-join + count job
+      // (the connectedComponents recipe; round-latency is the whole
+      // wall of these driver loops)
+      val obs = org.apache.spark.sql.Observation()
+      val next = ssspRound(e, dist)
+        .observe(obs, sum(col("chg")).as("n_changed"))
+        .select(col("id"), col("dist"))
+        .localCheckpoint(true)
+      changed = Option(obs.get("n_changed")).collect {
+        case n: java.lang.Long => n.longValue() }.getOrElse(0L)
       dist = next
       rounds += 1
     }
@@ -753,17 +767,24 @@ object Graph {
     val n0 = deg0.count()
     val k = kOf(deg0)
     require(k >= 1, s"k must be >= 1: $k")
-    // round 1 IS the full-degree filter
-    var core = deg0.filter(col("deg") >= k).localCheckpoint(true)
-    var n = core.count()
+    // round 1 IS the full-degree filter; the survivor count rides the
+    // checkpoint job via observe() (the connectedComponents/SSSP
+    // recipe — one job per round, no separate count action)
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n_rows"))
+        .localCheckpoint(true)
+      (out, Option(obs.get("n_rows")).collect {
+        case n: java.lang.Long => n.longValue() }.getOrElse(0L))
+    }
+    var (core, n) = checkpointCounted(deg0.filter(col("deg") >= k))
     var rounds = 1
     var converged = n == n0
     while (!converged && rounds < maxIters) {
       val alive = core.select(col("id"))
       val deg = e.join(alive, e("dst") === alive("id"), "left_semi")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= k).localCheckpoint(true)
-      val m = next.count()
+      val (next, m) = checkpointCounted(deg.filter(col("deg") >= k))
       // alive only shrinks and next ⊆ alive, so equal counts = equal
       // sets = fixpoint; next's degrees were computed against an
       // alive set equal to the final one — they ARE the core degrees
@@ -860,12 +881,24 @@ object Graph {
     require(maxPhases >= 1 && maxRounds >= 1, s"bad bounds: $maxPhases/$maxRounds")
     var eRem = edges.select(srcCol.as("src"), dstCol.as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    var remaining = eRem.select(col("src").as("id"))
-      .union(eRem.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+    // every per-round/per-phase metric below rides its frame's
+    // checkpoint job via observe() (the connectedComponents/SSSP
+    // recipe) — these driver loops are round-latency-bound, so
+    // replacing each follow-up count job (and the forward loop's
+    // node-scale self-join + count) with an in-pass observation
+    // halves the job count per round
+    def ckptObs(df: DataFrame, metric: Column): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, metric.as("m")).localCheckpoint(true)
+      (out, Option(obs.get("m")).collect {
+        case n: java.lang.Long => n.longValue() }.getOrElse(0L))
+    }
+    var (remaining, remN) = ckptObs(
+      eRem.select(col("src").as("id"))
+        .union(eRem.select(col("dst").as("id"))).distinct(),
+      count(lit(1)))
     var assigned: Option[DataFrame] = None
     var phases = 0
-    var remN = remaining.count()
     while (remN > 0 && phases < maxPhases) {
       val eSrc = eRem.repartition(col("src")).localCheckpoint(false, edgeStorage)
       val eDst = eSrc.repartition(col("dst")).localCheckpoint(false, edgeStorage)
@@ -882,31 +915,37 @@ object Graph {
         val contrib = eSrc.join(st, eSrc("src") === st("id"))
           .select(col("dst"), col("color"))
           .groupBy(col("dst")).agg(min(col("color")).as("nc"))
-        val next = st.join(contrib, st("id") === contrib("dst"), "left")
-          .select(st("id"), least(col("color"), col("nc")).as("color"))
-          .localCheckpoint(true)
-        changed = next.as("n").join(st.as("p"), col("n.id") === col("p.id"))
-          .filter(col("n.color") =!= col("p.color")).count()
-        st = next
+        // the changed-count (nc improves the color ⟺ the joined row's
+        // new color differs) rides the checkpoint job
+        val (next, c) = ckptObs(
+          st.join(contrib, st("id") === contrib("dst"), "left")
+            .select(st("id"), least(col("color"), col("nc")).as("color"),
+              (col("nc").isNotNull && col("nc") < st("color"))
+                .cast("long").as("chg")),
+          sum(col("chg")))
+        changed = c
+        st = next.select(col("id"), col("color"))
         r += 1
       }
       require(changed == 0,
         s"SCC forward coloring did not converge within $maxRounds rounds")
-      // 2. backward in-class marking fixpoint (roots start marked)
-      var stm = st.select(col("id"), col("color"),
-        (col("id") === col("color")).as("mark")).localCheckpoint(true)
-      var marked = stm.filter(col("mark")).count()
+      // 2. backward in-class marking fixpoint (roots start marked);
+      // the marked-count observation rides each checkpoint
+      var (stm, marked) = ckptObs(
+        st.select(col("id"), col("color"),
+          (col("id") === col("color")).as("mark")),
+        sum(col("mark").cast("long")))
       var grew = true
       r = 0
       while (grew && r < maxRounds) {
         val cand = eDst.join(stm.filter(col("mark")), eDst("dst") === stm("id"))
           .select(col("src").as("cid"), col("color").as("c2")).distinct()
-        val next = stm.join(cand,
-            stm("id") === cand("cid") && stm("color") === cand("c2"), "left")
-          .select(stm("id"), stm("color"),
-            (stm("mark") || cand("cid").isNotNull).as("mark"))
-          .localCheckpoint(true)
-        val m2 = next.filter(col("mark")).count()
+        val (next, m2) = ckptObs(
+          stm.join(cand,
+              stm("id") === cand("cid") && stm("color") === cand("c2"), "left")
+            .select(stm("id"), stm("color"),
+              (stm("mark") || cand("cid").isNotNull).as("mark")),
+          sum(col("mark").cast("long")))
         grew = m2 > marked
         marked = m2
         stm = next
@@ -918,9 +957,10 @@ object Graph {
       val found = stm.filter(col("mark")).select(col("id"), col("color").as("scc"))
       assigned = Some(assigned.fold(found)(_.unionByName(found))
         .localCheckpoint(true))
-      remaining = stm.filter(!col("mark")).select(col("id"))
-        .localCheckpoint(true)
-      remN = remaining.count()
+      val (rem2, rn2) = ckptObs(
+        stm.filter(!col("mark")).select(col("id")), count(lit(1)))
+      remaining = rem2
+      remN = rn2
       if (remN > 0) {
         val keepS = remaining.select(col("id").as("__ks"))
         val keepD = remaining.select(col("id").as("__kd"))
@@ -991,7 +1031,7 @@ object Graph {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     graft.Tables.deleteRec(new java.io.File(wh, table))
     Dedup.connectedComponents(nodes, edges)
-      .write.bucketBy(buckets, "component").sortBy("component", "id")
+      .repartition(buckets, col("component")).write.bucketBy(buckets, "component").sortBy("component", "id")
       .saveAsTable(table)
   }
 
@@ -1124,7 +1164,7 @@ object Graph {
       .join(st.select(col("id").as("a"), col("component")), Seq("a"))
       .join(st.select(col("id").as("b")), Seq("b"), "left_semi")
       .select(col("component"), col("a"), col("b"))
-      .write.bucketBy(buckets, "component").sortBy("component", "a", "b")
+      .repartition(buckets, col("component")).write.bucketBy(buckets, "component").sortBy("component", "a", "b")
       .saveAsTable(et)
   }
 
@@ -1136,7 +1176,14 @@ object Graph {
   def ccApplyChanges(inserts: DataFrame, deletes: DataFrame,
       table: String): DataFrame = {
     val spark = inserts.sparkSession
-    ccApplyChangesFrames(inserts, deletes, spark.table(table),
+    // materialize the change set once: the fold references inserts in
+    // three branches and deletes in four, and a change set DERIVED
+    // from a fact scan (q208's co-purchase slices) would re-run that
+    // scan per branch — a production change log is a materialized
+    // table already (the Ivm.mergeDeltaRetract note). The streaming
+    // fold calls the *Frames core with in-memory batches directly.
+    ccApplyChangesFrames(inserts.localCheckpoint(true),
+      deletes.localCheckpoint(true), spark.table(table),
       spark.table(s"${table}_edges"))
   }
 
@@ -1166,23 +1213,35 @@ object Graph {
       s"edge state must be (component, a, b): ${stateEdges.columns.toSeq}")
     val Seq(dA, dB) = deletes.columns.toSeq.take(2)
     val Seq(iA, iB) = inserts.columns.toSeq.take(2)
+    // both counts ride their frame's materialization job via
+    // observe() (the connectedComponents recipe) — the fold is
+    // round-latency-bound, so the two standalone count jobs were a
+    // measurable slice of every micro-batch's wall
+    val delObs = org.apache.spark.sql.Observation()
     val del = deletes.select(
-      least(col(dA), col(dB)).as("a"),
-      greatest(col(dA), col(dB)).as("b")).distinct()
+        least(col(dA), col(dB)).as("a"),
+        greatest(col(dA), col(dB)).as("b")).distinct()
+      .observe(delObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nDel = Option(delObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     val ins = inserts.select(
       least(col(iA), col(iB)).as("a"),
       greatest(col(iA), col(iB)).as("b")).distinct()
     // each delete's component off the edge sidecar — the small side
     // broadcasts, the bucketed sidecar streams (no shuffle); the
     // matched rows are delta-bounded, so materialize them once
+    val mObs = org.apache.spark.sql.Observation()
     val matched = stateEdges
       .join(broadcast(del), Seq("a", "b"))
-      .select(col("component")).localCheckpoint(true)
+      .select(col("component"))
+      .observe(mObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // loud phantom-delete contract: the sidecar's edges are distinct,
     // so |matched| < |deletes| means some delete referenced an edge
     // the state never held — the change log and state have diverged
-    val nDel = del.count()
-    val nMatched = matched.count()
+    val nMatched = Option(mObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     if (nMatched < nDel)
       throw new IllegalArgumentException(
         s"Graph.ccApplyChanges: ${nDel - nMatched} of $nDel deletes "

@@ -53,7 +53,7 @@ object Ivm {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     graft.Tables.deleteRec(new java.io.File(wh, table))
     partials(facts, keyCol, measureQ)
-      .write.bucketBy(buckets, "key").sortBy("key")
+      .repartition(buckets, col("key")).write.bucketBy(buckets, "key").sortBy("key")
       .saveAsTable(table)
   }
 
@@ -118,7 +118,13 @@ object Ivm {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     graft.Tables.deleteRec(new java.io.File(wh, table))
-    facts.write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
+    // repartition to the bucket spec first: bucketBy from an N-task
+    // upstream writes up to N files PER BUCKET (measured 255 files for
+    // an 8-bucket sidecar at sf0.001), and every later touched-group
+    // re-aggregation pays one scan task per file; pre-partitioned, the
+    // table is exactly one well-sized file per bucket (guide §6)
+    facts.repartition(buckets, col("key"))
+      .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
   }
 
   /** Fold a fact-level change set into the persisted view. `delta` is
@@ -139,7 +145,14 @@ object Ivm {
     val facts = spark.table(factsTable)
     require(facts.columns.sameElements(Seq("fkey", "key", "q")),
       s"$factsTable is not an Ivm fact index: ${facts.columns.toSeq}")
-    mergeDeltaRetractFrames(delta, view, facts)
+    // delta materialized once: the fold references it in five branches
+    // (signed contributions, touched keys, removed fkeys, insert
+    // extension, survivor merge) and a delta derived from a fact scan
+    // would re-run that scan per branch — a production change log is a
+    // materialized table already (the MultiIvm.mergeMultiDelta note);
+    // the streaming fold (q187) calls the *Frames core with in-memory
+    // batches and never pays this job
+    mergeDeltaRetractFrames(delta.localCheckpoint(true), view, facts)
   }
 
   /** Frame-level core of [[mergeDeltaRetract]]: `view` is any
@@ -493,22 +506,23 @@ object Ivm {
     * streaming replay (q187) derives its delta from the BOUNDED fact
     * slice so the stream and its oracle agree at any SF. */
   private[graft] def orderFactDeltaOf(f: DataFrame): DataFrame = {
+    // ONE pass with a CASE projection, not four union branches — each
+    // branch was its own scan of the fact frame, so materializing the
+    // delta (or collecting a stream slice) paid the scan 4×; the row
+    // multiset is identical and every consumer aggregates (order-blind)
     val nl = lit(null).cast("long")
-    f.filter(col("fkey") % 97 === 0)
-      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
-        col("q").as("q_old"), nl.as("key_new"), nl.as("q_new"))
-      .unionByName(f.filter(col("fkey") % 97 === 1)
-        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
-          col("q").as("q_old"), col("key").as("key_new"),
-          (col("q") + 12345L).as("q_new")))
-      .unionByName(f.filter(col("fkey") % 97 === 2)
-        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
-          col("q").as("q_old"), (col("key") + 1L).as("key_new"),
-          col("q").as("q_new")))
-      .unionByName(f.filter(col("fkey") % 97 === 3)
-        .select((col("fkey") + 2147483648L).as("fkey"), lit("I").as("change"),
-          nl.as("key_old"), nl.as("q_old"), col("key").as("key_new"),
-          (col("q") + 55L).as("q_new")))
+    val m = col("fkey") % 97
+    f.filter(m.isin(0, 1, 2, 3))
+      .select(
+        when(m === 3, col("fkey") + 2147483648L).otherwise(col("fkey"))
+          .as("fkey"),
+        when(m === 0, "D").when(m === 3, "I").otherwise("U").as("change"),
+        when(m === 3, nl).otherwise(col("key")).as("key_old"),
+        when(m === 3, nl).otherwise(col("q")).as("q_old"),
+        when(m === 0, nl).when(m === 2, col("key") + 1L)
+          .otherwise(col("key")).as("key_new"),
+        when(m === 0, nl).when(m === 1, col("q") + 12345L)
+          .when(m === 3, col("q") + 55L).otherwise(col("q")).as("q_new"))
   }
 
   /** q180: retraction-aware view maintenance — the per-customer order

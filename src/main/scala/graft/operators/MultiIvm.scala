@@ -94,13 +94,18 @@ object MultiIvm {
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
     clear(table)
+    // every bucketed write below is pre-partitioned to the bucket
+    // spec — one file per bucket instead of up-to-N-writer-tasks
+    // files per bucket (the Ivm.buildFactIndex note; guide §6)
     multiPartials(facts, measures, distincts)
+      .repartition(buckets, col("key"))
       .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
     distincts.foreach { d =>
       val mt = s"${table}_mult_$d"
       clear(mt)
       facts.groupBy(col("key"), col(d).as("v"))
         .agg(count(lit(1)).as("m"))
+        .repartition(buckets, col("key"))
         .write.bucketBy(buckets, "key").sortBy("key", "v").saveAsTable(mt)
     }
   }
@@ -151,7 +156,17 @@ object MultiIvm {
   def mergeMultiDelta(delta: DataFrame, measures: Seq[String],
       distincts: Seq[String], table: String): DataFrame = {
     val spark = delta.sparkSession
-    mergeMultiDeltaFrames(delta, measures, distincts, spark.table(table),
+    // Materialize the delta ONCE: the fold references it in many
+    // branches (retracts/adds contributions, per-distinct
+    // multiplicity updates), and a delta frame DERIVED from a fact
+    // scan would otherwise re-run that scan per branch (measured at
+    // sf0.1: the q209-family fold re-scanned orders 6× — 192-task
+    // stages on a bounded change set). A production change log is a
+    // materialized table already; the checkpoint is O(|delta|), the
+    // fold's own contract. The streaming folds call the *Frames core
+    // directly with in-memory batches, so they never pay this job.
+    mergeMultiDeltaFrames(delta.localCheckpoint(true), measures, distincts,
+      spark.table(table),
       distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap)
   }
 
@@ -457,17 +472,23 @@ object MultiIvm {
           .agg(hll_sketch_agg(col(d)).as(s"hs_$d")), "key")
       }
       .select(viewColumnsFull(measures, distincts, topks, hlls).map(col): _*)
+      .repartition(buckets, col("key"))
       .write.bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
     distincts.foreach { d =>
       val mt = s"${table}_mult_$d"
       clear(mt)
       facts.groupBy(col("key"), col(d).as("v"))
         .agg(count(lit(1)).as("m"))
+        .repartition(buckets, col("key"))
         .write.bucketBy(buckets, "key").sortBy("key", "v").saveAsTable(mt)
     }
     val ft = s"${table}_facts"
     clear(ft)
-    facts.write.bucketBy(buckets, "key").sortBy("key", "fkey")
+    // the fact sidecar is read by EVERY retraction fold (touched-group
+    // re-derivation) — pre-partitioning matters most here (was 255
+    // files for 8 buckets at sf0.001, one scan task per file per fold)
+    facts.repartition(buckets, col("key"))
+      .write.bucketBy(buckets, "key").sortBy("key", "fkey")
       .saveAsTable(ft)
   }
 
@@ -479,8 +500,10 @@ object MultiIvm {
       topks: Seq[(String, Int)] = Nil,
       hlls: Seq[String] = Nil): DataFrame = {
     val spark = delta.sparkSession
-    mergeMultiDeltaFullFrames(delta, measures, distincts,
-      spark.table(table),
+    // delta materialized once — see mergeMultiDelta; the full fold has
+    // even more branches (min/max + top-k re-derivations, HLL rebuild)
+    mergeMultiDeltaFullFrames(delta.localCheckpoint(true), measures,
+      distincts, spark.table(table),
       distincts.map(d => d -> spark.table(s"${table}_mult_$d")).toMap,
       spark.table(s"${table}_facts"), topks, hlls)
   }
@@ -756,31 +779,32 @@ object MultiIvm {
     *  2 → 'U' MOVE to key+1, payload unchanged (pure group transfer);
     *  3 → 'I' new fact at fkey+2³¹: cents+55, units+3, prio '0-NEW'. */
   private[graft] def orderMultiDelta(f: DataFrame): DataFrame = {
+    // ONE pass with a CASE projection, not four union branches — the
+    // Ivm.orderFactDeltaOf rationale: each branch was its own scan of
+    // the fact frame, so the fold-entry checkpoint paid the scan 4×;
+    // the row multiset is identical and every consumer aggregates
     val nl = lit(null).cast("long")
     val ns = lit(null).cast("string")
-    f.filter(col("fkey") % 97 === 0)
-      .select(col("fkey"), lit("D").as("change"), col("key").as("key_old"),
-        nl.as("key_new"), col("cents").as("old_cents"), nl.as("new_cents"),
-        col("units").as("old_units"), nl.as("new_units"),
-        col("prio").as("old_prio"), ns.as("new_prio"))
-      .unionByName(f.filter(col("fkey") % 97 === 1)
-        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
-          col("key").as("key_new"), col("cents").as("old_cents"),
-          (col("cents") + 12345L).as("new_cents"),
-          col("units").as("old_units"), col("units").as("new_units"),
-          col("prio").as("old_prio"), lit("9-REPRICED").as("new_prio")))
-      .unionByName(f.filter(col("fkey") % 97 === 2)
-        .select(col("fkey"), lit("U").as("change"), col("key").as("key_old"),
-          (col("key") + 1L).as("key_new"), col("cents").as("old_cents"),
-          col("cents").as("new_cents"), col("units").as("old_units"),
-          col("units").as("new_units"), col("prio").as("old_prio"),
-          col("prio").as("new_prio")))
-      .unionByName(f.filter(col("fkey") % 97 === 3)
-        .select((col("fkey") + 2147483648L).as("fkey"), lit("I").as("change"),
-          nl.as("key_old"), col("key").as("key_new"), nl.as("old_cents"),
-          (col("cents") + 55L).as("new_cents"), nl.as("old_units"),
-          (col("units") + 3L).as("new_units"), ns.as("old_prio"),
-          lit("0-NEW").as("new_prio")))
+    val m = col("fkey") % 97
+    f.filter(m.isin(0, 1, 2, 3))
+      .select(
+        when(m === 3, col("fkey") + 2147483648L).otherwise(col("fkey"))
+          .as("fkey"),
+        when(m === 0, "D").when(m === 3, "I").otherwise("U").as("change"),
+        when(m === 3, nl).otherwise(col("key")).as("key_old"),
+        when(m === 0, nl).when(m === 2, col("key") + 1L)
+          .otherwise(col("key")).as("key_new"),
+        when(m === 3, nl).otherwise(col("cents")).as("old_cents"),
+        when(m === 0, nl).when(m === 1, col("cents") + 12345L)
+          .when(m === 3, col("cents") + 55L).otherwise(col("cents"))
+          .as("new_cents"),
+        when(m === 3, nl).otherwise(col("units")).as("old_units"),
+        when(m === 0, nl).when(m === 3, col("units") + 3L)
+          .otherwise(col("units")).as("new_units"),
+        when(m === 3, ns).otherwise(col("prio")).as("old_prio"),
+        when(m === 0, ns).when(m === 1, lit("9-REPRICED"))
+          .when(m === 3, lit("0-NEW")).otherwise(col("prio"))
+          .as("new_prio"))
   }
 
   private val multiBuilt = new java.util.concurrent.ConcurrentHashMap[

@@ -908,7 +908,7 @@ object Relational {
         col("component").as("cluster"))
     mem.write.bucketBy(buckets, "cluster").saveAsTable(table)
     survivorshipOver(spark.table(table))
-      .write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+      .repartition(buckets, col("block")).write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
   }
 
   /** Match a new batch against the persisted canonical state and
@@ -1084,16 +1084,16 @@ object Relational {
     base.join(cc, "id")
       .select(col("id"), col("block"), col("name"),
         col("component").as("cluster"))
-      .write.bucketBy(buckets, "cluster").saveAsTable(table)
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").saveAsTable(table)
     survivorshipOver(spark.table(table))
-      .write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+      .repartition(buckets, col("block")).write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
     // both endpoints share one cluster and block by construction (the
     // labeling is the transitive closure of exactly these pairs)
     pairs
       .join(spark.table(table).select(col("id").as("id_a"), col("block"),
         col("cluster")), Seq("id_a"))
       .select(col("cluster"), col("block"), col("id_a"), col("id_b"))
-      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+      .repartition(buckets, col("cluster")).write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
       .saveAsTable(s"${table}_pairs")
   }
 
@@ -1115,14 +1115,23 @@ object Relational {
       s"$table is not an ER membership table: ${members.columns.toSeq}")
     val golden = spark.table(s"${table}_golden")
     val pairs = spark.table(s"${table}_pairs")
+    // both counts ride their frame's materialization job via observe()
+    // (the connectedComponents recipe — two fewer driver jobs on a
+    // latency-bound fold)
+    val delObs = org.apache.spark.sql.Observation()
     val del = deleteIds.select(col(deleteIds.columns.head).as("id"))
-      .distinct().localCheckpoint(true)
+      .distinct().observe(delObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nDel = Option(delObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     // each delete's cluster off the bucketed membership — the small
     // side broadcasts; the matched rows are delta-bounded
+    val mObs = org.apache.spark.sql.Observation()
     val matched = members.join(broadcast(del), Seq("id"))
-      .select(col("cluster")).localCheckpoint(true)
-    val nDel = del.count()
-    val nMatched = matched.count()
+      .select(col("cluster")).observe(mObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nMatched = Option(mObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     if (nMatched != nDel)
       throw new IllegalArgumentException(
         s"Relational.erApplyDeletes: ${nDel - nMatched} of $nDel deletes "

@@ -252,10 +252,18 @@ object Similarity {
     // localCheckpoint (not cache): consumed by the KMeans fit only;
     // blocks are context-cleaned when the returned plan is dropped,
     // instead of pinned for the session
-    val vecs = t.embeddings
+    val vecs0 = t.embeddings
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
       .localCheckpoint(true)
+    // fit parallelism from the fit-input size, not the scan layout
+    // (the fitPq rule): ~16k rows/task keeps Lloyd-pass compute above
+    // task overhead; the coalesce reads the checkpoint blocks, it
+    // never recomputes the projection
+    val fitParts = math.max(1L, math.min(
+      t.spark.sparkContext.defaultParallelism.toLong,
+      vecs0.count() / 16384L + 1L)).toInt
+    val vecs = vecs0.coalesce(fitParts)
     val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(maxIter)
       .setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("ivf_list")
@@ -447,8 +455,22 @@ object Similarity {
         array_to_vector(transform($"embedding", _.cast("double"))).as("features"))
       .localCheckpoint(true)
     val n = full.count()
+    // Fit parallelism derives from the BOUNDED train size, not the
+    // corpus scan's partitioning: the trainers see ≤ trainCap rows
+    // (≈ 67 MB at the 131k cap × 64 doubles) no matter how large the
+    // corpus is, so inheriting the scan's partition count turns every
+    // Lloyd pass of every one of the m+1 fits into a wide stage of
+    // near-empty tasks — measured at sf0.1 (2k vectors, 32 scan
+    // partitions): the 17 concurrent fits spend 3.9 s, dropping to
+    // 0.6 s at ⌈rows/16k⌉ partitions. ~16k rows/task keeps per-task
+    // compute well above task overhead at any scale, capped by the
+    // session's parallelism so the cap-sized sample still spreads.
+    val fitParts = math.max(1L, math.min(
+      base.sparkSession.sparkContext.defaultParallelism.toLong,
+      math.min(n, trainCap) / 16384L + 1L)).toInt
     val train = (if (n > trainCap) full.sample(withReplacement = false,
-        trainCap.toDouble / n, seed = 7L) else full).localCheckpoint(true)
+        trainCap.toDouble / n, seed = 7L) else full)
+      .coalesce(fitParts).localCheckpoint(true)
     def centersOf(df: DataFrame, featCol: String, k: Int, seed: Long) =
       new KMeans().setK(k).setSeed(seed).setMaxIter(3).setInitMode("random")
         .setFeaturesCol(featCol).setPredictionCol("pq_pred")
@@ -598,7 +620,17 @@ object Similarity {
       spark.sql(s"DROP TABLE IF EXISTS $n")
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
+    // repartition by list before the partitioned write: encodePq
+    // inherits the corpus scan's partitioning, and partitionBy from N
+    // tasks writes up to N files per list directory (measured 874
+    // files for a 16-list fixture index — every DPP probe then pays
+    // one scan task per file in its probed lists). Hash-partitioned
+    // by list, each list is exactly one file; at cluster scale add a
+    // salt column to this repartition to restore write parallelism
+    // within a list (guide §6: output files sized by layout, not by
+    // writer count).
     encodePq(base, model, nAssign)
+      .repartition(col("ivf_list"))
       .write.partitionBy("ivf_list").saveAsTable(table)
     // the index EPOCH is stamped in two places — a table property on
     // the index and a column in the meta row — and the probe asserts
@@ -676,7 +708,8 @@ object Similarity {
     val model = loadPqModel(spark, table)
     val enc = encodePq(delta.select(idCol.as("vec_id"),
       embCol.as("embedding")), model, nAssign)
-    enc.write.mode("append").format("parquet").partitionBy("ivf_list")
+    enc.repartition(col("ivf_list"))  // one file per touched list per append
+      .write.mode("append").format("parquet").partitionBy("ivf_list")
       .saveAsTable(table)
     // roll the per-list count sidecar forward by the delta's own
     // counts — a second pass over the (delta-bounded, deterministic)
@@ -817,6 +850,7 @@ object Similarity {
     // files under the session catalog, so the swap is a directory
     // move + re-register instead: metadata-only, no second rewrite).
     aliveIndex(spark, table)
+      .repartition(col("ivf_list"))  // compaction also resets file count
       .write.partitionBy("ivf_list").parquet(tmpDir.getAbsolutePath)
     // Swap window (drop → move → create) is metadata-only — the live
     // name is absent for milliseconds, not for a corpus rewrite; a
@@ -1201,7 +1235,8 @@ object Similarity {
         t.spark.sql(s"DROP TABLE IF EXISTS $n")
         graft.Tables.deleteRec(new java.io.File(wh, n))
       }
-      t.spark.table(src).write.partitionBy("ivf_list").saveAsTable(name)
+      t.spark.table(src).repartition(col("ivf_list"))
+        .write.partitionBy("ivf_list").saveAsTable(name)
       t.spark.table(s"${src}_meta").write.saveAsTable(s"${name}_meta")
       // the clone must carry the source's epoch stamp — the probe
       // asserts index-property ≡ meta agreement on every read
