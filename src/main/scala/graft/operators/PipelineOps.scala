@@ -63,7 +63,13 @@ object PipelineOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl off the TF rollup, not the raw token stream: Σ tf per doc is
+    // exactly the doc's token count (integer arithmetic — bit-identical
+    // dl), and it shuffles |distinct (doc, word)| rows instead of
+    // |tokens| — on a natural-language corpus a 2–5× smaller exchange,
+    // and the (doc_id, word) exchange feeding it is shared with the
+    // scoring join (guide §2.3 aggregate-before-shuffle)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val avgdl = col("total_dl").cast("double") / col("n_docs")
