@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes STRAIGHT to the console instead of through
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// made Bench's one-line JSON contract unparseable for 13 straight
+// rounds ("parsed": null in every BENCH artifact — the driver reads
+// the sbt process's stdout tail and needs the bare line).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

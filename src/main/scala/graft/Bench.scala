@@ -340,7 +340,12 @@ object Bench {
       "q208_cc_retract",
       // round 13: the delete-capable state builds + touched-cluster
       // re-solves are the same latency-bound driver-loop shape
-      "q215_dedup_delete", "q216_er_delete")
+      "q215_dedup_delete", "q216_er_delete",
+      // round 14: the two-pass median/MAD chain now runs as three
+      // sequential checkpoint jobs (med → mad → final agg) — a
+      // multi-job latency shape that sat at the top of the in-lane
+      // board (29.5 s vs a 2.5 s solo) purely from weight-1 queueing
+      "q175_robust_outliers")
     // The streaming replay harness runs in its OWN measured lane,
     // after the throughput pool drains. A replay's wall is micro-batch
     // turnaround (state-store commits + offset-log latency), not data:
@@ -379,16 +384,22 @@ object Bench {
     // one untimed throughput pass first: the flagship-query warm-up
     // above does not JIT/codegen the other 100+ queries, and a cold
     // first pass runs ~30% slower end to end — measured medians would
-    // then depend on which side of the JIT cliff each pass landed
-    runPass(batchNames)
+    // then depend on which side of the JIT cliff each pass landed.
+    // Its per-query walls are RECORDED (first_touch_sec in the full
+    // artifact) so the state-build work the maintained-state families
+    // do on first touch is on the record and auditable round-over-
+    // round — it still contributes nothing to "value".
+    val firstTouch = runPass(batchNames)
     val runs = (1 to passes).map(_ => runPass(batchNames))
     // replay lane: one untimed pass (streaming-engine JIT + the
     // memoized event slice build), then the same median-of-passes as
     // the throughput lane — replays are deterministic, but their
     // micro-batch turnaround shares the JVM with GC like everything
     // else
+    val firstTouchReplay =
+      if (replayLane.isEmpty) (0.0, Seq.empty[(String, Double)])
+      else runPass(replayLane)
     val replayRuns = if (replayLane.isEmpty) Seq.empty else {
-      runPass(replayLane)
       (1 to passes).map(_ => runPass(replayLane))
     }
     // SOLO lane (telemetry, not part of "value"): one warm serial run
@@ -514,9 +525,18 @@ object Bench {
           .mkString("[", ",", "]")},"solo":""" +
         names.map(n => "\"" + n + "\":" + fmt(solo(n)))
           .mkString("{", ",", "}")
+    // the untimed warm-up pass's per-query walls: where all first-touch
+    // state builds (IVM sidecars, dedup/ER indexes, ANN index fits, the
+    // q203 prior) happen — recorded so that work is auditable, never
+    // part of "value"
+    val firstTouchJson =
+      s""","first_touch_sec":${(firstTouch._2 ++ firstTouchReplay._2)
+        .map { case (n, s) => "\"" + n + "\":" + fmt(s) }
+        .mkString("{", ",", "}")}"""
     val wrote = try {
       java.nio.file.Files.writeString(outPath,
-        line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))), soloJson) + "\n")
+        line(names.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
+          soloJson + firstTouchJson) + "\n")
       true
     } catch {
       case e: java.io.IOException =>
@@ -524,9 +544,22 @@ object Bench {
     }
     // stdout (last line, tail-safe): totals + the slowest 10 only
     val slowest = names.sortBy(n => -byQuery(n)).take(10)
-    println(line(slowest.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
-      (if (solo.isEmpty) "" else s""","solo_lane_sec":${fmt(soloWall)}""") +
-        (if (wrote) s""","full":"${outPath.toAbsolutePath}"""" else "")))
+    val stdoutLine =
+      line(slowest.map(n => "\"" + n + "\":" + fmt(byQuery(n))),
+        (if (solo.isEmpty) "" else s""","solo_lane_sec":${fmt(soloWall)}""") +
+          (if (wrote) s""","full":"${outPath.toAbsolutePath}"""" else ""))
+    // the driver-parseable contract, belt and braces: the same compact
+    // line lands in a BARE file too (no sbt logger prefix, no tail
+    // truncation risk) — 13 rounds of BENCH artifacts carried
+    // "parsed": null because the stdout line rode sbt's "[info] "
+    // decoration (fixed in build.sbt via outputStrategy, this file is
+    // the fallback that works regardless of how the JVM is launched)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE", "bench_line.json")),
+      stdoutLine + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench_line.json: $e") }
+    println(stdoutLine)
     ec.shutdown()
     spark.stop()
   }

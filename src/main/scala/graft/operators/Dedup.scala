@@ -253,9 +253,13 @@ object Dedup {
     flatBands(d, bands, rowsPerBand)
       .repartition(buckets, col("bk")).write.bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(s"${prefix}_bands")
+    // bucketed like every other state table (one file per bucket):
+    // unpartitioned, this write inherited the verify join's task
+    // layout — the last state write still doing so (guide §6)
     minhashPairsCore(docs, idCol, textCol, maxDist, bands, rowsPerBand, shingleK)
       .select(col("id_a"), col("id_b"))
-      .write.saveAsTable(s"${prefix}_pairs")
+      .repartition(buckets, col("id_a")).write.bucketBy(buckets, "id_a")
+      .saveAsTable(s"${prefix}_pairs")
   }
 
   /** Dedup a delta corpus against the persisted index: cluster labels
@@ -348,7 +352,8 @@ object Dedup {
       .union(minhashPairsCore(delta, idCol, textCol, maxDist, bands,
         rowsPerBand, shingleK).select(col("id_a"), col("id_b")))
     spark.table(s"${prefix}_pairs").union(newPairs)
-      .write.saveAsTable(s"${outPrefix}_pairs")
+      .repartition(buckets, col("id_a")).write.bucketBy(buckets, "id_a")
+      .saveAsTable(s"${outPrefix}_pairs")
   }
 
   // ── q215: incremental dedup under DOCUMENT DELETION ──────────────────
@@ -1135,14 +1140,35 @@ object Dedup {
       else symRaw
         .join(nodeIds.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val sym = symChecked.distinct().cache()
-    try {
-      // only nodes with at least one edge participate in the iteration —
-      // isolated nodes (the vast majority of a near-dup corpus) are
-      // their own component by definition and are unioned back at the end
-      val connected = sym.select(col("src").as("id")).distinct()
-      var labels = connected.withColumn("component", col("id"))
-        .localCheckpoint(true)
+    // localCheckpoint (not cache): the loop references `sym` every
+    // round, and a cached frame still carries its FULL logical plan —
+    // the analyzer and the cache-manager's sameResult probe re-walk
+    // the whole edge-derivation subtree (for the ER chain, the entire
+    // PassJoin candidate pipeline) once per round, which made the
+    // iterative queries driver-PLANNING-bound (wall ≫ stage time).
+    // The checkpoint truncates the lineage to a leaf, so each round
+    // plans O(round) work. The edge count rides the materialization
+    // job via observe() and feeds the broadcast decision below — with
+    // the lineage cut, the planner no longer sees a size estimate, so
+    // the small-graph broadcast that cached stats used to enable is
+    // re-established explicitly, from a measured count.
+    val symObs = org.apache.spark.sql.Observation()
+    val sym = symChecked.distinct()
+      .observe(symObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nSym = Option(symObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(Long.MaxValue)
+    // per-round probe side: ~24 B/row of (src, dst) longs ⇒ 2M rows
+    // stay well inside the default 10 MB auto-broadcast budget; bigger
+    // edge sets shuffle (sort-merge/shuffled-hash), exactly as the
+    // cached-stats planner chose before
+    val symJ: DataFrame = if (nSym <= 2000000L) broadcast(sym) else sym
+    // only nodes with at least one edge participate in the iteration —
+    // isolated nodes (the vast majority of a near-dup corpus) are
+    // their own component by definition and are unioned back at the end
+    val connected = sym.select(col("src").as("id")).distinct()
+    var labels = connected.withColumn("component", col("id"))
+      .localCheckpoint(true)
       var changed = 1L
       var iter = 0
       while (changed > 0) {
@@ -1159,7 +1185,7 @@ object Dedup {
         // separate neighbor-min aggregation + left-join-update. tag=0
         // marks the node's own label so the fold can detect change
         // (new component < old) in the same pass.
-        val contrib = sym
+        val contrib = symJ
           .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
           .select(col("src").as("id"), col("nl").as("cand"), lit(1).as("tag"))
         // the convergence metric rides the checkpoint materialization
@@ -1196,7 +1222,6 @@ object Dedup {
         .join(labels.select(col("id")), Seq("id"), "left_anti")
         .withColumn("component", col("id"))
       labels.union(isolated)
-    } finally sym.unpersist()
   }
 
   /** Near-dup clusters over the blocked jaccard pairs (q26's pair

@@ -171,19 +171,31 @@ object Graph {
       edgeStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
+    val (e, _) = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
     (1 to iters).foldLeft(ssspInit(e, sourcePred)) { (dist, _) =>
       ssspRound(e, dist).select(col("id"), col("dist"))
     }
   }
 
+  /** Prepped (src, dst, min-w) edge frame, EAGERLY checkpointed with
+    * the global minimum weight riding the materialization via
+    * observe() — min over the per-pair mins < 0 ⟺ some raw weight was
+    * negative, so the non-negativity precondition costs no second
+    * derivation of the caller's edge join (it used to be a standalone
+    * filter+count job over the un-prepped edges). Returns the frame
+    * and that minimum (Long.MaxValue on an empty graph). */
   private def prepSsspEdges(edges: DataFrame, srcCol: Column, dstCol: Column,
       wCol: Column,
-      edgeStorage: org.apache.spark.storage.StorageLevel): DataFrame =
-    edges.select(srcCol.as("src"), dstCol.as("dst"), wCol.cast("long").as("w"))
+      edgeStorage: org.apache.spark.storage.StorageLevel): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"), wCol.cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src"))
-      .localCheckpoint(false, edgeStorage)
+      .observe(obs, min(col("w")).as("min_w"))
+      .localCheckpoint(true, edgeStorage)
+    (e, Option(obs.get("min_w")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(Long.MaxValue))
+  }
 
   /** All nodes, sources at 0, everything else NULL (unreached). */
   private def ssspInit(e: DataFrame,
@@ -225,9 +237,11 @@ object Graph {
       edgeStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
-    val negatives = edges.filter(wCol.cast("long") < 0).limit(1).count()
-    require(negatives == 0, "ssspConverged requires non-negative weights")
-    val e = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
+    // the non-negativity precondition rides the edge checkpoint's
+    // materialization (see prepSsspEdges) — it used to be a standalone
+    // filter-count job re-deriving the caller's whole edge join
+    val (e, minW) = prepSsspEdges(edges, srcCol, dstCol, wCol, edgeStorage)
+    require(minW >= 0, "ssspConverged requires non-negative weights")
     var dist = ssspInit(e, sourcePred).localCheckpoint(true)
     var rounds = 0
     var changed = 1L
@@ -761,10 +775,14 @@ object Graph {
       .repartition(col("dst"))
       .localCheckpoint(false, edgeStorage)
     // one scan: full degrees (src covers every node — e carries both
-    // directions), map-side combined to node scale
+    // directions), map-side combined to node scale; the node count
+    // rides the checkpoint job via observe() (no standalone count)
+    val n0Obs = org.apache.spark.sql.Observation()
     val deg0 = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .observe(n0Obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n0 = deg0.count()
+    val n0 = Option(n0Obs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     val k = kOf(deg0)
     require(k >= 1, s"k must be >= 1: $k")
     // round 1 IS the full-degree filter; the survivor count rides the
@@ -1176,14 +1194,18 @@ object Graph {
   def ccApplyChanges(inserts: DataFrame, deletes: DataFrame,
       table: String): DataFrame = {
     val spark = inserts.sparkSession
-    // materialize the change set once: the fold references inserts in
-    // three branches and deletes in four, and a change set DERIVED
-    // from a fact scan (q208's co-purchase slices) would re-run that
-    // scan per branch — a production change log is a materialized
-    // table already (the Ivm.mergeDeltaRetract note). The streaming
-    // fold calls the *Frames core with in-memory batches directly.
+    // materialize the INSERT side once: the fold references inserts in
+    // three branches, and a change set DERIVED from a fact scan
+    // (q208's co-purchase slices) would re-run that scan per branch —
+    // a production change log is a materialized table already (the
+    // Ivm.mergeDeltaRetract note). The DELETE side is referenced once
+    // and the Frames core checkpoints its canonicalized form anyway
+    // (the observed `del` frame), so a wrapper checkpoint there was a
+    // second materialization job on a round-latency-bound path.
+    // The streaming fold calls the *Frames core with in-memory
+    // batches directly.
     ccApplyChangesFrames(inserts.localCheckpoint(true),
-      deletes.localCheckpoint(true), spark.table(table),
+      deletes, spark.table(table),
       spark.table(s"${table}_edges"))
   }
 

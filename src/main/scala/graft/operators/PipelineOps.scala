@@ -195,6 +195,11 @@ object PipelineOps {
     * asserts the gate, the engine recomputes both fusions). */
   def rrfAnnGate(t: Tables, k: Int = 10, floor: Double = 0.8): DataFrame = {
     import t.spark.implicits._
+    // NOTE (r14): checkpointing bm/exact here was TRIED and reverted —
+    // ReuseExchange already runs the duplicated subtrees once inside
+    // the single gate job, whose independent branches schedule
+    // concurrently; splitting them into sequential checkpoint jobs
+    // measured 5.6→6.9 s solo (serialized previously-parallel stages)
     val bm = bm25TopK(t, k).select($"q_id", $"doc_id", $"rank")
     val exact = rrfFuseOver(Seq(
       "bm25" -> bm,

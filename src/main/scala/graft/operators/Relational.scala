@@ -906,7 +906,8 @@ object Relational {
     val mem = base.join(cc, "id")
       .select(col("id"), col("block"), col("name"),
         col("component").as("cluster"))
-    mem.write.bucketBy(buckets, "cluster").saveAsTable(table)
+    mem.repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").saveAsTable(table)
     survivorshipOver(spark.table(table))
       .repartition(buckets, col("block")).write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
   }
@@ -1009,9 +1010,12 @@ object Relational {
         spark.sql(s"DROP TABLE IF EXISTS $n")
         graft.Tables.deleteRec(new java.io.File(wh, n))
       }
-    m.write.bucketBy(buckets, "cluster").saveAsTable(table)
-    g.write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
-    p.foreach(_.write.bucketBy(buckets, "cluster")
+    m.repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").saveAsTable(table)
+    g.repartition(buckets, col("block"))
+      .write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+    p.foreach(_.repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster")
       .sortBy("cluster", "id_a", "id_b").saveAsTable(s"${table}_pairs"))
   }
 
@@ -1193,9 +1197,12 @@ object Relational {
       spark.sql(s"DROP TABLE IF EXISTS $n")
       graft.Tables.deleteRec(new java.io.File(wh, n))
     }
-    m.write.bucketBy(buckets, "cluster").saveAsTable(table)
-    g.write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
-    p.write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
+    m.repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").saveAsTable(table)
+    g.repartition(buckets, col("block"))
+      .write.bucketBy(buckets, "block").saveAsTable(s"${table}_golden")
+    p.repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster", "id_a", "id_b")
       .saveAsTable(s"${table}_pairs")
   }
 
@@ -1747,9 +1754,16 @@ object Relational {
     // silently diverge the engines on a nullable value column
     val base = df.select(groupCol.as("__grp"), valueCol.as("__val"))
       .filter(col("__val").isNotNull)
+    // |groups|-row frame, referenced three times below (bucket calc,
+    // histogram, final n join) — checkpointed so each reference reads
+    // the tiny materialized frame instead of re-deriving the full
+    // input scan (guide §1.2 don't compute things twice; with a
+    // derived `df` like q175's MAD pass, the re-derivations NEST and
+    // the scan count multiplies)
     val stats = base.groupBy(col("__grp")).agg(
       count(lit(1)).as("n"),
       min(col("__val")).as("__lo"), max(col("__val")).as("__hi"))
+      .localCheckpoint(true)
     // bucket id ∈ [0, buckets): internal only — the constant-span
     // guard and the clamp keep it total (all-equal groups land in 0)
     val span = col("__hi").cast("double") - col("__lo").cast("double")
@@ -1806,9 +1820,16 @@ object Relational {
     * (group, n, med, mad, n_outliers). */
   def robustOutliersOver(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
+    // med and mad are |groups|-row frames consumed by row-scale joins;
+    // checkpointed because their lineage is the whole two-pass
+    // selection machinery — un-truncated, the MAD pass re-derives the
+    // median chain (and its input scans) once per reference, which
+    // made q175 a ~30-stage plan over what is logically 3 passes
+    // (guide §1.2)
     val med = rankQuantilesOver(df, groupCol, valueCol,
         ps = Seq("med" -> 0.5))
       .select(col("__grp"), col("n"), col("med"))
+      .localCheckpoint(true)
     val dev = df.select(groupCol.as("__grp"), valueCol.as("__v"))
       .filter(col("__v").isNotNull)
       .join(broadcast(med), "__grp")
@@ -1816,6 +1837,7 @@ object Relational {
     val mad = rankQuantilesOver(dev, col("__grp"), col("__dev"),
         ps = Seq("mad" -> 0.5))
       .select(col("__grp"), col("mad"))
+      .localCheckpoint(true)
     dev.join(broadcast(mad), "__grp")
       .groupBy(col("__grp"))
       .agg(count(lit(1)).as("n"), first(col("med")).as("med"),

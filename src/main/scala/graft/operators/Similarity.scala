@@ -251,18 +251,29 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nList, s"nProbe must be in [1, $nList]")
     // localCheckpoint (not cache): consumed by the KMeans fit only;
     // blocks are context-cleaned when the returned plan is dropped,
-    // instead of pinned for the session
+    // instead of pinned for the session. The row count rides the
+    // checkpoint's materialization via observe() (the
+    // connectedComponents recipe) — no standalone count() job.
+    val nObs = org.apache.spark.sql.Observation()
     val vecs0 = t.embeddings
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", x => x.cast("double"))).as("features"))
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val nVecs = Option(nObs.get("n")).collect {
+      case n: java.lang.Long => n.longValue() }.getOrElse(0L)
     // fit parallelism from the fit-input size, not the scan layout
     // (the fitPq rule): ~16k rows/task keeps Lloyd-pass compute above
     // task overhead; the coalesce reads the checkpoint blocks, it
     // never recomputes the projection
     val fitParts = math.max(1L, math.min(
       t.spark.sparkContext.defaultParallelism.toLong,
-      vecs0.count() / 16384L + 1L)).toInt
+      nVecs / 16384L + 1L)).toInt
+    // NOTE: the fit's partition layout shifts k-means|| sampling and
+    // float aggregation order, so centroids (and hence engine-internal
+    // list assignments) are only stable for a FIXED layout — any
+    // change to fitParts/coalesce here must re-run the recall gates
+    // (q102/q135/q161 floors), which are the declared contract.
     val vecs = vecs0.coalesce(fitParts)
     val km = new KMeans().setK(nList).setSeed(42L).setMaxIter(maxIter)
       .setInitMode(initMode)
@@ -444,17 +455,28 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import base.sparkSession.implicits._
-    val dim = base.select(size($"embedding")).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val dsub = dim / m
     // one materialized projection feeds the m+1 fits (bounded scalar
     // count + seeded sample cap keeps trainer input size fixed as the
-    // corpus grows — quantizer quality saturates long before that)
+    // corpus grows — quantizer quality saturates long before that).
+    // Row count AND embedding dim ride the checkpoint's
+    // materialization via observe() — previously a head() job plus a
+    // count() job before any fit could start. max(size) ≡ the old
+    // head()'s size on any fixed-dim corpus (the only kind the m | dim
+    // requirement admits).
+    val fObs = org.apache.spark.sql.Observation()
     val full = base
       .select($"vec_id", $"embedding",
         array_to_vector(transform($"embedding", _.cast("double"))).as("features"))
+      .observe(fObs,
+        count(lit(1)).as("n"), max(size($"embedding")).as("dim"))
       .localCheckpoint(true)
-    val n = full.count()
+    val n = Option(fObs.get("n")).collect {
+      case x: java.lang.Long => x.longValue() }.getOrElse(0L)
+    val dim = Option(fObs.get("dim")).collect {
+      case x: java.lang.Integer => x.intValue()
+      case x: java.lang.Long => x.intValue() }.getOrElse(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
     // Fit parallelism derives from the BOUNDED train size, not the
     // corpus scan's partitioning: the trainers see ≤ trainCap rows
     // (≈ 67 MB at the 131k cap × 64 doubles) no matter how large the
@@ -468,6 +490,11 @@ object Similarity {
     val fitParts = math.max(1L, math.min(
       base.sparkSession.sparkContext.defaultParallelism.toLong,
       math.min(n, trainCap) / 16384L + 1L)).toInt
+    // NOTE: the coalesce fixes the fit's partition layout, which the
+    // seeded sampling and float aggregation order (hence the fitted
+    // centroids) depend on — layout changes keep results correct by
+    // the recall-gate contract but are not bit-stable; re-run the
+    // gates after touching fitParts.
     val train = (if (n > trainCap) full.sample(withReplacement = false,
         trainCap.toDouble / n, seed = 7L) else full)
       .coalesce(fitParts).localCheckpoint(true)

@@ -272,15 +272,31 @@ object Skew {
     * results. */
   def adaptiveSkewSuite(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val (uj, ujStrat) = adaptiveJoinAgg(t.spark, uniformSides(t.dir))
-    val (hj, hjStrat) = adaptiveJoinAgg(t.spark, hubSides(t.dir))
-    val (lc, lcStrat) = adaptiveSumCount(t.lineitem, "l_returnflag",
-      $"l_extendedprice" * (lit(1) - $"l_discount"))
-    val (ua, uaStrat) = adaptiveSumCount(t.orders, "o_custkey", $"o_totalprice")
-    // the hub rollup runs in its child session (its AQE knobs live
-    // there) and re-homes as 7 literal rows — the q172 recipe
-    val hjHome = t.spark.createDataFrame(
-      java.util.Arrays.asList(hj.collect(): _*), hj.schema)
+    // the four regimes are INDEPENDENT and each one runs a blocking
+    // profile action (plus the hub branch's re-homing collect) before
+    // its result frame exists — sequential construction serialized
+    // ~5 driver actions. Built concurrently (guide §2.6 overlap
+    // independent jobs — the fitPq recipe), the profile scans overlap
+    // and the suite's wall is the slowest branch, not the sum; each
+    // branch is deterministic, so results are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ujF = Future(adaptiveJoinAgg(t.spark, uniformSides(t.dir)))
+    val hjF = Future {
+      val (hj, s) = adaptiveJoinAgg(t.spark, hubSides(t.dir))
+      // the hub rollup runs in its child session (its AQE knobs live
+      // there) and re-homes as 7 literal rows — the q172 recipe
+      (t.spark.createDataFrame(
+        java.util.Arrays.asList(hj.collect(): _*), hj.schema), s)
+    }
+    val lcF = Future(adaptiveSumCount(t.lineitem, "l_returnflag",
+      $"l_extendedprice" * (lit(1) - $"l_discount")))
+    val uaF = Future(adaptiveSumCount(t.orders, "o_custkey", $"o_totalprice"))
+    val (uj, ujStrat) = Await.result(ujF, Duration.Inf)
+    val (hjHome, hjStrat) = Await.result(hjF, Duration.Inf)
+    val (lc, lcStrat) = Await.result(lcF, Duration.Inf)
+    val (ua, uaStrat) = Await.result(uaF, Duration.Inf)
     def joinShape(df: DataFrame, regime: String, strat: String) =
       df.select(lit(regime).as("regime"), lit(strat).as("strategy"),
         col("kb").cast("string").as("k"), col("n_rows"),

@@ -178,6 +178,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components: materialized edge set is caller-plan-blind (round-14 checkpoint + broadcast path)") {
+    // round 14 replaced the loop's cached edge frame with an observed
+    // localCheckpoint plus a count-driven broadcast hint — this pins
+    // that (a) a heavily DERIVED lazy edge plan (joins + distinct, the
+    // ER-chain shape whose per-round re-analysis the change removes)
+    // labels identically to the same edges given as a plain local
+    // frame, and (b) the empty-edge-set path (observed count 0, empty
+    // broadcast) still yields all-singleton components.
+    val nodes = spark.range(12L).toDF("id")
+    val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b")
+    // derived plan: the same pairs reached through a self-join +
+    // union + distinct chain (duplicates and both orientations)
+    val derived = raw.union(raw.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .join(nodes.select(col("id").as("id_a")), Seq("id_a"))
+      .distinct()
+    def labelsOf(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponents(nodes, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labelsOf(derived) === labelsOf(raw))
+    val empty = labelsOf(raw.filter(col("id_a") < 0))
+    assert(empty === (0L until 12L).map(i => i -> i).toMap,
+      "no edges => every node is its own component")
+  }
+
   test("connected components converge on a 3000-diameter path via pointer jumping, and fail loudly under budget") {
     // a path graph 0-1-2-...-3000: pure one-hop propagation would need
     // ~3000 rounds (>> maxIters=100); the pointer-jumping escape makes
